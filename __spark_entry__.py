@@ -3,36 +3,58 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in the ``yougile_etl_pipeline_spark`` package;
+this module only adapts it to the driver contract.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Pin the engine's semantic configs on a driver-provided session
+    (UTC session TZ is load-bearing for date parity — see session.py)."""
+    from yougile_etl_pipeline_spark.session import ENGINE_CONF
+
+    for k in ("spark.sql.session.timeZone", "spark.sql.ansi.enabled",
+              "spark.sql.adaptive.enabled"):
+        try:
+            spark.conf.set(k, ENGINE_CONF[k])
+        except Exception:
+            pass  # conf not runtime-settable in this deployment — defaults ok
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from yougile_etl_pipeline_spark.plans.mart import build_mart
+
+    return build_mart(_configure(spark), _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from yougile_etl_pipeline_spark.registry import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf_dir, _fn=fn: _fn(_configure(spark), sf_dir))
+        for name, fn in QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (omitted ⇒ rows-only check)."""
+    from yougile_etl_pipeline_spark.registry import ORACLES
+
+    return dict(ORACLES)

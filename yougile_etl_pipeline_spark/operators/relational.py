@@ -1,0 +1,103 @@
+"""Relational operators (SURVEY.md §2.2–§2.6) with pinned semantics.
+
+Each wrapper exists because the pandas original has a semantic subtlety a
+naive Spark translation would break; the wrapper pins the correct behavior
+and documents the scale strategy.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "left_lookup_join",
+    "null_safe_neq",
+    "member_filter",
+    "dedup_full",
+    "dedup_by_key",
+    "union_by_name",
+    "orphan_audit",
+]
+
+
+def left_lookup_join(fact: DataFrame, dim: DataFrame, on: str | list[str],
+                     *, broadcast_dim: bool = True) -> DataFrame:
+    """J1/J3–J8 — left join to a dimension ("hub") on *explicit* keys.
+
+    The reference uses pandas natural joins (``merge(how='left')`` with no
+    ``on=``, ``dags/yougile_etl_dag.py:132,237,270-277``) which silently
+    join on every shared column — keys are pinned explicitly here
+    (SURVEY.md §2.3 gotcha). Dimensions are broadcast: at 100 TB the fact
+    side never shuffles for a hub lookup.
+    """
+    dim_side = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(dim_side, on=on, how="left")
+
+
+def null_safe_neq(col: Column | str, value: Any) -> Column:
+    """P6 — pandas-semantics ``col != value`` that KEEPS nulls.
+
+    ``df[df['deleted'] != True]`` in pandas keeps NaN rows
+    (``dags/yougile_etl_dag.py:239``); Spark's ``!=`` drops them under
+    three-valued logic. ``NOT (col <=> value)`` restores the pandas
+    behavior (SQL: ``col IS DISTINCT FROM value``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return ~c.eqNullSafe(F.lit(value))
+
+
+def member_filter(df: DataFrame, col: str, values: list) -> DataFrame:
+    """P5 — membership filter (``query('x in @LIST')``,
+    ``dags/yougile_etl_dag.py:135``). An IN-list compiles to a pushed-down
+    predicate reaching the parquet scan; for huge lists, join against a
+    broadcast DataFrame instead."""
+    return df.filter(F.col(col).isin(values))
+
+
+def dedup_full(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """A1 — ``drop_duplicates`` (``dags/yougile_etl_dag.py:319``).
+
+    Full-row distinct = hash aggregate over all columns — one shuffle on
+    the full row; fine at mart width. See `dedup_by_key` for the 100 TB
+    variant (shuffle on the business key only)."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def dedup_by_key(df: DataFrame, keys: list[str],
+                 order_by: list[Column]) -> DataFrame:
+    """A1 at scale — keep exactly one row per business key, chosen by a
+    deterministic order (``row_number() == 1``). Shuffles on `keys` only;
+    AQE splits skewed keys. `order_by` must be a total order within a key
+    for reproducible output."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def union_by_name(*dfs: DataFrame) -> DataFrame:
+    """U1 — by-name union-all (``pd.concat``, ``dags/yougile_etl_dag.py:217``).
+
+    By name, not positional, since page schemas vary; missing columns
+    become NULLs (mirrors concat's outer alignment)."""
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )
+
+
+def orphan_audit(fact: DataFrame, probe_col: str, miss_col: str) -> DataFrame:
+    """D1 — lost-data invariant: rows where the foreign key is present but
+    the joined attribute is NULL ⇒ the child row failed to arrive
+    (``dags/yougile_etl_dag.py:241-244``). Returns a 1-row metrics frame;
+    caller alerts when ``orphan_count > 0``."""
+    return fact.select(
+        F.sum(
+            (F.col(probe_col).isNotNull() & F.col(miss_col).isNull())
+            .cast("long")
+        ).alias("orphan_count")
+    )
