@@ -28,7 +28,8 @@ def _configure(spark: SparkSession) -> SparkSession:
     from yougile_etl_pipeline_spark.session import ENGINE_CONF
 
     for k in ("spark.sql.session.timeZone", "spark.sql.ansi.enabled",
-              "spark.sql.adaptive.enabled"):
+              "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
+              "spark.sql.legacy.parquet.nanosAsLong"):
         try:
             spark.conf.set(k, ENGINE_CONF[k])
         except Exception:

@@ -1,0 +1,168 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each op at 100 TB):
+
+* **Exact** — shuffle on a 16-byte md5 fingerprint, not the document body:
+  uniform keys (no skew), tiny shuffle payload, one hash-aggregate.
+* **Jaccard via shingle join** — candidate generation is an equi-join on
+  (blocking key, shingle): documents never compare all-pairs; the
+  quadratic blowup is bounded by shingle co-occurrence within a block.
+* **MinHash + LSH banding** — signatures shrink each doc to `n_hashes`
+  strings; the band equi-join touches only bucket collisions. The base
+  hash is ``md5(seed || ':' || shingle)`` (not Spark's xxhash64) so the
+  DuckDB oracle computes the *identical* signature — and min() over hex
+  strings is order-independent, hence partition-count-independent.
+* **SimHash** — 64-bit signature via xxhash64 bit-votes; Hamming-ball
+  lookups join on rotated prefix keys. xxhash64 has no DuckDB twin, so
+  this op is verified by property tests + a rows-only driver check
+  (SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.operators.text import (
+    fingerprint_exact,
+    shingles,
+)
+
+__all__ = [
+    "exact_dedup",
+    "shingle_jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash",
+]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one row per normalized-text fingerprint, keeping the
+    smallest id as canonical; `dup_count` reports cluster size."""
+    fp = df.select(F.col(id_col), fingerprint_exact(text_col).alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int,
+              block_cols: list[str]) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), *block_cols,
+        F.explode(shingles(text_col, n)).alias("sh"),
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    *, n: int = 3, threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs with exact n-gram Jaccard ≥ threshold.
+
+    Set-relational formulation: explode distinct shingles, equi-join on
+    (block, shingle) with ``id_a < id_b``, count common shingles, then
+    ``J = common / (|A| + |B| - common)``. Jaccard is a ratio of exact
+    ints → double division, deterministic. `block_cols` (e.g. language)
+    bound the candidate space — at scale you always block.
+    """
+    block_cols = block_cols or []
+    ex = _shingled(df, id_col, text_col, n, block_cols)
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = ex.select(F.col("doc").alias("doc_a"), *[F.col(c) for c in block_cols],
+                  "sh")
+    b = ex.select(F.col("doc").alias("doc_b"),
+                  *[F.col(c).alias(f"__b_{c}") for c in block_cols], "sh")
+    cond = [a.sh == b.sh] + [F.col(c) == F.col(f"__b_{c}") for c in block_cols]
+    common = (a.join(b, cond)
+               .filter(F.col("doc_a") < F.col("doc_b"))
+               .groupBy("doc_a", "doc_b")
+               .agg(F.count(F.lit(1)).alias("common")))
+
+    sz_a = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = (common.join(sz_a, "doc_a").join(sz_b, "doc_b")
+         .withColumn("jaccard",
+                     F.col("common").cast("double")
+                     / (F.col("sz_a") + F.col("sz_b") - F.col("common"))))
+    return j.filter(F.col("jaccard") >= threshold) \
+            .select("doc_a", "doc_b", "common", "sz_a", "sz_b", "jaccard")
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      *, n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Per-document MinHash signature: column ``mh{i}`` =
+    ``min(md5(i || ':' || shingle))``. One explode + one grouped
+    aggregation; min() is order-independent so the result does not depend
+    on partitioning."""
+    ex = df.select(F.col(id_col).alias("doc"),
+                   F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))))
+             .alias(f"mh{i}") for i in range(n_hashes)]
+    return ex.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    *, n_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on ≥1 band of the MinHash
+    signature. ``n_hashes`` must divide into ``bands`` equal rows; the
+    band key is md5 of the concatenated band slice. Output: distinct
+    (doc_a < doc_b) pairs with the number of agreeing bands."""
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = minhash_signature(df, id_col, text_col,
+                            n_hashes=n_hashes, shingle_n=shingle_n)
+    band_keys = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}")
+                                     for r in range(rows)])).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    buckets = sig.select("doc", F.explode(band_keys).alias("bk")) \
+                 .select("doc", F.col("bk.band").alias("band"),
+                         F.col("bk.key").alias("key"))
+    a = buckets.select(F.col("doc").alias("doc_a"), "band", "key")
+    b = buckets.select(F.col("doc").alias("doc_b"), "band", "key")
+    return (a.join(b, ["band", "key"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_bands")))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            *, shingle_n: int = 2) -> DataFrame:
+    """64-bit SimHash: per-shingle xxhash64, each bit votes ±1, the sign
+    of the vote sum sets the signature bit. Pure array/bitwise Catalyst
+    expressions (no UDF): for each bit, vote = Σ (hash>>bit & 1 ? 1 : -1)
+    over shingles; signature accumulates 2^bit when vote > 0.
+
+    xxhash64 differs between engines → no SQL oracle; verified by
+    property tests (near-dup texts → small Hamming distance)."""
+    sh = shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def bit_vote(bit: int):
+        # (h >>> bit) & 1 — unsigned shift handles bit 63 (1<<63 would
+        # overflow a signed long literal).
+        ones = F.size(F.filter(
+            hashes,
+            lambda h: F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1))
+        total = F.size(hashes)
+        return (ones * 2) > total  # majority of shingles set this bit
+
+    sig = F.lit(0).cast("long")
+    for bit in range(64):
+        # shiftleft(1L, 63) wraps to Long.MIN_VALUE — the sign bit, still
+        # a valid signature bit under bitwise OR.
+        sig = sig.bitwiseOR(
+            F.when(bit_vote(bit),
+                   F.shiftleft(F.lit(1).cast("long"), bit))
+             .otherwise(F.lit(0).cast("long")))
+    return df.select(F.col(id_col).alias("doc"), sig.alias("simhash64"))

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how ANN is deployed on real pipelines:
+
+* **Brute-force cosine top-k** — correctness baseline and the right
+  answer for small query sets: broadcast the queries, scan the corpus
+  once, per-partition partial top-k, global top-k via window. Cost is
+  |Q|·|corpus| dot products, embarrassingly parallel, zero shuffle until
+  the final (tiny) top-k.
+* **Random-hyperplane LSH buckets** — the scale path: each vector maps
+  to a sign-bit bucket key from a FIXED projection matrix (seeded,
+  embedded as literals so the DuckDB oracle computes identical buckets);
+  candidates = bucket collisions, reranked by exact cosine. Corpus-side
+  bucketing is precomputable and storable (partition/bucket by key), so
+  queries touch only matching buckets — the IVF idea, relationally.
+
+Dot products accumulate left-to-right in double on both engines
+(empirically bit-exact vs DuckDB's ``list_dot_product`` — see
+tests/test_similarity.py), which is what makes an exact value-hash
+oracle possible for floating-point ANN at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "brute_force_topk",
+    "HYPERPLANES",
+    "hyperplane_bucket",
+    "lsh_bucket_topk",
+    "hyperplane_bucket_sql",
+]
+
+EMBED_DIM = 64
+_N_PLANES = 8
+
+# Fixed random hyperplanes (seeded — identical in Spark and the SQL oracle;
+# regenerating with the same seed is part of the public contract).
+_rng = np.random.RandomState(20260101)
+HYPERPLANES: list[list[float]] = [
+    [round(float(x), 6) for x in _rng.randn(EMBED_DIM)]
+    for _ in range(_N_PLANES)
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-order double dot product of two array columns."""
+    prods = F.zip_with(_c(a).cast("array<double>"), _c(b).cast("array<double>"),
+                       lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     *, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    `queries` is broadcast (small by assumption); the corpus is scanned
+    once. Ranking key is (cosine DESC, corpus id) — a total order, so
+    top-k is deterministic. Self-matches are excluded.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("q_vec")))
+    c = corpus.select(F.col(id_col).alias("match_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (q.crossJoin(c)
+               .filter(F.col("query_id") != F.col("match_id"))
+               .select("query_id", "match_id",
+                       cosine("q_vec", "c_vec").alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= k))
+
+
+def hyperplane_bucket(vec_col: Column | str) -> Column:
+    """Sign-bit bucket key: one char per hyperplane ('1' if dot>0 else
+    '0'), concatenated. String key → join-friendly, storable, and
+    identical in the SQL oracle."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(v) for v in plane])) > 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for plane in HYPERPLANES
+    ]
+    return F.concat(*bits)
+
+
+def hyperplane_bucket_sql(vec_expr: str) -> str:
+    """The DuckDB-SQL twin of `hyperplane_bucket` for the oracle."""
+    bits = []
+    for plane in HYPERPLANES:
+        lit = "[" + ", ".join(f"{v!r}" for v in plane) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {lit}) > 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    *, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: candidates = same hyperplane bucket, reranked by exact
+    cosine. Recall < 1 by design (bucket misses); the scale win is that
+    the join is an equi-join on the bucket key instead of a cross join —
+    at 100 TB the corpus is written bucketed/partitioned by this key and
+    each query probes one bucket."""
+    from pyspark.sql.window import Window
+
+    cb = corpus.select(F.col(id_col).alias("match_id"),
+                       F.col(vec_col).alias("c_vec"),
+                       hyperplane_bucket(vec_col).alias("bucket"))
+    qb = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                    F.col(vec_col).alias("q_vec"),
+                                    hyperplane_bucket(vec_col).alias("bucket")))
+    scored = (qb.join(cb, "bucket")
+                .filter(F.col("query_id") != F.col("match_id"))
+                .select("query_id", "match_id", "bucket",
+                        cosine("q_vec", "c_vec").alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= k))

@@ -1,0 +1,147 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst expressions (split / array lambdas / regexp / md5) — no
+Python UDFs, so every op runs inside whole-stage codegen and scales
+linearly with partitions: per-document computation, no shuffle at all
+until an aggregation asks for one.
+
+Ops: whitespace + BPE-ish tokenization, token statistics, marker-based
+language ID, quality scoring, document fingerprinting (exact + shingle
+min-fingerprint). These are net-new surface vs the reference (its only
+string ops are replace/split, ``dags/yougile_etl_dag.py:283-284``) —
+declared as north-star extensions in SURVEY.md §2.10 E3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "bpe_ish_tokens",
+    "token_stats",
+    "language_score",
+    "language_id",
+    "quality_score",
+    "fingerprint_exact",
+    "fingerprint_shingle_min",
+    "shingles",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+# Tiny English stopword list — deterministic, embedded (no external model).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# Marker tokens per language for the n-gram-heuristic language ID. The
+# synthetic corpus is an English-ish word soup, so markers double as a
+# machinery demonstration; swap marker sets for real corpora.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "la", "y", "es"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space —
+# the GPT-2-style regex family, kept RE2/Java-compatible so Spark and
+# DuckDB agree.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(_c(col), sep)
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish subword pre-tokenization via regex runs → array<string>."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics (counts, distinct, lengths, ratios)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return df.withColumns({
+        "n_tokens": n,
+        "n_distinct_tokens": F.size(F.array_distinct(toks)),
+        "n_bpe_tokens": F.size(bpe_ish_tokens(text_col)),
+        "char_len": F.length(_c(text_col)),
+        # avg token length over the space-free text; double division of
+        # exact ints — deterministic.
+        "avg_token_len": (F.length(F.replace(_c(text_col), F.lit(" "),
+                                             F.lit(""))).cast("double") / n),
+        "stopword_ratio": stop.cast("double") / n,
+    })
+
+
+def language_score(col: Column | str, markers: list[str]) -> Column:
+    """Count of marker-token hits (with multiplicity) in the text."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(markers)))
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                out_col: str = "lang_pred") -> DataFrame:
+    """Marker-frequency language ID: argmax over per-language marker hit
+    counts; ties and zero evidence → 'und'. First-match-wins argmax keeps
+    the choice deterministic."""
+    scores = {lang: language_score(text_col, m)
+              for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pick = None
+    for lang, s in scores.items():  # declaration order breaks ties
+        cond = (s == best) & (best > 0)
+        pick = F.when(cond, lang) if pick is None else pick.when(cond, lang)
+    df = df.withColumns({f"score_{lang}": s for lang, s in scores.items()})
+    return df.withColumn(out_col, pick.otherwise("und"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  out_col: str = "quality") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band + stopword band +
+    lexical diversity. All int/double arithmetic — deterministic."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = (F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+                  .cast("double") / n)
+    len_ok = ((n >= 20) & (n <= 1000)).cast("double")
+    stop_ok = ((stop_ratio >= 0.01) & (stop_ratio <= 0.6)).cast("double")
+    score = (F.lit(0.4) * len_ok + F.lit(0.3) * stop_ok
+             + F.lit(0.3) * distinct_ratio)
+    return df.withColumn(out_col, score)
+
+
+def fingerprint_exact(col: Column | str) -> Column:
+    """Exact-dedup fingerprint: md5 of whitespace-normalized lowercase text.
+    md5 is identical across engines → oracle-checkable; at 100 TB the
+    fingerprint is the shuffle key (16 bytes, uniformly distributed — no
+    skew)."""
+    norm = F.lower(F.regexp_replace(_c(col), " +", " "))
+    return F.md5(norm)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text → array<string>.
+
+    Pure array lambda: ``transform(sequence(1, len-n+1), i ->
+    concat_ws(' ', slice(tokens, i, n)))`` — per-row, no shuffle."""
+    toks = tokens(col)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    sh = F.transform(F.sequence(F.lit(1), count),
+                     lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(sh)
+
+
+def fingerprint_shingle_min(col: Column | str, n: int = 3) -> Column:
+    """Rolling-hash-style fingerprint: lexicographic min of the md5s of the
+    document's n-gram shingles (a 1-permutation MinHash). Robust to
+    appends/prepends unlike `fingerprint_exact`."""
+    return F.array_min(F.transform(shingles(col, n), F.md5))

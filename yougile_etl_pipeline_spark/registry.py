@@ -619,3 +619,9 @@ def sort_limit_topk(spark, sf):
     return load_table(spark, sf, "orders") \
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")) \
         .limit(5).select("o_orderkey", "o_totalprice")
+
+
+# Extension operators (text / dedup / similarity / multimodal / events /
+# streaming) register themselves into QUERIES/ORACLES on import. Imported
+# last so `register` exists; keep at module bottom.
+from yougile_etl_pipeline_spark import registry_ext  # noqa: E402,F401

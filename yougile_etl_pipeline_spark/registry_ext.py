@@ -1,0 +1,382 @@
+"""Extension query/oracle registry: LLM-data-pipeline operators
+(SURVEY.md §2.10) — text analysis, dedup, similarity search, multimodal,
+events/streaming.
+
+Same determinism rules as registry.py. SQL oracles are generated from the
+same constants (stopwords, marker lists, hyperplanes, shingle size) the
+Spark operators use, so both sides are provably computing the same
+function. Ops with no SQL-expressible twin (SimHash via xxhash64,
+Structured Streaming) register without an oracle → the driver records a
+rows-only check (documented, by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.operators import text as TX
+from yougile_etl_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    shingle_jaccard_pairs,
+    simhash,
+)
+from yougile_etl_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    binary_metadata,
+    fake_feature_extract,
+)
+from yougile_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_bucket_sql,
+    lsh_bucket_topk,
+)
+from yougile_etl_pipeline_spark.registry import register
+from yougile_etl_pipeline_spark.sources.tables import load_table
+
+# --- SQL fragment generators (twins of the Spark-side constants) -----------
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+
+
+def _toks(expr: str = "text") -> str:
+    return f"string_split({expr}, ' ')"
+
+
+def _shingles_sql(expr: str = "text", n: int = 3) -> str:
+    """DuckDB twin of operators.text.shingles (distinct word n-grams)."""
+    toks = _toks(expr)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+
+
+def _marker_count_sql(markers: list[str], expr: str = "text") -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return (f"len(list_filter({_toks(expr)}, "
+            f"t -> list_contains({lst}, t)))")
+
+
+# ---------------------------------------------------------------------------
+# E3 Text analysis
+# ---------------------------------------------------------------------------
+
+@register("text_token_stats", f"""
+SELECT doc_id,
+  CAST(len({_toks()}) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct({_toks()})) AS INTEGER) AS n_distinct_tokens,
+  CAST(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS INTEGER)
+    AS n_bpe_tokens,
+  CAST(length(text) AS INTEGER) AS char_len,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_toks()})
+    AS avg_token_len,
+  CAST(len(list_filter({_toks()}, t -> list_contains({_STOP_SQL}, t)))
+       AS DOUBLE) / len({_toks()}) AS stopword_ratio
+FROM documents
+""")
+def text_token_stats(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return TX.token_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_bpe_tokens",
+        "char_len", "avg_token_len", "stopword_ratio")
+
+
+_LANG_CASE = " ".join(
+    f"WHEN score_{lang} = best AND best > 0 THEN '{lang}'"
+    for lang in TX.LANG_MARKERS
+)
+
+@register("text_lang_id", f"""
+SELECT doc_id, lang,
+  {", ".join(f"CAST(score_{lang} AS INTEGER) AS score_{lang}"
+             for lang in TX.LANG_MARKERS)},
+  CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
+FROM (
+  SELECT doc_id, lang,
+    {", ".join(f"{_marker_count_sql(m)} AS score_{lang}"
+               for lang, m in TX.LANG_MARKERS.items())},
+    greatest({", ".join(f"{_marker_count_sql(m)}"
+                        for m in TX.LANG_MARKERS.values())}) AS best
+  FROM documents
+)
+""")
+def text_lang_id(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return TX.language_id(docs).select(
+        "doc_id", "lang",
+        *[f"score_{lang}" for lang in TX.LANG_MARKERS], "lang_pred")
+
+
+@register("text_quality_score", f"""
+SELECT doc_id,
+  0.4 * (CASE WHEN n_toks BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+  + 0.3 * (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
+  + 0.3 * distinct_ratio AS quality
+FROM (
+  SELECT doc_id,
+    len({_toks()}) AS n_toks,
+    CAST(len(list_filter({_toks()}, t -> list_contains({_STOP_SQL}, t)))
+         AS DOUBLE) / len({_toks()}) AS stop_ratio,
+    CAST(len(list_distinct({_toks()})) AS DOUBLE) / len({_toks()})
+      AS distinct_ratio
+  FROM documents
+)
+""")
+def text_quality_score(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return TX.quality_score(docs).select("doc_id", "quality")
+
+
+@register("text_fingerprints", f"""
+SELECT doc_id,
+  md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_exact,
+  list_aggregate(list_transform({_shingles_sql()}, s -> md5(s)), 'min')
+    AS fp_shingle_min
+FROM documents
+""")
+def text_fingerprints(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint_exact("text").alias("fp_exact"),
+        TX.fingerprint_shingle_min("text").alias("fp_shingle_min"))
+
+
+# ---------------------------------------------------------------------------
+# E1 Deduplication
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact", """
+SELECT md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp,
+       min(doc_id) AS canonical_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+""")
+def dedup_exact(spark, sf):
+    return exact_dedup(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+@register("dedup_shingle_jaccard", f"""
+WITH ex AS (
+  SELECT doc_id AS doc, lang, unnest({_shingles_sql()}) AS sh FROM documents
+), sizes AS (
+  SELECT doc, count(*) AS sz FROM ex GROUP BY doc
+), pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.lang = b.lang AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+""")
+def dedup_shingle_jaccard(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return shingle_jaccard_pairs(docs, "doc_id", "text",
+                                 threshold=0.5, block_cols=["lang"])
+
+
+_MH_MINS = ", ".join(f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(8))
+_MH_BANDS = " UNION ALL ".join(
+    f"SELECT doc, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS key "
+    f"FROM sig"
+    for b in range(4)
+)
+
+@register("dedup_minhash_lsh", f"""
+WITH ex AS (
+  SELECT doc_id AS doc, unnest({_shingles_sql()}) AS sh FROM documents
+), sig AS (
+  SELECT doc, {_MH_MINS} FROM ex GROUP BY doc
+), bk AS (
+  {_MH_BANDS}
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_bands
+FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+GROUP BY 1, 2
+""")
+def dedup_minhash_lsh(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=4)
+
+
+@register("dedup_simhash")  # xxhash64 has no DuckDB twin → rows-only check
+def dedup_simhash(spark, sf):
+    return simhash(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# E2 Similarity search
+# ---------------------------------------------------------------------------
+
+_COS = ("list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))")
+
+@register("sim_cosine_topk", f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, match_id, {_COS} AS cos_sim
+  FROM q CROSS JOIN c WHERE query_id != match_id
+)
+SELECT query_id, match_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, match_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""")
+def sim_cosine_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register("sim_ann_lsh_bucket", f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         {hyperplane_bucket_sql('embedding')} AS bucket
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv,
+         {hyperplane_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT query_id, match_id, q.bucket AS bucket, {_COS} AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE query_id != match_id
+)
+SELECT query_id, match_id, bucket, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, match_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""")
+def sim_ann_lsh_bucket(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 8), k=5) \
+        .select("query_id", "match_id", "bucket", "cos_sim", "rank")
+
+
+# ---------------------------------------------------------------------------
+# E4 Multimodal columns
+# ---------------------------------------------------------------------------
+
+@register("mm_binary_metadata", """
+SELECT doc_id AS media_id, 'text' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       substr(hex(encode(text)), 1, 8) AS magic
+FROM documents
+""")
+def mm_binary_metadata(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return binary_metadata(media).select(
+        "media_id", "media_type", "n_bytes", "checksum", "magic")
+
+
+@register("mm_decode_features", """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS DOUBLE) AS f_len,
+       CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS f_first,
+       CAST(ascii(substr(text, -1, 1)) AS DOUBLE) AS f_last,
+       CAST(list_sum(list_transform(regexp_extract_all(text, '.'),
+                                    ch -> ascii(ch))) % 997 AS DOUBLE) AS f_sum
+FROM documents
+""")
+def mm_decode_features(spark, sf):
+    # The Arrow-batched mapInPandas decode path with the deterministic
+    # fake decoder (real codecs stubbed — none in this environment). The
+    # oracle recomputes the byte statistics relationally, proving the
+    # plumbing (batching, schema, ordering) loses nothing.
+    docs = load_table(spark, sf, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    feats = fake_feature_extract(media)
+    return feats.select(
+        "media_id", "n_bytes",
+        F.col("feature").getItem(0).alias("f_len"),
+        F.col("feature").getItem(1).alias("f_first"),
+        F.col("feature").getItem(2).alias("f_last"),
+        F.col("feature").getItem(3).alias("f_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Events: micro-snapshot analytics + JSON flatten + sessionize
+# ---------------------------------------------------------------------------
+
+@register("events_hourly_snapshot", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_hourly_snapshot(spark, sf):
+    # Batch twin of streaming.snapshot.tumbling_counts (same plan shape).
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+                    .alias("total_value"))
+              .select(F.col("w.start").alias("window_start"),
+                      "event_type", "n_events", "total_value"))
+
+
+@register("events_json_flatten", """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""")
+def events_json_flatten(spark, sf):
+    # P1 analog on semi-structured payloads (the reference flattens nested
+    # JSON with json_normalize, dags/yougile_etl_dag.py:87).
+    ev = load_table(spark, sf, "events")
+    return (ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+              .groupBy("k")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+                    .alias("total_value")))
+
+
+@register("events_sessionize", """
+SELECT user_id,
+       CAST(count_if(prev_ms IS NULL OR ms - prev_ms > 1800000) AS BIGINT)
+         AS session_count,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ms
+  FROM events
+)
+GROUP BY user_id
+""")
+def events_sessionize(spark, sf):
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ms", F.unix_millis("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("prev_ms", F.lag("ms").over(w))
+    new_sess = F.col("prev_ms").isNull() | \
+        ((F.col("ms") - F.col("prev_ms")) > 30 * 60 * 1000)
+    return ev.groupBy("user_id").agg(
+        F.count_if(new_sess).alias("session_count"),
+        F.count(F.lit(1)).alias("n_events"))
+
+
+@register("stream_tumbling_counts")  # Structured Streaming → rows-only check
+def stream_tumbling_counts(spark, sf):
+    from yougile_etl_pipeline_spark.streaming.snapshot import run_available_now
+
+    return run_available_now(spark, sf)

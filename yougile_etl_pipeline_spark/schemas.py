@@ -74,6 +74,14 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
         ("event_id", _i64), ("ts", _ts), ("user_id", _i64),
         ("event_type", _str), ("value", _f64), ("props", _str),
     ),
+    # Physical shape of events on disk: ts is TIMESTAMP(NANOS), which Spark
+    # reads only as int64 (spark.sql.legacy.parquet.nanosAsLong); the reader
+    # converts to the logical TimestampType above (micros, truncated — same
+    # as DuckDB's ns→us handling).
+    "_events_raw": _s(
+        ("event_id", _i64), ("ts", _i64), ("user_id", _i64),
+        ("event_type", _str), ("value", _f64), ("props", _str),
+    ),
     "documents": _s(
         ("doc_id", _i64), ("text", _str), ("lang", _str), ("source", _str),
         ("n_chars", _i64),
@@ -85,7 +93,8 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
     ),
 }
 
-TESTDATA_TABLES: tuple[str, ...] = tuple(TESTDATA_SCHEMAS)
+TESTDATA_TABLES: tuple[str, ...] = tuple(
+    n for n in TESTDATA_SCHEMAS if not n.startswith("_"))
 
 # YouGile REST entity shapes (FIXTURES.md §B; envelope content rows only).
 _state = T.StructType(

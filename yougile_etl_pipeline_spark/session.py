@@ -38,6 +38,10 @@ ENGINE_CONF: dict[str, str] = {
     # ANSI off: the reference's permissive casts ('' -> NULL, malformed date
     # -> NULL) match Spark's legacy behavior (SURVEY.md §2.7 F4/F6 gotchas).
     "spark.sql.ansi.enabled": "false",
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark can't read natively;
+    # read the raw int64 nanos and convert (sources/tables.py) — truncation
+    # to micros matches DuckDB's ns handling.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     # Keep the UI off in tests/bench: faster session start, no port clashes.
     "spark.ui.enabled": "false",

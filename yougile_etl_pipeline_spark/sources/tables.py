@@ -24,12 +24,25 @@ __all__ = ["load_table", "load_tables", "register_temp_views"]
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one logical table from ``{sf_dir}/{name}.parquet`` with its
     explicit schema (no inference)."""
-    schema = TESTDATA_SCHEMAS.get(name)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _convert_events_ts(
+            spark.read.schema(TESTDATA_SCHEMAS["_events_raw"]).parquet(path))
+    schema = TESTDATA_SCHEMAS.get(name)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)
+
+
+def _convert_events_ts(raw: DataFrame) -> DataFrame:
+    """int64-nanos ``ts`` (parquet TIMESTAMP(NANOS), unreadable natively by
+    Spark) → TimestampType, truncating ns→us exactly like DuckDB does."""
+    from pyspark.sql import functions as F
+
+    # integer `div`, not `/`: float division loses precision above 2^53
+    # and epoch-nanos are ~1.7e18.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
