@@ -1,0 +1,73 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is materialized through the `noop` sink — full execution of
+the physical plan (nothing optimized away by a count()-style shortcut),
+no driver-collect overhead polluting the measurement.
+
+Usage: python bench.py  [env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship mart + the scale-sensitive operators (wide
+# joins, keyed dedup, window funcs, text/minhash/ANN extensions, event
+# analytics). Chosen to exercise every shuffle pattern the engine uses.
+HEADLINE = [
+    "mart_flagship",
+    "agg_pricing_summary",
+    "agg_topk_revenue",
+    "win_rank_topn",
+    "a1_dedup_by_key",
+    "j2_left_fact_child",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "sim_cosine_topk",
+    "events_hourly_snapshot",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from yougile_etl_pipeline_spark.registry import QUERIES
+    from yougile_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen once so per-query numbers measure the engine,
+    # not first-call JIT.
+    QUERIES["a2_counts"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
