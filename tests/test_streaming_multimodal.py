@@ -1,0 +1,52 @@
+"""Streaming snapshot + multimodal decode-path tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from yougile_etl_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    fake_feature_extract,
+)
+from yougile_etl_pipeline_spark.sources.tables import load_table
+from yougile_etl_pipeline_spark.streaming.snapshot import run_available_now
+
+
+def test_stream_matches_batch_counts(spark):
+    streamed = run_available_now(spark, SF_SMOKE, "t_stream_counts")
+    events = load_table(spark, SF_SMOKE, "events")
+    # Append mode emits a window only once the watermark passes its end:
+    # windows within 2h (watermark) + 1h (window) of the max event time
+    # are correctly still open. Everything older must match batch exactly.
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+    batch = (events.filter(F.date_trunc("hour", "ts") < cutoff)
+             .groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    got = {(r.window_start, r.event_type): r.n_events
+           for r in streamed.filter(F.col("window_start") < cutoff).collect()}
+    want = {(r.window_start, r.event_type): r.n_events
+            for r in batch.collect()}
+    assert got == want
+    assert streamed.filter(F.col("window_start").isNull()).count() == 0
+
+
+def test_decode_media_stub_requires_decoder(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(1)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    with pytest.raises(NotImplementedError):
+        decode_media(media)            # no codec libs in this environment
+
+
+def test_fake_feature_extract_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id = 0")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    feats = fake_feature_extract(media).collect()[0]
+    text = docs.collect()[0].text.encode()
+    assert feats.feature == [float(len(text)), float(text[0]),
+                             float(text[-1]), float(sum(text) % 997)]
+    assert feats.n_bytes == len(text)

@@ -38,14 +38,21 @@ __all__ = [
 ]
 
 EMBED_DIM = 64
-_N_PLANES = 8
+# Multi-table LSH: L tables × P planes. For near-orthogonal neighbors
+# (angle θ), one table's recall is (1-θ/π)^P; L independent tables lift it
+# to 1-(1-p)^L. 4×4 is sized for the test corpus (16 buckets/table,
+# ~30 vecs each); at scale raise P with corpus size (smaller buckets) and
+# L to recover recall.
+N_TABLES = 4
+PLANES_PER_TABLE = 4
 
 # Fixed random hyperplanes (seeded — identical in Spark and the SQL oracle;
 # regenerating with the same seed is part of the public contract).
 _rng = np.random.RandomState(20260101)
-HYPERPLANES: list[list[float]] = [
-    [round(float(x), 6) for x in _rng.randn(EMBED_DIM)]
-    for _ in range(_N_PLANES)
+HYPERPLANES: list[list[list[float]]] = [
+    [[round(float(x), 6) for x in _rng.randn(EMBED_DIM)]
+     for _ in range(PLANES_PER_TABLE)]
+    for _ in range(N_TABLES)
 ]
 
 
@@ -93,22 +100,22 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   .filter(F.col("rank") <= k))
 
 
-def hyperplane_bucket(vec_col: Column | str) -> Column:
-    """Sign-bit bucket key: one char per hyperplane ('1' if dot>0 else
-    '0'), concatenated. String key → join-friendly, storable, and
-    identical in the SQL oracle."""
+def hyperplane_bucket(vec_col: Column | str, table: int) -> Column:
+    """Sign-bit bucket key for one LSH table: one char per hyperplane
+    ('1' if dot>0 else '0'), concatenated. String key → join-friendly,
+    storable, identical in the SQL oracle."""
     bits = [
         F.when(dot(vec_col, F.array(*[F.lit(v) for v in plane])) > 0,
                F.lit("1")).otherwise(F.lit("0"))
-        for plane in HYPERPLANES
+        for plane in HYPERPLANES[table]
     ]
     return F.concat(*bits)
 
 
-def hyperplane_bucket_sql(vec_expr: str) -> str:
+def hyperplane_bucket_sql(vec_expr: str, table: int) -> str:
     """The DuckDB-SQL twin of `hyperplane_bucket` for the oracle."""
     bits = []
-    for plane in HYPERPLANES:
+    for plane in HYPERPLANES[table]:
         lit = "[" + ", ".join(f"{v!r}" for v in plane) + "]::DOUBLE[]"
         bits.append(
             f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {lit}) > 0 "
@@ -117,26 +124,40 @@ def hyperplane_bucket_sql(vec_expr: str) -> str:
     return " || ".join(bits)
 
 
+def _bucketed(df: DataFrame, id_alias: str, vec_alias: str,
+              id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec) → one row per LSH table with its bucket key."""
+    tables = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 hyperplane_bucket(vec_col, t).alias("key"))
+        for t in range(N_TABLES)
+    ])
+    return df.select(F.col(id_col).alias(id_alias),
+                     F.col(vec_col).alias(vec_alias),
+                     F.explode(tables).alias("b")) \
+             .select(id_alias, vec_alias,
+                     F.col("b.tbl").alias("tbl"), F.col("b.key").alias("key"))
+
+
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     *, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: candidates = same hyperplane bucket, reranked by exact
-    cosine. Recall < 1 by design (bucket misses); the scale win is that
-    the join is an equi-join on the bucket key instead of a cross join —
-    at 100 TB the corpus is written bucketed/partitioned by this key and
-    each query probes one bucket."""
+    """ANN top-k: candidates = bucket collision in ANY of the L hash
+    tables, deduplicated, reranked by exact cosine. Recall < 1 by design;
+    the scale win is that candidate generation is an equi-join on
+    (table, key) instead of a cross join — at 100 TB the corpus is
+    written bucketed/partitioned by the key and each query probes L
+    buckets."""
     from pyspark.sql.window import Window
 
-    cb = corpus.select(F.col(id_col).alias("match_id"),
-                       F.col(vec_col).alias("c_vec"),
-                       hyperplane_bucket(vec_col).alias("bucket"))
-    qb = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                    F.col(vec_col).alias("q_vec"),
-                                    hyperplane_bucket(vec_col).alias("bucket")))
-    scored = (qb.join(cb, "bucket")
-                .filter(F.col("query_id") != F.col("match_id"))
-                .select("query_id", "match_id", "bucket",
-                        cosine("q_vec", "c_vec").alias("cos_sim")))
+    cb = _bucketed(corpus, "match_id", "c_vec", id_col, vec_col)
+    qb = F.broadcast(_bucketed(queries, "query_id", "q_vec", id_col, vec_col))
+    cand = (qb.join(cb, ["tbl", "key"])
+              .filter(F.col("query_id") != F.col("match_id"))
+              .select("query_id", "q_vec", "match_id", "c_vec")
+              .dropDuplicates(["query_id", "match_id"]))
+    scored = cand.select("query_id", "match_id",
+                         cosine("q_vec", "c_vec").alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("match_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -239,20 +239,33 @@ def sim_cosine_topk(spark, sf):
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def _lsh_buckets_union(src_sql: str, id_alias: str, vec_alias: str) -> str:
+    """One SELECT per LSH table, unioned — the SQL twin of
+    operators.similarity._bucketed."""
+    from yougile_etl_pipeline_spark.operators.similarity import N_TABLES
+
+    return " UNION ALL ".join(
+        f"SELECT {id_alias}, {vec_alias}, {t} AS tbl, "
+        f"{hyperplane_bucket_sql('embedding', t)} AS key FROM {src_sql}"
+        for t in range(N_TABLES)
+    )
+
+
 @register("sim_ann_lsh_bucket", f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
-         {hyperplane_bucket_sql('embedding')} AS bucket
-  FROM embeddings WHERE vec_id < 8
-), c AS (
-  SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv,
-         {hyperplane_bucket_sql('embedding')} AS bucket
-  FROM embeddings
+WITH qsrc AS (SELECT vec_id AS query_id, embedding,
+                     embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 8),
+csrc AS (SELECT vec_id AS match_id, embedding, embedding::DOUBLE[] AS cv
+         FROM embeddings),
+qb AS ({_lsh_buckets_union('qsrc', 'query_id', 'qv')}),
+cb AS ({_lsh_buckets_union('csrc', 'match_id', 'cv')}),
+cand AS (
+  SELECT DISTINCT query_id, match_id, qv, cv
+  FROM qb JOIN cb USING (tbl, key) WHERE query_id != match_id
 ), scored AS (
-  SELECT query_id, match_id, q.bucket AS bucket, {_COS} AS cos_sim
-  FROM q JOIN c USING (bucket) WHERE query_id != match_id
+  SELECT query_id, match_id, {_COS} AS cos_sim FROM cand
 )
-SELECT query_id, match_id, bucket, cos_sim, CAST(rank AS BIGINT) AS rank
+SELECT query_id, match_id, cos_sim, CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, match_id) AS rank
       FROM scored)
@@ -260,8 +273,7 @@ WHERE rank <= 5
 """)
 def sim_ann_lsh_bucket(spark, sf):
     emb = load_table(spark, sf, "embeddings")
-    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 8), k=5) \
-        .select("query_id", "match_id", "bucket", "cos_sim", "rank")
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
 # ---------------------------------------------------------------------------
