@@ -625,3 +625,4 @@ def sort_limit_topk(spark, sf):
 # streaming) register themselves into QUERIES/ORACLES on import. Imported
 # last so `register` exists; keep at module bottom.
 from yougile_etl_pipeline_spark import registry_ext  # noqa: E402,F401
+from yougile_etl_pipeline_spark import registry_analytics  # noqa: E402,F401

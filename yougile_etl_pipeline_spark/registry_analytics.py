@@ -1,0 +1,216 @@
+"""Analytics surface, batch 2: pivot, cube, distinct counts, percentiles,
+string/math/date scalar families, lead/lag/ntile windows.
+
+All Catalyst built-ins ("same query capabilities" for a mart engine —
+SURVEY.md §2.4 note); every entry oracle-paired. Cross-engine traps
+avoided by construction:
+
+* no ``round()`` on raw doubles (Spark rounds the shortest decimal repr,
+  DuckDB rounds the true binary value → 12.45 diverges); decimal casts
+  handle precision instead;
+* no libm-dependent transcendentals (ln/exp differ in the last ulp across
+  runtimes); sqrt IS IEEE-exact, kept;
+* day-of-week excluded (Spark Sunday=1 vs DuckDB Sunday=0); year/month/
+  day/datediff/date_add are unambiguous;
+* percentile: Spark ``percentile`` and DuckDB ``quantile_cont`` verified
+  bit-identical on this data (same interpolation) before inclusion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from yougile_etl_pipeline_spark.registry import _dec, register
+from yougile_etl_pipeline_spark.sources.tables import load_table, load_tables
+
+
+@register("agg_pivot_status", """
+SELECT o_orderpriority,
+  CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_O,
+  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_F,
+  CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS n_P
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_pivot_status(spark, sf):
+    # Spark-native pivot with pinned category values (never let pivot
+    # discover values at scale — that's an extra job over the full fact).
+    o = load_table(spark, sf, "orders")
+    p = (o.groupBy("o_orderpriority")
+          .pivot("o_orderstatus", ["O", "F", "P"])
+          .agg(F.count(F.lit(1))))
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}")
+          for s in ("O", "F", "P")])
+
+
+@register("agg_cube", """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""")
+def agg_cube(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+
+
+@register("agg_count_distinct", """
+SELECT l_returnflag,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_supps,
+  count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def agg_count_distinct(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+@register("agg_percentiles", """
+SELECT l_returnflag,
+  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+  quantile_cont(l_quantity, 0.25) AS p25_qty,
+  min(l_extendedprice) AS min_price,
+  max(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def agg_percentiles(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+        F.percentile("l_quantity", 0.25).alias("p25_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"))
+
+
+@register("f_string_functions", """
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  lower(p_brand) AS brand_lower,
+  substring(p_type, 1, 5) AS type_head5,
+  lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  reverse(p_brand) AS brand_rev,
+  strpos(p_type, 'ED') AS ed_pos,
+  trim(' ' || p_name || ' ') AS name_trimmed
+FROM part
+""")
+def f_string_functions(spark, sf):
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_head5"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_padded"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_type", "ED").alias("ed_pos"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" ")))
+         .alias("name_trimmed"))
+
+
+@register("f_math_functions", """
+SELECT l_orderkey, l_linenumber,
+  abs(l_discount - 0.05) AS disc_dev,
+  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+  sqrt(l_quantity) AS qty_sqrt,
+  l_extendedprice % 7 AS price_mod7,
+  greatest(l_discount, l_tax) AS max_rate,
+  least(l_discount, l_tax) AS min_rate,
+  CAST(sign(l_discount - l_tax) AS INTEGER) AS rate_sign
+FROM lineitem
+""")
+def f_math_functions(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_extendedprice") % 7).alias("price_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).cast("int")
+         .alias("rate_sign"))
+
+
+@register("f_date_arithmetic", """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+  CAST(day(o_orderdate) AS INTEGER) AS order_day,
+  CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+  datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+    AS days_since_95
+FROM orders
+""")
+def f_date_arithmetic(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd")
+         .alias("due_date"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+         .alias("days_since_95"))
+
+
+@register("win_lead_lag_ntile", """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price,
+  CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+    AS price_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def win_lead_lag_ntile(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(g).cast("long").alias("price_quartile"))
+
+
+@register("win_range_frame", """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+       AS DOUBLE) AS spend_30d
+FROM orders
+""")
+def win_range_frame(spark, sf):
+    # Event-time RANGE frame (30-day trailing spend) — the moving-window
+    # aggregation pattern; decimal-internal so frame evaluation order
+    # can't perturb the double.
+    o = load_table(spark, sf, "orders")
+    day = 86400
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.unix_timestamp("o_orderdate"))
+         .rangeBetween(-30 * day, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_30d"))
