@@ -94,14 +94,23 @@ def shingle_jaccard_pairs(
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       *, n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """Per-document MinHash signature: column ``mh{i}`` =
-    ``min(md5(i || ':' || shingle))``. One explode + one grouped
-    aggregation; min() is order-independent so the result does not depend
-    on partitioning."""
+    """Per-document MinHash signature: hash family i is a 16-hex-char
+    window at offset 4·i into ``md5(shingle)·md5(shingle)`` (doubled so
+    windows wrap); ``mh{i} = min`` of that window over the doc's shingles.
+
+    ONE md5 per shingle instead of ``n_hashes`` — md5 dominates signature
+    cost, so this is ~n_hashes× cheaper; 64 bits per window keeps
+    collision probability negligible, and the windows behave as
+    independent permutations for MinHash purposes. min() is
+    order-independent so results don't depend on partitioning, and the
+    construction uses only md5/substr — bit-identical in the SQL oracle."""
+    assert 4 * (n_hashes - 1) + 16 <= 64, "windows exceed doubled digest"
     ex = df.select(F.col(id_col).alias("doc"),
                    F.explode(shingles(text_col, shingle_n)).alias("sh"))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))))
-             .alias(f"mh{i}") for i in range(n_hashes)]
+    h2 = F.md5(F.col("sh"))
+    rot = F.concat(h2, h2)
+    aggs = [F.min(F.substring(rot, 1 + 4 * i, 16)).alias(f"mh{i}")
+            for i in range(n_hashes)]
     return ex.groupBy("doc").agg(*aggs)
 
 

@@ -182,7 +182,9 @@ def dedup_shingle_jaccard(spark, sf):
                                  threshold=0.5, block_cols=["lang"])
 
 
-_MH_MINS = ", ".join(f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(8))
+_MH_MINS = ", ".join(
+    f"min(substr(md5(sh) || md5(sh), {1 + 4 * i}, 16)) AS mh{i}"
+    for i in range(8))
 _MH_BANDS = " UNION ALL ".join(
     f"SELECT doc, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS key "
     f"FROM sig"
