@@ -1,0 +1,74 @@
+"""Tests for generic file IO (JSONL/CSV with quarantine) and quality ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tests.conftest import SF_SMOKE
+from yougile_etl_pipeline_spark.operators.quality import (
+    column_profile,
+    deterministic_sample,
+)
+from yougile_etl_pipeline_spark.sources.files import (
+    read_csv,
+    read_jsonl,
+    split_quarantine,
+    write_csv,
+    write_jsonl,
+)
+from yougile_etl_pipeline_spark.sources.tables import load_table
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("name", T.StringType()),
+])
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"id": 1, "name": "a"}\n'
+                   '{"id": "not-a-number", "name": "b"}\n'
+                   'not json at all\n')
+    df = read_jsonl(spark, str(src), SCHEMA)
+    good, bad = split_quarantine(df)
+    assert good.count() == 1 and bad.count() == 2   # quarantined, not dropped
+    out = tmp_path / "out"
+    write_jsonl(good, str(out))
+    back = read_jsonl(spark, str(out), SCHEMA)
+    assert back.filter("id = 1 AND name = 'a'").count() == 1
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("id,name\n1,a\n2,b\n")
+    df = read_csv(spark, str(src), SCHEMA)
+    assert {r.id for r in df.collect()} == {1, 2}
+    out = tmp_path / "out"
+    write_csv(df.drop("_corrupt_record"), str(out))
+    assert read_csv(spark, str(out), SCHEMA).count() == 2
+
+
+def test_column_profile_single_pass(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    prof = {r.column_name: r
+            for r in column_profile(o, ["o_orderkey", "o_orderstatus"]).collect()}
+    n = o.count()
+    assert prof["o_orderkey"].n_rows == n
+    assert prof["o_orderkey"].n_nulls == 0
+    assert prof["o_orderkey"].n_distinct == n          # primary key
+    assert prof["o_orderstatus"].n_distinct <= 3
+
+
+def test_deterministic_sample_stable_and_sized(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").withColumn(
+        "k", F.concat_ws(":", "l_orderkey", "l_linenumber"))
+    s1 = {(r.l_orderkey, r.l_linenumber)
+          for r in deterministic_sample(li, "k").select(
+              "l_orderkey", "l_linenumber").collect()}
+    s2 = {(r.l_orderkey, r.l_linenumber)
+          for r in deterministic_sample(li.repartition(13), "k").select(
+              "l_orderkey", "l_linenumber").collect()}
+    assert s1 == s2                                    # partitioning-invariant
+    n = li.count()
+    assert 0.03 < len(s1) / n < 0.10                   # ≈1/16

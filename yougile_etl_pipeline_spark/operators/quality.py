@@ -1,0 +1,54 @@
+"""Data-quality operators: per-column profiling and deterministic sampling.
+
+Extends the reference's single D1 invariant (orphan audit,
+``dags/yougile_etl_dag.py:241-244``) into a reusable quality surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["column_profile", "deterministic_sample", "hash_bucket"]
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per column: row/null/distinct counts. Single pass — all
+    aggregates computed in one job, then unpivoted driver-free via a
+    literal-array explode (no per-column jobs, which at 100 TB would scan
+    the table N times)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+        ]
+    one = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(f"__n_{c}").alias("n_rows"),
+                 (F.col(f"__n_{c}") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                 F.col(f"__nd_{c}").alias("n_distinct"))
+        for c in cols
+    ])
+    return one.select(F.explode(pairs).alias("p")).select(
+        "p.column_name", "p.n_rows", "p.n_nulls", "p.n_distinct")
+
+
+def hash_bucket(key: Column | str, buckets: int = 16) -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets): first 8 hex
+    chars of md5(key) mod buckets. Unlike rand()/TABLESAMPLE this is
+    reproducible across engines, runs, and partitionings — required for
+    auditable sampling of training data."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10) \
+            .cast("long") % buckets
+
+
+def deterministic_sample(df: DataFrame, key: str, *, buckets: int = 16,
+                         keep: int = 1) -> DataFrame:
+    """Keep rows whose hash bucket < `keep` (a keep/buckets fraction).
+    Same rows come back at any scale/partitioning; the predicate is a
+    cheap per-row expression, no shuffle."""
+    return df.filter(hash_bucket(key, buckets) < keep)

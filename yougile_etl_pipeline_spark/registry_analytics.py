@@ -214,3 +214,118 @@ def win_range_frame(spark, sf):
     return o.select(
         "o_custkey", "o_orderkey",
         F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_30d"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: arrays, deterministic sampling, quality profiling, SQL API
+# ---------------------------------------------------------------------------
+
+@register("f_array_functions", """
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_toks,
+  list_contains(toks, 'the') AS has_the,
+  list_sort(toks)[1] AS first_sorted,
+  array_to_string(toks[1:3], ' ') AS head3
+FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 200)
+""")
+def f_array_functions(spark, sf):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.sort_array(toks).getItem(0).alias("first_sorted"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head3"))
+
+
+@register("sample_deterministic", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE CAST(concat('0x', substr(md5(l_orderkey || ':' || l_linenumber), 1, 8))
+           AS BIGINT) % 16 < 1
+""")
+def sample_deterministic(spark, sf):
+    # Reproducible 1/16 sample: same rows at any scale, partitioning, or
+    # engine — rand()/TABLESAMPLE can't give that, and auditable sampling
+    # of training data requires it. Cheap per-row predicate, no shuffle.
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.operators.quality import (
+        deterministic_sample,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    key = F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                   F.col("l_linenumber").cast("string"))
+    return deterministic_sample(li.withColumn("__k", key), "__k") \
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register("quality_profile", """
+SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+       count(*) - count(o_custkey) AS n_nulls,
+       count(DISTINCT o_custkey) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice) FROM orders
+""")
+def quality_profile(spark, sf):
+    # Per-column null/distinct profile in ONE pass (no per-column jobs —
+    # at 100 TB a loop of df.agg per column scans the table N times).
+    from yougile_etl_pipeline_spark.operators.quality import column_profile
+
+    o = load_table(spark, sf, "orders")
+    return column_profile(o, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+@register("sql_api_top_nations", """
+SELECT n_name AS nation_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+       AS DOUBLE) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, nation_name
+LIMIT 10
+""")
+def sql_api_top_nations(spark, sf):
+    # The engine's SQL entry point: identical logical plan to the
+    # DataFrame API (same Catalyst), declared over registered temp views.
+    from yougile_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql("""
+        SELECT n_name AS nation_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, nation_name
+        LIMIT 10
+    """)
+
+
+@register("sketch_approx_distinct")  # HLL internals differ per engine → rows-only
+def sketch_approx_distinct(spark, sf):
+    # approx_count_distinct (HyperLogLog++): register merges are max()s —
+    # commutative, so the estimate is partition-order independent even
+    # though no SQL oracle can reproduce Spark's exact sketch.
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"))

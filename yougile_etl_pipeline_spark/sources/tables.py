@@ -16,7 +16,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from yougile_etl_pipeline_spark.schemas import TESTDATA_SCHEMAS
+from yougile_etl_pipeline_spark.schemas import (
+    TESTDATA_SCHEMAS,
+    TESTDATA_TABLES,
+)
 
 __all__ = ["load_table", "load_tables", "register_temp_views"]
 
@@ -48,7 +51,7 @@ def _convert_events_ts(raw: DataFrame) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] | None = None) -> dict[str, DataFrame]:
     """Load several tables; defaults to all ten testdata tables."""
-    names = names or tuple(TESTDATA_SCHEMAS)
+    names = names or TESTDATA_TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
