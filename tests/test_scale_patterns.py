@@ -1,0 +1,122 @@
+"""Scale-pattern tests: bucketed co-located joins (no exchange), skew
+salting equivalence, REST retry, alert runner, stateful streaming
+sessionization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from yougile_etl_pipeline_spark.operators.relational import salted_join
+from yougile_etl_pipeline_spark.plans.runner import run_with_alerts
+from yougile_etl_pipeline_spark.sources.rest import with_retry
+from yougile_etl_pipeline_spark.sources.sinks import AlertSink
+from yougile_etl_pipeline_spark.sources.tables import load_table
+from yougile_etl_pipeline_spark.streaming.stateful import (
+    run_sessionize_available_now,
+)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Writing both sides bucketed by the join key makes the join
+    exchange-free — the 100 TB co-location strategy (SCALE.md §Joins)."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").option("path", str(tmp_path / "bo"))
+        .saveAsTable("b_orders"))
+    (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", str(tmp_path / "bl"))
+        .saveAsTable("b_lineitem"))
+    # force SMJ (hint on the relation) so broadcast can't hide the exchange
+    j = (spark.table("b_orders").hint("merge")
+         .join(spark.table("b_lineitem"),
+               F.col("o_orderkey") == F.col("l_orderkey")))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert j.count() == lineitem.count()     # every lineitem has its order
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF_SMOKE, "orders") \
+        .select("o_orderkey", "o_custkey")
+    cust = load_table(spark, SF_SMOKE, "customer") \
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    plain = orders.join(cust, "o_custkey")
+    salted = salted_join(orders, cust, "o_custkey", salt=4)
+    assert sorted(map(tuple, plain.collect())) == \
+           sorted(map(tuple, salted.collect()))
+
+
+def test_with_retry_backs_off_then_succeeds():
+    attempts = []
+    sleeps = []
+
+    def flaky(method, offset, limit, include_deleted, column_id):
+        attempts.append(offset)
+        if len(attempts) < 3:
+            raise ConnectionError("boom")
+        return {"content": [{"id": "1"}], "paging": {"next": False}}
+
+    fetch = with_retry(flaky, retries=2, backoff_s=0.5,
+                       sleep=sleeps.append)
+    out = fetch("boards", 0, 10, "false", None)
+    assert out["content"] == [{"id": "1"}]
+    assert sleeps == [0.5, 1.0]            # exponential backoff
+
+    def always_fails(*a):
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        with_retry(always_fails, retries=1, sleep=lambda s: None)(
+            "boards", 0, 10, "false", None)
+
+
+def test_runner_soft_and_hard_alerts(spark):
+    sent: list[str] = []
+    alerts = AlertSink(sent.append)
+    orphan_audit = spark.createDataFrame([(2,)], "orphan_count long")
+    mart = spark.createDataFrame([(1,)], "x int")
+    written = []
+    out = run_with_alerts(lambda: (mart, orphan_audit), written.append,
+                          alerts, job_name="j1")
+    assert out is mart and written == [mart]       # D1 soft: loaded anyway
+    assert len(sent) == 1 and "2 child rows" in sent[0]
+
+    def boom():
+        raise RuntimeError("extract exploded")
+
+    with pytest.raises(RuntimeError):
+        run_with_alerts(boom, written.append, alerts, job_name="j2")
+    assert "j2" in sent[-1] and "extract exploded" in sent[-1]   # D4 hard
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    """Closed sessions emitted by the stateful operator == batch lag-based
+    sessions minus the one trailing open session per user."""
+    from pyspark.sql.window import Window
+
+    emitted = run_sessionize_available_now(spark, SF_SMOKE,
+                                           "t_stateful_sessions")
+    closed_per_user = {r.user_id: r.n for r in
+                       emitted.groupBy("user_id")
+                              .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ms", F.unix_millis("ts"))
+    w = Window.partitionBy("user_id").orderBy("ms")
+    sess = (ev.withColumn("prev", F.lag("ms").over(w))
+              .groupBy("user_id")
+              .agg(F.count_if(F.col("prev").isNull() |
+                              ((F.col("ms") - F.col("prev")) > 1800000))
+                    .alias("sessions")))
+    batch = {r.user_id: r.sessions for r in sess.collect()}
+    for uid, n_sessions in batch.items():
+        assert closed_per_user.get(uid, 0) == n_sessions - 1, uid
+    # session event counts conserve total events
+    total_emitted = emitted.agg(F.sum("n_events")).collect()[0][0] or 0
+    assert total_emitted < ev.count()

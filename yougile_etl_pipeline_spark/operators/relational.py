@@ -21,6 +21,7 @@ __all__ = [
     "dedup_by_key",
     "union_by_name",
     "orphan_audit",
+    "salted_join",
 ]
 
 
@@ -88,6 +89,24 @@ def union_by_name(*dfs: DataFrame) -> DataFrame:
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
     )
+
+
+def salted_join(big: DataFrame, skewed: DataFrame, on: str,
+                *, how: str = "inner", salt: int = 8) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's key into `salt`
+    sub-keys and replicate the other side once per salt value.
+
+    For hot keys that AQE's skew splitting can't fix (e.g. a single key
+    holding >1 partition budget after splitting, or non-AQE engines).
+    The replicated side grows ×salt — use when `skewed` is small relative
+    to the hot partition, which is exactly the skew scenario. Results are
+    identical to the plain join (salt columns are internal)."""
+    big_s = big.withColumn(
+        "__salt", (F.abs(F.xxhash64(*big.columns)) % salt).cast("int"))
+    rep = skewed.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = big_s.join(rep, [on, "__salt"], how)
+    return out.drop("__salt")
 
 
 def orphan_audit(fact: DataFrame, probe_col: str, miss_col: str) -> DataFrame:

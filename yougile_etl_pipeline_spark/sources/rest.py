@@ -37,12 +37,34 @@ from pyspark.sql import types as T
 
 from yougile_etl_pipeline_spark.schemas import conform
 
-__all__ = ["RateLimiter", "paginate", "fetch_entity", "fetch_partitioned"]
+__all__ = ["RateLimiter", "paginate", "fetch_entity", "fetch_partitioned",
+           "with_retry"]
 
 # A page fetcher: (method, offset, limit, include_deleted, column_id) -> envelope
 # Envelope shape (dags/yougile_etl_dag.py:61-65):
 #   {"content": [...], "paging": {"next": bool}}
 PageFetcher = Callable[[str, int, int, str, str | None], dict]
+
+
+def with_retry(fetch_page: PageFetcher, *, retries: int = 2,
+               backoff_s: float = 1.0,
+               sleep: Callable[[float], None] = time.sleep) -> PageFetcher:
+    """D3 — wrap a fetcher with retry + exponential backoff (the reference
+    relies on Airflow ``retries: 2``, ``dags/yougile_etl_dag.py:31``; here
+    the extract retries per page, so one flaky request doesn't replay the
+    whole entity). Spark task retries cover the compute side."""
+    def wrapped(method, offset, limit, include_deleted, column_id):
+        attempt = 0
+        while True:
+            try:
+                return fetch_page(method, offset, limit, include_deleted,
+                                  column_id)
+            except Exception:
+                if attempt >= retries:
+                    raise
+                sleep(backoff_s * (2 ** attempt))
+                attempt += 1
+    return wrapped
 
 
 class RateLimiter:
