@@ -80,3 +80,20 @@ def test_ann_recall_vs_bruteforce(spark):
     assert approx, "LSH returned nothing — buckets degenerate"
     recall = len(exact & approx) / len(exact)
     assert recall > 0.2, f"suspiciously low recall {recall}"
+
+
+def test_ivf_recall_and_bucket_locality(spark):
+    from yougile_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r.query_id, r.match_id)
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    ivf = {(r.query_id, r.match_id)
+           for r in ivf_topk(emb, q, centroids, k=5).collect()}
+    assert ivf, "IVF returned nothing"
+    # 1-probe IVF on unclustered vectors: recall is bounded but must be
+    # meaningfully above random (5/499 ≈ 0.01)
+    recall = len(exact & ivf) / len(exact)
+    assert recall > 0.1, f"IVF recall degenerate: {recall}"

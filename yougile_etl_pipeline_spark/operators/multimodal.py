@@ -103,6 +103,42 @@ def decode_media(df: DataFrame,
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_offset", T.LongType()),
+    T.StructField("frame_checksum", T.StringType()),
+])
+
+
+def fake_frame_sample(df: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Frame-sampling plumbing: N output rows per media row (the
+    one-to-many decode shape of video frame extraction / audio chunking),
+    via the same streaming ``mapInPandas`` contract. The "frame" is a
+    deterministic byte-slice stand-in (no codecs in this environment);
+    offsets split the payload into `n_frames` even chunks, checksummed
+    with md5 so the result is oracle-checkable."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [],
+                                    "frame_offset": [], "frame_checksum": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                size = len(payload)
+                for i in range(n_frames):
+                    off = (size * i) // n_frames
+                    end = (size * (i + 1)) // n_frames
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_checksum"].append(
+                        hashlib.md5(payload[off:end]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def fake_feature_extract(df: DataFrame) -> DataFrame:
     """Deterministic stand-in decoder: 4-dim feature from byte statistics
     (length, first byte, last byte, byte sum mod 997). Exercises the real

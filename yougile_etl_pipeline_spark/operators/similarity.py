@@ -35,6 +35,8 @@ __all__ = [
     "hyperplane_bucket",
     "lsh_bucket_topk",
     "hyperplane_bucket_sql",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 EMBED_DIM = 64
@@ -162,3 +164,81 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col("cos_sim").desc(), F.col("match_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path
+# ---------------------------------------------------------------------------
+
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               *, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, centroid
+    id as tie-break) — the IVF coarse quantizer, expressed relationally:
+    broadcast the (small) centroid list, score, keep argmax via window.
+
+    At 100 TB the corpus is *written* partitioned by `centroid_id`; a
+    query then reads only its probe lists. Centroid selection is the
+    caller's policy (k-means, or deterministic sampling via
+    `quality.deterministic_sample` — anything that yields a small
+    DataFrame); keeping it an input keeps this operator trainable-free
+    and oracle-checkable."""
+    from pyspark.sql.window import Window
+
+    c = F.broadcast(centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec")))
+    scored = df.crossJoin(c).select(
+        F.col(id_col), F.col(vec_col),
+        F.col("centroid_id"),
+        cosine(vec_col, "cent_vec").alias("cent_sim"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cent_sim").desc(), F.col("centroid_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .drop("__rn"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int = 5, *, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: both sides are assigned to centroids; candidates =
+    corpus vectors in the query's centroid list (1-probe), reranked by
+    exact cosine. Equi-join on centroid_id replaces the cross join —
+    cost ∝ list length (|corpus| / n_centroids on balanced lists)."""
+    from pyspark.sql.window import Window
+
+    ca = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col) \
+        .select(F.col(id_col).alias("match_id"),
+                F.col(vec_col).alias("c_vec"), "centroid_id")
+    qa = F.broadcast(
+        ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col)
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"), "centroid_id"))
+    scored = (qa.join(ca, "centroid_id")
+                .filter(F.col("query_id") != F.col("match_id"))
+                .select("query_id", "match_id", "centroid_id",
+                        cosine("q_vec", "c_vec").alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= k))
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float,
+                          *, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          table: int = 0) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family, E1×E2): two
+    vectors are near-dups when cosine ≥ threshold. Candidates come from
+    one LSH bucket table (high-cosine pairs land in the same sign bucket
+    with high probability), so the comparison is bucket-local — never an
+    all-pairs scan. Output: (id_a < id_b, cos_sim)."""
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  hyperplane_bucket(vec_col, table).alias("key"))
+    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "key")
+    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "key")
+    pairs = (a.join(c, "key")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim")))
+    return pairs.filter(F.col("cos_sim") >= threshold)

@@ -394,3 +394,100 @@ def stream_tumbling_counts(spark, sf):
     from yougile_etl_pipeline_spark.streaming.snapshot import run_available_now
 
     return run_available_now(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# E2b: IVF ANN + embedding-cosine near-dup; E4b: frame sampling
+# ---------------------------------------------------------------------------
+
+_IVF_CENT = "SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec " \
+            "FROM embeddings WHERE vec_id % 50 = 0"
+_CSIM = ("list_dot_product({a}, {b}) / "
+         "(sqrt(list_dot_product({a}, {a})) * "
+         "sqrt(list_dot_product({b}, {b})))")
+
+
+def _ivf_assign_sql(src: str, idc: str, vecc: str) -> str:
+    """DuckDB twin of similarity.ivf_assign (argmax cosine per vector)."""
+    sim = _CSIM.format(a=vecc, b="cent_vec")
+    return f"""
+  SELECT {idc}, {vecc}, centroid_id FROM (
+    SELECT {idc}, {vecc}, centroid_id,
+           row_number() OVER (PARTITION BY {idc}
+                              ORDER BY {sim} DESC, centroid_id) AS rn
+    FROM {src} CROSS JOIN ({_IVF_CENT})
+  ) WHERE rn = 1"""
+
+
+@register("sim_ivf_topk", f"""
+WITH qsrc AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 8),
+csrc AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv
+         FROM embeddings),
+qa AS ({_ivf_assign_sql('qsrc', 'query_id', 'qv')}),
+ca AS ({_ivf_assign_sql('csrc', 'match_id', 'cv')}),
+scored AS (
+  SELECT query_id, match_id, centroid_id,
+         {_CSIM.format(a='qv', b='cv')} AS cos_sim
+  FROM qa JOIN ca USING (centroid_id)
+  WHERE query_id != match_id
+)
+SELECT query_id, match_id, centroid_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, match_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""")
+def sim_ivf_topk(spark, sf):
+    # IVF coarse-quantizer ANN: centroids are a deterministic sample of
+    # the corpus (callers may plug k-means centers instead).
+    from yougile_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5)
+
+
+@register("dedup_embedding_cosine", f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {hyperplane_bucket_sql('embedding', 0)} AS key
+  FROM embeddings
+), pairs AS (
+  SELECT a.id AS id_a, c.id AS id_b,
+         {_CSIM.format(a='a.v', b='c.v')} AS cos_sim
+  FROM b a JOIN b c ON a.key = c.key AND a.id < c.id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.25
+""")
+def dedup_embedding_cosine(spark, sf):
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_near_dup_pairs(emb, 0.25)
+
+
+@register("mm_frame_sample", """
+SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+       CAST((octet_length(encode(text)) * i) // 3 AS BIGINT) AS frame_offset,
+       md5(substr(text,
+                  CAST((octet_length(encode(text)) * i) // 3 AS INTEGER) + 1,
+                  CAST((octet_length(encode(text)) * (i + 1)) // 3 AS INTEGER)
+                  - CAST((octet_length(encode(text)) * i) // 3 AS INTEGER)))
+         AS frame_checksum
+FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+WHERE doc_id < 100
+""")
+def mm_frame_sample(spark, sf):
+    # One-to-many decode shape (video frame extraction / audio chunking)
+    # through streaming mapInPandas; the oracle recomputes the byte-slice
+    # checksums relationally (ASCII text ⇒ char slices == byte slices).
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        fake_frame_sample,
+    )
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return fake_frame_sample(media, n_frames=3)
