@@ -31,6 +31,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_token_stats",
     "sim_cosine_topk",
+    "sim_ann_lsh_bucket",
+    "sim_ivf_topk",
+    "mm_frame_sample",
     "events_hourly_snapshot",
     "events_sessionize",
 ]
