@@ -120,3 +120,52 @@ def test_stateful_sessionize_matches_batch(spark):
     # session event counts conserve total events
     total_emitted = emitted.agg(F.sum("n_events")).collect()[0][0] or 0
     assert total_emitted < ev.count()
+
+
+def test_incremental_snapshots_latest_and_changes(spark, tmp_path):
+    import datetime as dt
+
+    from yougile_etl_pipeline_spark.plans.incremental import (
+        append_snapshot,
+        read_latest_snapshot,
+        snapshot_changes,
+    )
+
+    path = str(tmp_path / "mart")
+    mk = lambda rows, ts: spark.createDataFrame(
+        [(k, v, ts) for k, v in rows],
+        "task_id string, status string, loaded_ts timestamp")
+    t1 = dt.datetime(2026, 1, 1, 5)
+    t2 = dt.datetime(2026, 1, 2, 6)
+    append_snapshot(mk([("A", "open"), ("B", "open")], t1), path)
+    append_snapshot(mk([("A", "open"), ("B", "closed"), ("C", "open")], t2),
+                    path)
+
+    latest = read_latest_snapshot(spark, path)
+    got = {(r.task_id, r.status) for r in latest.collect()}
+    assert got == {("A", "open"), ("B", "closed"), ("C", "open")}
+
+    hist = spark.read.parquet(path)
+    changes = snapshot_changes(hist, ["task_id"], ["status"])
+    per_key = {(r.task_id, r.loaded_ts) for r in changes.collect()}
+    # A: first load only; B: first + change; C: first (in load 2)
+    assert per_key == {("A", t1), ("B", t1), ("B", t2), ("C", t2)}
+
+
+def test_interval_join_matches_naive(spark):
+    from yougile_etl_pipeline_spark.operators.relational import interval_join
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ms", F.unix_millis("ts"))
+    a = ev.select("user_id", F.col("event_id").alias("a_id"), "ms")
+    b = ev.select("user_id", F.col("event_id").alias("b_id"), "ms")
+    banded = interval_join(a, b, keys=["user_id"], left_ts="ms",
+                           right_ts="ms", max_gap_ms=600000)
+    naive = (a.join(b.withColumnsRenamed({"b_id": "b_id", "ms": "ms_r"}),
+                    "user_id")
+             .filter((F.col("ms_r") > F.col("ms"))
+                     & (F.col("ms_r") <= F.col("ms") + 600000)))
+    assert sorted((r.a_id, r.b_id_r) for r in
+                  banded.select("a_id", "b_id_r").collect()) == \
+           sorted((r.a_id, r.b_id) for r in
+                  naive.select("a_id", "b_id").collect())

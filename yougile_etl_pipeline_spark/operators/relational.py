@@ -22,6 +22,7 @@ __all__ = [
     "union_by_name",
     "orphan_audit",
     "salted_join",
+    "interval_join",
 ]
 
 
@@ -120,3 +121,37 @@ def orphan_audit(fact: DataFrame, probe_col: str, miss_col: str) -> DataFrame:
             .cast("long")
         ).alias("orphan_count")
     )
+
+
+def interval_join(left: DataFrame, right: DataFrame, *,
+                  keys: list[str], left_ts: str, right_ts: str,
+                  max_gap_ms: int, suffix: str = "_r") -> DataFrame:
+    """Banded range join: pairs (l, r) with the same `keys` and
+    ``l_ts < r_ts <= l_ts + max_gap_ms``.
+
+    A naive key-only equi-join followed by the range filter compares every
+    pair within a key — quadratic in hot keys. Here both sides are also
+    blocked on a `max_gap_ms`-wide time bucket, and the left side probes
+    its own and the next bucket: the join becomes an equi-join on
+    (keys, bucket) whose candidate count is bounded by events-per-bucket,
+    the standard banded range-join rewrite. Result is identical to the
+    naive formulation (verified by oracle differential).
+    """
+    # integer bucket ids (ms longs stay exact under `div`)
+    probes = left.withColumn(
+        "__b", F.expr(f"{left_ts} div {max_gap_ms}")
+    ).withColumn("__probe", F.explode(F.array(F.col("__b"),
+                                              F.col("__b") + 1)))
+    rb = right.select(
+        *[F.col(c) for c in keys],
+        *[F.col(c).alias(f"{c}{suffix}")
+          for c in right.columns if c not in keys],
+    ).withColumn("__rb", F.expr(f"{right_ts}{suffix} div {max_gap_ms}"))
+    cond = [probes[c] == rb[c] for c in keys] + \
+           [probes["__probe"] == rb["__rb"]]
+    out = probes.join(rb, cond)
+    rt = F.col(f"{right_ts}{suffix}")
+    out = out.filter((rt > F.col(left_ts))
+                     & (rt <= F.col(left_ts) + max_gap_ms))
+    # the join condition referenced both sides' key columns; keep left's
+    return out.drop(*[rb[c] for c in keys]).drop("__b", "__probe", "__rb")

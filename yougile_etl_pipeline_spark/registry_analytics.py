@@ -329,3 +329,35 @@ def sketch_approx_distinct(spark, sf):
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"))
+
+
+@register("events_interval_join", """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND epoch_ms(p.ts) > epoch_ms(c.ts)
+ AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 300000
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""")
+def events_interval_join(spark, sf):
+    # Range/interval join (click→purchase attribution within 5 min) via
+    # the banded rewrite: equi-join on (user, 5-min bucket) probing two
+    # buckets — candidates bounded per bucket instead of per user
+    # (operators/relational.py::interval_join). The oracle states the
+    # naive inequality join; results are identical.
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.operators.relational import interval_join
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ms", F.unix_millis("ts"))
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", F.col("event_id").alias("click_id"), "ms")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("event_id").alias("purchase_id"), "ms")
+    j = interval_join(clicks, buys, keys=["user_id"],
+                      left_ts="ms", right_ts="ms", max_gap_ms=300000)
+    return j.select("user_id", "click_id",
+                    F.col("purchase_id_r").alias("purchase_id"),
+                    (F.col("ms_r") - F.col("ms")).alias("gap_ms"))
