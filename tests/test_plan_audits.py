@@ -1,0 +1,51 @@
+"""Physical-plan regression guards: the optimizations SCALE.md claims
+must actually appear in the plans (pushed filters, broadcast hubs,
+single-shuffle aggregates). A refactor that silently loses one of these
+passes correctness but regresses 100 TB behavior — these tests catch it."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from yougile_etl_pipeline_spark.plans.mart import build_mart
+from yougile_etl_pipeline_spark.registry import QUERIES
+
+
+def _formatted(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def test_mart_hub_joins_broadcast_and_pushdown(spark):
+    plan = _formatted(spark, build_mart(spark, SF_SMOKE))
+    # every hub lookup is a broadcast join; the only exchange is the dedup
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # the P5 membership filter reached the customer parquet scan
+    assert "In(c_mktsegment" in plan
+    # final dedup = the only SHUFFLE exchange (broadcast exchanges are
+    # dim-sized by definition and don't count)
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") - body.count("BroadcastExchange") == 1
+
+
+def test_pricing_summary_single_shuffle_with_pushdown(spark):
+    plan = _formatted(spark, QUERIES["agg_pricing_summary"](spark, SF_SMOKE))
+    assert "LessThanOrEqual(l_shipdate" in plan     # scan-level pushdown
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") == 1              # partial agg map-side
+    assert "HashAggregate" in body
+
+
+def test_scan_prunes_columns(spark):
+    # p2_projection must read exactly its four columns from parquet
+    plan = _formatted(spark, QUERIES["p2_projection"](spark, SF_SMOKE))
+    line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"):
+        assert col in line
+    assert "l_extendedprice" not in line and "l_comment" not in line
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _formatted(spark, QUERIES["sort_limit_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan          # never a full sort

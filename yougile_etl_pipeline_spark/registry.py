@@ -626,3 +626,51 @@ def sort_limit_topk(spark, sf):
 # last so `register` exists; keep at module bottom.
 from yougile_etl_pipeline_spark import registry_ext  # noqa: E402,F401
 from yougile_etl_pipeline_spark import registry_analytics  # noqa: E402,F401
+
+
+@register("set_except_all", """
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_orderkey < 500
+EXCEPT ALL
+SELECT s_suppkey AS suppkey FROM supplier
+""")
+def set_except_all(spark, sf):
+    # Multiset difference — duplicates preserved (vs set_except's DISTINCT).
+    t = load_tables(spark, sf, ("lineitem", "supplier"))
+    a = t["lineitem"].filter(F.col("l_orderkey") < 500) \
+        .select(F.col("l_suppkey").alias("suppkey"))
+    b = t["supplier"].select(F.col("s_suppkey").alias("suppkey"))
+    return a.exceptAll(b)
+
+
+@register("set_intersect_all", """
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_orderkey < 200
+INTERSECT ALL
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_orderkey >= 200 AND l_orderkey < 400
+""")
+def set_intersect_all(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    a = li.filter(F.col("l_orderkey") < 200) \
+        .select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter((F.col("l_orderkey") >= 200) & (F.col("l_orderkey") < 400)) \
+        .select(F.col("l_suppkey").alias("suppkey"))
+    return a.intersectAll(b)
+
+
+@register("f_regexp_extract", """
+SELECT p_partkey,
+  regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+  regexp_matches(p_type, 'BRUSHED|POLISHED') AS is_finished,
+  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels
+FROM part
+""")
+def f_regexp_extract(spark, sf):
+    # Regex family (RE2/Java-compatible patterns only — both engines agree)
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.regexp_extract("p_name", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0))
+         .alias("n_vowels"))
