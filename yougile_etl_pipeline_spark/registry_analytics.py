@@ -361,3 +361,39 @@ def events_interval_join(spark, sf):
     return j.select("user_id", "click_id",
                     F.col("purchase_id_r").alias("purchase_id"),
                     (F.col("ms_r") - F.col("ms")).alias("gap_ms"))
+
+
+@register("agg_regional_volume", """
+SELECT n_name AS nation_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+       AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+""")
+def agg_regional_volume(spark, sf):
+    # TPC-H Q5 shape: six-table star join with a local-supplier predicate
+    # (customer and supplier in the same nation). Region/nation/supplier/
+    # customer broadcast; only the fact tables shuffle.
+    t = load_tables(spark, sf, ("customer", "orders", "lineitem",
+                                "supplier", "nation", "region"))
+    r = t["region"].filter(F.col("r_name") == "EUROPE")
+    j = (t["customer"]
+         .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey)
+         .join(t["lineitem"],
+               F.col("o_orderkey") == t["lineitem"].l_orderkey)
+         .join(F.broadcast(t["supplier"]),
+               (F.col("l_suppkey") == t["supplier"].s_suppkey)
+               & (F.col("c_nationkey") == t["supplier"].s_nationkey))
+         .join(F.broadcast(t["nation"]),
+               F.col("c_nationkey") == t["nation"].n_nationkey)
+         .join(F.broadcast(r),
+               F.col("n_regionkey") == r.r_regionkey))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.groupBy(F.col("n_name").alias("nation_name"))
+             .agg(F.sum(_dec(rev)).cast("double").alias("revenue")))

@@ -491,3 +491,47 @@ def mm_frame_sample(spark, sf):
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
     media = attach_binary_payload(docs, "text", "doc_id")
     return fake_frame_sample(media, n_frames=3)
+
+
+@register("text_zscore_by_lang", """
+WITH stats AS (
+  SELECT lang, count(*) AS n,
+         CAST(SUM(n_chars) AS DOUBLE) AS s,
+         CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sq
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang,
+       CASE WHEN sq / n - (s / n) * (s / n) > 0
+            THEN (n_chars - s / n) / sqrt(sq / n - (s / n) * (s / n))
+            ELSE 0.0 END AS z_chars
+FROM documents d JOIN stats USING (lang)
+""")
+def text_zscore_by_lang(spark, sf):
+    # Grouped applyInPandas (per-group Arrow batch -> pandas -> Arrow):
+    # per-language z-score of document length. Inputs are exact ints, so
+    # the sum/sumsq moments are exact in both numpy (int64) and SQL
+    # (BIGINT) and the derived doubles match bit-for-bit — which is what
+    # lets a Python-UDF-backed operator carry a full value-hash oracle.
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang",
+                                                     "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        s = float(pdf["n_chars"].sum())          # int64 sum: exact
+        sq = float((pdf["n_chars"] * pdf["n_chars"]).sum())
+        mean = s / n
+        var = sq / n - mean * mean
+        z = ((pdf["n_chars"] - mean) / (var ** 0.5)) if var > 0 else 0.0
+        return pd.DataFrame({"doc_id": pdf["doc_id"], "lang": pdf["lang"],
+                             "z_chars": z})
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("z_chars", T.DoubleType()),
+    ])
+    return docs.groupBy("lang").applyInPandas(zscore, out_schema)
