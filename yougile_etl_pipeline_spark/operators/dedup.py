@@ -148,30 +148,33 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str,
             *, shingle_n: int = 2) -> DataFrame:
     """64-bit SimHash: per-shingle xxhash64, each bit votes ±1, the sign
-    of the vote sum sets the signature bit. Pure array/bitwise Catalyst
-    expressions (no UDF): for each bit, vote = Σ (hash>>bit & 1 ? 1 : -1)
-    over shingles; signature accumulates 2^bit when vote > 0.
+    of the vote sum sets the signature bit.
+
+    Relational formulation for scale: explode shingles once, hash each,
+    then ONE grouped aggregation with 64 codegen'd ``count_if`` bit
+    counters (map-side partial aggregation applies — shuffle volume is
+    65 longs per doc). An earlier array-lambda formulation re-scanned the
+    shingle array per bit through interpreted higher-order functions and
+    was ~20× slower at sf0.1.
 
     xxhash64 differs between engines → no SQL oracle; verified by
     property tests (near-dup texts → small Hamming distance)."""
-    sh = shingles(text_col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def bit_vote(bit: int):
-        # (h >>> bit) & 1 — unsigned shift handles bit 63 (1<<63 would
-        # overflow a signed long literal).
-        ones = F.size(F.filter(
-            hashes,
-            lambda h: F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1))
-        total = F.size(hashes)
-        return (ones * 2) > total  # majority of shingles set this bit
+    ex = df.select(F.col(id_col).alias("doc"),
+                   F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    h = F.xxhash64(F.col("sh"))
+    bit_counts = [
+        F.count_if(F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1)
+         .alias(f"b{bit}")
+        for bit in range(64)
+    ]
+    agg = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *bit_counts)
 
     sig = F.lit(0).cast("long")
     for bit in range(64):
-        # shiftleft(1L, 63) wraps to Long.MIN_VALUE — the sign bit, still
-        # a valid signature bit under bitwise OR.
+        # majority vote; shiftleft(1L, 63) wraps to Long.MIN_VALUE — the
+        # sign bit, still a valid signature bit under bitwise OR.
         sig = sig.bitwiseOR(
-            F.when(bit_vote(bit),
+            F.when((F.col(f"b{bit}") * 2) > F.col("n"),
                    F.shiftleft(F.lit(1).cast("long"), bit))
              .otherwise(F.lit(0).cast("long")))
-    return df.select(F.col(id_col).alias("doc"), sig.alias("simhash64"))
+    return agg.select("doc", sig.alias("simhash64"))
