@@ -169,3 +169,30 @@ def test_interval_join_matches_naive(spark):
                   banded.select("a_id", "b_id_r").collect()) == \
            sorted((r.a_id, r.b_id) for r in
                   naive.select("a_id", "b_id").collect())
+
+
+def test_merge_upsert_partitioned_and_flat(spark, tmp_path):
+    from yougile_etl_pipeline_spark.plans.incremental import merge_upsert
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "task_id string, status string, region string")
+
+    # partitioned target: only touched partitions rewritten
+    p = str(tmp_path / "part")
+    merge_upsert(spark, p, mk([("A", "open", "eu"), ("B", "open", "eu"),
+                               ("X", "open", "us")]),
+                 ["task_id"], partition_col="region")
+    merge_upsert(spark, p, mk([("B", "closed", "eu"), ("C", "open", "eu")]),
+                 ["task_id"], partition_col="region")
+    got = {(r.task_id, r.status, r.region)
+           for r in spark.read.parquet(p).collect()}
+    assert got == {("A", "open", "eu"), ("B", "closed", "eu"),
+                   ("C", "open", "eu"), ("X", "open", "us")}
+
+    # flat target: staging swap
+    f = str(tmp_path / "flat")
+    merge_upsert(spark, f, mk([("A", "open", "eu")]), ["task_id"])
+    merge_upsert(spark, f, mk([("A", "closed", "eu"), ("B", "open", "us")]),
+                 ["task_id"])
+    got = {(r.task_id, r.status) for r in spark.read.parquet(f).collect()}
+    assert got == {("A", "closed"), ("B", "open")}

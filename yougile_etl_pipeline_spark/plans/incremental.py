@@ -62,3 +62,56 @@ def snapshot_changes(history: DataFrame, keys: list[str],
             .withColumn("changed", changed | first)
             .filter(F.col("changed"))
             .select(*keys, "loaded_ts", "is_first_load", *tracked))
+
+
+def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
+                 keys: list[str], *, partition_col: str | None = None) -> None:
+    """MERGE (upsert) into a parquet mart: rows matching `keys` are
+    replaced by `updates`, new keys are inserted (extension — the
+    reference only appends).
+
+    Scale strategy: with `partition_col`, only the partitions *touched by
+    the updates* are rewritten, via dynamic partition overwrite — a
+    100 TB target with a 1-partition update rewrites one directory. The
+    anti-join keeps surviving rows; everything stays distributed (no
+    collect, no full-table rewrite). Unpartitioned targets fall back to a
+    staging-directory swap (small marts only; document Delta/Iceberg for
+    transactional multi-writer needs).
+    """
+    import os
+    import shutil
+
+    target_exists = os.path.exists(target_path)
+    if not target_exists:
+        writer = updates.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(target_path)
+        return
+
+    target = spark.read.parquet(target_path)
+
+    if partition_col:
+        touched = [r[0] for r in
+                   updates.select(partition_col).distinct().collect()]
+        survivors = (target
+                     .filter(F.col(partition_col).isin(touched))
+                     .join(updates.select(*keys).distinct(), keys,
+                           "left_anti"))
+        merged = survivors.unionByName(updates)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (merged.write.mode("overwrite").partitionBy(partition_col)
+                   .parquet(target_path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
+
+    merged = (target.join(updates.select(*keys).distinct(), keys, "left_anti")
+              .unionByName(updates))
+    staging = target_path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(target_path)
+    os.rename(staging, target_path)
