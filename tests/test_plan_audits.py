@@ -18,15 +18,20 @@ def _formatted(spark, df) -> str:
 
 def test_mart_hub_joins_broadcast_and_pushdown(spark):
     plan = _formatted(spark, build_mart(spark, SF_SMOKE))
-    # every hub lookup is a broadcast join; the only exchange is the dedup
+    # every hub lookup is a broadcast join; the parent⟕child fact join is
+    # a shuffled hash join (the child fact must never be broadcast — and
+    # no sort, so no SMJ)
     assert plan.count("BroadcastHashJoin") >= 4
+    assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
     # the P5 membership filter reached the customer parquet scan
     assert "In(c_mktsegment" in plan
-    # final dedup = the only SHUFFLE exchange (broadcast exchanges are
-    # dim-sized by definition and don't count)
+    # exactly 2 shuffle exchanges — the two fact-join sides. The final
+    # dedup needs NO exchange: the join leaves data hash-partitioned on
+    # o_orderkey, which is a subset of the dedup's grouping columns, so
+    # ClusteredDistribution is already satisfied (partitioning reuse).
     body = plan.split("\n\n")[0]
-    assert body.count("Exchange") - body.count("BroadcastExchange") == 1
+    assert body.count("Exchange") - body.count("BroadcastExchange") == 2
 
 
 def test_pricing_summary_single_shuffle_with_pushdown(spark):

@@ -76,8 +76,13 @@ def build_mart(spark: SparkSession, sf_dir: str,
     )
 
     # --- stage 3 analog: fact grain = parent ⟕ child on explicit key (J2, :237)
-    fact = t["orders"].join(t["lineitem"],
-                            t["orders"].o_orderkey == t["lineitem"].l_orderkey,
+    # shuffle_hash hint: the child IS the big fact — never broadcast it
+    # (locally Catalyst would, serializing a driver-side hash build; at
+    # 100 TB a shuffled hash join on the key is the intended plan, and the
+    # hint also spares the sort a default SMJ would add).
+    child = t["lineitem"].hint("shuffle_hash")
+    fact = t["orders"].join(child,
+                            t["orders"].o_orderkey == child.l_orderkey,
                             "left")
 
     # P6: pandas `deleted != True` keeps NaN rows (:239) — child-less parents
