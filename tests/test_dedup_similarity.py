@@ -87,7 +87,7 @@ def test_ivf_recall_and_bucket_locality(spark):
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = emb.filter(F.col("vec_id") < 256)
     exact = {(r.query_id, r.match_id)
              for r in brute_force_topk(emb, q, k=5).collect()}
     ivf = {(r.query_id, r.match_id)

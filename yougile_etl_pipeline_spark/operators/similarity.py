@@ -182,21 +182,37 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     caller's policy (k-means, or deterministic sampling via
     `quality.deterministic_sample` — anything that yields a small
     DataFrame); keeping it an input keeps this operator trainable-free
-    and oracle-checkable."""
-    from pyspark.sql.window import Window
+    and oracle-checkable.
 
+    Argmax is a grouped struct-max, not a window: the window formulation
+    shuffles |corpus|×|centroids| rows *with their embedding arrays*; the
+    struct-max aggregates map-side so the exchange carries one tiny row
+    per vector, and embeddings are joined back afterwards. Tie-break is
+    the smallest centroid_id (negated inside the max), matching the
+    window/row_number formulation the SQL oracle states."""
+    # Norms precomputed per vector (once for 50k corpus rows + once per
+    # centroid), so each of the |corpus|×|centroids| pairs evaluates ONE
+    # dot product instead of three — same IEEE value as cosine() (the
+    # norm is the identical expression, just not recomputed per pair).
     c = F.broadcast(centroids.select(
         F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).alias("cent_vec")))
-    scored = df.crossJoin(c).select(
-        F.col(id_col), F.col(vec_col),
+        F.col(vec_col).alias("cent_vec"),
+        l2_norm(vec_col).alias("cent_norm")))
+    d = df.select(id_col, vec_col, l2_norm(vec_col).alias("__vnorm"))
+    scored = d.crossJoin(c).select(
+        F.col(id_col),
         F.col("centroid_id"),
-        cosine(vec_col, "cent_vec").alias("cent_sim"))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cent_sim").desc(), F.col("centroid_id"))
-    return (scored.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") == 1)
-                  .drop("__rn"))
+        (dot(vec_col, "cent_vec")
+         / (F.col("__vnorm") * F.col("cent_norm"))).alias("cent_sim"))
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cent_sim"),
+                       (-F.col("centroid_id")).alias("neg_cid"))).alias("b"))
+    assign = best.select(
+        id_col,
+        (-F.col("b.neg_cid")).cast(dict(scored.dtypes)["centroid_id"])
+         .alias("centroid_id"),
+        F.col("b.cent_sim").alias("cent_sim"))
+    return df.select(id_col, vec_col).join(assign, id_col)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,

@@ -400,8 +400,11 @@ def stream_tumbling_counts(spark, sf):
 # E2b: IVF ANN + embedding-cosine near-dup; E4b: frame sampling
 # ---------------------------------------------------------------------------
 
+# Fixed-size centroid set (first 256 vectors): coarse-quantizer size must
+# NOT scale linearly with the corpus (√n is the usual policy); a fixed
+# deterministic sample keeps the query scale-stable and oracle-exact.
 _IVF_CENT = "SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec " \
-            "FROM embeddings WHERE vec_id % 50 = 0"
+            "FROM embeddings WHERE vec_id < 256"
 _CSIM = ("list_dot_product({a}, {b}) / "
          "(sqrt(list_dot_product({a}, {a})) * "
          "sqrt(list_dot_product({b}, {b})))")
@@ -444,7 +447,7 @@ def sim_ivf_topk(spark, sf):
     from yougile_etl_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = emb.filter(F.col("vec_id") < 256)
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5)
 
 
