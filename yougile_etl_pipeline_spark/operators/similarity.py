@@ -88,14 +88,19 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     from pyspark.sql.window import Window
 
+    # norms once per side, one dot per pair (same IEEE values as cosine())
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("q_vec")))
+                                   F.col(vec_col).alias("q_vec"),
+                                   l2_norm(vec_col).alias("q_norm")))
     c = corpus.select(F.col(id_col).alias("match_id"),
-                      F.col(vec_col).alias("c_vec"))
+                      F.col(vec_col).alias("c_vec"),
+                      l2_norm(vec_col).alias("c_norm"))
     scored = (q.crossJoin(c)
                .filter(F.col("query_id") != F.col("match_id"))
                .select("query_id", "match_id",
-                       cosine("q_vec", "c_vec").alias("cos_sim")))
+                       (dot("q_vec", "c_vec")
+                        / (F.col("q_norm") * F.col("c_norm")))
+                       .alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("match_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -152,14 +157,20 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     buckets."""
     from pyspark.sql.window import Window
 
-    cb = _bucketed(corpus, "match_id", "c_vec", id_col, vec_col)
-    qb = F.broadcast(_bucketed(queries, "query_id", "q_vec", id_col, vec_col))
+    cb = _bucketed(corpus, "match_id", "c_vec", id_col, vec_col) \
+        .withColumn("c_norm", l2_norm("c_vec"))
+    qb = F.broadcast(
+        _bucketed(queries, "query_id", "q_vec", id_col, vec_col)
+        .withColumn("q_norm", l2_norm("q_vec")))
     cand = (qb.join(cb, ["tbl", "key"])
               .filter(F.col("query_id") != F.col("match_id"))
-              .select("query_id", "q_vec", "match_id", "c_vec")
+              .select("query_id", "q_vec", "q_norm",
+                      "match_id", "c_vec", "c_norm")
               .dropDuplicates(["query_id", "match_id"]))
     scored = cand.select("query_id", "match_id",
-                         cosine("q_vec", "c_vec").alias("cos_sim"))
+                         (dot("q_vec", "c_vec")
+                          / (F.col("q_norm") * F.col("c_norm")))
+                         .alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("match_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -251,10 +262,15 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
     with high probability), so the comparison is bucket-local — never an
     all-pairs scan. Output: (id_a < id_b, cos_sim)."""
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  l2_norm(vec_col).alias("n"),
                   hyperplane_bucket(vec_col, table).alias("key"))
-    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "key")
-    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "key")
+    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("n").alias("na"), "key")
+    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("n").alias("nb"), "key")
     pairs = (a.join(c, "key")
               .filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim")))
+              .select("id_a", "id_b",
+                      (dot("va", "vb") / (F.col("na") * F.col("nb")))
+                      .alias("cos_sim")))
     return pairs.filter(F.col("cos_sim") >= threshold)
