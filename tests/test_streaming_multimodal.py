@@ -50,3 +50,36 @@ def test_fake_feature_extract_deterministic(spark):
     assert feats.feature == [float(len(text)), float(text[0]),
                              float(text[-1]), float(sum(text) % 997)]
     assert feats.n_bytes == len(text)
+
+
+def test_stream_static_join_enriches(spark):
+    from yougile_etl_pipeline_spark.streaming.snapshot import enriched_stream
+
+    q = (enriched_stream(spark, SF_SMOKE)
+         .writeStream.format("memory").queryName("t_enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("t_enriched")
+    n = load_table(spark, SF_SMOKE, "events").count()
+    assert out.count() == n                          # left join keeps all
+    assert out.filter(F.col("segment").isNotNull()).count() > 0
+
+
+def test_stream_upsert_mart_idempotent(spark, tmp_path):
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        stream_upsert_mart,
+    )
+
+    target = str(tmp_path / "mart")
+    ck = str(tmp_path / "ck")
+    stream_upsert_mart(spark, SF_SMOKE, target, checkpoint=ck)
+    first = spark.read.parquet(target)
+    n1, total1 = first.count(), first.agg(F.sum("n_events")).collect()[0][0]
+    assert n1 > 0
+    # re-run with the same checkpoint: no new data -> mart unchanged
+    stream_upsert_mart(spark, SF_SMOKE, target, checkpoint=ck)
+    again = spark.read.parquet(target)
+    assert again.count() == n1
+    assert again.agg(F.sum("n_events")).collect()[0][0] == total1
+    # keys are unique (merge semantics, not append)
+    assert again.select("window_start", "user_id").distinct().count() == n1

@@ -72,3 +72,48 @@ def run_available_now(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (user → segment bucket). Static side is re-read per
+    micro-batch by Spark; with a broadcastable dim the join never
+    shuffles the stream."""
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, sf_dir)
+    # derive a small static "user dim" from customers (id parity bucket)
+    users = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+             .select((F.col("c_custkey") % 100).alias("user_id"),
+                     F.col("c_mktsegment").alias("segment"))
+             .dropDuplicates(["user_id"]))
+    return events.join(F.broadcast(users), "user_id", "left")
+
+
+def stream_upsert_mart(spark: SparkSession, sf_dir: str, target_path: str,
+                       *, checkpoint: str) -> None:
+    """foreachBatch → MERGE: each micro-batch upserts its per-user hourly
+    aggregates into a parquet mart keyed by (user_id, window_start) — the
+    production pattern for streaming into an updatable table (idempotent
+    per batch via merge keys; exactly-once via the checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.plans.incremental import merge_upsert
+
+    agg = (read_events_stream(spark, sf_dir)
+           .withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"), "user_id", "n_events"))
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        merge_upsert(spark, target_path, batch_df,
+                     keys=["window_start", "user_id"])
+
+    q = (agg.writeStream.foreachBatch(upsert)
+         .outputMode("update")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
