@@ -674,3 +674,58 @@ def f_regexp_extract(spark, sf):
         F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
         F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0))
          .alias("n_vowels"))
+
+
+@register("j_full_outer", """
+SELECT o_orderkey, c_custkey, c_name FROM
+  (SELECT * FROM orders WHERE o_orderkey < 300) o
+FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+  ON o.o_custkey = c.c_custkey
+""")
+def j_full_outer(spark, sf):
+    t = load_tables(spark, sf, ("orders", "customer"))
+    o = t["orders"].filter(F.col("o_orderkey") < 300)
+    c = t["customer"].filter(F.col("c_acctbal") > 5000)
+    return o.join(c, o.o_custkey == c.c_custkey, "full") \
+            .select("o_orderkey", "c_custkey", "c_name")
+
+
+@register("j_cross", """
+SELECT r_name, s_name FROM region CROSS JOIN supplier
+""")
+def j_cross(spark, sf):
+    t = load_tables(spark, sf, ("region", "supplier"))
+    return t["region"].crossJoin(t["supplier"]).select("r_name", "s_name")
+
+
+@register("set_union_distinct", """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""")
+def set_union_distinct(spark, sf):
+    t = load_tables(spark, sf, ("customer", "supplier"))
+    return t["customer"].select(F.col("c_nationkey").alias("nationkey")) \
+        .union(t["supplier"].select(F.col("s_nationkey").alias("nationkey"))) \
+        .distinct()
+
+
+@register("f_case_bands", """
+SELECT o_orderkey,
+  CASE WHEN o_totalprice < 50000 THEN 'small'
+       WHEN o_totalprice < 150000 THEN 'medium'
+       ELSE 'large' END AS price_band,
+  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled'
+       ELSE 'other' END AS status_label
+FROM orders
+""")
+def f_case_bands(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+         .when(F.col("o_totalprice") < 150000, "medium")
+         .otherwise("large").alias("price_band"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+         .when(F.col("o_orderstatus") == "F", "filled")
+         .otherwise("other").alias("status_label"))
