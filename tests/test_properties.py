@@ -59,3 +59,29 @@ def test_conform_idempotent_and_total(spark, present):
     for c in ["a", "b", "c", "d"]:
         assert getattr(row, c) == (values[c] if c in present else None)
     assert conform(out, target).schema == out.schema
+
+
+@given(ts_a=st.lists(st.integers(min_value=0, max_value=400),
+                     min_size=1, max_size=15),
+       ts_b=st.lists(st.integers(min_value=0, max_value=400),
+                     min_size=1, max_size=15))
+@_slow
+def test_interval_join_banded_equals_naive(spark, ts_a, ts_b):
+    """The banded range-join rewrite must equal the naive inequality join
+    for arbitrary timestamps — especially values landing exactly on
+    bucket edges (gap=100 here, so multiples of 100 are edge cases the
+    generator hits often)."""
+    from yougile_etl_pipeline_spark.operators.relational import interval_join
+
+    a = spark.createDataFrame([(1, i, t) for i, t in enumerate(ts_a)],
+                              "k int, a_id int, ms long")
+    b = spark.createDataFrame([(1, i, t) for i, t in enumerate(ts_b)],
+                              "k int, b_id int, ms long")
+    banded = {(r.a_id, r.b_id_r) for r in
+              interval_join(a, b, keys=["k"], left_ts="ms", right_ts="ms",
+                            max_gap_ms=100).collect()}
+    naive = {(x_id, y_id)
+             for _, x_id, x in [(1, i, t) for i, t in enumerate(ts_a)]
+             for _, y_id, y in [(1, i, t) for i, t in enumerate(ts_b)]
+             if x < y <= x + 100}
+    assert banded == naive
