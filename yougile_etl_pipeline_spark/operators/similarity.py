@@ -235,17 +235,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     cost ∝ list length (|corpus| / n_centroids on balanced lists)."""
     from pyspark.sql.window import Window
 
+    # Norms are computed ONCE per vector here (one extra HOF pass over
+    # each side), so the rerank evaluates a single dot product per
+    # candidate pair instead of three aggregates — same IEEE bits as
+    # cosine() because sqrt(dot(v,v)) is a deterministic function of v.
     ca = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col) \
         .select(F.col(id_col).alias("match_id"),
-                F.col(vec_col).alias("c_vec"), "centroid_id")
+                F.col(vec_col).alias("c_vec"), "centroid_id",
+                l2_norm(vec_col).alias("c_norm"))
     qa = F.broadcast(
         ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col)
         .select(F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("q_vec"), "centroid_id"))
+                F.col(vec_col).alias("q_vec"), "centroid_id",
+                l2_norm(vec_col).alias("q_norm")))
     scored = (qa.join(ca, "centroid_id")
                 .filter(F.col("query_id") != F.col("match_id"))
                 .select("query_id", "match_id", "centroid_id",
-                        cosine("q_vec", "c_vec").alias("cos_sim")))
+                        (dot("q_vec", "c_vec")
+                         / (F.col("q_norm") * F.col("c_norm")))
+                        .alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("match_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
