@@ -97,3 +97,90 @@ def test_ivf_recall_and_bucket_locality(spark):
     # meaningfully above random (5/499 ≈ 0.01)
     recall = len(exact & ivf) / len(exact)
     assert recall > 0.1, f"IVF recall degenerate: {recall}"
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """The IVF recall knob: recall@k never decreases as nprobe grows, and
+    at nprobe == n_centroids the probe covers everything ⇒ recall 1.0."""
+    from yougile_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    centroids = emb.filter(F.col("vec_id") < 16)    # 16 lists
+    exact = {(r.query_id, r.match_id)
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    recalls = []
+    for nprobe in (1, 4, 16):
+        got = {(r.query_id, r.match_id)
+               for r in ivf_topk(emb, q, centroids, k=5,
+                                 nprobe=nprobe).collect()}
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, f"full probe must be exact: {recalls}"
+
+
+def test_np_paths_match_hof_bitwise(spark):
+    """The numpy-scored fast paths return byte-identical results to the
+    all-HOF formulations (winner sets agree; winners re-scored exact)."""
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk_np,
+        lsh_bucket_topk_np,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    for hof_fn, np_fn in ((brute_force_topk, brute_force_topk_np),
+                          (lsh_bucket_topk, lsh_bucket_topk_np)):
+        hof = sorted(map(tuple, hof_fn(emb, q, k=5).collect()))
+        fast = sorted(map(tuple, np_fn(emb, q, k=5).collect()))
+        assert hof == fast, f"{np_fn.__name__} diverged from HOF"
+
+
+def test_lsh_bucket_width_bounds_bucket_size(spark):
+    """planes_per_table is the occupancy knob: 2^P buckets, so raising P
+    must shrink the biggest bucket — the 100 TB safety property."""
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        hyperplane_bucket,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    max_sizes = {}
+    for p in (2, 6):
+        sizes = (emb.select(hyperplane_bucket("embedding", 0,
+                                              planes_per_table=p)
+                            .alias("key"))
+                 .groupBy("key").count())
+        max_sizes[p] = sizes.agg(F.max("count")).collect()[0][0]
+        assert sizes.count() <= 2 ** p
+    assert max_sizes[6] < max_sizes[2] <= n
+    # sign-bucket occupancy on random vectors ≈ N/2^P; allow 4× slack
+    assert max_sizes[6] < 4 * n / 2 ** 6
+
+
+def test_shingle_df_cap_bounds_candidates(spark):
+    """A hot shingle shared by every doc makes the uncapped self-join
+    quadratic; the DF cap removes it and candidates collapse."""
+    hot = "alpha beta gamma"        # one shared trigram in every doc
+    rows = [(i, f"{hot} unique{i} token{i} filler{i} word{i}", "en")
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    uncapped = shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.0,
+                                     max_shingle_df=None).count()
+    capped = shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.0,
+                                   max_shingle_df=5).count()
+    assert uncapped == 20 * 19 // 2     # all-pairs blowup
+    assert capped == 0                   # hot shingle dropped pre-join
+
+
+def test_simhash_portable_matches_xxhash_behavior(near_dup_docs):
+    """The oracle-paired md5-window SimHash preserves the Hamming
+    property of the xxhash64 variant (near-dup < far) on 60 bits."""
+    from yougile_etl_pipeline_spark.operators.dedup import simhash_portable
+
+    sigs = {r.doc: r.simhash60
+            for r in simhash_portable(near_dup_docs,
+                                      "doc_id", "text").collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 60) - 1)).count("1")
+    assert sigs[1] == sigs[2]
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])

@@ -80,3 +80,30 @@ def test_fetch_partitioned_unions_cursors(spark):
     got = {r.id for r in df.collect()}
     assert got == {"c1-0", "c2-0", "c3-0"}
     assert df.columns == ["id", "title", "extra"]
+
+
+def test_fetch_partitioned_fetches_once_across_actions(spark, tmp_path):
+    """The paginated fetch runs in exactly ONE Spark job (pages are landed
+    to files); downstream actions re-read the landed files and never
+    re-invoke the fetcher. Invocations are counted via marker files since
+    executor closures can't mutate driver state."""
+    calls_dir = tmp_path / "calls"
+    calls_dir.mkdir()
+    cd = str(calls_dir)
+
+    def counting_fake(method, offset, limit, include_deleted, column_id):
+        import os
+        import uuid
+        open(os.path.join(cd, uuid.uuid4().hex), "w").close()
+        return {"content": [{"id": f"{column_id}-{offset}",
+                             "title": column_id}],
+                "paging": {"next": False}}
+
+    df = fetch_partitioned(spark, counting_fake, "tasks", SCHEMA,
+                           column_ids=["c1", "c2"], interval_s=0.0,
+                           landing_dir=str(tmp_path / "land"))
+    n_after_build = len(list(calls_dir.iterdir()))
+    assert df.count() == 2                       # action #1
+    assert {r.id for r in df.collect()} == {"c1-0", "c2-0"}   # action #2
+    assert n_after_build == 2                    # one call per cursor...
+    assert len(list(calls_dir.iterdir())) == 2   # ...and none re-paid

@@ -52,6 +52,29 @@ def test_salted_join_equals_plain_join(spark):
            sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_left_keeps_unmatched_once(spark):
+    """Left join: unmatched big-side rows appear exactly once (the big side
+    is salted, not replicated, so no ×salt duplication is possible)."""
+    orders = load_table(spark, SF_SMOKE, "orders") \
+        .select("o_orderkey", "o_custkey")
+    cust = load_table(spark, SF_SMOKE, "customer") \
+        .filter(F.col("c_custkey") % 2 == 0) \
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    plain = orders.join(cust, "o_custkey", "left")
+    salted = salted_join(orders, cust, "o_custkey", how="left", salt=4)
+    assert sorted(map(tuple, plain.collect())) == \
+           sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """right/full would emit unmatched replicated-side rows once per salt —
+    rejected explicitly instead of silently duplicating."""
+    df = spark.range(4)
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, df, "id", how=how)
+
+
 def test_with_retry_backs_off_then_succeeds():
     attempts = []
     sleeps = []
@@ -196,3 +219,60 @@ def test_merge_upsert_partitioned_and_flat(spark, tmp_path):
                  ["task_id"])
     got = {(r.task_id, r.status) for r in spark.read.parquet(f).collect()}
     assert got == {("A", "closed"), ("B", "open")}
+
+
+def test_merge_upsert_key_moving_partitions(spark, tmp_path):
+    """An update that moves a key to a different partition_col value must
+    rewrite the key's OLD partition too — otherwise the stale row survives
+    there and the business key is duplicated."""
+    from yougile_etl_pipeline_spark.plans.incremental import merge_upsert
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "task_id string, status string, region string")
+    p = str(tmp_path / "mv")
+    merge_upsert(spark, p, mk([("A", "open", "eu"), ("B", "open", "us")]),
+                 ["task_id"], partition_col="region")
+    merge_upsert(spark, p, mk([("A", "closed", "us")]),   # A: eu → us
+                 ["task_id"], partition_col="region")
+    rows = spark.read.parquet(p).collect()
+    assert {(r.task_id, r.status, r.region) for r in rows} == \
+        {("A", "closed", "us"), ("B", "open", "us")}
+    keys = [r.task_id for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate business keys"
+
+
+def test_merge_upsert_crash_recovery(spark, tmp_path):
+    """A crash between swap steps leaves either the old or the new mart
+    recoverable; recover_merge_target repairs the directory."""
+    import os
+    import shutil
+
+    from yougile_etl_pipeline_spark.plans.incremental import (
+        merge_upsert,
+        recover_merge_target,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "task_id string, v int")
+    f = str(tmp_path / "m")
+    staging, backup = f + "__staging", f + "__old"
+    merge_upsert(spark, f, mk([("A", 1)]), ["task_id"])
+
+    # crash AFTER the live tree moved aside (staging complete):
+    mk([("A", 2)]).write.mode("overwrite").parquet(staging)
+    os.rename(f, backup)
+    assert recover_merge_target(f) == "promoted_staging"
+    assert [r.v for r in spark.read.parquet(f).collect()] == [2]
+    assert not os.path.exists(staging) and not os.path.exists(backup)
+
+    # crash with an INCOMPLETE staging (no _SUCCESS): old tree restored
+    shutil.copytree(f, staging)
+    os.remove(os.path.join(staging, "_SUCCESS"))
+    os.rename(f, backup)
+    assert recover_merge_target(f) == "restored_backup"
+    assert [r.v for r in spark.read.parquet(f).collect()] == [2]
+    assert not os.path.exists(staging) and not os.path.exists(backup)
+
+    # no crash: live tree intact, stray temps cleaned
+    os.makedirs(staging)
+    assert recover_merge_target(f) == "clean"
+    assert not os.path.exists(staging)

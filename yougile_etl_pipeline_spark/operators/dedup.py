@@ -34,6 +34,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_portable",
 ]
 
 
@@ -59,6 +60,7 @@ def shingle_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str,
     *, n: int = 3, threshold: float = 0.5,
     block_cols: list[str] | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Near-dup candidate pairs with exact n-gram Jaccard ≥ threshold.
 
@@ -67,9 +69,24 @@ def shingle_jaccard_pairs(
     ``J = common / (|A| + |B| - common)``. Jaccard is a ratio of exact
     ints → double division, deterministic. `block_cols` (e.g. language)
     bound the candidate space — at scale you always block.
-    """
+
+    **Stop-shingle cap** (`max_shingle_df`, default ON): a shingle
+    appearing in d documents of a block contributes d·(d-1)/2 candidate
+    pairs — one hot trigram ("in the end", boilerplate headers) makes the
+    self-join quadratic at corpus scale. Shingles with per-block document
+    frequency above the cap are dropped BEFORE the join (and from the
+    per-doc sizes, so Jaccard stays a true ratio over the capped shingle
+    sets); candidate count is then bounded by Σ_kept df² ≤ |shingles|·cap².
+    Hot shingles carry ~zero near-dup signal (they match everything), so
+    the cap trades no real recall. Pass ``None`` to disable."""
     block_cols = block_cols or []
     ex = _shingled(df, id_col, text_col, n, block_cols)
+    if max_shingle_df is not None:
+        dfreq = (ex.groupBy(*block_cols, "sh")
+                   .agg(F.count(F.lit(1)).alias("__df")))
+        keep = dfreq.filter(F.col("__df") <= max_shingle_df) \
+                    .select(*block_cols, "sh")
+        ex = ex.join(keep, [*block_cols, "sh"])
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = ex.select(F.col("doc").alias("doc_a"), *[F.col(c) for c in block_cols],
@@ -145,36 +162,57 @@ def minhash_lsh_pairs(
              .agg(F.count(F.lit(1)).alias("n_bands")))
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str,
-            *, shingle_n: int = 2) -> DataFrame:
-    """64-bit SimHash: per-shingle xxhash64, each bit votes ±1, the sign
-    of the vote sum sets the signature bit.
+def _simhash_bit_votes(ex: DataFrame, h, n_bits: int,
+                       out_col: str) -> DataFrame:
+    """Shared SimHash core: each bit of the per-shingle hash `h` votes ±1,
+    the sign of the vote sum sets the signature bit.
 
-    Relational formulation for scale: explode shingles once, hash each,
-    then ONE grouped aggregation with 64 codegen'd ``count_if`` bit
-    counters (map-side partial aggregation applies — shuffle volume is
-    65 longs per doc). An earlier array-lambda formulation re-scanned the
-    shingle array per bit through interpreted higher-order functions and
-    was ~20× slower at sf0.1.
-
-    xxhash64 differs between engines → no SQL oracle; verified by
-    property tests (near-dup texts → small Hamming distance)."""
-    ex = df.select(F.col(id_col).alias("doc"),
-                   F.explode(shingles(text_col, shingle_n)).alias("sh"))
-    h = F.xxhash64(F.col("sh"))
+    Relational formulation for scale: ONE grouped aggregation with
+    `n_bits` codegen'd ``count_if`` bit counters (map-side partial
+    aggregation applies — shuffle volume is n_bits+1 longs per doc). An
+    earlier array-lambda formulation re-scanned the shingle array per bit
+    through interpreted higher-order functions and was ~20× slower at
+    sf0.1."""
     bit_counts = [
         F.count_if(F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1)
          .alias(f"b{bit}")
-        for bit in range(64)
+        for bit in range(n_bits)
     ]
     agg = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *bit_counts)
 
     sig = F.lit(0).cast("long")
-    for bit in range(64):
+    for bit in range(n_bits):
         # majority vote; shiftleft(1L, 63) wraps to Long.MIN_VALUE — the
         # sign bit, still a valid signature bit under bitwise OR.
         sig = sig.bitwiseOR(
             F.when((F.col(f"b{bit}") * 2) > F.col("n"),
                    F.shiftleft(F.lit(1).cast("long"), bit))
              .otherwise(F.lit(0).cast("long")))
-    return agg.select("doc", sig.alias("simhash64"))
+    return agg.select("doc", sig.alias(out_col))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            *, shingle_n: int = 2) -> DataFrame:
+    """64-bit SimHash over per-shingle xxhash64 — the fast JVM-native
+    variant (one xxhash64 per shingle, no md5). xxhash64 differs between
+    engines → no SQL oracle; verified by property tests (near-dup texts →
+    small Hamming distance). See `simhash_portable` for the oracle-paired
+    twin."""
+    ex = df.select(F.col(id_col).alias("doc"),
+                   F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    return _simhash_bit_votes(ex, F.xxhash64(F.col("sh")), 64, "simhash64")
+
+
+def simhash_portable(df: DataFrame, id_col: str, text_col: str,
+                     *, shingle_n: int = 2) -> DataFrame:
+    """60-bit SimHash whose per-shingle hash is the first 15 hex chars of
+    ``md5(shingle)`` — engine-portable (DuckDB computes the identical
+    value via ``CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)``), so this
+    variant carries a full value-hash oracle. 15 hex chars = 60 bits keeps
+    the value inside a signed 64-bit integer on both engines; 60 bits of
+    signature loses nothing material vs 64 (Hamming radii scale with bit
+    count). Same bit-vote core and scale shape as `simhash`."""
+    ex = df.select(F.col(id_col).alias("doc"),
+                   F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    return _simhash_bit_votes(ex, h, 60, "simhash60")

@@ -101,9 +101,20 @@ def salted_join(big: DataFrame, skewed: DataFrame, on: str,
     holding >1 partition budget after splitting, or non-AQE engines).
     The replicated side grows ×salt — use when `skewed` is small relative
     to the hot partition, which is exactly the skew scenario. Results are
-    identical to the plain join (salt columns are internal)."""
+    identical to the plain join (salt columns are internal).
+
+    Only ``inner`` and ``left`` are supported: an outer side that is
+    replicated would emit its unmatched rows once per salt value, so
+    right/full (and semi/anti on the replicated side) are rejected rather
+    than silently duplicated. ``pmod`` (not ``abs % salt``) keeps the salt
+    in range even when xxhash64 returns Long.MIN_VALUE, whose abs()
+    overflows back to a negative."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated side would emit unmatched rows once per salt")
     big_s = big.withColumn(
-        "__salt", (F.abs(F.xxhash64(*big.columns)) % salt).cast("int"))
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int"))
     rep = skewed.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = big_s.join(rep, [on, "__salt"], how)

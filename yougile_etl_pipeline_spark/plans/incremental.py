@@ -16,7 +16,8 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["append_snapshot", "read_latest_snapshot", "snapshot_changes"]
+__all__ = ["append_snapshot", "read_latest_snapshot", "snapshot_changes",
+           "merge_upsert", "recover_merge_target"]
 
 
 def append_snapshot(mart: DataFrame, path: str) -> None:
@@ -92,26 +93,89 @@ def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
     target = spark.read.parquet(target_path)
 
     if partition_col:
-        touched = [r[0] for r in
-                   updates.select(partition_col).distinct().collect()]
+        # Partitions to rewrite = those holding the updates' NEW rows
+        # plus those holding the OLD rows of any updated key: an update
+        # that moves a key to a different partition_col value must also
+        # rewrite the key's old partition, or the stale row survives
+        # there and the business key is duplicated. Both reads are
+        # key-only column scans; the key anti-join below is global (not
+        # restricted to touched partitions) for the same reason.
+        upd_keys = updates.select(*keys).distinct()
+        touched_new = [r[0] for r in
+                       updates.select(partition_col).distinct().collect()]
+        touched_old = [r[0] for r in
+                       target.join(upd_keys, keys, "left_semi")
+                             .select(partition_col).distinct().collect()]
+        touched = sorted({*touched_new, *touched_old})
         survivors = (target
                      .filter(F.col(partition_col).isin(touched))
-                     .join(updates.select(*keys).distinct(), keys,
-                           "left_anti"))
+                     .join(upd_keys, keys, "left_anti"))
         merged = survivors.unionByName(updates)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                               "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            present = {r[0] for r in
+                       merged.select(partition_col).distinct().collect()}
             (merged.write.mode("overwrite").partitionBy(partition_col)
                    .parquet(target_path))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Dynamic overwrite only rewrites partitions PRESENT in the written
+        # data: a touched partition left with zero rows (every row moved
+        # out or replaced elsewhere) keeps its stale files unless dropped
+        # explicitly.
+        for p_val in touched:
+            if p_val not in present:
+                shutil.rmtree(
+                    os.path.join(target_path, f"{partition_col}={p_val}"),
+                    ignore_errors=True)
         return
 
     merged = (target.join(updates.select(*keys).distinct(), keys, "left_anti")
               .unionByName(updates))
-    staging = target_path.rstrip("/") + "__staging"
+    # Crash-safe swap: write staging, move the live tree aside, promote
+    # staging, then drop the old copy. A crash between any two steps
+    # leaves either the old or the new mart intact under a recoverable
+    # name (never a half-deleted live directory); recover_merge_target()
+    # repairs the directory on the next run.
+    base = target_path.rstrip("/")
+    staging, backup = base + "__staging", base + "__old"
     merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(target_path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)          # leftover from a prior crash
+    os.rename(target_path, backup)
     os.rename(staging, target_path)
+    shutil.rmtree(backup)
+
+
+def recover_merge_target(target_path: str) -> str:
+    """Repair a merge_upsert target after a crash mid-swap. Returns the
+    state found: 'clean' (nothing to do), 'promoted_staging' (crash after
+    the live tree moved aside — the fully-written staging is promoted),
+    or 'restored_backup' (staging incomplete or missing — the old tree is
+    put back)."""
+    import os
+    import shutil
+
+    base = target_path.rstrip("/")
+    staging, backup = base + "__staging", base + "__old"
+    if os.path.exists(target_path):
+        # live tree intact; drop whichever temps remain
+        for p in (staging, backup):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        return "clean"
+    if os.path.exists(staging) and os.path.exists(
+            os.path.join(staging, "_SUCCESS")):
+        os.rename(staging, target_path)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        return "promoted_staging"
+    if os.path.exists(backup):
+        os.rename(backup, target_path)
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        return "restored_backup"
+    raise FileNotFoundError(
+        f"no live, staging, or backup tree at {target_path}")

@@ -19,7 +19,7 @@ from yougile_etl_pipeline_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     shingle_jaccard_pairs,
-    simhash,
+    simhash_portable,
 )
 from yougile_etl_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
@@ -27,9 +27,10 @@ from yougile_etl_pipeline_spark.operators.multimodal import (
     fake_feature_extract,
 )
 from yougile_etl_pipeline_spark.operators.similarity import (
-    brute_force_topk,
+    brute_force_topk_np,
     hyperplane_bucket_sql,
     lsh_bucket_topk,
+    lsh_bucket_topk_np,
 )
 from yougile_etl_pipeline_spark.registry import register
 from yougile_etl_pipeline_spark.sources.tables import load_table
@@ -159,9 +160,20 @@ def dedup_exact(spark, sf):
     return exact_dedup(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
-@register("dedup_shingle_jaccard", f"""
-WITH ex AS (
-  SELECT doc_id AS doc, lang, unnest({_shingles_sql()}) AS sh FROM documents
+def _shingle_jaccard_oracle(cap: int, threshold: float, n: int = 3) -> str:
+    """SQL twin of shingle_jaccard_pairs(block_cols=['lang'],
+    max_shingle_df=cap): the stop-shingle cap drops (lang, shingle) groups
+    with document frequency above `cap` before the self-join AND before
+    the per-doc sizes, mirroring the Spark operator exactly."""
+    return f"""
+WITH ex0 AS (
+  SELECT doc_id AS doc, lang, unnest({_shingles_sql('text', n)}) AS sh
+  FROM documents
+), dfc AS (
+  SELECT lang, sh, count(*) AS dfreq FROM ex0 GROUP BY 1, 2
+), ex AS (
+  SELECT ex0.doc, ex0.lang, ex0.sh
+  FROM ex0 JOIN dfc USING (lang, sh) WHERE dfreq <= {cap}
 ), sizes AS (
   SELECT doc, count(*) AS sz FROM ex GROUP BY doc
 ), pairs AS (
@@ -174,12 +186,27 @@ SELECT doc_a, doc_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
 FROM pairs
 JOIN sizes sa ON doc_a = sa.doc
 JOIN sizes sb ON doc_b = sb.doc
-WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
-""")
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= {threshold}
+"""
+
+
+@register("dedup_shingle_jaccard", _shingle_jaccard_oracle(1000, 0.5))
 def dedup_shingle_jaccard(spark, sf):
     docs = load_table(spark, sf, "documents")
     return shingle_jaccard_pairs(docs, "doc_id", "text",
                                  threshold=0.5, block_cols=["lang"])
+
+
+@register("dedup_shingle_capped", _shingle_jaccard_oracle(3, 0.2, n=2))
+def dedup_shingle_capped(spark, sf):
+    # Stop-shingle cap exercised for real: on bigrams (hot — max DF 28 at
+    # sf0.01) the DF cap 3 drops ~2/3 of (lang, shingle) groups before the
+    # self-join, bounding candidates at Σ_kept df² ≤ 9·|shingles| — the
+    # 100 TB safety valve, oracle-paired.
+    docs = load_table(spark, sf, "documents")
+    return shingle_jaccard_pairs(docs, "doc_id", "text", n=2,
+                                 threshold=0.2, block_cols=["lang"],
+                                 max_shingle_df=3)
 
 
 _MH_MINS = ", ".join(
@@ -208,9 +235,31 @@ def dedup_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=4)
 
 
-@register("dedup_simhash")  # xxhash64 has no DuckDB twin → rows-only check
+# SimHash, oracle-paired: the per-shingle hash is the first 15 hex chars
+# of md5 (60 bits — inside signed int64 on both engines), so DuckDB
+# computes the identical signature bit-for-bit. The xxhash64 variant
+# (operators/dedup.py::simhash) stays available as the faster JVM-native
+# path, property-tested.
+_SIMHASH_BITS = ", ".join(
+    f"count_if(((hv >> {b}) & 1) = 1) AS b{b}" for b in range(60))
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN b{b} * 2 > n THEN (1::BIGINT << {b}) ELSE 0 END)"
+    for b in range(60))
+
+@register("dedup_simhash", f"""
+WITH ex AS (
+  SELECT doc_id AS doc, unnest({_shingles_sql('text', 2)}) AS sh
+  FROM documents
+), h AS (
+  SELECT doc, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS hv FROM ex
+), agg AS (
+  SELECT doc, count(*) AS n, {_SIMHASH_BITS} FROM h GROUP BY doc
+)
+SELECT doc, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash60 FROM agg
+""")
 def dedup_simhash(spark, sf):
-    return simhash(load_table(spark, sf, "documents"), "doc_id", "text")
+    return simhash_portable(load_table(spark, sf, "documents"),
+                            "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -237,19 +286,21 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= 5
 """)
 def sim_cosine_topk(spark, sf):
+    # numpy-matmul scored, exact-HOF reranked (same bits as the all-HOF
+    # brute_force_topk — see operators/similarity.py fast-path notes).
     emb = load_table(spark, sf, "embeddings")
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return brute_force_topk_np(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-def _lsh_buckets_union(src_sql: str, id_alias: str, vec_alias: str) -> str:
+def _lsh_buckets_union(src_sql: str, id_alias: str, vec_alias: str,
+                       n_tables: int = 4,
+                       planes_per_table: int = 4) -> str:
     """One SELECT per LSH table, unioned — the SQL twin of
-    operators.similarity._bucketed."""
-    from yougile_etl_pipeline_spark.operators.similarity import N_TABLES
-
+    operators.similarity._bucketed (same seeded plane set per sizing)."""
     return " UNION ALL ".join(
         f"SELECT {id_alias}, {vec_alias}, {t} AS tbl, "
-        f"{hyperplane_bucket_sql('embedding', t)} AS key FROM {src_sql}"
-        for t in range(N_TABLES)
+        f"{hyperplane_bucket_sql('embedding', t, n_tables=n_tables, planes_per_table=planes_per_table)} AS key FROM {src_sql}"
+        for t in range(n_tables)
     )
 
 
@@ -274,8 +325,41 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= 5
 """)
 def sim_ann_lsh_bucket(spark, sf):
+    # candidate generation identical to lsh_bucket_topk; rerank scored by
+    # the vectorized numpy path, winners re-scored exact (same bits).
     emb = load_table(spark, sf, "embeddings")
-    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return lsh_bucket_topk_np(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register("sim_ann_lsh_sized", f"""
+WITH qsrc AS (SELECT vec_id AS query_id, embedding,
+                     embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 8),
+csrc AS (SELECT vec_id AS match_id, embedding, embedding::DOUBLE[] AS cv
+         FROM embeddings),
+qb AS ({_lsh_buckets_union('qsrc', 'query_id', 'qv', 2, 6)}),
+cb AS ({_lsh_buckets_union('csrc', 'match_id', 'cv', 2, 6)}),
+cand AS (
+  SELECT DISTINCT query_id, match_id, qv, cv
+  FROM qb JOIN cb USING (tbl, key) WHERE query_id != match_id
+), scored AS (
+  SELECT query_id, match_id, {_COS} AS cos_sim FROM cand
+)
+SELECT query_id, match_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, match_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""")
+def sim_ann_lsh_sized(spark, sf):
+    # Non-default LSH sizing (2 tables × 6 planes = 64 buckets/table):
+    # proves the sizing is a per-call knob, not a module constant — the
+    # 100 TB lever is raising planes with corpus size (bucket occupancy
+    # N/2^P) and tables for recall. Oracle regenerates the same seeded
+    # planes for this sizing.
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 8), k=5,
+                           n_tables=2, planes_per_table=6)
 
 
 # ---------------------------------------------------------------------------
@@ -410,8 +494,9 @@ _CSIM = ("list_dot_product({a}, {b}) / "
          "sqrt(list_dot_product({b}, {b})))")
 
 
-def _ivf_assign_sql(src: str, idc: str, vecc: str) -> str:
-    """DuckDB twin of similarity.ivf_assign (argmax cosine per vector)."""
+def _ivf_assign_sql(src: str, idc: str, vecc: str, nprobe: int = 1) -> str:
+    """DuckDB twin of similarity.ivf_assign (top-nprobe centroids per
+    vector by cosine, centroid id tie-break)."""
     sim = _CSIM.format(a=vecc, b="cent_vec")
     return f"""
   SELECT {idc}, {vecc}, centroid_id FROM (
@@ -419,7 +504,7 @@ def _ivf_assign_sql(src: str, idc: str, vecc: str) -> str:
            row_number() OVER (PARTITION BY {idc}
                               ORDER BY {sim} DESC, centroid_id) AS rn
     FROM {src} CROSS JOIN ({_IVF_CENT})
-  ) WHERE rn = 1"""
+  ) WHERE rn <= {nprobe}"""
 
 
 @register("sim_ivf_topk", f"""
@@ -449,6 +534,62 @@ def sim_ivf_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 256)
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5)
+
+
+@register("sim_ivf_multiprobe", f"""
+WITH qsrc AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 8),
+csrc AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv
+         FROM embeddings),
+qa AS ({_ivf_assign_sql('qsrc', 'query_id', 'qv', nprobe=3)}),
+ca AS ({_ivf_assign_sql('csrc', 'match_id', 'cv')}),
+scored AS (
+  SELECT query_id, match_id, centroid_id,
+         {_CSIM.format(a='qv', b='cv')} AS cos_sim
+  FROM qa JOIN ca USING (centroid_id)
+  WHERE query_id != match_id
+)
+SELECT query_id, match_id, centroid_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, match_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""")
+def sim_ivf_multiprobe(spark, sf):
+    # nprobe=3: each query probes its 3 nearest centroids' lists — the
+    # standard IVF recall knob (recall monotone in nprobe, cost linear);
+    # corpus lists stay 1-probe/storable. Oracle states the same top-3
+    # probe set relationally.
+    from yougile_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 256)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5,
+                    nprobe=3)
+
+
+@register("dedup_embedding_cosine_w6", f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {hyperplane_bucket_sql('embedding', 0, planes_per_table=6)} AS key
+  FROM embeddings
+), pairs AS (
+  SELECT a.id AS id_a, c.id AS id_b,
+         {_CSIM.format(a='a.v', b='c.v')} AS cos_sim
+  FROM b a JOIN b c ON a.key = c.key AND a.id < c.id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.25
+""")
+def dedup_embedding_cosine_w6(spark, sf):
+    # Non-default bucket width (6 planes → 64 buckets): the parameter that
+    # keeps bucket-local comparison sub-quadratic as the corpus grows
+    # (occupancy N/2^n_planes). Same seeded planes on both sides.
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_near_dup_pairs(emb, 0.25, n_planes=6)
 
 
 @register("dedup_embedding_cosine", f"""

@@ -170,6 +170,7 @@ def fetch_partitioned(
     limit: int = 1000,
     include_deleted: str = "false",
     interval_s: float = 1.5,
+    landing_dir: str | None = None,
 ) -> DataFrame:
     """S3 partitioned scan: one independent cursor per `column_id`, executed
     *inside Spark tasks* (`mapPartitions`), unioned by name.
@@ -179,25 +180,39 @@ def fetch_partitioned(
     own rate limiter, results distributed from the start. `fetch_page` must
     be picklable (tests pass a module-level fake; production passes a thin
     HTTP closure over config primitives).
+
+    Each task LANDS its pages as a JSONL file (same raw-zone discipline as
+    `fetch_entity`) and the returned DataFrame reads those files — the
+    HTTP pagination runs in exactly ONE Spark job, triggered here. An
+    earlier formulation built the DataFrame directly over the fetch RDD,
+    which re-executed the paginated fetch (duplicate API calls, re-paid
+    rate-limit sleeps, and two actions could observe different data) on
+    EVERY downstream action. `landing_dir` must be visible to executors
+    and driver (local mode: any tmpdir; cluster: shared storage).
     """
     if not column_ids:
         return spark.createDataFrame([], schema)
+    landing_dir = landing_dir or tempfile.mkdtemp(prefix="yg_landing_")
+    os.makedirs(landing_dir, exist_ok=True)
     n = len(column_ids)
     sc = spark.sparkContext
     ids_rdd = sc.parallelize(column_ids, n)
 
-    json_schema = schema.json()
-
-    def fetch_part(ids: Iterable[str]) -> Iterator[str]:
+    def fetch_part(idx: int, ids: Iterable[str]) -> Iterator[str]:
         limiter = RateLimiter(interval_s)
-        for cid in ids:
-            for row in paginate(
-                fetch_page, method, limit=limit,
-                include_deleted=include_deleted, column_id=cid,
-                limiter=limiter,
-            ):
-                yield json.dumps(row, ensure_ascii=False)
 
-    jsonl = ids_rdd.mapPartitions(fetch_part)
-    raw = spark.read.schema(T.StructType.fromJson(json.loads(json_schema))).json(jsonl)
+        def rows() -> Iterator[dict]:
+            for cid in ids:
+                yield from paginate(
+                    fetch_page, method, limit=limit,
+                    include_deleted=include_deleted, column_id=cid,
+                    limiter=limiter,
+                )
+
+        yield _land_jsonl(rows(), landing_dir, f"{method}_part{idx:05d}")
+
+    # ONE action runs every cursor and lands the pages; the DataFrame
+    # below scans the landed files, so further actions never re-fetch.
+    paths = ids_rdd.mapPartitionsWithIndex(fetch_part).collect()
+    raw = spark.read.schema(schema).json(paths)
     return conform(raw, schema)
