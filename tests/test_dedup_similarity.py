@@ -136,6 +136,25 @@ def test_np_paths_match_hof_bitwise(spark):
         assert hof == fast, f"{np_fn.__name__} diverged from HOF"
 
 
+def test_ivf_np_matches_hof_bitwise(spark):
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_np,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    centroids = emb.filter(F.col("vec_id") < 256)
+    for nprobe in (1, 3):
+        hof = sorted(map(tuple,
+                         ivf_topk(emb, q, centroids, k=5,
+                                  nprobe=nprobe).collect()))
+        fast = sorted(map(tuple,
+                          ivf_topk_np(emb, q, centroids, k=5,
+                                      nprobe=nprobe).collect()))
+        assert hof == fast, f"ivf np diverged at nprobe={nprobe}"
+
+
 def test_lsh_bucket_width_bounds_bucket_size(spark):
     """planes_per_table is the occupancy knob: 2^P buckets, so raising P
     must shrink the biggest bucket — the 100 TB safety property."""

@@ -40,6 +40,9 @@ __all__ = [
     "hyperplane_bucket_sql",
     "ivf_assign",
     "ivf_topk",
+    "brute_force_topk_np",
+    "lsh_bucket_topk_np",
+    "ivf_topk_np",
 ]
 
 EMBED_DIM = 64
@@ -310,56 +313,103 @@ def _exact_rerank(cand: DataFrame, queries: DataFrame, k: int,
                  .filter(F.col("rank") <= k))
 
 
+def _bucketed_np(df: DataFrame, id_alias: str, vec_alias: str,
+                 id_col: str, vec_col: str,
+                 n_tables: int, planes_per_table: int) -> DataFrame:
+    """numpy twin of `_bucketed`: ALL L·P plane dots per vector in one
+    matmul per Arrow batch, instead of L·P interpreted HOF aggregates per
+    row (the dominant LSH cost). Sign-of-dot matches the HOF/SQL keys:
+    the matmul differs from the sequential sum by ~1 ulp, far below the
+    |dot| of any vector not exactly on a hyperplane."""
+    import pandas as pd
+
+    planes = hyperplanes(n_tables, planes_per_table)
+    P = np.asarray(planes, dtype=np.float64).reshape(
+        n_tables * planes_per_table, -1)
+    id_type = dict(df.dtypes)[id_col]
+    vec_type = dict(df.dtypes)[vec_col]
+    out_schema = (f"{id_alias} {id_type}, {vec_alias} {vec_type}, "
+                  f"tbl int, key string")
+    pp = planes_per_table
+    pows = 2 ** np.arange(pp - 1, -1, -1)
+
+    def keys_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            signs = (V @ P.T) > 0                      # N × (L·P)
+            for t in range(n_tables):
+                bits = signs[:, t * pp:(t + 1) * pp].astype(np.int64)
+                codes = bits @ pows
+                keys = [format(c, f"0{pp}b") for c in codes]
+                yield pd.DataFrame({
+                    id_alias: pdf[id_col].to_numpy(),
+                    vec_alias: pdf[vec_col].to_numpy(),
+                    "tbl": np.full(len(pdf), t, dtype=np.int32),
+                    "key": keys,
+                })
+
+    return df.select(id_col, vec_col).mapInPandas(keys_fn, out_schema)
+
+
 def lsh_bucket_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        *, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        n_tables: int = N_TABLES,
                        planes_per_table: int = PLANES_PER_TABLE) -> DataFrame:
-    """`lsh_bucket_topk` with the candidate rerank numpy-scored.
+    """`lsh_bucket_topk` restructured around numpy batch math — same
+    results (bucket keys and final rows match the HOF path bit-for-bit on
+    non-degenerate data; see tests).
 
-    Candidate generation (bucket equi-join + pair dedup) is identical;
-    the per-pair HOF dot product is replaced by a vectorized batch dot,
-    with the exact HOF re-score of the ≤ k·|Q| winners."""
+    * bucket keys: one matmul per Arrow batch (`_bucketed_np`) instead of
+      L·P HOF dots per row;
+    * scoring: bucket-local cogroup — each (tbl, key) group computes its
+      |Q_b|×|C_b| block in one matmul, so every vector crosses Arrow once
+      per table, never once per candidate pair;
+    * per-bucket top-k per query is lossless (a global top-k pair is a
+      top-k pair in every bucket containing it), bounding cogroup output
+      at k·|Q_b| rows;
+    * winners (≤ k·|Q| after dedup) re-scored with the exact HOF dot.
+
+    At 100 TB the cogroup's (tbl, key) clustering is exactly the layout
+    the corpus is persisted in (bucketed by key), so the corpus-side
+    shuffle disappears on a pre-bucketed table."""
     import pandas as pd
 
-    cb = _bucketed(corpus, "match_id", "c_vec", id_col, vec_col,
-                   n_tables, planes_per_table)
-    qb = F.broadcast(
-        _bucketed(queries, "query_id", "q_vec", id_col, vec_col,
-                  n_tables, planes_per_table))
-    cand = (qb.join(cb, ["tbl", "key"])
-              .filter(F.col("query_id") != F.col("match_id"))
-              .select("query_id", "q_vec", "match_id", "c_vec")
-              .dropDuplicates(["query_id", "match_id"]))
+    cb = _bucketed_np(corpus, "match_id", "c_vec", id_col, vec_col,
+                      n_tables, planes_per_table)
+    qb = _bucketed_np(queries, "query_id", "q_vec", id_col, vec_col,
+                      n_tables, planes_per_table)
 
     id_type = dict(corpus.dtypes)[id_col]
     vec_type = dict(corpus.dtypes)[vec_col]
     out_schema = (f"query_id {id_type}, match_id {id_type}, "
                   f"approx double, c_vec {vec_type}")
 
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf["q_vec"]])
-            C = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf["c_vec"]])
-            approx = np.einsum("ij,ij->i", Q, C) / (
-                np.linalg.norm(Q, axis=1) * np.linalg.norm(C, axis=1))
-            out = pd.DataFrame({
-                "query_id": pdf["query_id"].to_numpy(),
-                "match_id": pdf["match_id"].to_numpy(),
-                "approx": approx,
-                "c_vec": pdf["c_vec"].to_numpy(),
-            })
-            # per-batch top-k per query bounds what the global window sees
-            out = (out.sort_values(["query_id", "approx", "match_id"],
-                                   ascending=[True, False, True])
-                      .groupby("query_id", sort=False).head(k))
-            yield out
+    def score(q_pdf: "pd.DataFrame", c_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            # object dtype so Arrow casts empty columns to the declared
+            # schema (a float64-dtyped empty column can't become a list)
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in ("query_id", "match_id",
+                                           "approx", "c_vec")})
+        q_ids = q_pdf["query_id"].to_numpy()
+        Q = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in q_pdf["q_vec"]])
+        ids = c_pdf["match_id"].to_numpy()
+        C = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in c_pdf["c_vec"]])
+        oq, om, os_, oi = _np_batch_topk(
+            q_ids, Q, np.linalg.norm(Q, axis=1), ids, C, k)
+        return pd.DataFrame({"query_id": oq, "match_id": om, "approx": os_,
+                             "c_vec": c_pdf["c_vec"].to_numpy()[oi]})
 
-    scored = cand.mapInPandas(score, out_schema)
+    scored = (cb.groupBy("tbl", "key")
+                .cogroup(qb.groupBy("tbl", "key"))
+                .applyInPandas(lambda c, q: score(q, c), out_schema)
+                .dropDuplicates(["query_id", "match_id"]))
     return _exact_rerank(scored, queries, k, id_col=id_col, vec_col=vec_col)
 
 
@@ -450,6 +500,83 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     qa = F.broadcast(
         ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col,
                    nprobe=nprobe)
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"), "centroid_id",
+                l2_norm(vec_col).alias("q_norm")))
+    scored = (qa.join(ca, "centroid_id")
+                .filter(F.col("query_id") != F.col("match_id"))
+                .select("query_id", "match_id", "centroid_id",
+                        (dot("q_vec", "c_vec")
+                         / (F.col("q_norm") * F.col("c_norm")))
+                        .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= k))
+
+
+def _ivf_assign_np(df: DataFrame, centroids: DataFrame,
+                   *, id_col: str, vec_col: str, nprobe: int) -> DataFrame:
+    """numpy twin of `ivf_assign`: the |df|×|centroids| cosine matrix is
+    one matmul per Arrow batch instead of |centroids| HOF dots per row —
+    the dominant IVF cost. Centroids are collected driver-side (small by
+    construction) sorted by id, so numpy's stable argsort on -sim breaks
+    ties by centroid id exactly like the window/struct-max formulation.
+    Returns one (id, vec, centroid_id) row per probe."""
+    import pandas as pd
+
+    cent_rows = sorted(centroids.select(id_col, vec_col).collect(),
+                       key=lambda r: r[0])
+    cent_ids = np.array([r[0] for r in cent_rows])
+    CENT = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    cent_norms = np.linalg.norm(CENT, axis=1)
+
+    id_type = dict(df.dtypes)[id_col]
+    vec_type = dict(df.dtypes)[vec_col]
+    cid_type = dict(centroids.dtypes)[id_col]
+    out_schema = (f"{id_col} {id_type}, {vec_col} {vec_type}, "
+                  f"centroid_id {cid_type}")
+    n = min(nprobe, len(cent_ids))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            S = (V @ CENT.T) / (np.linalg.norm(V, axis=1)[:, None]
+                                * cent_norms[None, :])
+            top = np.argsort(-S, axis=1, kind="stable")[:, :n]  # ties → id
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].to_numpy()
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, n),
+                vec_col: vecs[np.repeat(np.arange(len(ids)), n)],
+                "centroid_id": cent_ids[top].ravel(),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def ivf_topk_np(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                k: int = 5, *, id_col: str = "vec_id",
+                vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+    """`ivf_topk` with numpy coarse quantization: assignments come from
+    `_ivf_assign_np` (matmul argmax — same centroid choices as the HOF
+    path on non-tied data); the probe join and the exact HOF rerank are
+    identical, so the output matches `ivf_topk` bit-for-bit. Candidate
+    count after the probe join is nprobe·|Q|·(|corpus|/n_centroids) —
+    small — so the rerank scores exact directly, no approx pass."""
+    from pyspark.sql.window import Window
+
+    ca = _ivf_assign_np(corpus, centroids, id_col=id_col, vec_col=vec_col,
+                        nprobe=1) \
+        .select(F.col(id_col).alias("match_id"),
+                F.col(vec_col).alias("c_vec"), "centroid_id",
+                l2_norm(vec_col).alias("c_norm"))
+    qa = F.broadcast(
+        _ivf_assign_np(queries, centroids, id_col=id_col, vec_col=vec_col,
+                       nprobe=nprobe)
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("q_vec"), "centroid_id",
                 l2_norm(vec_col).alias("q_norm")))

@@ -528,12 +528,14 @@ WHERE rank <= 5
 """)
 def sim_ivf_topk(spark, sf):
     # IVF coarse-quantizer ANN: centroids are a deterministic sample of
-    # the corpus (callers may plug k-means centers instead).
-    from yougile_etl_pipeline_spark.operators.similarity import ivf_topk
+    # the corpus (callers may plug k-means centers instead). numpy
+    # assignment (matmul argmax), exact HOF rerank — same bits as the
+    # all-HOF ivf_topk.
+    from yougile_etl_pipeline_spark.operators.similarity import ivf_topk_np
 
     emb = load_table(spark, sf, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 256)
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5)
+    return ivf_topk_np(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5)
 
 
 @register("sim_ivf_multiprobe", f"""
@@ -560,12 +562,12 @@ def sim_ivf_multiprobe(spark, sf):
     # standard IVF recall knob (recall monotone in nprobe, cost linear);
     # corpus lists stay 1-probe/storable. Oracle states the same top-3
     # probe set relationally.
-    from yougile_etl_pipeline_spark.operators.similarity import ivf_topk
+    from yougile_etl_pipeline_spark.operators.similarity import ivf_topk_np
 
     emb = load_table(spark, sf, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 256)
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5,
-                    nprobe=3)
+    return ivf_topk_np(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5,
+                       nprobe=3)
 
 
 @register("dedup_embedding_cosine_w6", f"""
