@@ -318,17 +318,30 @@ def sql_api_top_nations(spark, sf):
     """)
 
 
-@register("sketch_approx_distinct")  # HLL internals differ per engine → rows-only
+@register("sketch_approx_distinct", """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_tol
+FROM lineitem
+GROUP BY l_returnflag
+""")
 def sketch_approx_distinct(spark, sf):
     # approx_count_distinct (HyperLogLog++): register merges are max()s —
-    # commutative, so the estimate is partition-order independent even
-    # though no SQL oracle can reproduce Spark's exact sketch.
+    # commutative, so the estimate is partition-order independent. No SQL
+    # oracle can reproduce Spark's exact sketch, so the checkable output is
+    # the error bound: |approx-exact|/exact within 3x the default rsd
+    # (0.05). The oracle asserts within_tol literally TRUE — an estimate
+    # drifting out of tolerance hash-mismatches and goes red.
     from pyspark.sql import functions as F
 
     li = load_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"))
+    return (li.groupBy("l_returnflag")
+              .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                   F.count_distinct("l_partkey").alias("exact_parts"))
+              .select(
+                  "l_returnflag", "exact_parts",
+                  (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                   <= 0.15 * F.col("exact_parts")).alias("within_tol")))
 
 
 @register("events_interval_join", """
