@@ -1,0 +1,71 @@
+"""Connected components (operators/graph.py): fixpoint correctness vs a
+driver-side union-find on random graphs, chain convergence (pointer
+jumping), singleton handling, and the canonical-survivor contract."""
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.operators.graph import (
+    canonical_docs,
+    connected_components,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # component = min node in component: min-root union keeps root minimal
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_cc_matches_union_find_random(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+        edges = [(u, v) for u, v in edges if u != v]
+        want = _union_find(n, edges)
+        e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+        nodes = spark.range(n).select(F.col("id").alias("node"))
+        got = dict(connected_components(e, nodes).collect())
+        assert got == want, f"trial {trial}"
+
+
+def test_cc_long_chain_converges(spark):
+    """A 200-node path graph has diameter 199 — plain min-propagation
+    needs 199 rounds; pointer jumping must collapse it within max_iter
+    (the 100 TB safety property for long near-dup chains)."""
+    n = 200
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                              "src long, dst long")
+    got = connected_components(e, max_iter=25).collect()
+    assert len(got) == n
+    assert {r.component for r in got} == {0}
+
+
+def test_cc_singletons_and_canonical(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                              "src long, dst long")
+    nodes = spark.range(15).select(F.col("id").alias("node"))
+    comp = connected_components(e, nodes)
+    docs = spark.range(15).select(F.col("id").alias("doc_id"),
+                                  (F.col("id") * 10).alias("payload"))
+    kept = canonical_docs(docs, comp)
+    rows = {r.doc_id: r.cluster_size for r in kept.collect()}
+    # survivors: min of {1,2,3} and {10,11}, plus every singleton
+    assert rows[1] == 3 and rows[10] == 2
+    assert 2 not in rows and 3 not in rows and 11 not in rows
+    singles = set(range(15)) - {1, 2, 3, 10, 11}
+    assert all(rows[s] == 1 for s in singles)

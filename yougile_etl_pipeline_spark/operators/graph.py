@@ -1,0 +1,104 @@
+"""Distributed connected components over a DataFrame edge list.
+
+The missing last step of every near-dup dedup pipeline: candidate pairs
+(MinHash-LSH, shingle-Jaccard, embedding-cosine — operators/dedup.py,
+operators/similarity.py) are *edges*; what the pipeline needs is the
+*component* each document belongs to, so it can keep one canonical doc
+per cluster and drop the rest.
+
+Scale design (100 TB): the algorithm is min-label propagation with
+pointer jumping —
+
+* **propagate**: every node adopts the smallest label among itself and
+  its neighbors (one equi-join edges⋈labels + one min-aggregate; both
+  shuffle on node id, map-side partial min applies);
+* **jump**: every node then adopts its label's label
+  (labels⋈labels — path-halving, so a depth-d label tree collapses in
+  O(log d) rounds instead of O(d); this is what makes long near-dup
+  chains safe at corpus scale);
+* iterate to fixpoint. Convergence needs one small count() action per
+  round; `localCheckpoint` truncates the lineage each round so plan size
+  stays O(1) in rounds (iterative-join lineage otherwise grows
+  exponentially in the optimizer).
+
+The fixpoint is unique (component = min node id reachable), so the
+result is deterministic regardless of partitioning or round count —
+which is what makes an SQL oracle possible (recursive CTE computing min
+reachable label; see registry_ext.py::dedup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "canonical_docs"]
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_iter: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Return (node, component) for every node, where component is the
+    smallest node id in the node's connected component.
+
+    `edges` is undirected (each pair listed once is enough). `nodes`
+    optionally widens the vertex set beyond edge endpoints — pass the
+    full corpus so singleton documents appear with component == own id.
+    Raises RuntimeError if no fixpoint within `max_iter` rounds (with
+    pointer jumping, rounds grow ~log(component diameter); 25 covers any
+    realistic corpus).
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+                .union(edges.select(F.col(dst).alias("u"),
+                                    F.col(src).alias("v"))))
+    labels = sym.select(F.col("u").alias("node"))
+    if nodes is not None:
+        labels = labels.union(nodes.select(F.col(node_col).alias("node")))
+    labels = labels.distinct().withColumn("lbl", F.col("node"))
+    sym = sym.persist()
+    try:
+        for _ in range(max_iter):
+            # propagate: lbl'(n) = min(lbl(n), min over neighbors' lbl)
+            nbr = (sym.join(labels.withColumnRenamed("node", "u"), "u")
+                      .select(F.col("v").alias("node"), "lbl"))
+            prop = (labels.union(nbr)
+                          .groupBy("node").agg(F.min("lbl").alias("lbl")))
+            # jump: lbl''(n) = lbl'(lbl'(n))  (path halving)
+            parent = prop.select(F.col("node").alias("lbl"),
+                                 F.col("lbl").alias("lbl2"))
+            nxt = (prop.join(parent, "lbl", "left")
+                       .select("node",
+                               F.least("lbl", "lbl2").alias("lbl")))
+            if checkpoint:
+                nxt = nxt.localCheckpoint(eager=True)
+            changed = (nxt.alias("n")
+                          .join(labels.alias("o"), "node")
+                          .filter(F.col("n.lbl") != F.col("o.lbl"))
+                          .limit(1).count())
+            labels = nxt
+            if changed == 0:
+                return labels.select("node", F.col("lbl").alias("component"))
+        raise RuntimeError(f"connected_components: no fixpoint in "
+                           f"{max_iter} rounds")
+    finally:
+        sym.unpersist()
+
+
+def canonical_docs(docs: DataFrame, components: DataFrame,
+                   *, id_col: str = "doc_id") -> DataFrame:
+    """Keep one document per component (the one whose id IS the
+    component id — deterministic, no tie-break needed) and report the
+    cluster size being collapsed. This is the dedup'd corpus."""
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    keep = (components.filter(F.col("node") == F.col("component"))
+                      .join(sizes, "component")
+                      .select(F.col("node").alias(id_col), "cluster_size"))
+    return docs.join(keep, id_col)

@@ -262,6 +262,77 @@ def dedup_simhash(spark, sf):
                             "doc_id", "text")
 
 
+# Connected components over the MinHash-LSH pair graph: pairs are edges,
+# the component id (= min reachable doc_id) is the dedup cluster key.
+# The Spark side iterates min-label propagation + pointer jumping to the
+# unique fixpoint (operators/graph.py); the oracle states the same
+# fixpoint declaratively as a recursive CTE (min label reachable). Both
+# compute the same function, so value hashes match despite completely
+# different evaluation strategies.
+_CC_EDGES = f"""
+ex AS (
+  SELECT doc_id AS doc, unnest({_shingles_sql()}) AS sh FROM documents
+), sig AS (
+  SELECT doc, {_MH_MINS} FROM ex GROUP BY doc
+), bk AS (
+  {_MH_BANDS}
+), pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)"""
+
+
+@register("dedup_clusters", f"""
+WITH RECURSIVE {_CC_EDGES}
+SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+""")
+def dedup_clusters(spark, sf):
+    from yougile_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=4)
+    comp = connected_components(pairs, docs.select("doc_id"),
+                                src="doc_a", dst="doc_b", node_col="doc_id")
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@register("dedup_canonical_docs", f"""
+WITH RECURSIVE {_CC_EDGES}, comp AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+), sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT d.doc_id, d.lang, d.n_chars, s.cluster_size
+FROM documents d
+JOIN comp c ON c.node = d.doc_id AND c.component = d.doc_id
+JOIN sizes s ON s.component = c.component
+""")
+def dedup_canonical_docs(spark, sf):
+    # The dedup'd corpus: one survivor per near-dup cluster (the doc
+    # whose id equals the component id), with the collapsed cluster size.
+    from yougile_etl_pipeline_spark.operators.graph import (
+        canonical_docs,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=4)
+    comp = connected_components(pairs, docs.select("doc_id"),
+                                src="doc_a", dst="doc_b", node_col="doc_id")
+    return canonical_docs(docs.select("doc_id", "lang", "n_chars"), comp) \
+        .select("doc_id", "lang", "n_chars", "cluster_size")
+
+
 # ---------------------------------------------------------------------------
 # E2 Similarity search
 # ---------------------------------------------------------------------------
