@@ -24,6 +24,8 @@ __all__ = [
     "language_score",
     "language_id",
     "quality_score",
+    "repetition_stats",
+    "chunk_documents",
     "fingerprint_exact",
     "fingerprint_shingle_min",
     "shingles",
@@ -117,6 +119,78 @@ def quality_score(df: DataFrame, text_col: str = "text",
     score = (F.lit(0.4) * len_ok + F.lit(0.3) * stop_ok
              + F.lit(0.3) * distinct_ratio)
     return df.withColumn(out_col, score)
+
+
+def _ngrams_all(toks: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (unlike `shingles`, which is the
+    distinct set) — repetition measurement needs the duplicates."""
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.transform(F.sequence(F.lit(1), count),
+                       lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def _top_frac(grams: Column) -> Column:
+    """Fraction of the n-gram stream taken by its single most frequent
+    n-gram. Per-row array lambdas (O(distinct·total) per doc — bounded by
+    document length, embarrassingly parallel, no shuffle)."""
+    top = F.array_max(F.transform(
+        F.array_distinct(grams),
+        lambda d: F.size(F.filter(grams, lambda x: x == d))))
+    return top.cast("double") / F.size(grams)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     *, max_top_bigram_frac: float = 0.18,
+                     max_dup_token_ratio: float = 0.9) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): documents
+    dominated by a repeated phrase are boilerplate/spam and poison
+    training data. Emits per-doc repetition signals and the keep/drop
+    verdict:
+
+    * ``dup_token_ratio`` — 1 − distinct/total tokens;
+    * ``top_unigram_frac`` / ``top_bigram_frac`` — share of the token
+      (resp. bigram) stream taken by its most frequent element;
+    * ``repetition_ok`` — keep-verdict under the thresholds.
+
+    Pure Catalyst array lambdas; exact int counts → double division, so
+    the SQL oracle reproduces every bit."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    return df.withColumns({
+        "n_tokens": n,
+        "dup_token_ratio":
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n,
+        "top_unigram_frac": _top_frac(toks),
+        "top_bigram_frac": _top_frac(_ngrams_all(toks, 2)),
+    }).withColumn(
+        "repetition_ok",
+        (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("dup_token_ratio") <= max_dup_token_ratio))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    *, chunk_size: int = 32, stride: int = 24) -> DataFrame:
+    """Split documents into fixed-size token windows (the unit a training
+    pipeline embeds / packs into sequences). Windows start every `stride`
+    tokens (overlap = chunk_size − stride); the final window may be
+    short. Output: one row per (doc, chunk) with the chunk index, text
+    and exact token count.
+
+    Per-row ``transform(sequence(...))`` + explode — no shuffle, linear
+    in corpus size; at 100 TB chunking is a map-only stage that pipelines
+    into whatever shuffle follows."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.struct(
+        ((s - 1) / stride).cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(toks, s, chunk_size)).alias("chunk_text"),
+        F.least(F.lit(chunk_size), n - s + 1).alias("chunk_tokens"),
+    ))
+    return (df.select(F.col(id_col), F.explode(chunks).alias("c"))
+              .select(id_col, "c.chunk_idx", "c.chunk_text",
+                      "c.chunk_tokens"))
 
 
 def fingerprint_exact(col: Column | str) -> Column:

@@ -145,6 +145,55 @@ def text_fingerprints(spark, sf):
         TX.fingerprint_shingle_min("text").alias("fp_shingle_min"))
 
 
+def _top_frac_sql(grams: str) -> str:
+    """DuckDB twin of operators.text._top_frac."""
+    return (f"CAST(list_max(list_transform(list_distinct({grams}), "
+            f"d -> len(list_filter({grams}, x -> x = d)))) AS DOUBLE) "
+            f"/ len({grams})")
+
+
+_BIGRAMS_SQL = (f"list_transform(range(1, greatest(len({_toks()}) - 1, 0) "
+                f"+ 1), i -> array_to_string({_toks()}[i:i+1], ' '))")
+
+
+@register("text_repetition_stats", f"""
+SELECT doc_id, n_tokens, dup_token_ratio, top_unigram_frac,
+       top_bigram_frac,
+       top_bigram_frac <= 0.18 AND dup_token_ratio <= 0.9 AS repetition_ok
+FROM (
+  SELECT doc_id,
+    CAST(len({_toks()}) AS INTEGER) AS n_tokens,
+    CAST(1 AS DOUBLE)
+      - CAST(len(list_distinct({_toks()})) AS DOUBLE) / len({_toks()})
+      AS dup_token_ratio,
+    {_top_frac_sql(_toks())} AS top_unigram_frac,
+    {_top_frac_sql(_BIGRAMS_SQL)} AS top_bigram_frac
+  FROM documents
+)
+""")
+def text_repetition_stats(spark, sf):
+    # Gopher-style repetition filters (operators/text.py::repetition_stats)
+    docs = load_table(spark, sf, "documents")
+    return TX.repetition_stats(docs).select(
+        "doc_id", "n_tokens", "dup_token_ratio", "top_unigram_frac",
+        "top_bigram_frac", "repetition_ok")
+
+
+@register("doc_chunks", f"""
+SELECT doc_id,
+  CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+  array_to_string(({_toks()})[s:s+31], ' ') AS chunk_text,
+  CAST(least(32, len({_toks()}) - s + 1) AS INTEGER) AS chunk_tokens
+FROM documents, unnest(range(1, greatest(len({_toks()}), 1) + 1, 24))
+     AS t(s)
+""")
+def doc_chunks(spark, sf):
+    # Fixed-size token windows (chunk 32, stride 24) — the map-only
+    # chunking stage a training pipeline feeds to embedding/packing.
+    docs = load_table(spark, sf, "documents")
+    return TX.chunk_documents(docs, chunk_size=32, stride=24)
+
+
 # ---------------------------------------------------------------------------
 # E1 Deduplication
 # ---------------------------------------------------------------------------
