@@ -27,6 +27,7 @@ from yougile_etl_pipeline_spark.operators.text import (
     fingerprint_exact,
     shingles,
 )
+from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
 
 __all__ = [
     "exact_dedup",
@@ -80,7 +81,7 @@ def shingle_jaccard_pairs(
     Hot shingles carry ~zero near-dup signal (they match everything), so
     the cap trades no real recall. Pass ``None`` to disable."""
     block_cols = block_cols or []
-    ex = _shingled(df, id_col, text_col, n, block_cols)
+    ex = _shingled(ensure_parallelism(df), id_col, text_col, n, block_cols)
     if max_shingle_df is not None:
         dfreq = (ex.groupBy(*block_cols, "sh")
                    .agg(F.count(F.lit(1)).alias("__df")))
@@ -120,10 +121,35 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     collision probability negligible, and the windows behave as
     independent permutations for MinHash purposes. min() is
     order-independent so results don't depend on partitioning, and the
-    construction uses only md5/substr — bit-identical in the SQL oracle."""
+    construction uses only md5/substr — bit-identical in the SQL oracle.
+
+    Plan note: explode→groupBy is the FAST formulation here, not a naive
+    one — the min aggregates partially combine map-side (shuffle carries
+    ~1 signature row per doc per partition, not the shingle stream), and
+    the whole stage is codegen'd. The "map-only" alternative
+    (``array_min(transform(...))`` per row) avoids the shuffle but runs
+    through interpreted higher-order functions and measured 3× slower at
+    sf0.1 (same lesson as `_simhash_bit_votes`).
+
+    The shingle stream itself comes from ``explode(sequence)`` + native
+    array indexing (GetArrayItem + concat_ws — all codegen), NOT
+    `text.shingles` whose interpreted ``transform`` lambda measured 55%
+    of total query time. Duplicates are NOT removed: min() is
+    duplicate-insensitive, so the signature is identical to one over the
+    distinct shingle set (which the SQL oracle uses) — and skipping the
+    dedup also skips a per-doc hash set."""
     assert 4 * (n_hashes - 1) + 16 <= 64, "windows exceed doubled digest"
-    ex = df.select(F.col(id_col).alias("doc"),
-                   F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    df = ensure_parallelism(df)
+    toks = F.split(F.col(text_col), " ")
+    n_pos = F.size(toks) - (shingle_n - 1)  # #shingles; ≤0 → no rows
+    offsets = F.when(n_pos > 0,
+                     F.sequence(F.lit(0), n_pos - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+    ex = (df.select(F.col(id_col).alias("doc"), toks.alias("__t"),
+                    F.explode(offsets).alias("__i"))
+            .select("doc", F.concat_ws(
+                " ", *[F.col("__t")[F.col("__i") + j]
+                       for j in range(shingle_n)]).alias("sh")))
     h2 = F.md5(F.col("sh"))
     rot = F.concat(h2, h2)
     aggs = [F.min(F.substring(rot, 1 + 4 * i, 16)).alias(f"mh{i}")
@@ -198,8 +224,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     engines → no SQL oracle; verified by property tests (near-dup texts →
     small Hamming distance). See `simhash_portable` for the oracle-paired
     twin."""
-    ex = df.select(F.col(id_col).alias("doc"),
-                   F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    ex = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"))
     return _simhash_bit_votes(ex, F.xxhash64(F.col("sh")), 64, "simhash64")
 
 
@@ -212,7 +239,8 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str,
     the value inside a signed 64-bit integer on both engines; 60 bits of
     signature loses nothing material vs 64 (Hamming radii scale with bit
     count). Same bit-vote core and scale shape as `simhash`."""
-    ex = df.select(F.col(id_col).alias("doc"),
-                   F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    ex = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"))
     h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
     return _simhash_bit_votes(ex, h, 60, "simhash60")

@@ -21,7 +21,28 @@ from yougile_etl_pipeline_spark.schemas import (
     TESTDATA_TABLES,
 )
 
-__all__ = ["load_table", "load_tables", "register_temp_views"]
+__all__ = ["load_table", "load_tables", "register_temp_views",
+           "ensure_parallelism"]
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the plan currently has fewer partitions
+    than the cluster can run — otherwise return `df` unchanged (no
+    shuffle).
+
+    Guard for compute-fanning operators (shingling, hashing, per-row
+    matmuls): their cost per input byte is huge, so a scan whose
+    partition count collapsed (one small parquet file / one row group —
+    exactly what a dimension-sized corpus sample looks like) serializes
+    the whole stage on one core. At 100 TB the scan has thousands of
+    splits and this is a no-op; on a small input it buys cores for the
+    expensive stage at the price of shuffling a small input. Only valid
+    for partition-independent computations — everything in this engine's
+    query path is (the determinism contract, SURVEY.md §5.2)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
