@@ -1,0 +1,51 @@
+"""sample_by_rates + pack_chunks contracts (operators/quality.py,
+operators/text.py). Oracle pairs sample_source_mix /
+train_pack_sequences cover bit-parity at sf0.01."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.operators.quality import sample_by_rates
+from yougile_etl_pipeline_spark.operators.text import pack_chunks
+
+
+def test_sample_by_rates_contract(spark):
+    df = (spark.range(4000)
+          .select(F.col("id").alias("k"),
+                  F.concat(F.lit("g"), (F.col("id") % 4)).alias("grp")))
+    out = sample_by_rates(df, "k", "grp",
+                          {"g0": 1.0, "g1": 0.5, "g2": 0.0},
+                          default_rate=0.25)
+    counts = {r.grp: r.n for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["g0"] == 1000                      # rate 1.0 keeps all
+    assert "g2" not in counts                        # rate 0.0 drops all
+    assert 400 <= counts["g1"] <= 600                # ~50%
+    assert 150 <= counts.get("g3", 0) <= 350         # default ~25%
+    # deterministic: identical rows on rerun
+    again = sample_by_rates(df, "k", "grp",
+                            {"g0": 1.0, "g1": 0.5, "g2": 0.0},
+                            default_rate=0.25)
+    assert sorted(map(tuple, out.collect())) == \
+           sorted(map(tuple, again.collect()))
+
+
+def test_pack_chunks_invariants(spark):
+    rows = [(d, s, c, t) for d, s, c, t in [
+        (1, "a", 0, 32), (1, "a", 1, 32), (2, "a", 0, 32), (2, "a", 1, 7),
+        (3, "b", 0, 32), (3, "b", 1, 20),
+    ]]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, source string, chunk_idx long, chunk_tokens int")
+    out = (pack_chunks(chunks, seq_tokens=50)
+           .orderBy("source", "doc_id", "chunk_idx").collect())
+    # running positions: seq_id*50 + seq_offset == exclusive cumsum
+    cums = {}
+    for r in out:
+        cum = cums.get(r.source, 0)
+        assert r.seq_id * 50 + r.seq_offset == cum, r
+        assert 0 <= r.seq_offset < 50
+        cums[r.source] = cum + r.chunk_tokens
+    # per-source packing independent: 'b' restarts at seq 0 offset 0
+    b0 = [r for r in out if r.source == "b"][0]
+    assert b0.seq_id == 0 and b0.seq_offset == 0

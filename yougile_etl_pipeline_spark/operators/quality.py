@@ -9,7 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["column_profile", "deterministic_sample", "hash_bucket"]
+__all__ = ["column_profile", "deterministic_sample", "hash_bucket",
+           "sample_by_rates"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -52,3 +53,28 @@ def deterministic_sample(df: DataFrame, key: str, *, buckets: int = 16,
     Same rows come back at any scale/partitioning; the predicate is a
     cheap per-row expression, no shuffle."""
     return df.filter(hash_bucket(key, buckets) < keep)
+
+
+def sample_by_rates(df: DataFrame, key: str, group_col: str,
+                    rates: dict[str, float], *,
+                    default_rate: float = 1.0,
+                    buckets: int = 10000) -> DataFrame:
+    """Per-group deterministic sampling — the data-mixing primitive: a
+    training pipeline up/down-weights each source ("keep 100% of books,
+    25% of crawl") with an auditable, re-runnable row selection.
+
+    Equivalent of ``DataFrame.sampleBy`` but hash-based: row kept iff
+    ``hash_bucket(key) < rate[group]·buckets``. Rates are quantized to
+    1/buckets (default 1e-4). Per-row predicate, no shuffle, no RNG
+    state — the same rows survive at any partitioning, scale, or engine
+    (rand()-based sampleBy can guarantee none of that)."""
+    quantized = {g: int(round(r * buckets)) for g, r in rates.items()}
+    thresh = None
+    for g, q in quantized.items():
+        cond = F.col(group_col) == g
+        thresh = (F.when(cond, q) if thresh is None
+                  else thresh.when(cond, q))
+    thresh = (thresh.otherwise(int(round(default_rate * buckets)))
+              if thresh is not None
+              else F.lit(int(round(default_rate * buckets))))
+    return df.filter(hash_bucket(key, buckets) < thresh)

@@ -26,6 +26,7 @@ __all__ = [
     "quality_score",
     "repetition_stats",
     "chunk_documents",
+    "pack_chunks",
     "fingerprint_exact",
     "fingerprint_shingle_min",
     "shingles",
@@ -191,6 +192,38 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     return (df.select(F.col(id_col), F.explode(chunks).alias("c"))
               .select(id_col, "c.chunk_idx", "c.chunk_text",
                       "c.chunk_tokens"))
+
+
+def pack_chunks(chunks: DataFrame, *, seq_tokens: int = 1024,
+                part_col: str = "source",
+                order_cols: tuple[str, str] = ("doc_id", "chunk_idx"),
+                tokens_col: str = "chunk_tokens") -> DataFrame:
+    """Assign chunks to fixed-token training sequences (GPT-style stream
+    packing): within each `part_col` shard, chunks are laid end-to-end in
+    `order_cols` order and sequence i covers token positions
+    [i·seq_tokens, (i+1)·seq_tokens). A chunk belongs to the sequence
+    where it starts; `seq_offset` is its start position within that
+    sequence.
+
+    One window per shard (running sum — exclusive, via ROWS … 1
+    PRECEDING semantics). At 100 TB the shard column IS the parallelism
+    unit: packing never needs a global order, only per-shard order, so
+    shards (sources, date buckets) distribute across executors. Exact
+    int arithmetic over a unique total order → deterministic."""
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(part_col)
+               .orderBy(*order_cols)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (chunks.withColumn("__cum0", cum_before)
+                  .withColumn("seq_id",
+                              # `div`: exact integer division (float '/'
+                              # loses exactness past 2^53 token streams)
+                              F.expr(f"__cum0 div {seq_tokens}"))
+                  .withColumn("seq_offset",
+                              (F.col("__cum0") % seq_tokens).cast("long"))
+                  .drop("__cum0"))
 
 
 def fingerprint_exact(col: Column | str) -> Column:

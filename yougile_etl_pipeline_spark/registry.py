@@ -753,12 +753,13 @@ _STABLE_CERTIFIED = [
     "agg_pricing_summary", "agg_topk_revenue", "agg_rollup",
     "win_rank_topn", "win_running_total", "sort_limit_topk",
     "text_token_stats", "text_lang_id", "text_quality_score",
-    "text_fingerprints", "dedup_exact", "dedup_minhash_lsh",
+    "text_fingerprints", "dedup_exact",
     "mm_binary_metadata", "mm_decode_features", "events_hourly_snapshot",
     "events_json_flatten", "events_sessionize", "stream_tumbling_counts",
     # NOT listed (kept in the window): set_except, dedup_shingle_jaccard,
-    # dedup_simhash, sim_cosine_topk, sim_ann_lsh_bucket — all changed
-    # this round; plus every never-certified and newly added query.
+    # dedup_simhash, dedup_minhash_lsh (codegen-shingling rewrite),
+    # sim_cosine_topk, sim_ann_lsh_bucket — all changed this round; plus
+    # every never-certified and newly added query.
 ]
 
 

@@ -194,6 +194,60 @@ def doc_chunks(spark, sf):
     return TX.chunk_documents(docs, chunk_size=32, stride=24)
 
 
+# Data-mixing rates: literal dict shared by the Spark op and the SQL
+# oracle — both sides compute thresholds from the SAME source of truth.
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_CASE = ("CASE " + " ".join(
+    f"WHEN source = '{g}' THEN {int(round(r * 10000))}"
+    for g, r in _MIX_RATES.items())
+    + f" ELSE {int(round(_MIX_DEFAULT * 10000))} END")
+
+
+@register("sample_source_mix", f"""
+SELECT doc_id, source FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000 < {_MIX_CASE}
+""")
+def sample_source_mix(spark, sf):
+    # Per-source deterministic sampling (data mixing): keep 100% of src0,
+    # 75/50/25% of src1-3, 10% of the long tail — auditable, hash-based,
+    # identical rows at any scale/partitioning/engine.
+    from yougile_etl_pipeline_spark.operators.quality import sample_by_rates
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    return sample_by_rates(docs, "doc_id", "source", _MIX_RATES,
+                           default_rate=_MIX_DEFAULT)
+
+
+@register("train_pack_sequences", f"""
+WITH chunks AS (
+  SELECT d.doc_id, d.source,
+    CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+    CAST(least(32, len({_toks()}) - s + 1) AS INTEGER) AS chunk_tokens
+  FROM documents d, unnest(range(1, greatest(len({_toks()}), 1) + 1, 24))
+       AS t(s)
+)
+SELECT doc_id, source, chunk_idx, chunk_tokens,
+  CAST(COALESCE(CAST(SUM(chunk_tokens) OVER w AS BIGINT), 0) // 256
+       AS BIGINT) AS seq_id,
+  CAST(COALESCE(CAST(SUM(chunk_tokens) OVER w AS BIGINT), 0) % 256
+       AS BIGINT) AS seq_offset
+FROM chunks
+WINDOW w AS (PARTITION BY source ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+""")
+def train_pack_sequences(spark, sf):
+    # Chunk → training-sequence packing: per-source token streams cut
+    # into 256-token sequences (stream packing); source shards are the
+    # parallelism unit, so no global sort exists anywhere in the plan.
+    docs = load_table(spark, sf, "documents")
+    chunks = (TX.chunk_documents(docs, chunk_size=32, stride=24)
+              .join(docs.select("doc_id", "source"), "doc_id")
+              .select("doc_id", "source", "chunk_idx", "chunk_tokens"))
+    return TX.pack_chunks(chunks, seq_tokens=256)
+
+
 # ---------------------------------------------------------------------------
 # E1 Deduplication
 # ---------------------------------------------------------------------------
