@@ -49,3 +49,27 @@ def test_pack_chunks_invariants(spark):
     # per-source packing independent: 'b' restarts at seq 0 offset 0
     b0 = [r for r in out if r.source == "b"][0]
     assert b0.seq_id == 0 and b0.seq_offset == 0
+
+
+def test_asof_join_semantics(spark):
+    from yougile_etl_pipeline_spark.operators.relational import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 20, 102), (2, 5, 200)],
+        "k long, ts long, rid long")
+    left = spark.createDataFrame(
+        [(1, 9, 900),   # before any right row -> null match
+         (1, 20, 901),  # equal ts is inclusive; tie -> greatest rid (102)
+         (1, 25, 902),  # latest at-or-before -> ts=20
+         (2, 5, 903),   # other key, equal ts -> 200
+         (3, 50, 904)], # key with no right rows -> null
+        "k long, ts long, lid long")
+    out = {r.lid: (r.ts_asof, r.rid_asof)
+           for r in asof_join(left, right, on="k", left_ts="ts",
+                              right_ts="ts", right_cols=["rid"]).collect()}
+    assert out[900] == (None, None)
+    assert out[901] == (20, 102)
+    assert out[902] == (20, 102)
+    assert out[903] == (5, 200)
+    assert out[904] == (None, None)
+    assert len(out) == 5

@@ -23,6 +23,7 @@ __all__ = [
     "orphan_audit",
     "salted_join",
     "interval_join",
+    "asof_join",
 ]
 
 
@@ -166,3 +167,58 @@ def interval_join(left: DataFrame, right: DataFrame, *,
                      & (rt <= F.col(left_ts) + max_gap_ms))
     # the join condition referenced both sides' key columns; keep left's
     return out.drop(*[rb[c] for c in keys]).drop("__b", "__probe", "__rb")
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str,
+              left_ts: str, right_ts: str,
+              right_cols: list[str], suffix: str = "_asof",
+              tiebreak: str | None = None) -> DataFrame:
+    """As-of join (backward): each left row picks the LATEST right row
+    with the same `on` key and ``right_ts <= left_ts`` — time-series
+    enrichment Spark has no native operator for (price as of trade time,
+    last click before purchase).
+
+    Scale shape — the union-sort trick, NOT a range join: tag both
+    inputs, union, and run one ``last(..., ignorenulls=True)`` window per
+    payload column ordered by (ts, right-first). Cost is ONE shuffle on
+    the key plus a per-key sort — at 100 TB this is the same plan a
+    co-partitioned merge join would give, with no quadratic candidate
+    set (a naive ``r.ts <= l.ts`` join explodes per key; the banded
+    `interval_join` bounds it only for bounded gaps).
+
+    Determinism: at equal (ts), right rows sort before left rows (<= is
+    inclusive) and among equal-ts right rows the greatest `tiebreak`
+    (default: the first of `right_cols`) wins. Output: every left row +
+    `right_ts{suffix}` + each right payload col suffixed.
+    """
+    from pyspark.sql.window import Window
+
+    tiebreak = tiebreak or right_cols[0]
+    payload = [right_ts, *right_cols]
+    r = right.select(
+        F.col(on), F.col(right_ts).alias("__ts"), F.lit(1).alias("__is_r"),
+        F.col(tiebreak).alias("__tb"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        *[F.lit(None).alias("__l_marker")],
+    )
+    l = left.select(
+        F.col(on), F.col(left_ts).alias("__ts"), F.lit(0).alias("__is_r"),
+        F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
+        *[F.lit(None).cast(r.schema[f"__p_{c}"].dataType)
+           .alias(f"__p_{c}") for c in payload],
+        *[F.struct(*[F.col(c) for c in left.columns]).alias("__l_marker")],
+    )
+    w = (Window.partitionBy(on)
+               .orderBy(F.col("__ts"), F.col("__is_r").desc(),
+                        F.col("__tb").asc_nulls_first())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    filled = l.unionByName(r).select(
+        "*", *[F.last(f"__p_{c}", ignorenulls=True).over(w)
+                .alias(f"__m_{c}") for c in payload])
+    out = filled.filter(F.col("__is_r") == 0)
+    for c in left.columns:
+        out = out.withColumn(c, F.col(f"__l_marker.{c}"))
+    keep = [*left.columns,
+            F.col(f"__m_{right_ts}").alias(f"{right_ts}{suffix}"),
+            *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in right_cols]]
+    return out.select(*keep)

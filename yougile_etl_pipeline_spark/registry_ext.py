@@ -647,6 +647,47 @@ def events_sessionize(spark, sf):
         F.count(F.lit(1)).alias("n_events"))
 
 
+@register("events_asof_join", """
+WITH c AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events
+  WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ms,
+         c.ms AS click_ms, c.event_id AS click_id,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY c.ms DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ms <= p.purchase_ms
+)
+SELECT purchase_id, user_id, purchase_ms, click_ms, click_id
+FROM j WHERE rn = 1
+""")
+def events_asof_join(spark, sf):
+    # As-of join: each purchase picks the user's LATEST click at or
+    # before it (backward inclusive; ties on ts broken by greatest
+    # event_id). Spark side is the union-sort formulation — one shuffle,
+    # no quadratic candidates (operators/relational.py::asof_join); the
+    # oracle states the same pick as an argmax over the naive theta-join.
+    from yougile_etl_pipeline_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ms", F.unix_millis("ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ms", "event_id"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select(F.col("event_id").alias("purchase_id"),
+                           "user_id", F.col("ms").alias("purchase_ms")))
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_ts="purchase_ms", right_ts="ms",
+                    right_cols=["event_id"], suffix="_asof")
+    return out.select("purchase_id", "user_id", "purchase_ms",
+                      F.col("ms_asof").alias("click_ms"),
+                      F.col("event_id_asof").alias("click_id"))
+
+
 @register("stream_tumbling_counts")  # Structured Streaming → rows-only check
 def stream_tumbling_counts(spark, sf):
     from yougile_etl_pipeline_spark.streaming.snapshot import run_available_now
