@@ -54,3 +54,34 @@ def test_scan_prunes_columns(spark):
 def test_topk_uses_take_ordered(spark):
     plan = _formatted(spark, QUERIES["sort_limit_topk"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan          # never a full sort
+
+
+def test_minhash_partial_aggregation_and_codegen(spark):
+    """dedup_minhash_lsh: the signature groupBy must partially aggregate
+    map-side (shuffle carries ~1 row/doc, not the shingle stream), and
+    the shingle construction must be codegen expressions, not an
+    interpreted transform() lambda (measured 55% of query time)."""
+    plan = _formatted(spark, QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE))
+    assert "partial_min" in plan                    # map-side combine
+    body = plan.split("\n\n")[0]
+    assert "transform(" not in body                 # no interpreted HOF
+
+
+def test_asof_join_single_shuffle_per_input(spark):
+    """asof_join is union+window: each input shuffles once on the key;
+    there is no join node at all (the naive theta-join formulation would
+    blow up per-key) and exactly one Sort feeding the window."""
+    plan = _formatted(spark, QUERIES["events_asof_join"](spark, SF_SMOKE))
+    body = plan.split("\n\n")[0]
+    assert "Join" not in body                       # union-sort, not join
+    assert "Window" in body
+    exchanges = body.count("Exchange") - body.count("BroadcastExchange")
+    assert exchanges <= 2                           # one per union input
+
+
+def test_connected_components_uses_checkpoint(spark):
+    """dedup_clusters: the iterative loop must truncate lineage — a
+    localCheckpoint scan (not a 25-round join tower) feeds the final
+    plan."""
+    plan = _formatted(spark, QUERIES["dedup_clusters"](spark, SF_SMOKE))
+    assert "Scan ExistingRDD" in plan               # checkpointed labels

@@ -344,6 +344,41 @@ def sketch_approx_distinct(spark, sf):
                    <= 0.15 * F.col("exact_parts")).alias("within_tol")))
 
 
+@register("sketch_approx_quantiles", """
+SELECT l_returnflag, count(*) AS n_rows,
+       TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
+FROM lineitem GROUP BY l_returnflag
+""")
+def sketch_approx_quantiles(spark, sf):
+    # approx_percentile (GK sketch, accuracy a => rank error <= n/a): the
+    # sketch value itself is engine-specific, so the checkable output is
+    # the GUARANTEE — the exact rank of the approximate quantile must lie
+    # within q +/- 2/a of the true rank. Spark computes the rank check
+    # against its own estimate; the oracle asserts the booleans literally
+    # TRUE, so a sketch drifting out of its error bound goes red.
+    from pyspark.sql import functions as F
+
+    acc = 100
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    est = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9], acc).alias("qs"))
+    ranks = (li.join(F.broadcast(est), "l_returnflag")
+               .groupBy("l_returnflag")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.count_if(F.col("l_extendedprice") <= F.col("qs")[0])
+                     .alias("r50"),
+                    F.count_if(F.col("l_extendedprice") <= F.col("qs")[1])
+                     .alias("r90")))
+    eps = 2.0 / acc
+    in_b = lambda r, q: (  # noqa: E731
+        (F.col(r) >= (q - eps) * F.col("n_rows"))
+        & (F.col(r) <= (q + eps) * F.col("n_rows") + 1))
+    return ranks.select("l_returnflag", "n_rows",
+                        in_b("r50", 0.5).alias("p50_in_bounds"),
+                        in_b("r90", 0.9).alias("p90_in_bounds"))
+
+
 @register("events_interval_join", """
 SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
        epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
