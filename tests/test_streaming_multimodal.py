@@ -83,3 +83,22 @@ def test_stream_upsert_mart_idempotent(spark, tmp_path):
     assert again.agg(F.sum("n_events")).collect()[0][0] == total1
     # keys are unique (merge semantics, not append)
     assert again.select("window_start", "user_id").distinct().count() == n1
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    """Stream-stream attribution join == batch events_interval_join,
+    row for row: availableNow drains everything, and with event time far
+    behind wall clock no pair is held back by the watermark."""
+    from tests.conftest import SF_SMOKE
+    from yougile_etl_pipeline_spark.registry import QUERIES
+    from yougile_etl_pipeline_spark.streaming.joins import (
+        run_attribution_available_now,
+    )
+
+    stream = run_attribution_available_now(
+        spark, SF_SMOKE, table_name="t_attr_parity")
+    batch = QUERIES["events_interval_join"](spark, SF_SMOKE)
+    s_rows = sorted(map(tuple, stream.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert len(s_rows) > 0
+    assert s_rows == b_rows

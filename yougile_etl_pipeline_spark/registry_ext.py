@@ -695,6 +695,17 @@ def stream_tumbling_counts(spark, sf):
     return run_available_now(spark, sf)
 
 
+@register("stream_click_attribution")  # stream-stream join → rows-only;
+def stream_click_attribution(spark, sf):
+    # batch parity vs events_interval_join asserted in
+    # tests/test_streaming_multimodal.py (same rows, literally).
+    from yougile_etl_pipeline_spark.streaming.joins import (
+        run_attribution_available_now,
+    )
+
+    return run_attribution_available_now(spark, sf)
+
+
 # ---------------------------------------------------------------------------
 # E2b: IVF ANN + embedding-cosine near-dup; E4b: frame sampling
 # ---------------------------------------------------------------------------
