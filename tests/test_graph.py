@@ -69,3 +69,21 @@ def test_cc_singletons_and_canonical(spark):
     assert 2 not in rows and 3 not in rows and 11 not in rows
     singles = set(range(15)) - {1, 2, 3, 10, 11}
     assert all(rows[s] == 1 for s in singles)
+
+
+def test_cc_raises_without_fixpoint_budget(spark):
+    import pytest
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                              "src long, dst long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(e, max_iter=1)
+
+
+def test_cc_fully_connected_blob(spark):
+    """One dense component (every node linked to node 0) converges in the
+    minimum rounds and labels everything 0."""
+    e = spark.createDataFrame([(0, i) for i in range(1, 40)],
+                              "src long, dst long")
+    got = connected_components(e).collect()
+    assert {r.component for r in got} == {0} and len(got) == 40
