@@ -203,3 +203,27 @@ def test_simhash_portable_matches_xxhash_behavior(near_dup_docs):
     ham = lambda a, b: bin((a ^ b) & ((1 << 60) - 1)).count("1")
     assert sigs[1] == sigs[2]
     assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+def test_simhash_ham_pairs_exact_recall(spark):
+    """Banded Hamming join must find EXACTLY the pairs within distance 3:
+    pigeonhole guarantees recall (<=3 diffs over 4 bands leave one band
+    clean); the bit_count verify kills everything further away."""
+    from yougile_etl_pipeline_spark.operators.dedup import simhash_ham_pairs
+
+    base = 0b101010101010101010101010101010101010101010101010101010101010
+    sigs = [
+        (1, base),
+        (2, base ^ 0b1),                      # d=1
+        (3, base ^ 0b111),                    # d=3 (all in band 0)
+        (4, base ^ (1 << 3) ^ (1 << 17) ^ (1 << 33) ^ (1 << 48)),  # d=4 spread
+        (5, base ^ ((1 << 15) | (1 << 16))),  # d=2 in band 1
+    ]
+    df = spark.createDataFrame(sigs, "doc long, simhash60 long")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_ham_pairs(df).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 3 and got[(1, 5)] == 2
+    assert (1, 4) not in got                  # d=4 excluded by verify
+    assert got[(2, 3)] == 2 and got[(2, 5)] == 3
+    # doc4 is d>=3 from everything except... compute: vs 2: 5, vs 3: 7, vs 5: 6
+    assert not any(4 in p for p in got)

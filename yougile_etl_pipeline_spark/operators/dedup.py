@@ -36,6 +36,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_portable",
+    "simhash_ham_pairs",
 ]
 
 
@@ -244,3 +245,48 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str,
         F.explode(shingles(text_col, shingle_n)).alias("sh"))
     h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
     return _simhash_bit_votes(ex, h, 60, "simhash60")
+
+
+def simhash_ham_pairs(sig: DataFrame, *, sig_col: str = "simhash60",
+                      id_col: str = "doc", n_bits: int = 60,
+                      bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs from SimHash signatures: all (a < b) pairs with
+    Hamming distance ≤ `max_hamming`, WITHOUT a pairwise scan.
+
+    Pigeonhole banding: split the `n_bits` signature into `bands` equal
+    bit-bands; any pair differing in ≤ bands−1 bits must agree EXACTLY on
+    at least one band, so the candidate set is an equi-join on
+    (band_index, band_bits) — cost ∝ band collisions, never |docs|².
+    Requires ``max_hamming < bands`` for lossless recall (the standard
+    LSH-for-Hamming construction). Exact distance is then verified with
+    one ``bit_count(xor)`` per candidate. Everything is integer bit math
+    (shift/mask/xor/bit_count) — identical in the SQL oracle."""
+    assert max_hamming < bands, "pigeonhole recall needs max_hamming < bands"
+    assert n_bits % bands == 0
+    w = n_bits // bands
+    mask = (1 << w) - 1
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col(sig_col), b * w)
+                  .bitwiseAND(F.lit(mask)).alias("bits"))
+        for b in range(bands)
+    ])
+    bk = (sig.select(F.col(id_col).alias("doc"),
+                     F.col(sig_col).alias("sig"),
+                     F.explode(band_arr).alias("bk"))
+             .select("doc", "sig", F.col("bk.band").alias("band"),
+                     F.col("bk.bits").alias("bits")))
+    a = bk.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"),
+                  "band", "bits")
+    b = bk.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"),
+                  "band", "bits")
+    return (a.join(b, ["band", "bits"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sig_a", "sig_b")
+             .dropDuplicates(["doc_a", "doc_b"])
+             .withColumn("hamming",
+                         F.bit_count(
+                             F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                          .cast("int"))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("doc_a", "doc_b", "hamming"))

@@ -365,6 +365,39 @@ def dedup_simhash(spark, sf):
                             "doc_id", "text")
 
 
+@register("dedup_simhash_pairs", f"""
+WITH ex AS (
+  SELECT doc_id AS doc, unnest({_shingles_sql('text', 2)}) AS sh
+  FROM documents
+), h AS (
+  SELECT doc, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS hv FROM ex
+), agg AS (
+  SELECT doc, count(*) AS n, {_SIMHASH_BITS} FROM h GROUP BY doc
+), sig AS (
+  SELECT doc, CAST({_SIMHASH_SIG} AS BIGINT) AS sig FROM agg
+), bk AS (
+  SELECT doc, sig, b.band,
+         (sig >> (b.band * 15)) & 32767 AS bits
+  FROM sig, unnest([0, 1, 2, 3]) AS b(band)
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM bk a JOIN bk b ON a.band = b.band AND a.bits = b.bits AND a.doc < b.doc
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""")
+def dedup_simhash_pairs(spark, sf):
+    # SimHash near-dup pairs: pigeonhole banding (4 bands of 15 bits —
+    # Hamming <= 3 forces >=1 exact band match) gives an equi-join
+    # candidate set; exact distance verified via bit_count(xor). All
+    # integer bit math over the portable md5-window signature, so the
+    # oracle reproduces every bit (operators/dedup.py::simhash_ham_pairs).
+    from yougile_etl_pipeline_spark.operators.dedup import simhash_ham_pairs
+
+    sig = simhash_portable(load_table(spark, sf, "documents"),
+                           "doc_id", "text")
+    return simhash_ham_pairs(sig, sig_col="simhash60")
+
+
 # Connected components over the MinHash-LSH pair graph: pairs are edges,
 # the component id (= min reachable doc_id) is the dedup cluster key.
 # The Spark side iterates min-label propagation + pointer jumping to the
