@@ -227,3 +227,38 @@ def test_simhash_ham_pairs_exact_recall(spark):
     assert got[(2, 3)] == 2 and got[(2, 5)] == 3
     # doc4 is d>=3 from everything except... compute: vs 2: 5, vs 3: 7, vs 5: 6
     assert not any(4 in p for p in got)
+
+
+def test_kmeans_train_monotone_quality(spark):
+    """Spherical k-means: mean cosine-to-assigned-centroid must not
+    decrease across Lloyd iterations (each step optimizes it)."""
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_train,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16)
+
+    def quality(c):
+        a = ivf_assign(emb, c, nprobe=1)
+        cv = c.select(F.col("vec_id").alias("centroid_id"),
+                      F.col("embedding").alias("__cv"))
+        dot = F.aggregate(
+            F.zip_with("embedding", "__cv", lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        nrm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+            F.zip_with(col, col, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v))
+        return (a.join(cv, "centroid_id")
+                 .select((dot / (nrm("embedding") * nrm("__cv")))
+                         .alias("cos"))
+                 .agg(F.avg("cos")).collect()[0][0])
+
+    q0 = quality(cents)
+    c1 = kmeans_train(emb, cents, iters=1)
+    q1 = quality(c1)
+    c2 = kmeans_train(emb, c1, iters=1)
+    q2 = quality(c2)
+    assert q1 >= q0 - 1e-9 and q2 >= q1 - 1e-9
+    assert q2 > q0  # and it actually improves on this corpus

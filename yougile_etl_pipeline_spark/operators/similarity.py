@@ -43,6 +43,8 @@ __all__ = [
     "brute_force_topk_np",
     "lsh_bucket_topk_np",
     "ivf_topk_np",
+    "kmeans_update",
+    "kmeans_train",
 ]
 
 EMBED_DIM = 64
@@ -621,3 +623,58 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
                       (dot("va", "vb") / (F.col("na") * F.col("nb")))
                       .alias("cos_sim")))
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def kmeans_update(corpus: DataFrame, centroids: DataFrame,
+                  *, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd step for IVF centroid training: assign every vector to
+    its nearest centroid (cosine, `ivf_assign` — broadcast centroids,
+    grouped argmax), then emit the per-centroid fixed-point mean of each
+    dimension.
+
+    Output: (centroid_id, pos, n_assigned, mean_val) — flat, one row per
+    (centroid, dimension). The mean sums through DECIMAL(20,9) so the
+    result is partition-order independent AND engine-portable (double
+    sums are neither); the 1e-9 quantization is noise at k-means
+    precision. Shuffle volume: one (centroid, pos) row per vector
+    element with map-side partial sums — ∝ k·dim after combine, not
+    corpus size. Iterating this step is `kmeans_train` territory
+    (monotone-inertia property, tests); a single relational step keeps a
+    full SQL oracle."""
+    assigned = ivf_assign(corpus, centroids, id_col=id_col,
+                          vec_col=vec_col, nprobe=1)
+    flat = assigned.select(
+        "centroid_id",
+        F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    n = F.count(F.lit(1))
+    return (flat.groupBy("centroid_id", "pos")
+                .agg(n.cast("long").alias("n_assigned"),
+                     (F.sum(F.col("val").cast("double")
+                             .cast("decimal(20,9)")).cast("double") / n)
+                     .alias("mean_val")))
+
+
+def kmeans_train(corpus: DataFrame, centroids: DataFrame, *, iters: int = 3,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Iterate `kmeans_update` (spherical k-means / Lloyd): each round
+    reassembles the flat per-dimension means into centroid vectors and
+    localCheckpoints them (tiny — k·dim doubles) to cut lineage, exactly
+    the connected-components iteration pattern. Centroids that attract no
+    vectors drop out (k may shrink). Verified by the monotone
+    mean-cosine property test; the single-step oracle
+    (`ivf_kmeans_step`) pins the per-round arithmetic."""
+    for _ in range(iters):
+        upd = kmeans_update(corpus, centroids,
+                            id_col=id_col, vec_col=vec_col)
+        centroids = (
+            upd.groupBy("centroid_id")
+               .agg(F.array_sort(
+                        F.collect_list(F.struct("pos", "mean_val")))
+                     .alias("__s"))
+               .select(F.col("centroid_id").alias(id_col),
+                       F.transform("__s", lambda x: x["mean_val"])
+                        .alias(vec_col))
+               .localCheckpoint(eager=True))
+    return centroids

@@ -743,6 +743,38 @@ def stream_click_attribution(spark, sf):
 # E2b: IVF ANN + embedding-cosine near-dup; E4b: frame sampling
 # ---------------------------------------------------------------------------
 
+@register("ivf_kmeans_step", """
+WITH csrc AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+a AS (
+  SELECT vec_id, vec, centroid_id FROM (
+    SELECT vec_id, vec, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(vec, cent_vec) /
+                                (sqrt(list_dot_product(vec, vec)) *
+                                 sqrt(list_dot_product(cent_vec, cent_vec)))
+                                DESC, centroid_id) AS rn
+    FROM csrc CROSS JOIN (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+      FROM embeddings WHERE vec_id < 256)
+  ) WHERE rn <= 1
+)
+SELECT centroid_id, CAST(t.i - 1 AS INTEGER) AS pos,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(SUM(CAST(vec[t.i] AS DECIMAL(20,9))) AS DOUBLE) / count(*)
+         AS mean_val
+FROM a, unnest(range(1, len(vec) + 1)) AS t(i)
+GROUP BY 1, 2
+""")
+def ivf_kmeans_step(spark, sf):
+    # One Lloyd step of IVF centroid training: nearest-centroid
+    # assignment + fixed-point per-dimension mean (engine-portable via
+    # DECIMAL sums — operators/similarity.py::kmeans_update).
+    from yougile_etl_pipeline_spark.operators.similarity import kmeans_update
+
+    emb = load_table(spark, sf, "embeddings")
+    return kmeans_update(emb, emb.filter(F.col("vec_id") < 256))
+
+
 # Fixed-size centroid set (first 256 vectors): coarse-quantizer size must
 # NOT scale linearly with the corpus (√n is the usual policy); a fixed
 # deterministic sample keeps the query scale-stable and oracle-exact.
