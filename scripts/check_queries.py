@@ -19,10 +19,14 @@ from yougile_etl_pipeline_spark.session import get_spark  # noqa: E402
 DEFAULT = [
     "set_except", "set_except_dup_left",
     "dedup_shingle_jaccard", "dedup_shingle_capped",
-    "dedup_simhash",
+    "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_clusters", "dedup_canonical_docs",
     "sim_cosine_topk", "sim_ann_lsh_bucket", "sim_ann_lsh_sized",
-    "sim_ivf_topk", "sim_ivf_multiprobe",
+    "sim_ivf_topk", "sim_ivf_multiprobe", "ivf_kmeans_step",
     "dedup_embedding_cosine", "dedup_embedding_cosine_w6",
+    "text_repetition_stats", "doc_chunks", "train_pack_sequences",
+    "sample_source_mix", "events_asof_join",
+    "sketch_approx_distinct", "sketch_approx_quantiles",
 ]
 
 
