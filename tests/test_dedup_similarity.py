@@ -262,3 +262,36 @@ def test_kmeans_train_monotone_quality(spark):
     q2 = quality(c2)
     assert q1 >= q0 - 1e-9 and q2 >= q1 - 1e-9
     assert q2 > q0  # and it actually improves on this corpus
+
+
+def test_ivf_with_trained_centroids(spark):
+    """End-to-end IVF training story: kmeans-trained centroids plug into
+    ivf_topk unchanged — full k results per query, sane 1-probe recall,
+    and recall stays monotone in nprobe (1-probe recall is NOT guaranteed
+    to beat the raw sample — tighter cells can split true neighbor
+    pairs — but multiprobe must recover it)."""
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_train,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.match_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    trained = kmeans_train(emb, emb.filter(F.col("vec_id") < 16), iters=2)
+
+    def recall(nprobe):
+        rows = ivf_topk(emb, queries, trained, k=5, nprobe=nprobe).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, 0)
+            per_q[r.query_id] += 1
+        assert all(v == 5 for v in per_q.values()) and len(per_q) == 8
+        return len({(r.query_id, r.match_id) for r in rows} & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert 0.5 <= r1 <= 1.0
+    assert r4 >= r1 - 1e-9
