@@ -295,3 +295,24 @@ def test_ivf_with_trained_centroids(spark):
     r1, r4 = recall(1), recall(4)
     assert 0.5 <= r1 <= 1.0
     assert r4 >= r1 - 1e-9
+
+
+def test_np_topk_tie_break_on_duplicate_vectors(spark):
+    """Exact-duplicate embeddings (the dedup-corpus norm) produce score
+    ties at the k-th slot: the numpy paths must pick the same candidate
+    SET as the HOF row_number(score DESC, match_id) order."""
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_np,
+    )
+
+    base = load_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("vec_id") < 20)
+    # clone every vector under new ids -> every score appears twice
+    dup = base.select((F.col("vec_id") + 1000).alias("vec_id"),
+                      "embedding", "label")
+    corpus = base.unionByName(dup)
+    q = base.filter(F.col("vec_id") < 4)
+    hof = sorted(map(tuple, brute_force_topk(corpus, q, k=5).collect()))
+    fast = sorted(map(tuple, brute_force_topk_np(corpus, q, k=5).collect()))
+    assert hof == fast

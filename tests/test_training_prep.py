@@ -73,3 +73,35 @@ def test_asof_join_semantics(spark):
     assert out[903] == (5, 200)
     assert out[904] == (None, None)
     assert len(out) == 5
+
+
+def test_asof_join_no_chimera_and_null_keys(spark):
+    from yougile_etl_pipeline_spark.operators.relational import asof_join
+
+    # matched right row holds a NULL payload field: it must stay NULL,
+    # not be backfilled from an older right row (chimera)
+    right = spark.createDataFrame(
+        [(1, 10, 5.0, 2), (1, 20, 7.0, None)],
+        "k long, ts long, price double, qty int")
+    left = spark.createDataFrame([(1, 30, 1)], "k long, ts long, lid int")
+    row = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    right_cols=["price", "qty"]).collect()[0]
+    assert (row.ts_asof, row.price_asof, row.qty_asof) == (20, 7.0, None)
+
+    # NULL keys: equi-join semantics — no NULL-NULL match either way
+    right2 = spark.createDataFrame([(None, 10, 100)],
+                                   "k long, ts long, rid long")
+    left2 = spark.createDataFrame([(None, 30, 1), (5, 30, 2)],
+                                  "k long, ts long, lid long")
+    out = {r.lid: (r.ts_asof, r.rid_asof)
+           for r in asof_join(left2, right2, on="k", left_ts="ts",
+                              right_ts="ts", right_cols=["rid"]).collect()}
+    assert out[1] == (None, None) and out[2] == (None, None)
+    assert len(out) == 2
+
+    # right_cols=[] is legal: enrich with the matched timestamp only
+    right3 = spark.createDataFrame([(1, 10)], "k long, ts long")
+    left3 = spark.createDataFrame([(1, 30, 7)], "k long, ts long, lid int")
+    r3 = asof_join(left3, right3, on="k", left_ts="ts", right_ts="ts",
+                   right_cols=[]).collect()[0]
+    assert r3.ts_asof == 10

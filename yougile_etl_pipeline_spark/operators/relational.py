@@ -188,37 +188,44 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
 
     Determinism: at equal (ts), right rows sort before left rows (<= is
     inclusive) and among equal-ts right rows the greatest `tiebreak`
-    (default: the first of `right_cols`) wins. Output: every left row +
-    `right_ts{suffix}` + each right payload col suffixed.
+    (default: `right_ts` when no payload columns) wins. The matched
+    payload is carried as ONE struct filled by a single
+    ``last(ignorenulls)`` — per-column fills would splice values from
+    DIFFERENT right rows whenever the matched row holds a NULL (chimera
+    rows). NULL keys follow equi-join semantics: a NULL-key left row
+    matches nothing; NULL-key right rows match nothing. Output: every
+    left row + `right_ts{suffix}` + each right payload col suffixed.
     """
     from pyspark.sql.window import Window
 
-    tiebreak = tiebreak or right_cols[0]
+    if tiebreak is None:
+        tiebreak = right_cols[0] if right_cols else right_ts
     payload = [right_ts, *right_cols]
-    r = right.select(
+    r = right.filter(F.col(on).isNotNull()).select(
         F.col(on), F.col(right_ts).alias("__ts"), F.lit(1).alias("__is_r"),
         F.col(tiebreak).alias("__tb"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
-        *[F.lit(None).alias("__l_marker")],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__p"),
+        F.lit(None).alias("__l_marker"),
     )
     l = left.select(
         F.col(on), F.col(left_ts).alias("__ts"), F.lit(0).alias("__is_r"),
         F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
-        *[F.lit(None).cast(r.schema[f"__p_{c}"].dataType)
-           .alias(f"__p_{c}") for c in payload],
-        *[F.struct(*[F.col(c) for c in left.columns]).alias("__l_marker")],
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l_marker"),
     )
     w = (Window.partitionBy(on)
                .orderBy(F.col("__ts"), F.col("__is_r").desc(),
                         F.col("__tb").asc_nulls_first())
                .rowsBetween(Window.unboundedPreceding, 0))
-    filled = l.unionByName(r).select(
-        "*", *[F.last(f"__p_{c}", ignorenulls=True).over(w)
-                .alias(f"__m_{c}") for c in payload])
-    out = filled.filter(F.col("__is_r") == 0)
+    filled = (l.filter(F.col(on).isNotNull()).unionByName(r)
+               .withColumn("__m", F.last("__p", ignorenulls=True).over(w)))
+    # NULL-key left rows bypass the window entirely (match = NULL struct)
+    null_left = (l.filter(F.col(on).isNull())
+                  .withColumn("__m", F.col("__p")))
+    out = filled.filter(F.col("__is_r") == 0).unionByName(null_left)
     for c in left.columns:
         out = out.withColumn(c, F.col(f"__l_marker.{c}"))
     keep = [*left.columns,
-            F.col(f"__m_{right_ts}").alias(f"{right_ts}{suffix}"),
-            *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in right_cols]]
+            F.col(f"__m.{right_ts}").alias(f"{right_ts}{suffix}"),
+            *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols]]
     return out.select(*keep)

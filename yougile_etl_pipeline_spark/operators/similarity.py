@@ -234,8 +234,12 @@ def _np_batch_topk(q_ids: np.ndarray, Q: np.ndarray, q_norms: np.ndarray,
     for qi in range(len(q_ids)):
         row = np.where(ids == q_ids[qi], -np.inf, S[qi])
         top = min(k, len(row))
-        idx = np.argpartition(-row, top - 1)[:top]
-        keep = idx[np.isfinite(row[idx])]
+        # lexsort, NOT argpartition: the k-th-slot tie must break by
+        # match_id exactly like the HOF path's row_number(score DESC,
+        # match_id), or duplicate-score corpora (exact-dup embeddings in
+        # a dedup corpus) select a different candidate SET
+        order = np.lexsort((ids, -row))[:top]  # score desc, id asc
+        keep = order[np.isfinite(row[order])]
         out_q.append(np.full(len(keep), q_ids[qi]))
         out_m.append(ids[keep])
         out_s.append(row[keep])
@@ -517,25 +521,35 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                   .filter(F.col("rank") <= k))
 
 
-def _ivf_assign_np(df: DataFrame, centroids: DataFrame,
-                   *, id_col: str, vec_col: str, nprobe: int) -> DataFrame:
-    """numpy twin of `ivf_assign`: the |df|×|centroids| cosine matrix is
-    one matmul per Arrow batch instead of |centroids| HOF dots per row —
-    the dominant IVF cost. Centroids are collected driver-side (small by
-    construction) sorted by id, so numpy's stable argsort on -sim breaks
-    ties by centroid id exactly like the window/struct-max formulation.
-    Returns one (id, vec, centroid_id) row per probe."""
-    import pandas as pd
-
+def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str):
+    """Collect the (small by construction) centroid set once, sorted by
+    id so downstream stable argsorts tie-break by centroid id."""
     cent_rows = sorted(centroids.select(id_col, vec_col).collect(),
                        key=lambda r: r[0])
     cent_ids = np.array([r[0] for r in cent_rows])
     CENT = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
-    cent_norms = np.linalg.norm(CENT, axis=1)
+    return cent_ids, CENT, np.linalg.norm(CENT, axis=1), \
+        dict(centroids.dtypes)[id_col]
+
+
+def _ivf_assign_np(df: DataFrame, centroids: DataFrame = None,
+                   *, id_col: str, vec_col: str, nprobe: int,
+                   cents=None) -> DataFrame:
+    """numpy twin of `ivf_assign`: the |df|×|centroids| cosine matrix is
+    one matmul per Arrow batch instead of |centroids| HOF dots per row —
+    the dominant IVF cost. Centroids come pre-collected via `cents`
+    (`_collect_centroids` — callers assigning both corpus and queries
+    collect ONCE) or are collected here; numpy's stable argsort on -sim
+    breaks ties by centroid id exactly like the window/struct-max
+    formulation. Returns one (id, vec, centroid_id) row per probe."""
+    import pandas as pd
+
+    cent_ids, CENT, cent_norms, cid_type = (
+        cents if cents is not None
+        else _collect_centroids(centroids, id_col, vec_col))
 
     id_type = dict(df.dtypes)[id_col]
     vec_type = dict(df.dtypes)[vec_col]
-    cid_type = dict(centroids.dtypes)[id_col]
     out_schema = (f"{id_col} {id_type}, {vec_col} {vec_type}, "
                   f"centroid_id {cid_type}")
     n = min(nprobe, len(cent_ids))
@@ -571,14 +585,15 @@ def ivf_topk_np(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     small — so the rerank scores exact directly, no approx pass."""
     from pyspark.sql.window import Window
 
-    ca = _ivf_assign_np(corpus, centroids, id_col=id_col, vec_col=vec_col,
-                        nprobe=1) \
+    cents = _collect_centroids(centroids, id_col, vec_col)
+    ca = _ivf_assign_np(corpus, id_col=id_col, vec_col=vec_col,
+                        nprobe=1, cents=cents) \
         .select(F.col(id_col).alias("match_id"),
                 F.col(vec_col).alias("c_vec"), "centroid_id",
                 l2_norm(vec_col).alias("c_norm"))
     qa = F.broadcast(
-        _ivf_assign_np(queries, centroids, id_col=id_col, vec_col=vec_col,
-                       nprobe=nprobe)
+        _ivf_assign_np(queries, id_col=id_col, vec_col=vec_col,
+                       nprobe=nprobe, cents=cents)
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("q_vec"), "centroid_id",
                 l2_norm(vec_col).alias("q_norm")))

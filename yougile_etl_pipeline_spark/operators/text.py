@@ -122,11 +122,21 @@ def quality_score(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, score)
 
 
+def _ngram_starts(toks: Column, n: int) -> Column:
+    """1-based start offsets of the word n-grams of `toks` — EMPTY array
+    when the doc has fewer than n tokens. ``sequence(1, 0)`` is the trap:
+    it yields the DESCENDING array [1, 0] and ``slice(toks, 0, n)``
+    throws, so short docs crash without this guard (the DuckDB twin's
+    range() is empty for stop < start and needs none)."""
+    count = F.size(toks) - (n - 1)
+    return F.when(count > 0, F.sequence(F.lit(1), count)) \
+            .otherwise(F.array().cast("array<int>"))
+
+
 def _ngrams_all(toks: Column, n: int) -> Column:
     """Word n-grams WITH multiplicity (unlike `shingles`, which is the
     distinct set) — repetition measurement needs the duplicates."""
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.transform(F.sequence(F.lit(1), count),
+    return F.transform(_ngram_starts(toks, n),
                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
@@ -238,11 +248,11 @@ def fingerprint_exact(col: Column | str) -> Column:
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the text → array<string>.
 
-    Pure array lambda: ``transform(sequence(1, len-n+1), i ->
-    concat_ws(' ', slice(tokens, i, n)))`` — per-row, no shuffle."""
+    Pure array lambda: ``transform(starts, i -> concat_ws(' ',
+    slice(tokens, i, n)))`` — per-row, no shuffle; empty (not a crash)
+    for docs shorter than n tokens (see `_ngram_starts`)."""
     toks = tokens(col)
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    sh = F.transform(F.sequence(F.lit(1), count),
+    sh = F.transform(_ngram_starts(toks, n),
                      lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_distinct(sh)
 
