@@ -68,3 +68,29 @@ def test_jdbc_null_handling(spark, derby_url):
     row = (spark.read.jdbc(derby_url, "t_nulls", properties=_props())
            .collect()[0])
     assert row.title is None and row.score is None
+
+
+def test_write_sorted_mart_layout(spark, tmp_path):
+    """Range-partitioned sorted write: files hold disjoint, internally
+    sorted key ranges (tight row-group min/max stats = pruning at scale)."""
+    import pyspark.sql.functions as F
+
+    from yougile_etl_pipeline_spark.sources.sinks import write_sorted_mart
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 2654435761 % 10000).alias("k"),
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "sorted_mart")
+    write_sorted_mart(df, path, range_col="k", sort_cols=["payload"],
+                      num_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    # per-file: sorted within, ranges disjoint across files
+    withf = back.withColumn("f", F.input_file_name())
+    stats = (withf.groupBy("f")
+             .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+             .collect())
+    spans = sorted([(r.lo, r.hi) for r in stats])
+    assert len(spans) == 4
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 <= l2, "file key ranges overlap"

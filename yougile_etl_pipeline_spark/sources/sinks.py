@@ -13,7 +13,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_parquet_mart", "append_jdbc", "AlertSink"]
+__all__ = ["write_parquet_mart", "write_sorted_mart", "append_jdbc",
+           "AlertSink"]
 
 
 def write_parquet_mart(
@@ -32,6 +33,23 @@ def write_parquet_mart(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_sorted_mart(df: DataFrame, path: str, *, range_col: str,
+                      sort_cols: list[str] | None = None,
+                      num_files: int | None = None,
+                      mode: str = "overwrite") -> None:
+    """Range-partitioned, sorted parquet layout — the standard big-table
+    layout for scan-heavy marts: `repartitionByRange(range_col)` gives
+    globally ordered, size-balanced files; `sortWithinPartitions` (the
+    range col + optional secondaries) makes every parquet row-group's
+    min/max statistics tight, so point/range predicates on `range_col`
+    skip whole files AND whole row groups at 100 TB. The sort is a
+    one-time write cost; every subsequent scan benefits."""
+    parts = [range_col, *(sort_cols or [])]
+    out = df.repartitionByRange(*([num_files] if num_files else []),
+                                range_col)
+    out.sortWithinPartitions(*parts).write.mode(mode).parquet(path)
 
 
 def append_jdbc(
