@@ -721,6 +721,36 @@ def events_asof_join(spark, sf):
                       F.col("event_id_asof").alias("click_id"))
 
 
+@register("events_funnel", """
+SELECT user_id,
+  CAST(count_if(event_type = 'click') AS BIGINT) AS n_clicks,
+  CAST(count_if(event_type = 'cart') AS BIGINT) AS n_carts,
+  CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
+  (min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) IS NOT NULL
+   AND min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+       IS NOT NULL
+   AND min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END)
+       < min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END))
+    AS converted
+FROM events GROUP BY user_id
+""")
+def events_funnel(spark, sf):
+    # First-touch funnel: a user "converted" iff their first click
+    # precedes their first purchase. ONE conditional aggregation per
+    # user — single keyed shuffle with map-side partials, no joins, no
+    # windows; the standard scale-shape for funnel metrics.
+    ev = load_table(spark, sf, "events").withColumn(
+        "ms", F.unix_millis("ts"))
+    first = lambda t: F.min(F.when(F.col("event_type") == t,  # noqa: E731
+                                   F.col("ms")))
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        F.count_if(F.col("event_type") == "cart").alias("n_carts"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        (first("click").isNotNull() & first("purchase").isNotNull()
+         & (first("click") < first("purchase"))).alias("converted"))
+
+
 @register("stream_tumbling_counts")  # Structured Streaming → rows-only check
 def stream_tumbling_counts(spark, sf):
     from yougile_etl_pipeline_spark.streaming.snapshot import run_available_now
