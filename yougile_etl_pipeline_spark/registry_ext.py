@@ -721,6 +721,30 @@ def events_asof_join(spark, sf):
                       F.col("event_id_asof").alias("click_id"))
 
 
+@register("text_inverted_index", f"""
+SELECT term,
+  CAST(count(DISTINCT doc) AS BIGINT) AS df,
+  list_sort(list(DISTINCT doc)) AS postings
+FROM (
+  SELECT doc_id AS doc, unnest({_toks()}) AS term FROM documents
+)
+GROUP BY term
+""")
+def text_inverted_index(spark, sf):
+    # Inverted-index build: term -> document frequency + sorted posting
+    # list. explode + grouped collect_set (map-side partial) + array_sort
+    # keeps the result partition-order independent. At 100 TB posting
+    # lists for hot terms are sharded (term, shard) rather than one array
+    # row — the grouping shape is identical; the array payload here is
+    # the test-scale representation.
+    docs = load_table(spark, sf, "documents")
+    ex = docs.select(F.col("doc_id").alias("doc"),
+                     F.explode(TX.tokens("text")).alias("term"))
+    return ex.groupBy("term").agg(
+        F.count_distinct("doc").alias("df"),
+        F.array_sort(F.collect_set("doc")).alias("postings"))
+
+
 @register("events_funnel", """
 SELECT user_id,
   CAST(count_if(event_type = 'click') AS BIGINT) AS n_clicks,
