@@ -89,6 +89,12 @@ def shingle_jaccard_pairs(
         keep = dfreq.filter(F.col("__df") <= max_shingle_df) \
                     .select(*block_cols, "sh")
         ex = ex.join(keep, [*block_cols, "sh"])
+    # The (capped) shingle stream feeds FOUR consumers (sizes + both
+    # self-join sides + the cap's own aggregate lineage); without a
+    # persist each one re-runs the explode — measured 5× the work at
+    # sf0.1. At cluster scale the same reuse is a staging table or
+    # spark's shuffle reuse; MEMORY_AND_DISK is the local equivalent.
+    ex = ex.persist()
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = ex.select(F.col("doc").alias("doc_a"), *[F.col(c) for c in block_cols],

@@ -133,13 +133,6 @@ def _ngram_starts(toks: Column, n: int) -> Column:
             .otherwise(F.array().cast("array<int>"))
 
 
-def _ngrams_all(toks: Column, n: int) -> Column:
-    """Word n-grams WITH multiplicity (unlike `shingles`, which is the
-    distinct set) — repetition measurement needs the duplicates."""
-    return F.transform(_ngram_starts(toks, n),
-                       lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-
-
 def _gram_stats(df: DataFrame, id_col: str, text_col: str, n: int,
                 prefix: str) -> DataFrame:
     """(id, total n-grams, distinct n-grams, max single-gram count) via
