@@ -39,8 +39,12 @@ def test_cc_matches_union_find_random(spark):
         want = _union_find(n, edges)
         e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
         nodes = spark.range(n).select(F.col("id").alias("node"))
-        got = dict(connected_components(e, nodes).collect())
-        assert got == want, f"trial {trial}"
+        # both paths must compute the identical fixpoint
+        fast = dict(connected_components(e, nodes).collect())
+        dist = dict(connected_components(e, nodes,
+                                         driver_threshold=0).collect())
+        assert fast == want, f"trial {trial} (driver path)"
+        assert dist == want, f"trial {trial} (distributed path)"
 
 
 def test_cc_long_chain_converges(spark):
@@ -50,7 +54,8 @@ def test_cc_long_chain_converges(spark):
     n = 200
     e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
                               "src long, dst long")
-    got = connected_components(e, max_iter=25).collect()
+    got = connected_components(e, max_iter=25,
+                               driver_threshold=0).collect()
     assert len(got) == n
     assert {r.component for r in got} == {0}
 
@@ -77,7 +82,7 @@ def test_cc_raises_without_fixpoint_budget(spark):
     e = spark.createDataFrame([(i, i + 1) for i in range(20)],
                               "src long, dst long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(e, max_iter=1)
+        connected_components(e, max_iter=1, driver_threshold=0)
 
 
 def test_cc_fully_connected_blob(spark):

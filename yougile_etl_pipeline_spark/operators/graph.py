@@ -44,6 +44,7 @@ def connected_components(
     node_col: str = "node",
     max_iter: int = 25,
     checkpoint: bool = True,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Return (node, component) for every node, where component is the
     smallest node id in the node's connected component.
@@ -54,16 +55,66 @@ def connected_components(
     Raises RuntimeError if no fixpoint within `max_iter` rounds (with
     pointer jumping, rounds grow ~log(component diameter); 25 covers any
     realistic corpus).
+
+    **Two execution paths, chosen by edge count** (the standard pattern
+    for giant-corpus CC): the distributed loop's cost is per-ROUND fixed
+    overhead (2 jobs/round), which dwarfs the data cost when the pair
+    graph is small — so up to `driver_threshold` (symmetrized) edges the
+    pair list is collected and solved with union-find in O(E·α) driver-
+    side, then re-parallelized. Near-dup pair graphs are sparse by
+    construction (bounded by LSH collisions), so at 100 TB the edge list
+    is orders of magnitude smaller than the corpus; graphs beyond the
+    threshold run the distributed min-label + pointer-jumping loop. Both
+    paths compute the identical unique fixpoint (property-tested against
+    each other).
     """
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
                 .union(edges.select(F.col(dst).alias("u"),
                                     F.col(src).alias("v"))))
-    labels = sym.select(F.col("u").alias("node"))
+    # iterate ONLY over edge endpoints: nodes outside the pair graph are
+    # singletons (component == own id) and join the result at the end —
+    # on a near-dup corpus the endpoint set is a tiny fraction of the
+    # corpus, so every round's joins/aggregates run on that fraction
+    endpoints = sym.select(F.col("u").alias("node")).distinct()
+    labels = endpoints.withColumn("lbl", F.col("node"))
+    singletons = None
     if nodes is not None:
-        labels = labels.union(nodes.select(F.col(node_col).alias("node")))
-    labels = labels.distinct().withColumn("lbl", F.col("node"))
+        singletons = (nodes.select(F.col(node_col).alias("node"))
+                      .distinct()
+                      .join(endpoints, "node", "left_anti")
+                      .select("node", F.col("node").alias("component")))
     sym = sym.persist()
     try:
+        n_edges = sym.count()
+        if n_edges <= driver_threshold:
+            # small-graph fast path: union-find over the collected pairs
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            seen: set = set()
+            for row in sym.toLocalIterator():
+                u, v = row[0], row[1]
+                seen.add(u), seen.add(v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+            comp = [(int(x), int(find(x))) for x in seen]
+            spark = edges.sparkSession
+            schema = endpoints.select(
+                "node", F.col("node").alias("component")).schema
+            out = (spark.createDataFrame(comp, schema=schema)
+                   if comp else
+                   spark.createDataFrame([], schema=schema))
+            if singletons is not None:
+                out = out.unionByName(singletons)
+            return out
         for _ in range(max_iter):
             # propagate: lbl'(n) = min(lbl(n), min over neighbors' lbl)
             nbr = (sym.join(labels.withColumnRenamed("node", "u"), "u")
@@ -84,7 +135,10 @@ def connected_components(
                           .limit(1).count())
             labels = nxt
             if changed == 0:
-                return labels.select("node", F.col("lbl").alias("component"))
+                out = labels.select("node", F.col("lbl").alias("component"))
+                if singletons is not None:
+                    out = out.unionByName(singletons)
+                return out
         raise RuntimeError(f"connected_components: no fixpoint in "
                            f"{max_iter} rounds")
     finally:
