@@ -721,6 +721,64 @@ def events_asof_join(spark, sf):
                       F.col("event_id_asof").alias("click_id"))
 
 
+@register("corpus_clean_pipeline", f"""
+WITH RECURSIVE {_CC_EDGES}, comp AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+), rep AS (
+  SELECT doc_id,
+    CAST(list_max(list_transform(list_distinct({_BIGRAMS_SQL}),
+         d -> len(list_filter({_BIGRAMS_SQL}, x -> x = d)))) AS DOUBLE)
+      / len({_BIGRAMS_SQL}) AS top_bigram_frac,
+    CAST(1 AS DOUBLE)
+      - CAST(len(list_distinct({_toks()})) AS DOUBLE) / len({_toks()})
+      AS dup_token_ratio
+  FROM documents
+), qual AS (
+  SELECT doc_id,
+    0.4 * (CASE WHEN len({_toks()}) BETWEEN 20 AND 1000
+           THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (CASE WHEN CAST(len(list_filter({_toks()},
+               t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+               / len({_toks()}) BETWEEN 0.01 AND 0.6
+             THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (CAST(len(list_distinct({_toks()})) AS DOUBLE)
+             / len({_toks()})) AS quality
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN comp c ON c.node = d.doc_id AND c.component = d.doc_id
+JOIN rep r ON r.doc_id = d.doc_id
+JOIN qual q ON q.doc_id = d.doc_id
+WHERE r.top_bigram_frac <= 0.18 AND r.dup_token_ratio <= 0.9
+  AND q.quality >= 0.5
+""")
+def corpus_clean_pipeline(spark, sf):
+    # The full training-corpus cleaning flow as ONE lazy lineage:
+    # repetition filter + quality threshold + near-dup collapse (keep
+    # only each MinHash-LSH cluster's canonical doc). Every stage is an
+    # operator defined elsewhere in this package — this query is the
+    # composition a reference user would actually run, and its oracle is
+    # the composition of the per-stage oracle fragments.
+    from yougile_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    rep = TX.repetition_stats(docs).select(
+        "doc_id", "repetition_ok")
+    qual = TX.quality_score(docs).select("doc_id", "quality")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=4)
+    comp = connected_components(pairs, docs.select("doc_id"),
+                                src="doc_a", dst="doc_b", node_col="doc_id")
+    canon = comp.filter(F.col("node") == F.col("component")) \
+                .select(F.col("node").alias("doc_id"))
+    return (docs.join(rep, "doc_id").join(qual, "doc_id")
+                .join(canon, "doc_id")
+                .filter(F.col("repetition_ok") & (F.col("quality") >= 0.5))
+                .select("doc_id", "lang", "source", "n_chars"))
+
+
 @register("text_inverted_index", f"""
 SELECT term,
   CAST(count(DISTINCT doc) AS BIGINT) AS df,
