@@ -92,3 +92,15 @@ def test_cc_fully_connected_blob(spark):
                               "src long, dst long")
     got = connected_components(e).collect()
     assert {r.component for r in got} == {0} and len(got) == 40
+
+def test_cc_string_node_ids_fast_path(spark):
+    """Doc ids are often hashes/UUIDs, not ints — the union-find fast
+    path must keep native values (regression: it once int()-cast them)."""
+    e = spark.createDataFrame([("aa", "bb"), ("bb", "cc"), ("xx", "yy")],
+                              "src string, dst string")
+    nodes = spark.createDataFrame([("aa",), ("bb",), ("cc",), ("xx",),
+                                   ("yy",), ("zz",)], "node string")
+    got = {r.node: r.component
+           for r in connected_components(e, nodes).collect()}
+    assert got == {"aa": "aa", "bb": "aa", "cc": "aa",
+                   "xx": "xx", "yy": "xx", "zz": "zz"}

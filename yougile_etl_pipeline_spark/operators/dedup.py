@@ -50,6 +50,10 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Single-slot cache bound for shingle_jaccard_pairs (see comment there).
+_LAST_SHINGLE_CACHE: list[DataFrame] = []
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int,
               block_cols: list[str]) -> DataFrame:
     return df.select(
@@ -91,10 +95,18 @@ def shingle_jaccard_pairs(
         ex = ex.join(keep, [*block_cols, "sh"])
     # The (capped) shingle stream feeds FOUR consumers (sizes + both
     # self-join sides + the cap's own aggregate lineage); without a
-    # persist each one re-runs the explode — measured 5× the work at
+    # persist each one re-runs the explode — measured 4× the work at
     # sf0.1. At cluster scale the same reuse is a staging table or
     # spark's shuffle reuse; MEMORY_AND_DISK is the local equivalent.
+    # The result is lazy, so this function can't unpersist after use —
+    # instead the cache is bounded to ONE stream per session: each call
+    # releases the previous call's blocks (blocking=False, so in-flight
+    # consumers of an older result just recompute).
     ex = ex.persist()
+    prev = _LAST_SHINGLE_CACHE.pop(0) if _LAST_SHINGLE_CACHE else None
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _LAST_SHINGLE_CACHE.append(ex)
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = ex.select(F.col("doc").alias("doc_a"), *[F.col(c) for c in block_cols],

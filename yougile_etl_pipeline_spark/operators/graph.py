@@ -77,12 +77,23 @@ def connected_components(
     # corpus, so every round's joins/aggregates run on that fraction
     endpoints = sym.select(F.col("u").alias("node")).distinct()
     labels = endpoints.withColumn("lbl", F.col("node"))
-    singletons = None
-    if nodes is not None:
-        singletons = (nodes.select(F.col(node_col).alias("node"))
-                      .distinct()
-                      .join(endpoints, "node", "left_anti")
-                      .select("node", F.col("node").alias("component")))
+
+    def _with_singletons(out: DataFrame) -> DataFrame:
+        # Singletons (nodes outside the pair graph) anti-join against the
+        # RESULT's node set — never against `endpoints`, whose lineage runs
+        # through `sym`: sym is unpersisted on return, so an endpoint-based
+        # singleton branch would re-execute the whole upstream pair
+        # pipeline (LSH self-join etc.) every time the caller consumes the
+        # result. `out` is either driver-created (fast path) or
+        # localCheckpoint'ed (distributed path), so this stays cheap.
+        if nodes is None:
+            return out
+        single = (nodes.select(F.col(node_col).alias("node"))
+                  .distinct()
+                  .join(out.select("node"), "node", "left_anti")
+                  .select("node", F.col("node").alias("component")))
+        return out.unionByName(single)
+
     sym = sym.persist()
     try:
         n_edges = sym.count()
@@ -105,16 +116,17 @@ def connected_components(
                 ru, rv = find(u), find(v)
                 if ru != rv:
                     parent[max(ru, rv)] = min(ru, rv)
-            comp = [(int(x), int(find(x))) for x in seen]
+            # keep native values — node ids may be strings (hashes,
+            # UUIDs); min()/max() above and the schema cast below are
+            # type-generic, same as the distributed path's least()
+            comp = [(x, find(x)) for x in seen]
             spark = edges.sparkSession
             schema = endpoints.select(
                 "node", F.col("node").alias("component")).schema
             out = (spark.createDataFrame(comp, schema=schema)
                    if comp else
                    spark.createDataFrame([], schema=schema))
-            if singletons is not None:
-                out = out.unionByName(singletons)
-            return out
+            return _with_singletons(out)
         for _ in range(max_iter):
             # propagate: lbl'(n) = min(lbl(n), min over neighbors' lbl)
             nbr = (sym.join(labels.withColumnRenamed("node", "u"), "u")
@@ -136,9 +148,7 @@ def connected_components(
             labels = nxt
             if changed == 0:
                 out = labels.select("node", F.col("lbl").alias("component"))
-                if singletons is not None:
-                    out = out.unionByName(singletons)
-                return out
+                return _with_singletons(out)
         raise RuntimeError(f"connected_components: no fixpoint in "
                            f"{max_iter} rounds")
     finally:

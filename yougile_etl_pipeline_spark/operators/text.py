@@ -134,8 +134,8 @@ def _ngram_starts(toks: Column, n: int) -> Column:
 
 
 def _gram_stats(df: DataFrame, id_col: str, text_col: str, n: int,
-                prefix: str) -> DataFrame:
-    """(id, total n-grams, distinct n-grams, max single-gram count) via
+                prefix: str, *, need_distinct: bool = True) -> DataFrame:
+    """(id, total n-grams[, distinct n-grams], max single-gram count) via
     explode → two codegen hash aggregations (both partially combine
     map-side; the first shuffles one (doc, gram) row per distinct gram).
     The per-row array-lambda alternative is O(distinct·total) through
@@ -144,7 +144,7 @@ def _gram_stats(df: DataFrame, id_col: str, text_col: str, n: int,
     from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
 
     df = ensure_parallelism(df)
-    toks = F.split(F.col(text_col), " ")
+    toks = tokens(text_col)
     if n == 1:
         ex = df.select(F.col(id_col).alias("__doc"),
                        F.explode(toks).alias("__g"))
@@ -156,10 +156,12 @@ def _gram_stats(df: DataFrame, id_col: str, text_col: str, n: int,
                            for j in range(n)]).alias("__g")))
     per_gram = ex.groupBy("__doc", "__g").agg(
         F.count(F.lit(1)).alias("__c"))
-    return (per_gram.groupBy("__doc")
-            .agg(F.sum("__c").cast("int").alias(f"{prefix}_total"),
-                 F.count(F.lit(1)).cast("int").alias(f"{prefix}_distinct"),
-                 F.max("__c").cast("int").alias(f"{prefix}_top"))
+    aggs = [F.sum("__c").cast("int").alias(f"{prefix}_total")]
+    if need_distinct:
+        aggs.append(F.count(F.lit(1)).cast("int")
+                    .alias(f"{prefix}_distinct"))
+    aggs.append(F.max("__c").cast("int").alias(f"{prefix}_top"))
+    return (per_gram.groupBy("__doc").agg(*aggs)
             .withColumnRenamed("__doc", id_col))
 
 
@@ -180,9 +182,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     Relational formulation (`_gram_stats`): explode + grouped counts,
     all codegen. Exact int counts → double division, so the SQL oracle
     reproduces every bit. Docs with zero bigrams (single-token) get NULL
-    bigram stats, matching the oracle's empty-list NULLs."""
+    bigram stats, matching the oracle's empty-list NULLs.
+
+    Contract: ``id_col`` must uniquely key the rows of `df` (a document
+    id). Stats are computed per id — rows sharing an id would have their
+    token streams pooled and each input row would receive the pooled
+    stats via the join."""
     uni = _gram_stats(df, id_col, text_col, 1, "u")
-    bi = _gram_stats(df, id_col, text_col, 2, "b")
+    bi = _gram_stats(df, id_col, text_col, 2, "b", need_distinct=False)
     out = (df.join(uni, id_col, "left").join(bi, id_col, "left")
            .withColumns({
                "n_tokens": F.col("u_total"),
@@ -198,8 +205,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         "repetition_ok",
         (F.col("top_bigram_frac") <= max_top_bigram_frac)
         & (F.col("dup_token_ratio") <= max_dup_token_ratio))
-        .drop("u_total", "u_distinct", "u_top",
-              "b_total", "b_distinct", "b_top"))
+        .drop("u_total", "u_distinct", "u_top", "b_total", "b_top"))
 
 
 def chunk_documents(df: DataFrame, id_col: str = "doc_id",

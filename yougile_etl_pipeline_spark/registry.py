@@ -760,6 +760,15 @@ _STABLE_CERTIFIED = [
     # dedup_simhash, dedup_minhash_lsh (codegen-shingling rewrite),
     # sim_cosine_topk, sim_ann_lsh_bucket — all changed this round; plus
     # every never-certified and newly added query.
+    #
+    # Window overflow (52 never-certified/changed queries, 50 slots):
+    # two are deliberately deferred to the front of the round-4 window —
+    # stream_click_attribution (no SQL oracle: its slot would only buy a
+    # rows-only row; it is pytest-verified via batch parity) and j_cross
+    # (trivial crossJoin, judge-verified green at sf0.01 in round 2).
+    # This keeps set_union_distinct and f_case_bands — never certified by
+    # ANY check — inside list(QUERIES)[:50].
+    "stream_click_attribution", "j_cross",
 ]
 
 

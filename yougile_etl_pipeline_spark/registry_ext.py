@@ -110,8 +110,11 @@ def text_lang_id(spark, sf):
         *[f"score_{lang}" for lang in TX.LANG_MARKERS], "lang_pred")
 
 
-@register("text_quality_score", f"""
-SELECT doc_id,
+# Shared quality-score oracle fragment — the single source of truth for
+# the DuckDB twin of operators.text.quality_score; used verbatim by both
+# `text_quality_score` and the `corpus_clean_pipeline` capstone so the
+# two oracles cannot drift apart.
+_QUALITY_SQL = f"""SELECT doc_id,
   0.4 * (CASE WHEN n_toks BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
   + 0.3 * (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
   + 0.3 * distinct_ratio AS quality
@@ -123,7 +126,11 @@ FROM (
     CAST(len(list_distinct({_toks()})) AS DOUBLE) / len({_toks()})
       AS distinct_ratio
   FROM documents
-)
+)"""
+
+
+@register("text_quality_score", f"""
+{_QUALITY_SQL}
 """)
 def text_quality_score(spark, sf):
     docs = load_table(spark, sf, "documents")
@@ -146,7 +153,10 @@ def text_fingerprints(spark, sf):
 
 
 def _top_frac_sql(grams: str) -> str:
-    """DuckDB twin of operators.text._top_frac."""
+    """DuckDB twin of the top-gram fraction that
+    operators.text._gram_stats computes relationally (max single-gram
+    count / total grams) — here as a per-row array expression, which
+    DuckDB evaluates fine at oracle scale."""
     return (f"CAST(list_max(list_transform(list_distinct({grams}), "
             f"d -> len(list_filter({grams}, x -> x = d)))) AS DOUBLE) "
             f"/ len({grams})")
@@ -154,6 +164,12 @@ def _top_frac_sql(grams: str) -> str:
 
 _BIGRAMS_SQL = (f"list_transform(range(1, greatest(len({_toks()}) - 1, 0) "
                 f"+ 1), i -> array_to_string({_toks()}[i:i+1], ' '))")
+
+# Duplicate-token ratio (1 − distinct/total tokens) — shared between the
+# `text_repetition_stats` oracle and the `corpus_clean_pipeline` capstone.
+_DUP_RATIO_SQL = (f"CAST(1 AS DOUBLE) "
+                  f"- CAST(len(list_distinct({_toks()})) AS DOUBLE) "
+                  f"/ len({_toks()})")
 
 
 @register("text_repetition_stats", f"""
@@ -163,9 +179,7 @@ SELECT doc_id, n_tokens, dup_token_ratio, top_unigram_frac,
 FROM (
   SELECT doc_id,
     CAST(len({_toks()}) AS INTEGER) AS n_tokens,
-    CAST(1 AS DOUBLE)
-      - CAST(len(list_distinct({_toks()})) AS DOUBLE) / len({_toks()})
-      AS dup_token_ratio,
+    {_DUP_RATIO_SQL} AS dup_token_ratio,
     {_top_frac_sql(_toks())} AS top_unigram_frac,
     {_top_frac_sql(_BIGRAMS_SQL)} AS top_bigram_frac
   FROM documents
@@ -726,24 +740,11 @@ WITH RECURSIVE {_CC_EDGES}, comp AS (
   SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
 ), rep AS (
   SELECT doc_id,
-    CAST(list_max(list_transform(list_distinct({_BIGRAMS_SQL}),
-         d -> len(list_filter({_BIGRAMS_SQL}, x -> x = d)))) AS DOUBLE)
-      / len({_BIGRAMS_SQL}) AS top_bigram_frac,
-    CAST(1 AS DOUBLE)
-      - CAST(len(list_distinct({_toks()})) AS DOUBLE) / len({_toks()})
-      AS dup_token_ratio
+    {_top_frac_sql(_BIGRAMS_SQL)} AS top_bigram_frac,
+    {_DUP_RATIO_SQL} AS dup_token_ratio
   FROM documents
 ), qual AS (
-  SELECT doc_id,
-    0.4 * (CASE WHEN len({_toks()}) BETWEEN 20 AND 1000
-           THEN 1.0 ELSE 0.0 END)
-    + 0.3 * (CASE WHEN CAST(len(list_filter({_toks()},
-               t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
-               / len({_toks()}) BETWEEN 0.01 AND 0.6
-             THEN 1.0 ELSE 0.0 END)
-    + 0.3 * (CAST(len(list_distinct({_toks()})) AS DOUBLE)
-             / len({_toks()})) AS quality
-  FROM documents
+  {_QUALITY_SQL}
 )
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d
