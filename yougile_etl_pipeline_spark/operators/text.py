@@ -27,6 +27,10 @@ __all__ = [
     "repetition_stats",
     "chunk_documents",
     "pack_chunks",
+    "redact_pii",
+    "ngram_contamination",
+    "tfidf_top_terms",
+    "PII_PATTERNS",
     "fingerprint_exact",
     "fingerprint_shingle_min",
     "shingles",
@@ -263,6 +267,98 @@ def pack_chunks(chunks: DataFrame, *, seq_tokens: int = 1024,
                   .withColumn("seq_offset",
                               (F.col("__cum0") % seq_tokens).cast("long"))
                   .drop("__cum0"))
+
+
+# PII patterns, kept inside the Java-regex ∩ RE2 common subset (no
+# backrefs, no lookaround, no \b) so Spark and DuckDB compile the SAME
+# automaton — which is what makes the redaction oracle-checkable.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               *, out_col: str = "text_redacted") -> DataFrame:
+    """Scrub PII spans (emails, phone-shaped numbers) from a text column
+    — the standard pre-release step of every public-corpus pipeline
+    (C4/Dolma-style regex scrubbing). Adds `out_col` with each match
+    replaced by a typed placeholder (``<EMAIL>``, ``<PHONE>``) plus a
+    per-type match count (counted on the ORIGINAL text, before any
+    replacement).
+
+    regexp_replace / regexp_extract_all are Catalyst expressions — the op
+    is a map-only codegen stage, pipelines into the scan, zero shuffle at
+    any scale."""
+    c = _c(text_col)
+    counts = {
+        f"n_{kind}": F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+    red = c
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return df.withColumns({**counts, out_col: red})
+
+
+def ngram_contamination(train: DataFrame, bench: DataFrame,
+                        *, id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a benchmark/eval corpus (the n-gram-overlap check
+    every serious LLM data pipeline runs before training; n=13 on real
+    corpora, lower here for short synthetic docs). Returns one row per
+    contaminated training doc: (id, n_shared_grams = distinct benchmark
+    n-grams it contains).
+
+    Scale shape: the benchmark side is DISTINCT n-grams of the eval set —
+    orders of magnitude smaller than the training corpus — so it is
+    **broadcast** and the check is a map-side semi-join over the exploded
+    training grams: no shuffle of training data at all; the only
+    aggregation shuffles the (rare) contaminated hits. At 100 TB the
+    broadcast generalizes to a bloom filter of benchmark gram hashes."""
+    tg = train.select(F.col(id_col), F.explode(shingles(text_col, n))
+                      .alias("__g"))
+    bg = bench.select(F.explode(shingles(text_col, n)).alias("__g")) \
+              .distinct()
+    return (tg.join(F.broadcast(bg), "__g")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("int").alias("n_shared_grams")))
+
+
+def tfidf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by inverse-document-
+    frequency weighting: ``weight = tf · (N / df)``. The classical
+    tf·idf takes ln of the ratio; ln is transcendental and not
+    bit-portable across engines (JVM Math.log vs libm), and it is
+    monotone — so ranking by the raw ratio picks the SAME terms while
+    keeping the score an exact IEEE division, hence oracle-checkable.
+
+    Three codegen aggregations (tf, df, N — all map-side partial) + one
+    ranking window partitioned by doc. The df side shuffles one row per
+    distinct term; N is a broadcast scalar join. Ties broken by term
+    string → fully deterministic."""
+    from pyspark.sql.window import Window
+
+    ex = df.select(F.col(id_col).alias("__doc"),
+                   F.explode(tokens(text_col)).alias("__t"))
+    tf = ex.groupBy("__doc", "__t").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"))
+    dfreq = tf.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("int").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    w = Window.partitionBy("__doc").orderBy(
+        F.desc("weight"), F.asc("__t"))
+    return (tf.join(dfreq, "__t").crossJoin(F.broadcast(n_docs))
+            .withColumn("weight",
+                        F.col("tf") * (F.col("__n").cast("double")
+                                       / F.col("df")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__doc").alias(id_col),
+                    F.col("__t").alias("term"),
+                    "tf", "df", "weight", "rank"))
 
 
 def fingerprint_exact(col: Column | str) -> Column:

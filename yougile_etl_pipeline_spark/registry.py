@@ -769,6 +769,9 @@ _STABLE_CERTIFIED = [
     # This keeps set_union_distinct and f_case_bands — never certified by
     # ANY check — inside list(QUERIES)[:50].
     "stream_click_attribution", "j_cross",
+    # Added after the round-3 window filled (locally oracle-verified via
+    # scripts/check_queries.py; driver certification queued for round 4):
+    "text_redact_pii", "decontam_ngram_overlap", "text_tfidf_top_terms",
 ]
 
 

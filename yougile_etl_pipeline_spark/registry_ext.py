@@ -1085,3 +1085,89 @@ def text_zscore_by_lang(spark, sf):
         T.StructField("z_chars", T.DoubleType()),
     ])
     return docs.groupBy("lang").applyInPandas(zscore, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# E3b corpus-release operators: PII scrubbing, decontamination, tf-idf
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is a PII-free word soup, so the redaction query
+# builds deterministic PII from doc_id on BOTH sides — the oracle then
+# actually exercises match + replace, not a no-op.
+_AUG_SQL = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+            " || '@mail.example.com or 555-010-'"
+            " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+_EMAIL_PAT = TX.PII_PATTERNS["email"]
+_PHONE_PAT = TX.PII_PATTERNS["phone"]
+
+
+@register("text_redact_pii", f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug, '{_EMAIL_PAT}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(aug, '{_PHONE_PAT}')) AS INTEGER) AS n_phone,
+  regexp_replace(regexp_replace(aug, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                 '{_PHONE_PAT}', '<PHONE>', 'g') AS text_redacted
+FROM (SELECT doc_id, {_AUG_SQL} AS aug FROM documents)
+""")
+def text_redact_pii(spark, sf):
+    # PII scrubbing (operators/text.py::redact_pii): map-only codegen
+    # regexes from the Java∩RE2 subset so DuckDB compiles the same
+    # automaton. Counts are on the pre-redaction text.
+    docs = load_table(spark, sf, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@mail.example.com or 555-010-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+                 ).alias("aug"))
+    return TX.redact_pii(aug, "aug").select(
+        "doc_id", "n_email", "n_phone", "text_redacted")
+
+
+@register("decontam_ngram_overlap", f"""
+WITH grams AS (
+  SELECT doc_id, source, unnest({_shingles_sql("text", 8)}) AS g
+  FROM documents
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1')
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shared_grams
+FROM grams JOIN bench USING (g)
+WHERE source NOT IN ('src0', 'src1')
+GROUP BY doc_id
+""")
+def decontam_ngram_overlap(spark, sf):
+    # Benchmark decontamination (operators/text.py::ngram_contamination):
+    # sources src0/src1 stand in for the eval set; its distinct-8-gram
+    # side is broadcast, so the training corpus is never shuffled.
+    docs = load_table(spark, sf, "documents")
+    is_bench = F.col("source").isin("src0", "src1")
+    return TX.ngram_contamination(
+        docs.filter(~is_bench), docs.filter(is_bench), n=8)
+
+
+@register("text_tfidf_top_terms", f"""
+WITH tf AS (
+  SELECT doc_id, t AS term, CAST(count(*) AS INTEGER) AS tf
+  FROM (SELECT doc_id, unnest({_toks()}) AS t FROM documents)
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT term, CAST(count(*) AS INTEGER) AS df FROM tf GROUP BY term
+), nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT doc_id, term, tf, df, weight, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT doc_id, term, tf, df,
+         tf * (CAST(n AS DOUBLE) / df) AS weight,
+         row_number() OVER (PARTITION BY doc_id
+             ORDER BY tf * (CAST(n AS DOUBLE) / df) DESC, term) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+WHERE rank <= 3
+""")
+def text_tfidf_top_terms(spark, sf):
+    # Inverse-document-frequency top terms (operators/text.py::
+    # tfidf_top_terms): ln-free weight = tf·(N/df) keeps the score an
+    # exact IEEE division (same ranking as tf·idf — ln is monotone).
+    docs = load_table(spark, sf, "documents")
+    return TX.tfidf_top_terms(docs, k=3)
