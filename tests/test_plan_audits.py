@@ -85,3 +85,31 @@ def test_connected_components_uses_checkpoint(spark):
     plan."""
     plan = _formatted(spark, QUERIES["dedup_clusters"](spark, SF_SMOKE))
     assert "Scan ExistingRDD" in plan               # checkpointed labels
+
+
+def test_redact_pii_is_map_only(spark):
+    """PII redaction must pipeline into the scan: zero exchanges, one
+    codegen stage (a shuffle here would mean the regex stage broke
+    whole-stage fusion)."""
+    plan = _formatted(spark, QUERIES["text_redact_pii"](spark, SF_SMOKE))
+    body = plan.split("\n\n")[0]
+    assert "Exchange" not in body
+    assert "codegen id" in plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """The benchmark-gram side must be broadcast — a shuffled join here
+    would shuffle the full (100 TB at scale) training gram stream."""
+    plan = _formatted(spark,
+                      QUERIES["decontam_ngram_overlap"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_tfidf_aggregates_partially(spark):
+    """tf and df aggregations must both partially aggregate map-side
+    (partial_count before the exchange), and N must arrive by broadcast."""
+    plan = _formatted(spark,
+                      QUERIES["text_tfidf_top_terms"](spark, SF_SMOKE))
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan        # the 1-row N scalar
