@@ -33,13 +33,20 @@ def test_redact_pii_replaces_and_counts(spark):
     assert out[3].n_email == 0 and out[3].n_phone == 0
 
 
-def test_redact_pii_counts_on_original_text(spark):
-    # an email whose redaction would otherwise create a phone-shaped
-    # span must not inflate n_phone: counts come from the ORIGINAL text
+def test_redact_pii_mixed_types_counted_independently(spark):
     out = redact_pii(_docs(spark, [(1, "x 123-456-7890 y a@b.io z")]),
                      ).collect()[0]
     assert out.n_email == 1 and out.n_phone == 1
     assert out.text_redacted == "x <PHONE> y <EMAIL> z"
+
+
+def test_redact_pii_ignores_digit_runs(spark):
+    # \b-anchored phone pattern: digits inside longer runs (serial /
+    # order numbers) are neither counted nor partially redacted
+    out = redact_pii(_docs(spark, [(1, "order 9123-456-78901 shipped")]),
+                     ).collect()[0]
+    assert out.n_phone == 0
+    assert out.text_redacted == "order 9123-456-78901 shipped"
 
 
 def test_contamination_flags_only_overlapping_docs(spark):
@@ -80,6 +87,21 @@ def test_tfidf_ranks_rare_terms_first(spark):
 def test_tfidf_tie_breaks_by_term(spark):
     # two terms with identical tf and df -> identical weight; the winner
     # must be the lexicographically smaller term (deterministic)
-    df = _docs(spark, [(1, "zz aa"), (2, "zz aa")])
+    df = _docs(spark, [(1, "zz aa"), (2, "zz aa"), (3, "qq rr")])
     out = tfidf_top_terms(df, k=1).collect()
-    assert {r.term for r in out} == {"aa"}
+    assert {r.term for r in out} == {"aa", "qq"}
+
+
+def test_tfidf_excludes_ubiquitous_terms(spark):
+    # a term present in EVERY doc (df == N) must never rank — classical
+    # idf sends it to ln(1) = 0, and the raw-ratio weight would
+    # otherwise crown it at full tf (regression: review counterexample)
+    df = _docs(spark, [
+        (1, "common common common common rare"),
+        (2, "common x"),
+        (3, "common y"),
+    ])
+    out = tfidf_top_terms(df, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    assert top[1] == "rare"
+    assert "common" not in {r.term for r in out}

@@ -104,6 +104,10 @@ def test_decontamination_broadcasts_benchmark_grams(spark):
                       QUERIES["decontam_ngram_overlap"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # both gram streams must use the codegen explode-offsets path — an
+    # interpreted transform() HOF on the training side is the ~50x
+    # regression _gram_stats documents
+    assert "transform(" not in plan
 
 
 def test_tfidf_aggregates_partially(spark):

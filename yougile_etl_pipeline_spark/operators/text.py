@@ -270,11 +270,14 @@ def pack_chunks(chunks: DataFrame, *, seq_tokens: int = 1024,
 
 
 # PII patterns, kept inside the Java-regex ∩ RE2 common subset (no
-# backrefs, no lookaround, no \b) so Spark and DuckDB compile the SAME
-# automaton — which is what makes the redaction oracle-checkable.
+# backrefs, no lookarounds; ASCII \b IS in the subset — both engines
+# define it over [0-9A-Za-z_]) so Spark and DuckDB compile the SAME
+# automaton — which is what makes the redaction oracle-checkable. The
+# phone pattern is \b-anchored so digits inside longer runs (serial
+# numbers, order ids) are neither counted nor partially redacted.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
 }
 
 
@@ -291,8 +294,10 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     is a map-only codegen stage, pipelines into the scan, zero shuffle at
     any scale."""
     c = _c(text_col)
+    # regexp_count: match counting without materializing the per-row
+    # array of matched substrings that regexp_extract_all would build
     counts = {
-        f"n_{kind}": F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        f"n_{kind}": F.regexp_count(c, F.lit(pat)).cast("int")
         for kind, pat in PII_PATTERNS.items()
     }
     red = c
@@ -316,24 +321,47 @@ def ngram_contamination(train: DataFrame, bench: DataFrame,
     **broadcast** and the check is a map-side semi-join over the exploded
     training grams: no shuffle of training data at all; the only
     aggregation shuffles the (rare) contaminated hits. At 100 TB the
-    broadcast generalizes to a bloom filter of benchmark gram hashes."""
-    tg = train.select(F.col(id_col), F.explode(shingles(text_col, n))
-                      .alias("__g"))
-    bg = bench.select(F.explode(shingles(text_col, n)).alias("__g")) \
-              .distinct()
+    broadcast generalizes to a bloom filter of benchmark gram hashes.
+
+    The training side (the huge one) builds grams via the codegen
+    explode(start-offsets) + GetArrayItem path — NOT the interpreted
+    `transform()` HOF of `shingles()` (measured ~50× slower in
+    `_gram_stats`); per-doc gram dedup happens in the count-distinct
+    aggregate, not as a per-row array op. Duplicate grams surviving to
+    the broadcast join are benign: the join multiplies only hits."""
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    def grams(df: DataFrame, cols: list[Column]) -> DataFrame:
+        toks = tokens(text_col)
+        return (df.select(*cols, toks.alias("__t"),
+                          F.explode(_ngram_starts(toks, n)).alias("__i"))
+                  .select(*cols, F.concat_ws(
+                      " ", *[F.col("__t")[F.col("__i") + j - 1]
+                             for j in range(n)]).alias("__g")))
+
+    tg = grams(ensure_parallelism(train), [F.col(id_col)])
+    bg = grams(bench, []).distinct()
     return (tg.join(F.broadcast(bg), "__g")
               .groupBy(id_col)
-              .agg(F.count(F.lit(1)).cast("int").alias("n_shared_grams")))
+              .agg(F.countDistinct("__g").cast("int")
+                   .alias("n_shared_grams")))
 
 
 def tfidf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3) -> DataFrame:
-    """Top-k characteristic terms per document by inverse-document-
-    frequency weighting: ``weight = tf · (N / df)``. The classical
-    tf·idf takes ln of the ratio; ln is transcendental and not
-    bit-portable across engines (JVM Math.log vs libm), and it is
-    monotone — so ranking by the raw ratio picks the SAME terms while
-    keeping the score an exact IEEE division, hence oracle-checkable.
+    """Top-k characteristic terms per document by **linear-idf**
+    weighting: ``weight = tf · (N / df)`` over terms with ``df < N``.
+
+    This is a deliberate variant of classical tf·idf, not a drop-in:
+    ln is transcendental and not bit-portable across engines (JVM
+    Math.log vs libm), so the weight uses the raw ratio — an exact IEEE
+    division, hence oracle-checkable. The ranking upweights rare terms
+    more aggressively than ln-idf and CAN order terms differently when
+    tf varies (ln compresses the idf range; the ratio doesn't).
+    Ubiquitous terms (``df == N``) — which classical idf sends to
+    ln(1) = 0 but the raw ratio would score at full tf — are excluded
+    so the op never crowns a stopword as a document's most
+    characteristic term.
 
     Three codegen aggregations (tf, df, N — all map-side partial) + one
     ranking window partitioned by doc. The df side shuffles one row per
@@ -351,6 +379,7 @@ def tfidf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
     w = Window.partitionBy("__doc").orderBy(
         F.desc("weight"), F.asc("__t"))
     return (tf.join(dfreq, "__t").crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") < F.col("__n"))
             .withColumn("weight",
                         F.col("tf") * (F.col("__n").cast("double")
                                        / F.col("df")))

@@ -768,15 +768,26 @@ _STABLE_CERTIFIED = [
     # (trivial crossJoin, judge-verified green at sf0.01 in round 2).
     # This keeps set_union_distinct and f_case_bands — never certified by
     # ANY check — inside list(QUERIES)[:50].
-    "stream_click_attribution", "j_cross",
-    # Added after the round-3 window filled (locally oracle-verified via
-    # scripts/check_queries.py; driver certification queued for round 4):
+]
+
+# Queries awaiting their first driver certification that could NOT fit
+# the current 50-slot window (overflow) — rotated to the tail LAST, so
+# they sit at the very end and are the first candidates to rotate INTO
+# the next round's window. Each is locally oracle-verified via
+# scripts/check_queries.py (or batch-parity-tested where no oracle
+# exists). tests/test_certification_window.py enforces that every
+# out-of-window query is in exactly one of these two lists — a new
+# registration that silently pushed an uncertified query out of the
+# window fails the test.
+_DEFERRED_TO_NEXT_WINDOW = [
+    "stream_click_attribution",   # no SQL oracle (stream-stream join)
+    "j_cross",                    # judge-verified green in round 2
     "text_redact_pii", "decontam_ngram_overlap", "text_tfidf_top_terms",
 ]
 
 
 def _rotate_certification_window() -> None:
-    for _k in _STABLE_CERTIFIED:
+    for _k in _STABLE_CERTIFIED + _DEFERRED_TO_NEXT_WINDOW:
         if _k in QUERIES:
             QUERIES[_k] = QUERIES.pop(_k)
         if _k in ORACLES:

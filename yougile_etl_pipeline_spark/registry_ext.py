@@ -1162,12 +1162,15 @@ FROM (
          row_number() OVER (PARTITION BY doc_id
              ORDER BY tf * (CAST(n AS DOUBLE) / df) DESC, term) AS rank
   FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+  WHERE df < n
 )
 WHERE rank <= 3
 """)
 def text_tfidf_top_terms(spark, sf):
-    # Inverse-document-frequency top terms (operators/text.py::
-    # tfidf_top_terms): ln-free weight = tf·(N/df) keeps the score an
-    # exact IEEE division (same ranking as tf·idf — ln is monotone).
+    # Linear-idf top terms (operators/text.py::tfidf_top_terms): weight
+    # = tf·(N/df) over df < N — an exact IEEE division instead of the
+    # non-bit-portable ln; ubiquitous terms excluded (classical idf
+    # zeroes them). See the operator docstring for how the ranking can
+    # differ from ln-idf.
     docs = load_table(spark, sf, "documents")
     return TX.tfidf_top_terms(docs, k=3)
