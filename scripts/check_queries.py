@@ -27,6 +27,8 @@ DEFAULT = [
     "text_repetition_stats", "doc_chunks", "train_pack_sequences",
     "sample_source_mix", "events_asof_join",
     "sketch_approx_distinct", "sketch_approx_quantiles",
+    "emb_quantize_int8", "sim_topk_int8",
+    "text_vocab_topv", "text_oov_rate",
 ]
 
 

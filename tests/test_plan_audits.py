@@ -117,3 +117,33 @@ def test_tfidf_aggregates_partially(spark):
                       QUERIES["text_tfidf_top_terms"](spark, SF_SMOKE))
     assert "partial_count" in plan
     assert "BroadcastNestedLoopJoin" in plan        # the 1-row N scalar
+
+
+def test_quantize_is_map_only(spark):
+    """int8 quantization must pipeline into the scan — it is a pure
+    per-row transform; any exchange would mean the 100 TB embedding
+    column gets shuffled just to be recoded."""
+    from yougile_etl_pipeline_spark.operators.quantize import quantize_int8
+    from yougile_etl_pipeline_spark.sources.tables import load_table
+
+    plan = _formatted(
+        spark, quantize_int8(load_table(spark, SF_SMOKE, "embeddings")))
+    body = plan.split("\n\n")[0]
+    assert "Exchange" not in body
+
+
+def test_vocab_uses_distributed_topk(spark):
+    """build_vocab's top-V must be TakeOrderedAndProject (per-partition
+    heaps merged on the driver), never a global Sort of the distinct-token
+    set; the token count must partially aggregate map-side."""
+    plan = _formatted(spark, QUERIES["text_vocab_topv"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_oov_join_is_broadcast(spark):
+    """oov_stats must broadcast the top-V vocab — a shuffled join would
+    move the full token stream (the 100 TB side) across the wire."""
+    plan = _formatted(spark, QUERIES["text_oov_rate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

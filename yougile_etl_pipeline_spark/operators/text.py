@@ -30,6 +30,8 @@ __all__ = [
     "redact_pii",
     "ngram_contamination",
     "tfidf_top_terms",
+    "build_vocab",
+    "oov_stats",
     "PII_PATTERNS",
     "fingerprint_exact",
     "fingerprint_shingle_min",
@@ -388,6 +390,57 @@ def tfidf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
             .select(F.col("__doc").alias(id_col),
                     F.col("__t").alias("term"),
                     "tf", "df", "weight", "rank"))
+
+
+def build_vocab(df: DataFrame, text_col: str = "text",
+                *, top_v: int = 1000) -> DataFrame:
+    """Corpus vocabulary: the `top_v` most frequent whitespace tokens,
+    with deterministic ranking (frequency DESC, token ASC on ties).
+    Output: (token, freq, rank), rank 1..V.
+
+    Scale shape: explode → groupBy(token) partially aggregates map-side
+    (the shuffle carries one row per distinct token per partition, not
+    the token stream); top-V is Spark's TakeOrderedAndProject — a
+    per-partition heap merged on the driver, never a global sort. The
+    final rank window runs on the ≤ V surviving rows (single tiny
+    partition by construction, not a scale risk)."""
+    from pyspark.sql.window import Window
+
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    ex = ensure_parallelism(df).select(
+        F.explode(tokens(text_col)).alias("token"))
+    freq = ex.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"))
+    top = freq.orderBy(F.col("freq").desc(), F.col("token")).limit(top_v)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def oov_stats(df: DataFrame, vocab: DataFrame, *, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document out-of-vocabulary rate against a (small) vocabulary
+    DataFrame carrying a `token` column — the standard pre-training
+    coverage check (a high OOV share flags encoding junk, boilerplate,
+    or the wrong language for the target tokenizer).
+
+    Output: (id, n_tokens, n_oov, oov_rate) with ``oov_rate = n_oov /
+    n_tokens`` (exact int counts → one IEEE division, oracle-exact).
+    The vocab is broadcast (top-V by construction — even a 1M-token
+    vocab is a few MB), so the token stream is never shuffled for the
+    join; the per-doc aggregate partially combines map-side."""
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    ex = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    v = F.broadcast(vocab.select("token").withColumn("__v", F.lit(1)))
+    j = ex.join(v, "token", "left")
+    return (j.groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                  F.count_if(F.col("__v").isNull()).cast("int")
+                   .alias("n_oov"))
+             .withColumn("oov_rate",
+                         F.col("n_oov").cast("double") / F.col("n_tokens")))
 
 
 def fingerprint_exact(col: Column | str) -> Column:

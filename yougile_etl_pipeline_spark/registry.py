@@ -783,6 +783,8 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "stream_click_attribution",   # no SQL oracle (stream-stream join)
     "j_cross",                    # judge-verified green in round 2
     "text_redact_pii", "decontam_ngram_overlap", "text_tfidf_top_terms",
+    "emb_quantize_int8", "sim_topk_int8",   # int8 quantization family
+    "text_vocab_topv", "text_oov_rate",     # vocabulary-coverage family
 ]
 
 

@@ -1174,3 +1174,124 @@ def text_tfidf_top_terms(spark, sf):
     # differ from ln-idf.
     docs = load_table(spark, sf, "documents")
     return TX.tfidf_top_terms(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# E2 extension: int8 embedding quantization (operators/quantize.py)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragments for symmetric per-vector int8: scale =
+# max|x|/127, q = clamp(floor(x/scale + 0.5), ±127). Only IEEE ops that
+# are bit-identical across engines (no round() — see quantize.py).
+_QSCALE_SQL = """
+qv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       FROM qv)
+"""
+
+_QCODE = ("CAST(greatest(-127.0, least(127.0, "
+          "floor(x / scale + 0.5))) AS INTEGER)")
+
+
+@register("emb_quantize_int8", f"""
+WITH {_QSCALE_SQL},
+qq AS (SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> {_QCODE}) END AS qvec
+       FROM qs)
+SELECT vec_id, scale,
+       list_max(list_transform(range(1, len(v) + 1),
+                i -> abs(v[i] - qvec[i] * scale))) AS max_abs_err,
+       list_max(list_transform(range(1, len(v) + 1),
+                i -> abs(v[i] - qvec[i] * scale))) <= scale * 0.5
+         AS within_half_step
+FROM qq
+""")
+def emb_quantize_int8(spark, sf):
+    # Per-vector int8 report (operators/quantize.py::quantize_summary):
+    # scale, worst reconstruction error, and the computed half-step
+    # bound. Map-only — the 100 TB story is 4-8x narrower storage and
+    # shuffle for every downstream embedding op.
+    from yougile_etl_pipeline_spark.operators.quantize import quantize_summary
+    return quantize_summary(load_table(spark, sf, "embeddings"))
+
+
+@register("sim_topk_int8", f"""
+WITH {_QSCALE_SQL},
+dq AS (SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> {_QCODE} * scale) END AS emb
+       FROM qs),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM dq WHERE vec_id < 8),
+c AS (SELECT vec_id AS match_id, emb AS cv FROM dq),
+scored AS (
+  SELECT query_id, match_id, {_COS} AS cos_sim
+  FROM q CROSS JOIN c WHERE query_id != match_id
+)
+SELECT query_id, match_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, match_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""")
+def sim_topk_int8(spark, sf):
+    # Brute-force cosine top-k over DEQUANTIZED vectors — demonstrates
+    # that search composes with int8 storage unchanged (recall vs full
+    # precision is property-tested). Same numpy-scored/HOF-reranked
+    # fast path as sim_cosine_topk.
+    from yougile_etl_pipeline_spark.operators.quantize import (
+        dequantize,
+        quantize_int8,
+    )
+    emb = load_table(spark, sf, "embeddings")
+    dq = quantize_int8(emb).select(
+        "vec_id", dequantize("qvec", "scale").alias("embedding"))
+    return brute_force_topk_np(dq, dq.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------------------
+# E3/E6 extension: vocabulary coverage (operators/text.py)
+# ---------------------------------------------------------------------------
+
+_VOCAB_SQL = f"""
+tok AS (SELECT doc_id, unnest({_toks()}) AS token FROM documents),
+tfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+          FROM tok GROUP BY token),
+ranked AS (SELECT token, freq,
+                  CAST(row_number() OVER (ORDER BY freq DESC, token)
+                       AS BIGINT) AS rank
+           FROM tfreq)
+"""
+
+
+@register("text_vocab_topv", f"""
+WITH {_VOCAB_SQL}
+SELECT token, freq, rank FROM ranked WHERE rank <= 100
+""")
+def text_vocab_topv(spark, sf):
+    # Corpus top-V vocabulary (operators/text.py::build_vocab):
+    # map-side-combined token counts + distributed TakeOrdered top-V;
+    # ties broken lexicographically so rank 1..V is deterministic.
+    docs = load_table(spark, sf, "documents")
+    return TX.build_vocab(docs, top_v=100)
+
+
+@register("text_oov_rate", f"""
+WITH {_VOCAB_SQL},
+vocab AS (SELECT token FROM ranked WHERE rank <= 100)
+SELECT t.doc_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       CAST(count(*) FILTER (WHERE v.token IS NULL) AS INTEGER) AS n_oov,
+       CAST(count(*) FILTER (WHERE v.token IS NULL) AS DOUBLE) / count(*)
+         AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+""")
+def text_oov_rate(spark, sf):
+    # Per-doc OOV share vs the corpus top-100 vocab
+    # (operators/text.py::oov_stats): broadcast vocab join, exact int
+    # counts, one IEEE division.
+    docs = load_table(spark, sf, "documents")
+    vocab = TX.build_vocab(docs, top_v=100)
+    return TX.oov_stats(docs, vocab)
