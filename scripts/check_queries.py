@@ -28,7 +28,7 @@ DEFAULT = [
     "sample_source_mix", "events_asof_join",
     "sketch_approx_distinct", "sketch_approx_quantiles",
     "emb_quantize_int8", "sim_topk_int8",
-    "text_vocab_topv", "text_oov_rate",
+    "text_vocab_topv", "text_oov_rate", "layout_zorder_profile",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+Sorting a table by one column gives parquet min/max footer stats that
+prune scans on THAT column only; queries filtering the second dimension
+read everything. Interleaving the bits of two normalized dimensions
+(the Z-/Morton curve) gives a single sort key whose contiguous ranges
+are small bounding boxes in BOTH dimensions — so range-partitioned,
+sorted-by-z files carry tight footer stats on x AND y and either
+predicate prunes. This is the standard lakehouse OPTIMIZE ZORDER BY
+technique, expressed as portable Spark bit math.
+
+Everything here is integer shifts/masks and one floor-normalized
+division — bit-identical in the DuckDB oracle (`z_value_sql` generates
+the twin expression from the same parameters).
+
+Scale notes: the normalization bounds are one extra aggregate pass when
+not supplied — at 100 TB pass `bounds=` from table statistics instead
+(the curve does not need exact bounds, only fixed ones; stale stats
+just skew the tiling). The z-map itself is map-only; the clustered
+write is one range shuffle, the same cost as any sorted write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["z_value", "z_value_sql", "zorder_key", "zorder_profile",
+           "write_zordered"]
+
+
+def z_value(x: Column, y: Column, *, bits: int = 10) -> Column:
+    """Interleave the low `bits` bits of two non-negative long columns:
+    bit b of x lands at position 2b, bit b of y at 2b+1. Pure
+    shift/mask/or — codegen, no shuffle, deterministic."""
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for b in range(bits):
+        z = z.bitwiseOR(F.shiftleft(
+            F.shiftrightunsigned(x, b).bitwiseAND(one), 2 * b))
+        z = z.bitwiseOR(F.shiftleft(
+            F.shiftrightunsigned(y, b).bitwiseAND(one), 2 * b + 1))
+    return z
+
+
+def z_value_sql(x_expr: str, y_expr: str, *, bits: int = 10) -> str:
+    """DuckDB twin of `z_value` (same shifts, same OR tree)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x_expr} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y_expr} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+def _normalize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Scale a numeric column into [0, 2^bits) as a long: floor of one
+    IEEE double division (portable). Constant columns (hi == lo) map
+    to 0."""
+    span = (hi - lo).cast("double")
+    scaled = F.floor((col - lo).cast("double")
+                     * F.lit(float(2 ** bits - 1)) / span).cast("long")
+    return F.when(span == 0, F.lit(0).cast("long")).otherwise(scaled)
+
+
+def _bounds(df: DataFrame, x_col: str, y_col: str,
+            bounds: tuple | None) -> DataFrame:
+    """One row (xmin, xmax, ymin, ymax) — caller-supplied (table stats;
+    the 100 TB path) or computed in one aggregate pass."""
+    if bounds is not None:
+        xmin, xmax, ymin, ymax = bounds
+        row = [(xmin, xmax, ymin, ymax)]
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            row, "xmin long, xmax long, ymin long, ymax long")
+    return df.agg(F.min(x_col).cast("long").alias("xmin"),
+                  F.max(x_col).cast("long").alias("xmax"),
+                  F.min(y_col).cast("long").alias("ymin"),
+                  F.max(y_col).cast("long").alias("ymax"))
+
+
+def zorder_key(df: DataFrame, x_col: str, y_col: str, *, bits: int = 10,
+               bounds: tuple | None = None) -> DataFrame:
+    """df + `zval` column: the Morton key of (x, y) normalized to the
+    `bits`-bit grid. The bounds row is broadcast (one row), so the key
+    computation stays map-only."""
+    b = F.broadcast(_bounds(df, x_col, y_col, bounds))
+    xy = df.crossJoin(b)
+    xs = _normalize(F.col(x_col), F.col("xmin"), F.col("xmax"), bits)
+    ys = _normalize(F.col(y_col), F.col("ymin"), F.col("ymax"), bits)
+    return (xy.withColumn("zval", z_value(xs, ys, bits=bits))
+              .drop("xmin", "xmax", "ymin", "ymax"))
+
+
+def zorder_profile(df: DataFrame, x_col: str, y_col: str, *,
+                   bits: int = 10, bucket_bits: int = 6,
+                   bounds: tuple | None = None) -> DataFrame:
+    """Clustering quality report: bucket rows by the top `bucket_bits`
+    of the z-key (= the files a z-clustered write would produce) and
+    emit each bucket's row count and (x, y) bounding box — exactly the
+    parquet footer stats a scan would prune on. Tight boxes ⇒ either
+    single-dimension predicate skips most buckets."""
+    z = zorder_key(df, x_col, y_col, bits=bits, bounds=bounds)
+    bucket = F.shiftrightunsigned(F.col("zval"), 2 * bits - bucket_bits)
+    return (z.groupBy(bucket.alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.min(x_col).cast("long").alias("x_lo"),
+                  F.max(x_col).cast("long").alias("x_hi"),
+                  F.min(y_col).cast("long").alias("y_lo"),
+                  F.max(y_col).cast("long").alias("y_hi")))
+
+
+def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str, *,
+                   n_files: int = 8, bits: int = 10,
+                   bounds: tuple | None = None) -> None:
+    """Z-clustered parquet write: range-partition on the Morton key and
+    sort within partitions, so every output file covers one contiguous
+    z-range = one small (x, y) box, and its footer min/max prune scans
+    filtering EITHER column. One range shuffle — the cost of any
+    sorted write."""
+    z = zorder_key(df, x_col, y_col, bits=bits, bounds=bounds)
+    (z.repartitionByRange(n_files, "zval")
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(path))

@@ -785,6 +785,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "text_redact_pii", "decontam_ngram_overlap", "text_tfidf_top_terms",
     "emb_quantize_int8", "sim_topk_int8",   # int8 quantization family
     "text_vocab_topv", "text_oov_rate",     # vocabulary-coverage family
+    "layout_zorder_profile",                # z-order clustering
 ]
 
 

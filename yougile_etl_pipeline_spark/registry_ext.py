@@ -1295,3 +1295,54 @@ def text_oov_rate(spark, sf):
     docs = load_table(spark, sf, "documents")
     vocab = TX.build_vocab(docs, top_v=100)
     return TX.oov_stats(docs, vocab)
+
+
+# ---------------------------------------------------------------------------
+# Layout: Z-order clustering (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+def _zorder_oracle() -> str:
+    from yougile_etl_pipeline_spark.operators.layout import z_value_sql
+    return f"""
+WITH zb AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS xmin,
+         CAST(max(l_partkey) AS BIGINT) AS xmax,
+         CAST(min(l_suppkey) AS BIGINT) AS ymin,
+         CAST(max(l_suppkey) AS BIGINT) AS ymax
+  FROM lineitem
+), zn AS (
+  SELECT l_partkey, l_suppkey,
+    CASE WHEN xmax = xmin THEN 0
+         ELSE CAST(floor((l_partkey - xmin) * 1023.0
+                         / CAST(xmax - xmin AS DOUBLE)) AS BIGINT)
+    END AS xs,
+    CASE WHEN ymax = ymin THEN 0
+         ELSE CAST(floor((l_suppkey - ymin) * 1023.0
+                         / CAST(ymax - ymin AS DOUBLE)) AS BIGINT)
+    END AS ys
+  FROM lineitem CROSS JOIN zb
+), zv AS (
+  SELECT l_partkey, l_suppkey, {z_value_sql('xs', 'ys', bits=10)} AS zval
+  FROM zn
+)
+SELECT zval >> 14 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS x_lo,
+       CAST(max(l_partkey) AS BIGINT) AS x_hi,
+       CAST(min(l_suppkey) AS BIGINT) AS y_lo,
+       CAST(max(l_suppkey) AS BIGINT) AS y_hi
+FROM zv GROUP BY bucket
+"""
+
+
+@register("layout_zorder_profile", _zorder_oracle())
+def layout_zorder_profile(spark, sf):
+    # Z-order clustering report (operators/layout.py::zorder_profile):
+    # Morton-interleave (l_partkey, l_suppkey) on a 10-bit grid, bucket
+    # by the top 6 bits (= the files a z-clustered write produces), and
+    # emit each bucket's bounding box — the parquet footer stats either
+    # single-column predicate would prune on.
+    from yougile_etl_pipeline_spark.operators.layout import zorder_profile
+    li = load_table(spark, sf, "lineitem")
+    return zorder_profile(li, "l_partkey", "l_suppkey",
+                          bits=10, bucket_bits=6)
