@@ -316,3 +316,30 @@ def test_np_topk_tie_break_on_duplicate_vectors(spark):
     hof = sorted(map(tuple, brute_force_topk(corpus, q, k=5).collect()))
     fast = sorted(map(tuple, brute_force_topk_np(corpus, q, k=5).collect()))
     assert hof == fast
+
+
+def test_dedup_incremental_statuses_and_idempotence(spark):
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        dedup_incremental,
+        fingerprint_exact,
+    )
+    corpus = spark.createDataFrame(
+        [(1, "already ingested doc")], "doc_id long, text string")
+    store = corpus.select(fingerprint_exact("text").alias("fp"))
+    batch = spark.createDataFrame(
+        [(10, "already ingested doc"),      # in the store -> known_dup
+         (11, "fresh doc one"),             # unseen -> new
+         (12, "fresh doc two"),             # unseen, duplicated in-batch
+         (13, "fresh doc two")],            # larger id -> batch_dup
+        "doc_id long, text string")
+    out = {r.doc_id: r.status
+           for r in dedup_incremental(batch, store).collect()}
+    assert out == {10: "known_dup", 11: "new", 12: "new", 13: "batch_dup"}
+
+    # Appending the 'new' fingerprints then replaying the SAME batch must
+    # yield zero 'new'/'batch_dup' survivors — the exactly-once contract.
+    res = dedup_incremental(batch, store)
+    store2 = store.unionByName(
+        res.filter(F.col("status") == "new").select("fp"))
+    replay = {r.status for r in dedup_incremental(batch, store2).collect()}
+    assert replay == {"known_dup"}

@@ -72,3 +72,20 @@ def test_deterministic_sample_stable_and_sized(spark):
     assert s1 == s2                                    # partitioning-invariant
     n = li.count()
     assert 0.03 < len(s1) / n < 0.10                   # ≈1/16
+
+
+def test_key_skew_profile_flags_hot_key(spark):
+    from yougile_etl_pipeline_spark.operators.quality import key_skew_profile
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", top=5).collect()
+    assert len(out) == 5
+    top1 = out[0]
+    assert top1.key == "hot" and top1.key_rows == 80
+    assert abs(top1.row_share - 0.8) < 1e-12
+    # 21 distinct keys, 100 rows -> mean 100/21; hot ratio = 80*21/100
+    assert abs(top1.skew_ratio - 80 * 21 / 100) < 1e-12
+    # remaining keys tie at 1 row; tie broken lexicographically
+    assert [r.key for r in out[1:]] == ["k0", "k1", "k10", "k11"]
+    for r in out[1:]:
+        assert r.key_rows == 1 and abs(r.skew_ratio - 21 / 100) < 1e-12

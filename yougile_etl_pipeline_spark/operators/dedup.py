@@ -37,6 +37,7 @@ __all__ = [
     "simhash",
     "simhash_portable",
     "simhash_ham_pairs",
+    "dedup_incremental",
 ]
 
 
@@ -308,3 +309,37 @@ def simhash_ham_pairs(sig: DataFrame, *, sig_col: str = "simhash60",
                           .cast("int"))
              .filter(F.col("hamming") <= max_hamming)
              .select("doc_a", "doc_b", "hamming"))
+
+
+def dedup_incremental(new_docs: DataFrame, known_fps: DataFrame,
+                      *, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus
+    WITHOUT rescanning the corpus — the incremental-ingest shape: the
+    existing corpus is represented only by its fingerprint store
+    (`known_fps`, one `fp` column of md5 hex), which at 100 TB lives as
+    a parquet table bucketed by `fp` so this join is co-located and
+    shuffle-free. The batch side shuffles on the 16-byte uniform md5
+    key — no skew by construction.
+
+    Verdict per batch row:
+    * ``known_dup`` — fingerprint already in the store;
+    * ``batch_dup`` — first seen inside this batch, but a smaller id in
+      the same batch shares the fingerprint;
+    * ``new`` — the batch survivor (exactly one per unseen fingerprint,
+      smallest id — a deterministic total order).
+
+    Output: (id, fp, status). Appending ``fp WHERE status = 'new'`` to
+    the store keeps the next batch's check exact."""
+    fp = new_docs.select(F.col(id_col),
+                         fingerprint_exact(text_col).alias("fp"))
+    known = known_fps.select("fp").distinct().withColumn("__k", F.lit(1))
+    canon = fp.groupBy("fp").agg(F.min(id_col).alias("__min_id"))
+    return (fp.join(known, "fp", "left")
+              .join(canon, "fp")
+              .select(
+                  F.col(id_col), "fp",
+                  F.when(F.col("__k").isNotNull(), F.lit("known_dup"))
+                   .when(F.col(id_col) != F.col("__min_id"),
+                         F.lit("batch_dup"))
+                   .otherwise(F.lit("new")).alias("status")))

@@ -10,7 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
-           "sample_by_rates"]
+           "sample_by_rates", "key_skew_profile"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -78,3 +78,32 @@ def sample_by_rates(df: DataFrame, key: str, group_col: str,
               if thresh is not None
               else F.lit(int(round(default_rate * buckets))))
     return df.filter(hash_bucket(key, buckets) < thresh)
+
+
+def key_skew_profile(df: DataFrame, key_col: str, *,
+                     top: int = 10) -> DataFrame:
+    """Join/aggregation-key skew report: the `top` heaviest keys with
+    their row counts, share of the table, and the ratio of each count
+    to the mean per-key count — the diagnostic that decides between a
+    plain shuffle join, `salted_join`, or AQE skew handling (a key with
+    share ≫ 1/shuffle_partitions serializes its partition).
+
+    One explode-free pass: groupBy(key) partially aggregates map-side;
+    the totals (rows, distinct keys) ride along as a broadcast 1-row
+    join; top-N is TakeOrdered, never a global sort. Counts are exact
+    ints, shares/ratios one IEEE division each — oracle-exact."""
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("key_rows"))
+    totals = per_key.agg(
+        F.sum("key_rows").cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__nkeys"))
+    ranked = (per_key.crossJoin(F.broadcast(totals))
+              .orderBy(F.col("key_rows").desc(), F.col("key"))
+              .limit(top))
+    return ranked.select(
+        "key",
+        F.col("key_rows").cast("long").alias("key_rows"),
+        (F.col("key_rows").cast("double") / F.col("__total"))
+        .alias("row_share"),
+        (F.col("key_rows").cast("double")
+         * F.col("__nkeys") / F.col("__total")).alias("skew_ratio"))

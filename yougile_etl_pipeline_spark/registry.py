@@ -786,6 +786,8 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "emb_quantize_int8", "sim_topk_int8",   # int8 quantization family
     "text_vocab_topv", "text_oov_rate",     # vocabulary-coverage family
     "layout_zorder_profile",                # z-order clustering
+    "quality_key_skew",                     # join-key skew profile
+    "dedup_incremental_batch",              # incremental-ingest dedup
 ]
 
 

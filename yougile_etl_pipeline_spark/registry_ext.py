@@ -1346,3 +1346,81 @@ def layout_zorder_profile(spark, sf):
     li = load_table(spark, sf, "lineitem")
     return zorder_profile(li, "l_partkey", "l_suppkey",
                           bits=10, bucket_bits=6)
+
+
+# ---------------------------------------------------------------------------
+# Ops diagnostics: join-key skew profile (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+@register("quality_key_skew", """
+WITH per_key AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS key_rows
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(key_rows) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS nkeys
+  FROM per_key
+)
+SELECT key, key_rows,
+       CAST(key_rows AS DOUBLE) / total AS row_share,
+       CAST(key_rows AS DOUBLE) * nkeys / total AS skew_ratio
+FROM per_key CROSS JOIN tot
+ORDER BY key_rows DESC, key
+LIMIT 10
+""")
+def quality_key_skew(spark, sf):
+    # Join-key skew report (operators/quality.py::key_skew_profile) on
+    # orders.o_custkey: top-10 heaviest keys with exact counts, table
+    # share, and count/mean ratio — the diagnostic that chooses between
+    # plain shuffle join, salted_join, and AQE skew handling. groupBy
+    # partially aggregates map-side; totals ride a broadcast 1-row
+    # cross join; top-N is TakeOrdered (never a global sort).
+    from yougile_etl_pipeline_spark.operators.quality import key_skew_profile
+    return key_skew_profile(load_table(spark, sf, "orders"),
+                            "o_custkey", top=10)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: new batch vs known-fingerprint store
+# (operators/dedup.py::dedup_incremental)
+# ---------------------------------------------------------------------------
+
+_FP_SQL = "md5(lower(regexp_replace(text, ' +', ' ', 'g')))"
+
+
+@register("dedup_incremental_batch", f"""
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 IN (0, 1, 3)
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 4 = 3
+), fp AS (
+  SELECT doc_id, {_FP_SQL} AS fp FROM batch
+), known AS (
+  SELECT DISTINCT {_FP_SQL} AS fp
+  FROM documents WHERE doc_id % 4 IN (1, 2)
+), canon AS (
+  SELECT fp, min(doc_id) AS min_id FROM fp GROUP BY fp
+)
+SELECT f.doc_id, f.fp,
+       CASE WHEN k.fp IS NOT NULL THEN 'known_dup'
+            WHEN f.doc_id <> c.min_id THEN 'batch_dup'
+            ELSE 'new' END AS status
+FROM fp f LEFT JOIN known k ON f.fp = k.fp JOIN canon c ON f.fp = c.fp
+""")
+def dedup_incremental_batch(spark, sf):
+    # Incremental-ingest dedup (operators/dedup.py::dedup_incremental):
+    # a new batch is checked against the already-ingested corpus via its
+    # fingerprint store only — never rescanning corpus text. The batch
+    # here is built to exercise all three verdicts: doc_id%4==0 docs are
+    # unseen ('new'), %4==1 docs are already in the store ('known_dup'),
+    # and %4==3 docs appear twice under two ids (smaller id 'new',
+    # re-keyed copy 'batch_dup').
+    from yougile_etl_pipeline_spark.operators.dedup import dedup_incremental
+    docs = load_table(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    batch = (docs.filter(m.isin(0, 1, 3)).select("doc_id", "text")
+             .unionByName(docs.filter(m == 3).select(
+                 (F.col("doc_id") + 100000).alias("doc_id"), "text")))
+    known = docs.filter(m.isin(1, 2)).select(
+        TX.fingerprint_exact("text").alias("fp"))
+    return dedup_incremental(batch, known)
