@@ -89,3 +89,27 @@ def test_key_skew_profile_flags_hot_key(spark):
     assert [r.key for r in out[1:]] == ["k0", "k1", "k10", "k11"]
     for r in out[1:]:
         assert r.key_rows == 1 and abs(r.skew_ratio - 21 / 100) < 1e-12
+
+
+def test_train_val_test_split_deterministic_and_leakproof(spark):
+    import pytest
+    from yougile_etl_pipeline_spark.operators.quality import (
+        train_val_test_split,
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    full = {r.doc_id: r.split
+            for r in train_val_test_split(docs, "doc_id").collect()}
+    n = len(full)
+    shares = {s: sum(1 for v in full.values() if v == s) / n
+              for s in ("train", "val", "test")}
+    assert 0.8 < shares["train"] < 0.97
+    assert shares["val"] > 0 and shares["test"] > 0
+    # growth-invariance: labels computed on a SUBSET are identical to the
+    # full corpus's — adding data never moves an existing doc across splits
+    sub = {r.doc_id: r.split
+           for r in train_val_test_split(
+               docs.filter(F.col("doc_id") % 3 == 0).repartition(7),
+               "doc_id").collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, "doc_id", fractions=(0.5, 0.2, 0.2))

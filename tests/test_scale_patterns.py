@@ -276,3 +276,30 @@ def test_merge_upsert_crash_recovery(spark, tmp_path):
     os.makedirs(staging)
     assert recover_merge_target(f) == "clean"
     assert not os.path.exists(staging)
+
+
+def test_snapshot_diff_all_statuses_and_null_safety(spark):
+    from yougile_etl_pipeline_spark.plans.incremental import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"),          # unchanged
+         (2, 20.0, "A"),          # price changes
+         (3, None, "B"),          # NULL -> value = changed (null-safe)
+         (4, 40.0, "C"),          # removed
+         (5, 50.0, "D")],         # both cols change
+        "k int, price double, status string")
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),
+         (2, 25.0, "A"),
+         (3, 3.5, "B"),
+         (5, 55.0, "E"),
+         (6, 60.0, "F")],         # added
+        "k int, price double, status string")
+    out = {r.k: (r.status, r.changed_cols)
+           for r in snapshot_diff(old, new, ["k"],
+                                  ["price", "status"]).collect()}
+    assert out[1] == ("unchanged", "")
+    assert out[2] == ("changed", "price")
+    assert out[3] == ("changed", "price")
+    assert out[4] == ("removed", "")
+    assert out[5] == ("changed", "price,status")   # tracked-list order
+    assert out[6] == ("added", "")

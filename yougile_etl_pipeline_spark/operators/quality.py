@@ -10,7 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
-           "sample_by_rates", "key_skew_profile"]
+           "sample_by_rates", "key_skew_profile", "train_val_test_split"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -107,3 +107,27 @@ def key_skew_profile(df: DataFrame, key_col: str, *,
         .alias("row_share"),
         (F.col("key_rows").cast("double")
          * F.col("__nkeys") / F.col("__total")).alias("skew_ratio"))
+
+
+def train_val_test_split(df: DataFrame, key: str, *,
+                         fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+                         buckets: int = 10000) -> DataFrame:
+    """Assign every row a deterministic ``split`` label
+    (train/val/test) from its hash bucket — the leakage-proof dataset
+    split: membership depends only on the key, so re-runs, engine
+    changes, repartitions, and corpus growth never move an existing
+    document across splits (a doc added tomorrow can't pull today's
+    val doc into train). Per-row expression, no shuffle, no RNG state.
+
+    Fractions are quantized to 1/buckets; bucket < t1 -> train,
+    < t1+t2 -> val, else test."""
+    f_train, f_val, f_test = fractions
+    total = f_train + f_val + f_test
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    t1 = int(round(f_train * buckets))
+    t2 = t1 + int(round(f_val * buckets))
+    b = hash_bucket(key, buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < t1, "train").when(b < t2, "val").otherwise("test"))

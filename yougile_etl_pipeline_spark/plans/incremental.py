@@ -179,3 +179,39 @@ def recover_merge_target(target_path: str) -> str:
         return "restored_backup"
     raise FileNotFoundError(
         f"no live, staging, or backup tree at {target_path}")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  tracked: list[str]) -> DataFrame:
+    """CDC-style diff of two snapshots of the same table: one row per
+    business key present in either side, labeled ``added`` / ``removed``
+    / ``changed`` / ``unchanged``, plus a deterministic comma-joined
+    list of the tracked columns whose values differ (null-safely).
+
+    The companion to `snapshot_changes` (which walks one table's load
+    history with a window): this compares two independent materialized
+    loads — the audit you run before trusting an upsert, or to emit a
+    change feed downstream. One full-outer shuffle join on the business
+    key; comparisons are per-row expressions. At 100 TB both sides hash-
+    partition on the same key so AQE coalesces the exchange; no
+    broadcast, no window, no driver state."""
+    om = old.select(*keys, F.lit(1).alias("__in_old"),
+                    *[F.col(c).alias(f"__o_{c}") for c in tracked])
+    nm = new.select(*keys, F.lit(1).alias("__in_new"),
+                    *[F.col(c).alias(f"__n_{c}") for c in tracked])
+    j = om.join(nm, on=keys, how="full_outer")
+    diff_flags = [
+        F.when(~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c))
+        for c in tracked
+    ]
+    changed_cols = F.filter(F.array(*diff_flags), lambda x: x.isNotNull())
+    both = F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull()
+    changed_str = F.when(both, F.concat_ws(",", changed_cols)) \
+                   .otherwise(F.lit(""))
+    return j.select(
+        *keys,
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+         .when(F.col("__in_new").isNull(), F.lit("removed"))
+         .when(changed_str != "", F.lit("changed"))
+         .otherwise(F.lit("unchanged")).alias("status"),
+        changed_str.alias("changed_cols"))

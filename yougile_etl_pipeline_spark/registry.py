@@ -788,6 +788,8 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "layout_zorder_profile",                # z-order clustering
     "quality_key_skew",                     # join-key skew profile
     "dedup_incremental_batch",              # incremental-ingest dedup
+    "quality_train_split",                  # train/val/test assignment
+    "snapshot_diff_audit",                  # two-snapshot CDC diff
 ]
 
 

@@ -1424,3 +1424,83 @@ def dedup_incremental_batch(spark, sf):
     known = docs.filter(m.isin(1, 2)).select(
         TX.fingerprint_exact("text").alias("fp"))
     return dedup_incremental(batch, known)
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split (operators/quality.py::train_val_test_split)
+# ---------------------------------------------------------------------------
+
+@register("quality_train_split", """
+SELECT doc_id,
+  CASE WHEN b < 9000 THEN 'train'
+       WHEN b < 9500 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS b
+  FROM documents)
+""")
+def quality_train_split(spark, sf):
+    # Leakage-proof deterministic 90/5/5 split: the label depends only
+    # on md5(doc_id), so corpus growth, re-runs, and repartitioning
+    # never move an existing document across splits. Per-row predicate,
+    # no shuffle.
+    from yougile_etl_pipeline_spark.operators.quality import (
+        train_val_test_split,
+    )
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return train_val_test_split(docs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff audit (plans/incremental.py::snapshot_diff)
+# ---------------------------------------------------------------------------
+
+@register("snapshot_diff_audit", """
+WITH old_s AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 5 <> 0
+), new_s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 3 <> 0
+), j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         coalesce(array_to_string(list_filter(
+           [CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                 THEN 'o_totalprice' END,
+            CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 THEN 'o_orderstatus' END],
+           x -> x IS NOT NULL), ','), '') AS cc
+  FROM old_s o FULL JOIN new_s n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+  CASE WHEN NOT in_old THEN 'added'
+       WHEN NOT in_new THEN 'removed'
+       WHEN cc <> '' THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  CASE WHEN in_old AND in_new THEN cc ELSE '' END AS changed_cols
+FROM j
+""")
+def snapshot_diff_audit(spark, sf):
+    # CDC-style two-snapshot diff (plans/incremental.py::snapshot_diff):
+    # "previous load" = orders minus the %5==0 keys (those become
+    # 'added'), "current load" = orders minus %3==0 ('removed') with
+    # %7==0 totalprices doubled ('changed', exact *2 so the double stays
+    # bit-identical). One full-outer shuffle join on the business key.
+    from yougile_etl_pipeline_spark.plans.incremental import snapshot_diff
+    o = load_table(spark, sf, "orders")
+    old = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    new = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus")
+    return snapshot_diff(old, new, ["o_orderkey"],
+                         ["o_totalprice", "o_orderstatus"])
