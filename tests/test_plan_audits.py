@@ -147,3 +147,40 @@ def test_oov_join_is_broadcast(spark):
     plan = _formatted(spark, QUERIES["text_oov_rate"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_key_skew_uses_take_ordered_and_partial_agg(spark):
+    plan = _formatted(spark, QUERIES["quality_key_skew"](spark, SF_SMOKE))
+    # top-N must be TakeOrdered (never a global Sort+Exchange) and the
+    # per-key count must partially aggregate map-side
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+    # totals ride a broadcast 1-row join, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_train_split_is_map_only(spark):
+    plan = _formatted(spark, QUERIES["quality_train_split"](spark, SF_SMOKE))
+    body = plan.split("\n\n")[0]
+    # pure per-row expression: no exchange, no aggregate, no join
+    assert "Exchange" not in body
+    assert "Join" not in body and "Aggregate" not in body
+
+
+def test_snapshot_diff_single_outer_join_no_broadcast(spark):
+    plan = _formatted(spark, QUERIES["snapshot_diff_audit"](spark, SF_SMOKE))
+    # one full-outer join on the business key; at 100 TB neither load
+    # fits a broadcast, so the plan must be shuffle-based
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+    # both key-filters reached the parquet scans
+    assert plan.count("PushedFilters") >= 2
+
+
+def test_dedup_incremental_joins_on_fingerprint(spark):
+    plan = _formatted(spark, QUERIES["dedup_incremental_batch"](spark, SF_SMOKE))
+    # no cartesian anywhere: store check and canon survivor are both
+    # equi-joins on the md5 fingerprint
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2     # min-id canon partial agg
