@@ -89,3 +89,36 @@ def test_write_zordered_prunes_both_dimensions(spark):
         # the wider dimension roughly in half (measured 0.56 at sf0.001)
         assert sum(x_spans) / len(x_spans) <= 0.7 * gx
         assert sum(y_spans) / len(y_spans) <= 0.7 * gy
+
+
+def test_bucketed_join_has_zero_exchange(spark):
+    from tests.test_plan_audits import _formatted
+    from yougile_etl_pipeline_spark.operators.layout import write_bucketed
+    from yougile_etl_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    write_bucketed(o, "b_orders", ["o_orderkey"], 4)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "b_lineitem", ["o_orderkey"], 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(spark.table("b_lineitem"),
+                                         "o_orderkey")
+        plan = _formatted(spark, j)
+        body = plan.split("\n\n")[0]
+        # co-located: both sides' bucketing satisfies the join's required
+        # distribution — the shuffle was paid once at write time
+        assert "Exchange" not in body
+        assert "SortMergeJoin" in plan
+        # results identical to the unbucketed join
+        assert j.count() == o.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["z_value", "z_value_sql", "zorder_key", "zorder_profile",
-           "write_zordered"]
+           "write_zordered", "write_bucketed"]
 
 
 def z_value(x: Column, y: Column, *, bits: int = 10) -> Column:
@@ -122,3 +122,26 @@ def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str, *,
       .sortWithinPartitions("zval")
       .drop("zval")
       .write.mode("overwrite").parquet(path))
+
+
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   n_buckets: int, *, sort: bool = True,
+                   mode: str = "overwrite") -> None:
+    """Persist as a hash-bucketed (and per-bucket sorted) parquet table —
+    the layout that makes repeated joins/aggregations on `keys` free of
+    their shuffle: two tables bucketed on the same keys with the same
+    bucket count satisfy each other's HashClusteredDistribution, so the
+    join plans with ZERO Exchange on either side (plan-audited), and the
+    per-bucket sort feeds SortMergeJoin without a Sort node when files
+    align.
+
+    This is the "pay the shuffle once at write time" half of the layout
+    story (Z-order is the scan-pruning half): at 100 TB a fact table
+    joined every hour against its child on the same key amortizes one
+    bucketed write across every downstream join. Bucket count is a
+    layout constant — pick it for target-scale task sizing (bytes per
+    bucket ≈ table / n_buckets), not for today's data."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
