@@ -343,3 +343,23 @@ def test_dedup_incremental_statuses_and_idempotence(spark):
         res.filter(F.col("status") == "new").select("fp"))
     replay = {r.status for r in dedup_incremental(batch, store2).collect()}
     assert replay == {"known_dup"}
+
+
+def test_embedding_decontaminate_flags_planted_paraphrase(spark):
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0, 0.0]),    # scaled copy of bench 100 -> cos 1
+         (2, [0.9, 0.1, 0.0, 0.0]),    # near bench 100
+         (3, [0.0, 0.0, 1.0, 0.0])],   # orthogonal to both
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.max_benchmark_cos, r.contaminated)
+           for r in embedding_decontaminate(corpus, bench,
+                                            threshold=0.9).collect()}
+    assert out[1][1] and abs(out[1][0] - 1.0) < 1e-12
+    assert out[2][1] and out[2][0] > 0.9
+    assert not out[3][1] and out[3][0] == 0.0

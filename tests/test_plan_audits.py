@@ -184,3 +184,13 @@ def test_dedup_incremental_joins_on_fingerprint(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2     # min-id canon partial agg
+
+
+def test_embedding_decontam_broadcasts_benchmark_no_self_join(spark):
+    plan = _formatted(spark, QUERIES["decontam_embedding"](spark, SF_SMOKE))
+    # benchmark side must be broadcast; the per-corpus-row max partially
+    # aggregates map-side so the only shuffle carries one row per vector
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") - body.count("BroadcastExchange") <= 1

@@ -45,6 +45,7 @@ __all__ = [
     "ivf_topk_np",
     "kmeans_update",
     "kmeans_train",
+    "embedding_decontaminate",
 ]
 
 EMBED_DIM = 64
@@ -693,3 +694,35 @@ def kmeans_train(corpus: DataFrame, centroids: DataFrame, *, iters: int = 3,
                         .alias(vec_col))
                .localCheckpoint(eager=True))
     return centroids
+
+
+def embedding_decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95) -> DataFrame:
+    """Semantic benchmark decontamination: for every corpus vector, its
+    max cosine against ANY benchmark/eval vector, and a `contaminated`
+    flag at `threshold` — the embedding-space complement of n-gram
+    decontamination (`text.ngram_contamination` catches verbatim
+    leakage; this catches paraphrases and translations that share no
+    8-gram but embed next to an eval item).
+
+    Plan: benchmark side is broadcast (eval suites are small by
+    definition — this op is only correct to run when |benchmark| fits a
+    broadcast); both norms are precomputed BEFORE the join so each is
+    one pass per row, not per pair; the per-corpus-row max partially
+    aggregates map-side, so the only shuffle carries one row per corpus
+    vector. No corpus self-join anywhere."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"),
+                      l2_norm(vec_col).alias("__cn"))
+    b = F.broadcast(benchmark.select(F.col(vec_col).alias("__bv"),
+                                     l2_norm(vec_col).alias("__bn")))
+    return (c.join(b)
+             .select(F.col(id_col),
+                     (dot("__cv", "__bv")
+                      / (F.col("__cn") * F.col("__bn"))).alias("__cos"))
+             .groupBy(id_col)
+             .agg(F.max("__cos").alias("max_benchmark_cos"))
+             .select(F.col(id_col), "max_benchmark_cos",
+                     (F.col("max_benchmark_cos") >= threshold)
+                     .alias("contaminated")))

@@ -790,6 +790,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "dedup_incremental_batch",              # incremental-ingest dedup
     "quality_train_split",                  # train/val/test assignment
     "snapshot_diff_audit",                  # two-snapshot CDC diff
+    "decontam_embedding",                   # semantic decontamination
 ]
 
 

@@ -1504,3 +1504,41 @@ def snapshot_diff_audit(spark, sf):
         "o_orderstatus")
     return snapshot_diff(old, new, ["o_orderkey"],
                          ["o_totalprice", "o_orderstatus"])
+
+
+# ---------------------------------------------------------------------------
+# E9 complement: semantic (embedding-space) benchmark decontamination
+# (operators/similarity.py::embedding_decontaminate)
+# ---------------------------------------------------------------------------
+
+@register("decontam_embedding", """
+WITH b AS (
+  SELECT embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 8
+), s AS (
+  SELECT vec_id,
+         max(list_dot_product(cv, bv) /
+             (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv))))
+           AS max_benchmark_cos
+  FROM c CROSS JOIN b GROUP BY vec_id
+)
+SELECT vec_id, max_benchmark_cos,
+       max_benchmark_cos >= 0.3 AS contaminated
+FROM s
+""")
+def decontam_embedding(spark, sf):
+    # Embedding-space decontamination: n-gram overlap
+    # (decontam_ngram_overlap) catches verbatim eval leakage; this
+    # catches paraphrases that share no 8-gram but embed next to an
+    # eval item. Benchmark = vec_id < 8 (broadcast), corpus = the rest;
+    # max cosine per corpus vector, flagged at 0.3 (chosen to exercise
+    # both branches at sf0.01 — the cos doubles are bit-identical to
+    # the oracle at ANY threshold).
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_decontaminate(emb.filter(F.col("vec_id") >= 8),
+                                   emb.filter(F.col("vec_id") < 8),
+                                   threshold=0.3)
