@@ -303,3 +303,38 @@ def test_snapshot_diff_all_statuses_and_null_safety(spark):
     assert out[4] == ("removed", "")
     assert out[5] == ("changed", "price,status")   # tracked-list order
     assert out[6] == ("added", "")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """session.py turns on AQE skew-join splitting as the no-code-change
+    answer to hot keys; prove OptimizeSkewedJoin actually fires: a join
+    with one hot key executes with SortMergeJoin(skew=true) once the
+    hot partition crosses the (lowered) threshold."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # ~75% of 120k rows pile on key 0; the rest spread over 97 keys
+        left = spark.range(0, 120_000).select(
+            F.when(F.col("id") % 4 != 0, F.lit(0))
+             .otherwise(F.col("id") % 97 + 1).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("pad"))
+        right = spark.range(0, 98).select(F.col("id").alias("k"),
+                                          F.lit("r").alias("rv"))
+        j = left.join(right, "k")
+        n = len(j.collect())
+        assert n == 120_000                       # hot key matched too
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan                # the split really ran
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
