@@ -49,7 +49,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one logical table from ``{sf_dir}/{name}.parquet`` with its
     explicit schema (no inference)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         return _convert_events_ts(
             spark.read.schema(TESTDATA_SCHEMAS["_events_raw"]).parquet(path))
     schema = TESTDATA_SCHEMAS.get(name)
@@ -57,6 +57,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when the on-disk ``ts`` column is parquet TIMESTAMP(NANOS).
+
+    The test generator has produced both nanos and micros variants across
+    data refreshes; nanos needs the int64 read-and-truncate path below,
+    while micros reads natively as TimestampType. One footer read on the
+    driver (metadata only — no row groups) decides which."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        target = path
+        if os.path.isdir(path):
+            parts = [os.path.join(path, f) for f in sorted(os.listdir(path))
+                     if f.endswith(".parquet")]
+            if not parts:
+                return False
+            target = parts[0]
+        field = pq.read_schema(target).field("ts")
+        return field.type == pa.timestamp("ns")
+    except Exception:
+        return False
 
 
 def _convert_events_ts(raw: DataFrame) -> DataFrame:

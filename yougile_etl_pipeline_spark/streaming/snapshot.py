@@ -29,15 +29,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (explicit schema — file
     streams never infer)."""
     # The file source wants a directory; glob-filter to the events table.
-    # ts lands as int64 nanos (see sources/tables.py) and is converted.
-    from yougile_etl_pipeline_spark.sources.tables import _convert_events_ts
+    # ts on disk is either TIMESTAMP(MICROS) (reads natively) or
+    # TIMESTAMP(NANOS) (int64 read + truncate) — same footer probe as the
+    # batch reader (sources/tables.py).
+    from yougile_etl_pipeline_spark.sources.tables import (
+        _convert_events_ts,
+        _events_ts_is_nanos,
+    )
 
+    nanos = _events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
+    schema = TESTDATA_SCHEMAS["_events_raw" if nanos else "events"]
     raw = (spark.readStream
-           .schema(TESTDATA_SCHEMAS["_events_raw"])
+           .schema(schema)
            .format("parquet")
            .option("pathGlobFilter", "events.parquet")
            .load(sf_dir))
-    return _convert_events_ts(raw)
+    return _convert_events_ts(raw) if nanos else raw
 
 
 def tumbling_counts(events: DataFrame,
