@@ -20,6 +20,8 @@ Scale design (the point of each op at 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,6 +40,8 @@ __all__ = [
     "simhash_portable",
     "simhash_ham_pairs",
     "dedup_incremental",
+    "build_fp_bloom",
+    "dedup_incremental_bloom",
 ]
 
 
@@ -343,3 +347,113 @@ def dedup_incremental(new_docs: DataFrame, known_fps: DataFrame,
                    .when(F.col(id_col) != F.col("__min_id"),
                          F.lit("batch_dup"))
                    .otherwise(F.lit("new")).alias("status")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 7  # hash functions per key; fpp ≈ (1 - e^(-k*n/m))^k
+
+
+def _bloom_positions(fps: pd.Series, m_bits: int) -> np.ndarray:
+    """k bit positions per fingerprint, derived from md5(fp || ':' || i).
+
+    Pure recomputation — build and probe call the same function, so a
+    fingerprint present in the store can NEVER probe negative (the
+    exactness guarantee). md5 (not Python hash()) keeps positions stable
+    across processes, partitions, and reruns."""
+    import hashlib
+
+    out = np.empty((len(fps), _BLOOM_K), dtype=np.int64)
+    for row, fp in enumerate(fps):
+        for i in range(_BLOOM_K):
+            h = hashlib.md5(f"{fp}:{i}".encode()).digest()
+            out[row, i] = int.from_bytes(h[:8], "big") % m_bits
+    return out
+
+
+def build_fp_bloom(known_fps: DataFrame, *, m_bits: int = 1 << 23) -> bytes:
+    """One bitmap over the fingerprint store.
+
+    Executors each fold their partitions into a local ``m_bits``-bit
+    numpy array inside ``mapInPandas`` (Arrow-batched, no per-row Python
+    dispatch); the driver ORs one small bitmap per partition. At 100 TB:
+    1e9 stored fingerprints at k=7 want m ≈ 1.2e10 bits (~1.4 GB) — still
+    a broadcast-able prefilter, and the partial bitmaps can be OR-reduced
+    in a tree instead of on the driver. The collect here moves
+    ``n_partitions × m/8`` bytes of bitmap, never fingerprint rows."""
+    n_bytes = m_bits // 8
+
+    def fold(batches):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                seen = True
+                pos = _bloom_positions(pdf["fp"], m_bits).ravel()
+                np.bitwise_or.at(bits, pos >> 3,
+                                 np.uint8(1) << (pos & 7).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    partials = (known_fps.select(F.col("fp").cast("string").alias("fp"))
+                .mapInPandas(fold, "bitmap binary").collect())
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for row in partials:
+        acc |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return acc.tobytes()
+
+
+def dedup_incremental_bloom(new_docs: DataFrame, known_fps: DataFrame,
+                            *, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            m_bits: int = 1 << 23) -> DataFrame:
+    """``dedup_incremental`` with a Bloom prefilter on the store join.
+
+    The shape that matters at 100 TB: the fingerprint store has ~1e9 rows
+    and the anti-join against it shuffles BOTH sides on fp. A Bloom bitmap
+    of the store (built once per ingest wave, broadcast to executors) lets
+    every batch row that probes negative skip that join entirely — it is
+    *definitely* not in the store (no false negatives by construction,
+    see ``_bloom_positions``). Only the ~fpp fraction of probe-positive
+    rows reach the store join, collapsing the batch-side shuffle by
+    1/fpp. False positives are harmless for correctness: they fall
+    through to the exact left join and resolve to NULL there.
+
+    Result is row-for-row identical to ``dedup_incremental`` at ANY fpp —
+    the oracle for both is the same SQL.
+    """
+    from pyspark.sql import functions as SF
+
+    bitmap = np.frombuffer(build_fp_bloom(known_fps, m_bits=m_bits),
+                           dtype=np.uint8)
+    bc = new_docs.sparkSession.sparkContext.broadcast(bitmap)
+
+    @SF.pandas_udf("boolean")
+    def might_contain(fp: pd.Series) -> pd.Series:
+        bits = bc.value
+        pos = _bloom_positions(fp, m_bits)
+        hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8)))
+        return pd.Series((hit != 0).all(axis=1))
+
+    fp = (new_docs.select(F.col(id_col),
+                          fingerprint_exact(text_col).alias("fp"))
+          .withColumn("__maybe", might_contain("fp")))
+    known = known_fps.select("fp").distinct().withColumn("__k", F.lit(1))
+
+    # Store join only for probe-positive rows; negatives keep __k = NULL
+    # without touching the store. Both legs then share the batch-internal
+    # canon (min-id) grouping — identical to dedup_incremental.
+    probed = (fp.filter("__maybe")
+                .join(known, "fp", "left")
+                .unionByName(fp.filter("NOT __maybe")
+                               .withColumn("__k", F.lit(None).cast("int"))))
+    canon = fp.groupBy("fp").agg(F.min(id_col).alias("__min_id"))
+    return (probed.join(canon, "fp")
+            .select(
+                F.col(id_col), "fp",
+                F.when(F.col("__k").isNotNull(), F.lit("known_dup"))
+                 .when(F.col(id_col) != F.col("__min_id"),
+                       F.lit("batch_dup"))
+                 .otherwise(F.lit("new")).alias("status")))

@@ -36,6 +36,9 @@ __all__ = [
     "fingerprint_exact",
     "fingerprint_shingle_min",
     "shingles",
+    "char_trigrams",
+    "train_char_lm",
+    "lm_quality_score",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -469,3 +472,74 @@ def fingerprint_shingle_min(col: Column | str, n: int = 3) -> Column:
     document's n-gram shingles (a 1-permutation MinHash). Robust to
     appends/prepends unlike `fingerprint_exact`."""
     return F.array_min(F.transform(shingles(col, n), F.md5))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained character-trigram LM quality score
+# ---------------------------------------------------------------------------
+
+def char_trigrams(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """One row per character trigram occurrence (WITH multiplicity) of the
+    whitespace-normalized lowercase text — the stream both LM training
+    and scoring consume.
+
+    ``explode(sequence) + substring`` keeps the whole expansion in
+    codegen (same lesson as the MinHash shingler); the sequence is
+    guarded because Spark's ``sequence(1, 0)`` counts DOWN instead of
+    returning empty."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), " +", " "))
+    df = df.select(F.col(id_col), norm.alias("__t"))
+    starts = F.when(
+        F.length("__t") >= 3,
+        F.sequence(F.lit(1), F.length("__t") - 2),
+    ).otherwise(F.array().cast("array<int>"))
+    return (df.select(F.col(id_col), "__t",
+                      F.explode(starts).alias("__i"))
+              .select(F.col(id_col),
+                      F.expr("substring(__t, __i, 3)").alias("g")))
+
+
+def train_char_lm(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Unigram LM over character trigrams: (g, cnt). Map-side partial
+    aggregation collapses the trigram stream before the shuffle; the
+    model itself is bounded by charset³ (a few hundred thousand rows for
+    text — broadcastable at ANY corpus size, which is what makes scoring
+    below join-cheap at 100 TB)."""
+    return (char_trigrams(docs, id_col, text_col)
+            .groupBy("g").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def lm_quality_score(docs: DataFrame, lm: DataFrame | None = None,
+                     *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality signal: per-document mean corpus frequency
+    of its character trigrams.
+
+    ``score = Σ_t cnt(t) / (n_doc_trigrams × total_corpus_trigrams)`` —
+    gibberish/mojibake/binary-ish text is made of trigrams the corpus
+    rarely produces and scores orders of magnitude below clean prose.
+    The formulation is the arithmetic-mean twin of perplexity chosen for
+    portability: every term is an exact integer until ONE double
+    division, so the score is bit-identical in any engine (no ln()
+    last-ulp drift). Low score ⇒ filter candidate.
+
+    Plan at 100 TB: LM is broadcast (bounded by charset³ — see
+    `train_char_lm`), so scoring is scan → explode → broadcast-join →
+    partial agg: one shuffle of (doc_id, n, s) rows, no corpus rescans.
+    Self-scoring (lm=None) trains on `docs` itself first."""
+    tg = char_trigrams(docs, id_col, text_col)
+    if lm is None:
+        lm = tg.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("__total"))
+    per_doc = (tg.join(F.broadcast(lm), "g")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                    F.sum("cnt").alias("__s")))
+    return (per_doc.crossJoin(F.broadcast(total))
+            .select(
+                F.col(id_col), "n_trigrams",
+                (F.col("__s").cast("double")
+                 / (F.col("n_trigrams") * F.col("__total")).cast("double"))
+                .alias("lm_score")))

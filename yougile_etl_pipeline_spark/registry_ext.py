@@ -1542,3 +1542,121 @@ def decontam_embedding(spark, sf):
     return embedding_decontaminate(emb.filter(F.col("vec_id") >= 8),
                                    emb.filter(F.col("vec_id") < 8),
                                    threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup (operators/dedup.py::
+# dedup_incremental_bloom)
+# ---------------------------------------------------------------------------
+
+@register("dedup_incremental_bloom", f"""
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 IN (0, 1, 3)
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 4 = 3
+), fp AS (
+  SELECT doc_id, {_FP_SQL} AS fp FROM batch
+), known AS (
+  SELECT DISTINCT {_FP_SQL} AS fp
+  FROM documents WHERE doc_id % 4 IN (1, 2)
+), canon AS (
+  SELECT fp, min(doc_id) AS min_id FROM fp GROUP BY fp
+)
+SELECT f.doc_id, f.fp,
+       CASE WHEN k.fp IS NOT NULL THEN 'known_dup'
+            WHEN f.doc_id <> c.min_id THEN 'batch_dup'
+            ELSE 'new' END AS status
+FROM fp f LEFT JOIN known k ON f.fp = k.fp JOIN canon c ON f.fp = c.fp
+""")
+def dedup_incremental_bloom_q(spark, sf):
+    # Same batch/store composition — and the SAME oracle — as
+    # dedup_incremental_batch: the Bloom bitmap is a prefilter, not a
+    # semantics change (no false negatives by construction; false
+    # positives resolve in the exact left join). A hash-mismatch here
+    # would mean the bitmap dropped a stored fingerprint — the exactness
+    # property, machine-checked at every threshold.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        dedup_incremental_bloom,
+    )
+    docs = load_table(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    batch = (docs.filter(m.isin(0, 1, 3)).select("doc_id", "text")
+             .unionByName(docs.filter(m == 3).select(
+                 (F.col("doc_id") + 100000).alias("doc_id"), "text")))
+    known = docs.filter(m.isin(1, 2)).select(
+        TX.fingerprint_exact("text").alias("fp"))
+    return dedup_incremental_bloom(batch, known)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable incremental aggregation (plans/incremental.py::
+# merge_aggregates)
+# ---------------------------------------------------------------------------
+
+@register("agg_incremental_merge", """
+SELECT o_orderstatus,
+       count(*) AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total,
+       min(o_totalprice) AS min_v,
+       max(o_totalprice) AS max_v,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+         AS mean_v
+FROM orders
+GROUP BY o_orderstatus
+""")
+def agg_incremental_merge(spark, sf):
+    # History (o_orderkey % 3 != 0) already lives as stored mergeable
+    # state; only the new batch's facts are aggregated, then the two
+    # states merge. The oracle recomputes over ALL facts — equality IS
+    # the merge-correctness property (exact decimal sums make it hold
+    # bitwise regardless of merge order). The 100 TB point: the daily
+    # job reads one day, not the full history.
+    from yougile_etl_pipeline_spark.plans.incremental import (
+        merge_aggregates,
+        partial_aggregate,
+    )
+    orders = load_table(spark, sf, "orders")
+    stored = partial_aggregate(
+        orders.filter(F.col("o_orderkey") % 3 != 0),
+        ["o_orderstatus"], "o_totalprice")
+    batch = partial_aggregate(
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        ["o_orderstatus"], "o_totalprice")
+    return merge_aggregates(stored, batch, ["o_orderstatus"])
+
+
+# ---------------------------------------------------------------------------
+# LM quality score (operators/text.py::lm_quality_score)
+# ---------------------------------------------------------------------------
+
+@register("text_lm_quality", """
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(text, ' +', ' ', 'g')) AS t
+  FROM documents
+), tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+                               i -> substr(t, i, 3))) AS g
+  FROM norm
+), lm AS (
+  SELECT g, count(*) AS cnt FROM tg GROUP BY g
+), tot AS (
+  SELECT sum(cnt) AS total FROM lm
+), doc AS (
+  SELECT t.doc_id, count(*) AS n_trigrams, sum(l.cnt) AS s
+  FROM tg t JOIN lm l ON t.g = l.g
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.n_trigrams,
+       CAST(d.s AS DOUBLE) / CAST(d.n_trigrams * tot.total AS DOUBLE)
+         AS lm_score
+FROM doc d CROSS JOIN tot
+""")
+def text_lm_quality(spark, sf):
+    # Corpus-trained character-trigram LM score (self-scored): the
+    # portable arithmetic-mean twin of CCNet's perplexity filter — all
+    # integer counts until one double division, so Spark and DuckDB
+    # agree bitwise. Low score = trigram distribution far from the
+    # corpus = gibberish/mojibake candidate.
+    from yougile_etl_pipeline_spark.operators.text import lm_quality_score
+    return lm_quality_score(load_table(spark, sf, "documents"))
