@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["append_snapshot", "read_latest_snapshot", "snapshot_changes",
            "merge_upsert", "recover_merge_target",
-           "merge_aggregates", "partial_aggregate"]
+           "merge_aggregates", "partial_aggregate", "scrub_keys"]
 
 
 def append_snapshot(mart: DataFrame, path: str) -> None:
@@ -262,3 +262,63 @@ def partial_aggregate(facts: DataFrame, keys: list[str],
         F.sum(v.cast("decimal(20,6)")).alias("total"),
         F.min(v).alias("min_v"),
         F.max(v).alias("max_v"))
+
+
+def scrub_keys(spark: SparkSession, target_path: str, scrub: DataFrame,
+               keys: list[str], *, partition_col: str | None = None) -> int:
+    """Erasure sweep ("right to be forgotten"): delete every row of the
+    mart matching a key in `scrub`, rewriting as little as possible.
+
+    With `partition_col`, only partitions that actually CONTAIN a
+    scrubbed key are rewritten (located by a key-only semi-join — a
+    column-pruned scan), via dynamic partition overwrite; a 100 TB mart
+    with victims in 3 partitions rewrites 3 directories. A partition
+    left empty by the scrub is dropped explicitly (dynamic overwrite
+    only touches partitions present in the written data). Unpartitioned
+    targets go through the same crash-safe staging swap as
+    `merge_upsert` (`recover_merge_target` repairs either way).
+
+    Returns the number of rows removed — the audit line the erasure job
+    must log."""
+    import os
+    import shutil
+
+    target = spark.read.parquet(target_path)
+    victims = scrub.select(*keys).distinct()
+    removed = target.join(victims, keys, "left_semi").count()
+    if removed == 0:
+        return 0
+
+    if partition_col:
+        touched = [r[0] for r in
+                   target.join(victims, keys, "left_semi")
+                         .select(partition_col).distinct().collect()]
+        survivors = (target.filter(F.col(partition_col).isin(touched))
+                     .join(victims, keys, "left_anti"))
+        present = {r[0] for r in
+                   survivors.select(partition_col).distinct().collect()}
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (survivors.write.mode("overwrite").partitionBy(partition_col)
+             .parquet(target_path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for p_val in touched:
+            if p_val not in present:
+                shutil.rmtree(
+                    os.path.join(target_path, f"{partition_col}={p_val}"),
+                    ignore_errors=True)
+        return removed
+
+    survivors = target.join(victims, keys, "left_anti")
+    base = target_path.rstrip("/")
+    staging, backup = base + "__staging", base + "__old"
+    survivors.write.mode("overwrite").parquet(staging)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    shutil.rmtree(backup)
+    return removed

@@ -1660,3 +1660,39 @@ def text_lm_quality(spark, sf):
     # corpus = gibberish/mojibake candidate.
     from yougile_etl_pipeline_spark.operators.text import lm_quality_score
     return lm_quality_score(load_table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage (operators/linkage.py::fuzzy_self_join)
+# ---------------------------------------------------------------------------
+
+@register("link_fuzzy_titles", """
+WITH titles AS (
+  SELECT doc_id, substr(text, 1, 30) AS title FROM documents
+), toks AS (
+  SELECT doc_id AS id, title AS s,
+         unnest(list_distinct(string_split_regex(lower(trim(title)), ' +')))
+           AS tok
+  FROM titles
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM toks GROUP BY tok
+), kept AS (
+  SELECT t.id, t.s, t.tok FROM toks t
+  JOIN dfreq d ON t.tok = d.tok WHERE d.df <= 100
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
+)
+SELECT id_a, id_b, levenshtein(sa, sb) AS dist
+FROM cand WHERE levenshtein(sa, sb) <= 8
+""")
+def link_fuzzy_titles(spark, sf):
+    # Record linkage on a dirty string key (here: 30-char title prefix):
+    # shared-token blocking with a DF cap bounds the candidate set (the
+    # near-dup lesson applied to joins), then ONE levenshtein DP per
+    # candidate. Distance is an exact int -> bit-identical oracle.
+    from yougile_etl_pipeline_spark.operators.linkage import fuzzy_self_join
+    titles = (load_table(spark, sf, "documents")
+              .select("doc_id", F.substring("text", 1, 30).alias("title")))
+    return fuzzy_self_join(titles, "doc_id", "title",
+                           max_dist=8, max_token_df=100)
