@@ -1,0 +1,127 @@
+"""Warehouse-pattern operators: SCD2 versioning, expectations/quarantine,
+backfill planner — behavioral contracts beyond the SQL oracles."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.operators.quality import (
+    check_expectations,
+    quarantine,
+    scd2_build,
+)
+from yougile_etl_pipeline_spark.plans.incremental import (
+    backfill,
+    missing_partitions,
+)
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def history(spark):
+    rows = [
+        # key 1: value changes on load 2, unchanged reload on load 3
+        (1, "a", "2024-01-01 00:00:00"),
+        (1, "b", "2024-01-02 00:00:00"),
+        (1, "b", "2024-01-03 00:00:00"),
+        # key 2: appears late (load 2 only), never changes
+        (2, "x", "2024-01-02 00:00:00"),
+        (2, "x", "2024-01-03 00:00:00"),
+        # key 3: NULL -> value -> NULL (null-safe change detection)
+        (3, None, "2024-01-01 00:00:00"),
+        (3, "v", "2024-01-02 00:00:00"),
+        (3, None, "2024-01-03 00:00:00"),
+    ]
+    return spark.createDataFrame(
+        rows, "k long, attr string, loaded_ts string").withColumn(
+        "loaded_ts", F.col("loaded_ts").cast("timestamp"))
+
+
+def test_scd2_versions_and_validity(spark, history):
+    out = scd2_build(history, ["k"], ["attr"]).collect()
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r.k, r.valid_from)):
+        by_key.setdefault(r.k, []).append(r)
+
+    k1 = [(r.attr, r.is_current) for r in by_key[1]]
+    assert k1 == [("a", False), ("b", True)]      # reload collapsed
+    # interval closure: version 1 ends exactly where version 2 starts
+    assert by_key[1][0].valid_to == by_key[1][1].valid_from
+
+    assert [(r.attr, r.is_current) for r in by_key[2]] == [("x", True)]
+    assert [r.attr for r in by_key[3]] == [None, "v", None]
+    assert [r.is_current for r in by_key[3]] == [False, False, True]
+
+
+def test_scd2_exactly_one_current_per_key(spark, history):
+    out = scd2_build(history, ["k"], ["attr"])
+    per_key = (out.groupBy("k")
+               .agg(F.sum(F.col("is_current").cast("int")).alias("n"))
+               .collect())
+    assert all(r.n == 1 for r in per_key)
+
+
+# ---------------------------------------------------------------------------
+# Expectations / quarantine
+# ---------------------------------------------------------------------------
+
+def test_expectations_null_counts_as_failure(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id long, v double")
+    rules = {"v_positive": F.col("v") > 0}
+    out = {r.id: list(r.failed)
+           for r in check_expectations(df, rules).collect()}
+    assert out == {1: [], 2: ["v_positive"], 3: ["v_positive"]}
+
+
+def test_quarantine_split_is_lossless(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(100)], "id long, v double")
+    rules = {"v_nonzero": F.col("v") != 0,
+             "v_small": F.col("v") < 3}
+    good, bad = quarantine(df, rules)
+    assert good.count() + bad.count() == 100
+    assert good.columns == df.columns          # schema restored
+    assert bad.filter(F.size("failed") == 0).count() == 0
+    # multi-rule rows report every violation
+    multi = bad.filter(F.col("v") == 0).select("failed").first()
+    assert list(multi.failed) == ["v_nonzero"]
+    both = bad.filter(F.col("v") == 4).select("failed").first()
+    assert list(both.failed) == ["v_small"]
+
+
+# ---------------------------------------------------------------------------
+# Backfill planner
+# ---------------------------------------------------------------------------
+
+def test_backfill_builds_only_missing(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    calls = []
+
+    def build(s, day):
+        calls.append(day)
+        return s.range(0, 10).select(F.col("id").alias("v"))
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert backfill(spark, path, days, build) == days   # cold start: all
+    assert missing_partitions(path, days) == []
+
+    # idempotent: nothing rebuilt on rerun
+    calls.clear()
+    assert backfill(spark, path, days, build) == []
+    assert calls == []
+
+    # a killed write (dir exists, no data files) is re-planned
+    import shutil
+    victim = os.path.join(path, "load_date=2024-01-02")
+    shutil.rmtree(victim)
+    os.makedirs(victim)
+    assert missing_partitions(path, days) == ["2024-01-02"]
+    assert backfill(spark, path, days, build) == ["2024-01-02"]
+    assert spark.read.parquet(path).count() == 30

@@ -10,7 +10,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
-           "sample_by_rates", "key_skew_profile", "train_val_test_split"]
+           "sample_by_rates", "key_skew_profile", "train_val_test_split",
+           "check_expectations", "quarantine", "scd2_build"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -131,3 +132,66 @@ def train_val_test_split(df: DataFrame, key: str, *,
     return df.withColumn(
         "split",
         F.when(b < t1, "train").when(b < t2, "val").otherwise("test"))
+
+
+def check_expectations(df: DataFrame,
+                       rules: dict[str, Column]) -> DataFrame:
+    """Row-level data-quality expectations: append a sorted ``failed``
+    array naming every rule the row violates (empty = clean row).
+
+    Rules are plain Column predicates evaluated per row — everything
+    stays in codegen, no shuffle, and ALL rules are checked in one pass
+    (a failed row reports every violation, not just the first). NULL
+    predicate results count as failures: an expectation that cannot be
+    proven true is not met — the semantics audits want."""
+    checks = [F.when(~cond.eqNullSafe(F.lit(True)), F.lit(name))
+              for name, cond in rules.items()]
+    failed = F.array_sort(F.filter(F.array(*checks),
+                                   lambda x: x.isNotNull()))
+    return df.withColumn("failed", failed)
+
+
+def quarantine(df: DataFrame,
+               rules: dict[str, Column]) -> tuple[DataFrame, DataFrame]:
+    """Split into (good, bad): bad rows carry the ``failed`` rule list
+    for the quarantine table, good rows come back rule-free with their
+    original schema. The split is two filters over one checked stream —
+    at scale, write both sides from the same job so the quarantine
+    never diverges from the load."""
+    checked = check_expectations(df, rules)
+    good = checked.filter(F.size("failed") == 0).drop("failed")
+    bad = checked.filter(F.size("failed") > 0)
+    return good, bad
+
+
+def scd2_build(history: DataFrame, keys: list[str], tracked: list[str],
+               *, ts_col: str = "loaded_ts") -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse a stamped snapshot
+    history into versioned rows with ``valid_from`` / ``valid_to`` /
+    ``is_current``.
+
+    Two windows over the SAME (keys ORDER BY ts) partitioning — Catalyst
+    plans one shuffle + one sort for both: lag() marks rows where any
+    tracked attribute changed (null-safely; the first load always
+    starts a version), then lead() over the surviving version rows
+    closes each interval with the next version's start. Unchanged
+    reloads collapse away, so the dimension grows with CHANGES, not
+    with loads — the property that keeps a 16-loads/day mart from
+    16×-ing its dimension."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    versions = (history
+                .withColumn("__v", changed | first)
+                .filter("__v"))
+    w2 = Window.partitionBy(*keys).orderBy(ts_col)
+    return (versions
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead(ts_col).over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .select(*keys, *tracked, "valid_from", "valid_to",
+                    "is_current"))

@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["append_snapshot", "read_latest_snapshot", "snapshot_changes",
            "merge_upsert", "recover_merge_target",
-           "merge_aggregates", "partial_aggregate", "scrub_keys"]
+           "merge_aggregates", "partial_aggregate", "scrub_keys",
+           "missing_partitions", "backfill"]
 
 
 def append_snapshot(mart: DataFrame, path: str) -> None:
@@ -322,3 +323,42 @@ def scrub_keys(spark: SparkSession, target_path: str, scrub: DataFrame,
     os.rename(staging, target_path)
     shutil.rmtree(backup)
     return removed
+
+
+def missing_partitions(path: str, expected: list[str],
+                       *, partition_col: str = "load_date") -> list[str]:
+    """Backfill planner (the reference's Airflow ``catchup`` semantics,
+    ``dags/yougile_etl_dag.py`` schedule, expressed over the mart
+    itself): which expected partition values have no directory — or an
+    incomplete one (present but no data files, e.g. a killed write) —
+    under ``path``. Driver-side metadata listing only; the mart's row
+    data is never read."""
+    import os
+
+    missing = []
+    for val in expected:
+        d = os.path.join(path, f"{partition_col}={val}")
+        has_data = (os.path.isdir(d)
+                    and any(f.endswith(".parquet") and not f.startswith(".")
+                            for f in os.listdir(d)))
+        if not has_data:
+            missing.append(val)
+    return missing
+
+
+def backfill(spark: SparkSession, path: str, expected: list[str],
+             build_fn, *, partition_col: str = "load_date") -> list[str]:
+    """Run ``build_fn(spark, value) -> DataFrame`` for every missing
+    partition and append it under its directory. Idempotent by
+    construction: re-running skips partitions that already landed, so a
+    crashed backfill resumes where it died (each partition write is
+    atomic at the directory level — the unit Airflow retries, too).
+    Returns the values actually built, in order."""
+    built = []
+    for val in missing_partitions(path, expected,
+                                  partition_col=partition_col):
+        df = build_fn(spark, val)
+        (df.withColumn(partition_col, F.lit(val))
+           .write.mode("append").partitionBy(partition_col).parquet(path))
+        built.append(val)
+    return built

@@ -1696,3 +1696,140 @@ def link_fuzzy_titles(spark, sf):
               .select("doc_id", F.substring("text", 1, 30).alias("title")))
     return fuzzy_self_join(titles, "doc_id", "title",
                            max_dist=8, max_token_df=100)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build (operators/quality.py::scd2_build)
+# ---------------------------------------------------------------------------
+
+@register("dim_scd2_orders", """
+WITH h AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         TIMESTAMP '2024-01-01 00:00:00' AS loaded_ts
+  FROM orders WHERE o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END,
+         o_orderstatus, TIMESTAMP '2024-01-02 00:00:00'
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END,
+         o_orderstatus, TIMESTAMP '2024-01-03 00:00:00'
+  FROM orders
+), v AS (
+  SELECT *,
+         (lag(o_totalprice) OVER w IS DISTINCT FROM o_totalprice
+          OR lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+          OR row_number() OVER w = 1) AS is_v
+  FROM h WINDOW w AS (PARTITION BY o_orderkey ORDER BY loaded_ts)
+), ver AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, loaded_ts
+  FROM v WHERE is_v
+)
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       loaded_ts AS valid_from,
+       lead(loaded_ts) OVER w2 AS valid_to,
+       lead(loaded_ts) OVER w2 IS NULL AS is_current
+FROM ver WINDOW w2 AS (PARTITION BY o_orderkey ORDER BY loaded_ts)
+""")
+def dim_scd2_orders(spark, sf):
+    # SCD2 over a simulated 3-load history: load1 misses keys %5=0
+    # (late arrivals), load2 doubles price for keys %7=0 (a change),
+    # load3 repeats load2 (unchanged reload — must collapse, not
+    # version). Exercises first-load versions, change-versions, and the
+    # unchanged-collapse in one query.
+    from yougile_etl_pipeline_spark.operators.quality import scd2_build
+    orders = load_table(spark, sf, "orders") \
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    changed = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+         .otherwise(F.col("o_totalprice")))
+    loads = [
+        orders.filter(F.col("o_orderkey") % 5 != 0)
+              .withColumn("loaded_ts", F.lit("2024-01-01 00:00:00")
+                          .cast("timestamp")),
+        changed.withColumn("loaded_ts", F.lit("2024-01-02 00:00:00")
+                           .cast("timestamp")),
+        changed.withColumn("loaded_ts", F.lit("2024-01-03 00:00:00")
+                           .cast("timestamp")),
+    ]
+    hist = loads[0].unionByName(loads[1]).unionByName(loads[2])
+    return scd2_build(hist, ["o_orderkey"],
+                      ["o_totalprice", "o_orderstatus"])
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (operators/quality.py::check_expectations)
+# ---------------------------------------------------------------------------
+
+@register("quality_expectations", """
+SELECT l_orderkey, l_linenumber, failed FROM (
+  SELECT l_orderkey, l_linenumber,
+         list_sort(list_filter([
+           CASE WHEN NOT coalesce(l_quantity <= 30, FALSE)
+                THEN 'qty_le_30' END,
+           CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE)
+                THEN 'discount_le_5pct' END,
+           CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                THEN 'price_positive' END
+         ], x -> x IS NOT NULL)) AS failed
+  FROM lineitem)
+WHERE len(failed) > 0
+""")
+def quality_expectations(spark, sf):
+    # Expectations runner: every row checked against ALL rules in one
+    # codegen pass; violating rows surface with the sorted rule-name
+    # list (the quarantine-table shape). NULL predicate results count
+    # as failures on both sides (NOT coalesce(cond, FALSE)).
+    from yougile_etl_pipeline_spark.operators.quality import (
+        check_expectations,
+    )
+    li = load_table(spark, sf, "lineitem")
+    rules = {
+        "qty_le_30": F.col("l_quantity") <= 30,
+        "discount_le_5pct": F.col("l_discount") <= 0.05,
+        "price_positive": F.col("l_extendedprice") > 0,
+    }
+    return (check_expectations(li, rules)
+            .filter(F.size("failed") > 0)
+            .select("l_orderkey", "l_linenumber", "failed"))
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (events)
+# ---------------------------------------------------------------------------
+
+@register("events_retention_cohorts", """
+WITH firstw AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM act a JOIN firstw f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""")
+def events_retention_cohorts(spark, sf):
+    # Retention matrix: cohort = ISO week of first activity; one cell
+    # per (cohort, week offset) counting distinct users active that
+    # week. Two aggregations over the same user_id partitioning — the
+    # standard growth-analytics rollup, exact integer offsets (both
+    # engines truncate weeks to Monday so the day diff divides by 7).
+    ev = load_table(spark, sf, "events")
+    firstw = (ev.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    act = (ev.select("user_id",
+                     F.date_trunc("week", "ts").alias("wk")).distinct())
+    return (act.join(firstw, "user_id")
+            .groupBy(F.date_format("cohort", "yyyy-MM-dd")
+                     .alias("cohort_week"),
+                     (F.datediff("wk", "cohort") / 7).cast("int")
+                     .alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
