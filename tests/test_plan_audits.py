@@ -194,3 +194,43 @@ def test_embedding_decontam_broadcasts_benchmark_no_self_join(spark):
     assert plan.count("HashAggregate") >= 2
     body = plan.split("\n\n")[0]
     assert body.count("Exchange") - body.count("BroadcastExchange") <= 1
+
+
+def test_scd2_single_shuffle_for_both_windows(spark):
+    # lag change-detection and lead interval-closure share the same
+    # (keys ORDER BY ts) partitioning — one Exchange + one Sort total
+    plan = _formatted(spark, QUERIES["dim_scd2_orders"](spark, SF_SMOKE))
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") - body.count("BroadcastExchange") <= 2
+    assert plan.count("Window") >= 2
+
+
+def test_expectations_map_only(spark):
+    plan = _formatted(spark, QUERIES["quality_expectations"](spark, SF_SMOKE))
+    body = plan.split("\n\n")[0]
+    assert "Exchange" not in body          # pure scan → filter → project
+    assert "codegen id" in plan
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    # candidate generation must be an equi-join on the token, never a
+    # cross product of the two string sets
+    plan = _formatted(spark, QUERIES["link_fuzzy_titles"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_quality_broadcasts_model_and_aggregates_partially(spark):
+    plan = _formatted(spark, QUERIES["text_lm_quality"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan     # LM side broadcast
+    body = plan.split("\n\n")[0]
+    # per-doc agg partially combines map-side before its shuffle
+    assert "HashAggregate" in body
+
+
+def test_merge_aggregates_no_fact_rescan_shape(spark):
+    # merged state is aggregate-rows union aggregate-rows: exactly one
+    # final grouping shuffle above the two partial aggregations
+    plan = _formatted(spark, QUERIES["agg_incremental_merge"](spark, SF_SMOKE))
+    body = plan.split("\n\n")[0]
+    assert body.count("Union") == 1
