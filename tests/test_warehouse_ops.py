@@ -125,3 +125,32 @@ def test_backfill_builds_only_missing(spark, tmp_path):
     assert missing_partitions(path, days) == ["2024-01-02"]
     assert backfill(spark, path, days, build) == ["2024-01-02"]
     assert spark.read.parquet(path).count() == 30
+
+
+# ---------------------------------------------------------------------------
+# Streaming quarantine gate
+# ---------------------------------------------------------------------------
+
+def test_stream_quarantine_matches_batch(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+    from yougile_etl_pipeline_spark.operators.quality import quarantine as bq
+    from yougile_etl_pipeline_spark.sources.tables import load_table
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        stream_quarantine,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    med = ev.agg(F.expr("percentile_approx(value, 0.5)")).collect()[0][0]
+    rules = {"value_le_median": F.col("value") <= med}
+    g, b = bq(ev, rules)
+    batch_counts = (g.count(), b.count())
+    assert batch_counts[0] > 0 and batch_counts[1] > 0  # both sides live
+
+    stream_counts = stream_quarantine(
+        spark, SF_SMOKE,
+        str(tmp_path / "good"), str(tmp_path / "bad"), rules=rules)
+    assert stream_counts == batch_counts
+    # bad side carries the triage rule list
+    bad = spark.read.parquet(str(tmp_path / "bad"))
+    assert bad.filter(F.col("failed") == "value_le_median").count() \
+        == batch_counts[1]

@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from yougile_etl_pipeline_spark.schemas import TESTDATA_SCHEMAS
 
-__all__ = ["read_events_stream", "tumbling_counts", "run_available_now"]
+__all__ = ["read_events_stream", "tumbling_counts", "run_available_now",
+           "stream_quarantine"]
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,3 +125,44 @@ def stream_upsert_mart(spark: SparkSession, sf_dir: str, target_path: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_quarantine(spark: SparkSession, sf_dir: str,
+                      good_path: str, bad_path: str,
+                      rules=None) -> tuple[int, int]:
+    """Continuous data-quality gate: the event stream is checked against
+    the expectations suite and split good/bad inside ``foreachBatch`` —
+    BOTH sides written from the same micro-batch, so the quarantine can
+    never diverge from the load (the batch `quarantine` contract, made
+    continuous). availableNow drain; returns (n_good, n_bad).
+
+    At scale the two writes append to partitioned tables and the bad
+    side carries the sorted failed-rule list for triage — checking is
+    map-only codegen (plan-audited in batch form), so the gate adds no
+    shuffle to the ingest path."""
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.operators.quality import quarantine
+
+    rules = rules or {
+        "value_nonneg": F.col("value") >= 0,
+        "has_user": F.col("user_id").isNotNull(),
+        "known_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup"),
+    }
+    ev = read_events_stream(spark, sf_dir)
+
+    def gate(batch_df: DataFrame, _batch_id: int) -> None:
+        good, bad = quarantine(batch_df, rules)
+        good.write.mode("append").parquet(good_path)
+        (bad.withColumn("failed", F.concat_ws(",", "failed"))
+            .write.mode("append").parquet(bad_path))
+
+    q = (ev.writeStream.foreachBatch(gate)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", good_path + "_ckpt")
+         .start())
+    q.awaitTermination()
+    n_good = spark.read.parquet(good_path).count()
+    n_bad = spark.read.parquet(bad_path).count()
+    return n_good, n_bad
