@@ -791,6 +791,19 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "quality_train_split",                  # train/val/test assignment
     "snapshot_diff_audit",                  # two-snapshot CDC diff
     "decontam_embedding",                   # semantic decontamination
+    # round-3 session-2 registrations (all mini-driver-verified green at
+    # sf0.01 this session; next rotation moves them into the window):
+    "dedup_incremental_bloom",              # bloom-prefiltered dedup
+    "agg_incremental_merge",                # mergeable aggregate state
+    "text_lm_quality",                      # char-trigram LM score
+    "link_fuzzy_titles",                    # fuzzy record linkage
+    "dim_scd2_orders",                      # SCD2 dimension build
+    "quality_expectations",                 # expectations runner
+    "events_retention_cohorts",             # retention matrix
+    "r_unpivot_metrics",                    # wide->long melt
+    "agg_grouping_sets",                    # explicit grouping sets
+    "win_dist_functions",                   # percent_rank/cume_dist
+    "p_na_fill_drop",                       # na.fill/na.drop surface
 ]
 
 

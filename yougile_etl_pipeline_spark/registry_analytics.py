@@ -445,3 +445,94 @@ def agg_regional_volume(spark, sf):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (j.groupBy(F.col("n_name").alias("nation_name"))
              .agg(F.sum(_dec(rev)).cast("double").alias("revenue")))
+
+
+@register("r_unpivot_metrics", """
+SELECT l_orderkey, l_linenumber, metric, val
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey % 50 = 0
+) UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+""")
+def r_unpivot_metrics(spark, sf):
+    # Wide->long reshape (melt): one output row per (row, metric). The
+    # relational inverse of agg_pivot_status; map-only (no shuffle), so
+    # at 100 TB it's a scan-shaped transform feeding metric-keyed sinks.
+    li = (load_table(spark, sf, "lineitem")
+          .filter(F.col("l_orderkey") % 50 == 0))
+    return li.melt(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric", valueColumnName="val")
+
+
+@register("agg_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+""")
+def agg_grouping_sets(spark, sf):
+    # Explicit GROUPING SETS (the general form rollup/cube specialize):
+    # three groupings in ONE pass over the facts — Spark expands then
+    # partially aggregates map-side, so the shuffle carries one row per
+    # (grouping, key), never three scans.
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                 AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))""")
+
+
+@register("win_dist_functions", """
+SELECT o_orderkey, o_orderstatus,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       ntile(4) OVER w AS quartile
+FROM orders WHERE o_orderkey % 20 = 0
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""")
+def win_dist_functions(spark, sf):
+    # Distribution window functions: percent_rank/cume_dist are ratios
+    # of exact ints (rank-1)/(n-1), rows<=x/n -> bit-identical doubles.
+    # Total order (price, key) keeps ntile deterministic.
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy("o_totalprice", "o_orderkey"))
+    return (load_table(spark, sf, "orders")
+            .filter(F.col("o_orderkey") % 20 == 0)
+            .select("o_orderkey", "o_orderstatus",
+                    F.percent_rank().over(w).alias("pr"),
+                    F.cume_dist().over(w).alias("cd"),
+                    F.ntile(4).over(w).alias("quartile")))
+
+
+@register("p_na_fill_drop", """
+WITH flagged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_totalprice END AS px,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS st
+  FROM orders
+)
+SELECT o_orderkey, coalesce(px, -1.0) AS px, st
+FROM flagged WHERE st IS NOT NULL
+""")
+def p_na_fill_drop(spark, sf):
+    # DataFrameNaFunctions surface: na.fill for the numeric column,
+    # na.drop on the string column — the missing-data API a pandas
+    # migrator reaches for first (reference handles NaN via sink-side
+    # psycopg2 adapters; Spark handles it relationally, SURVEY §2.6).
+    o = load_table(spark, sf, "orders")
+    flagged = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+         .otherwise(F.col("o_totalprice")).alias("px"),
+        F.when(F.col("o_orderkey") % 13 == 0, None)
+         .otherwise(F.col("o_orderstatus")).alias("st"))
+    return flagged.na.fill({"px": -1.0}).na.drop(subset=["st"])
