@@ -154,3 +154,34 @@ def test_stream_quarantine_matches_batch(spark, tmp_path):
     bad = spark.read.parquet(str(tmp_path / "bad"))
     assert bad.filter(F.col("failed") == "value_le_median").count() \
         == batch_counts[1]
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch state
+# ---------------------------------------------------------------------------
+
+def test_hll_merge_split_invariant(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") % 997).alias("v"))
+
+    def merged_estimate(n_batches):
+        # build per-batch sketches over an id-based split
+        batches = [df.filter(F.col("id") % n_batches == i)
+                   .groupBy("k").agg(F.hll_sketch_agg("v").alias("sk"))
+                   for i in range(n_batches)]
+        hist = batches[0]
+        for b in batches[1:]:
+            hist = hist.unionByName(b)
+        return {r.k: r.est for r in
+                (hist.groupBy("k")
+                 .agg(F.hll_sketch_estimate(
+                     F.hll_union_agg("sk")).alias("est")).collect())}
+
+    # Sketch bits are NOT split-invariant (LIST->SET->HLL promotion
+    # differs per batch shape); the merge CONTRACT is the error bound:
+    # every fold order lands within tolerance of the exact count.
+    exact = {r.k: r.n for r in
+             df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()}
+    for n in (1, 2, 3):
+        for k, est in merged_estimate(n).items():
+            assert abs(est - exact[k]) <= 0.05 * exact[k], (n, k, est)

@@ -804,6 +804,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "agg_grouping_sets",                    # explicit grouping sets
     "win_dist_functions",                   # percent_rank/cume_dist
     "p_na_fill_drop",                       # na.fill/na.drop surface
+    "sketch_incremental_merge",             # mergeable HLL state
 ]
 
 

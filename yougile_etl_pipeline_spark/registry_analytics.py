@@ -536,3 +536,41 @@ def p_na_fill_drop(spark, sf):
         F.when(F.col("o_orderkey") % 13 == 0, None)
          .otherwise(F.col("o_orderstatus")).alias("st"))
     return flagged.na.fill({"px": -1.0}).na.drop(subset=["st"])
+
+
+@register("sketch_incremental_merge", """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS within_tol
+FROM orders
+GROUP BY o_orderstatus
+""")
+def sketch_incremental_merge(spark, sf):
+    # The approximate complement of agg_incremental_merge: distinct
+    # counts are NOT mergeable as plain state (union != sum), but their
+    # DataSketches HLL sketches ARE — each batch stores one binary
+    # sketch per key, and hll_union_agg folds batch-into-history with
+    # no fact rescans and no re-shuffle of raw keys. Estimates are
+    # engine-specific, so the checkable output is the error bound
+    # (|est - exact| within 3x the ~1.6%/sqrt-ish HLL rsd at default
+    # lgConfigK=12): the oracle asserts within_tol literally TRUE.
+    orders = load_table(spark, sf, "orders")
+    third = F.col("o_orderkey") % 3
+    batches = [
+        orders.filter(third == i)
+              .groupBy("o_orderstatus")
+              .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        for i in range(3)
+    ]
+    hist = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    merged = (hist.groupBy("o_orderstatus")
+              .agg(F.hll_union_agg("sk").alias("sk")))
+    exact = (orders.groupBy("o_orderstatus")
+             .agg(F.count_distinct("o_custkey").alias("exact_customers")))
+    return (merged
+            .withColumn("est", F.hll_sketch_estimate("sk"))
+            .join(exact, "o_orderstatus")
+            .select(
+                "o_orderstatus", "exact_customers",
+                (F.abs(F.col("est") - F.col("exact_customers"))
+                 <= 0.05 * F.col("exact_customers")).alias("within_tol")))
