@@ -99,3 +99,44 @@ def test_union_by_name_aligns_and_fills(spark):
     rows = {r.id: r for r in out.collect()}
     assert rows[1].extra is None and rows[2].extra == 9.0
     assert rows[2].name == "y"
+
+
+def test_events_reader_handles_both_parquet_ts_units(spark, tmp_path):
+    """The testdata generator has shipped events.ts as TIMESTAMP(NANOS)
+    in some refreshes and TIMESTAMP(MICROS) in others; the reader probes
+    the footer and must produce IDENTICAL timestamps for both encodings
+    (a silent 1000x shift here corrupted every event-time operator once
+    — this is the regression lock)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yougile_etl_pipeline_spark.sources.tables import (
+        _events_ts_is_nanos,
+        load_table,
+    )
+
+    base_us = [1704067207179575, 1704067432824425]       # epoch micros
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for unit, scale in (("us", 1), ("ns", 1000)):
+        d = tmp_path / unit
+        d.mkdir()
+        tbl = pa.table({**cols, "ts": pa.array(
+            [v * scale for v in base_us], pa.timestamp(unit))})
+        pq.write_table(tbl, str(d / "events.parquet"),
+                       store_schema=False, coerce_timestamps=None)
+
+    assert _events_ts_is_nanos(str(tmp_path / "ns" / "events.parquet"))
+    assert not _events_ts_is_nanos(str(tmp_path / "us" / "events.parquet"))
+
+    us_rows = {r.event_id: r.ts for r in
+               load_table(spark, str(tmp_path / "us"), "events").collect()}
+    ns_rows = {r.event_id: r.ts for r in
+               load_table(spark, str(tmp_path / "ns"), "events").collect()}
+    assert us_rows == ns_rows
+    assert us_rows[1].year == 2024                       # not 1970, not 56k
