@@ -185,3 +185,24 @@ def test_hll_merge_split_invariant(spark):
     for n in (1, 2, 3):
         for k, est in merged_estimate(n).items():
             assert abs(est - exact[k]) <= 0.05 * exact[k], (n, k, est)
+
+
+# ---------------------------------------------------------------------------
+# In-flight quality metrics (Observation API)
+# ---------------------------------------------------------------------------
+
+def test_observe_expectations_rides_the_action(spark, tmp_path):
+    from yougile_etl_pipeline_spark.plans.runner import observe_expectations
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(1000)], "id long, v double")
+    rules = {"v_nonzero": F.col("v") != 0, "v_lt_8": F.col("v") < 8}
+    observed, obs = observe_expectations(df, rules)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+
+    m = obs.get
+    assert m["n_rows"] == 1000
+    assert m["violations_v_nonzero"] == 100     # v == 0
+    assert m["violations_v_lt_8"] == 200        # v in {8, 9}
+    # the written data is untouched by observation
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1000

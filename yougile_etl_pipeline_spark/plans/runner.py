@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 
 from yougile_etl_pipeline_spark.sources.sinks import AlertSink
 
-__all__ = ["run_with_alerts"]
+__all__ = ["run_with_alerts", "observe_expectations"]
 
 
 def run_with_alerts(
@@ -46,3 +46,31 @@ def run_with_alerts(
     except Exception as e:  # noqa: BLE001 — alert then propagate, D4
         alerts.alert(f"{job_name}{stamp} FAILED: {type(e).__name__}: {e}")
         raise
+
+
+def observe_expectations(df: DataFrame, rules: dict,
+                         *, name: str = "quality"):
+    """Attach in-flight data-quality metrics to a DataFrame: total rows
+    plus one violation count per expectation rule, collected DURING the
+    next action by Spark's Observation API — zero extra scans, zero
+    shuffles, exact counts (unlike accumulators, observed metrics are
+    not double-counted on task retry).
+
+    This is the production shape for "emit DQ metrics with every load":
+    at 100 TB a separate metrics pass would re-read the table; observe()
+    rides the write. Returns ``(observed_df, observation)`` — run the
+    action, then read ``observation.get``.
+
+    The rule predicates are the same Column expressions
+    `operators/quality.py::check_expectations` takes, so the gate and
+    the metrics can share one rule dict."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for rname, cond in rules.items():
+        metrics.append(
+            F.sum((~cond.eqNullSafe(F.lit(True))).cast("long"))
+             .alias(f"violations_{rname}"))
+    return df.observe(obs, *metrics), obs
