@@ -29,6 +29,11 @@ DEFAULT = [
     "sketch_approx_distinct", "sketch_approx_quantiles",
     "emb_quantize_int8", "sim_topk_int8",
     "text_vocab_topv", "text_oov_rate", "layout_zorder_profile",
+    # round-3 session-2 additions
+    "dedup_incremental_bloom", "agg_incremental_merge", "text_lm_quality",
+    "link_fuzzy_titles", "dim_scd2_orders", "quality_expectations",
+    "events_retention_cohorts", "r_unpivot_metrics", "agg_grouping_sets",
+    "win_dist_functions", "p_na_fill_drop", "sketch_incremental_merge",
 ]
 
 
