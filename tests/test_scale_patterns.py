@@ -338,3 +338,26 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """DPP: a selective dim filter must prune the partitioned fact's scan
+    at RUNTIME (the broadcast result seeds a partition filter subquery) —
+    at 100 TB this is the difference between scanning 2 of 1000
+    date-partitions and scanning them all. The plan must carry a
+    dynamicpruning expression on the fact scan."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fact")
+    (spark.range(0, 50_000)
+     .select(F.col("id"), (F.col("id") % 20).alias("pt"))
+     .write.partitionBy("pt").parquet(path))
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(20)],
+        "pt long, flag string")
+
+    j = fact.join(dim.filter(F.col("flag") == "keep"), "pt")
+    plan = j._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan
+    assert j.count() == 5_000      # 2 of 20 partitions survive

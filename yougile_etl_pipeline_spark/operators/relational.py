@@ -24,6 +24,7 @@ __all__ = [
     "salted_join",
     "interval_join",
     "asof_join",
+    "merge_intervals",
 ]
 
 
@@ -229,3 +230,34 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
             F.col(f"__m.{right_ts}").alias(f"{right_ts}{suffix}"),
             *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols]]
     return out.select(*keep)
+
+
+def merge_intervals(df: DataFrame, keys: list[str],
+                    start_col: str, end_col: str) -> DataFrame:
+    """Merge overlapping/touching intervals per key (the gaps-and-islands
+    problem): output one row per maximal merged interval with its span
+    and member count.
+
+    Single-window formulation: ordered by (start, end), a row opens a new
+    island iff its start exceeds the running max end of ALL earlier rows
+    (running max — not lag(end) — so an interval nested inside a long one
+    can't split the island); the island id is then a running sum of those
+    open-flags, and one groupBy collapses each island. One shuffle on
+    (keys), both windows + the aggregate reuse its partitioning. Exact
+    comparisons only — no epsilon — so the SQL oracle is bit-identical.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = (prev_max_end.isNull()
+             | (F.col(start_col) > prev_max_end)).cast("int")
+    island = F.sum(opens).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("__island", island)
+            .groupBy(*keys, "__island")
+            .agg(F.min(start_col).alias("span_start"),
+                 F.max(end_col).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_intervals"))
+            .drop("__island"))

@@ -805,6 +805,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "win_dist_functions",                   # percent_rank/cume_dist
     "p_na_fill_drop",                       # na.fill/na.drop surface
     "sketch_incremental_merge",             # mergeable HLL state
+    "events_interval_merge",                # gaps-and-islands merge
 ]
 
 

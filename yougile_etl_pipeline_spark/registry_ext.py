@@ -1833,3 +1833,49 @@ def events_retention_cohorts(spark, sf):
                      (F.datediff("wk", "cohort") / 7).cast("int")
                      .alias("week_offset"))
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands interval merge (operators/relational.py::merge_intervals)
+# ---------------------------------------------------------------------------
+
+@register("events_interval_merge", """
+WITH iv AS (
+  SELECT o_custkey, o_orderdate AS s,
+         o_orderdate + INTERVAL 30 DAY AS e
+  FROM orders WHERE o_orderkey % 10 = 0
+), flagged AS (
+  SELECT o_custkey, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                OR s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS opens
+  FROM iv
+), islands AS (
+  SELECT o_custkey, s, e,
+         sum(opens) OVER (PARTITION BY o_custkey ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT o_custkey, min(s) AS span_start, max(e) AS span_end,
+       count(*) AS n_intervals
+FROM islands GROUP BY o_custkey, island
+""")
+def events_interval_merge(spark, sf):
+    # Gaps-and-islands: each order opens a 30-day activity interval per
+    # customer; overlapping intervals merge into maximal activity spans.
+    # Running-max (not lag) island detection so nested intervals can't
+    # split a span.
+    from yougile_etl_pipeline_spark.operators.relational import (
+        merge_intervals,
+    )
+    iv = (load_table(spark, sf, "orders")
+          .filter(F.col("o_orderkey") % 10 == 0)
+          .select("o_custkey", F.col("o_orderdate").alias("s"),
+                  (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+                  .alias("e")))
+    return merge_intervals(iv, ["o_custkey"], "s", "e")
