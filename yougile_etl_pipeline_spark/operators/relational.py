@@ -25,6 +25,7 @@ __all__ = [
     "interval_join",
     "asof_join",
     "merge_intervals",
+    "resample_ffill",
 ]
 
 
@@ -261,3 +262,53 @@ def merge_intervals(df: DataFrame, keys: list[str],
                  F.max(end_col).alias("span_end"),
                  F.count(F.lit(1)).alias("n_intervals"))
             .drop("__island"))
+
+
+def resample_ffill(events: DataFrame, key: str, ts_col: str,
+                   value_col: str, *, unit: str = "hour",
+                   id_col: str = "event_id") -> DataFrame:
+    """Resample an irregular event stream onto a regular per-key time
+    grid with forward fill — the gap-filling shape every time-series
+    mart needs (sensor rollups, balance snapshots, activity panels).
+
+    Per key: grid = sequence(floor(min ts), max ts, 1 unit) exploded
+    map-side (no shuffle to BUILD the grid — it explodes from one
+    bounds row per key); events collapse to one deterministic row per
+    (key, bucket) (latest by (ts, id) — a total order); the grid left
+    joins those buckets and ``last(value, ignorenulls=True)`` over the
+    key's ordered window carries values across empty buckets. Empty
+    buckets report ``n_events = 0``, and a key's grid never extends
+    beyond ITS OWN span (no cross-key grid inflation — at 100 TB a
+    sparse key must not generate three years of rows).
+    """
+    from pyspark.sql.window import Window
+
+    # one grid step per `unit` (hour/day/week...): truncation and step
+    # derive from the same unit so buckets and grid points always align
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    bounds = (events.groupBy(key)
+              .agg(F.date_trunc(unit, F.min(ts_col)).alias("__t0"),
+                   F.max(ts_col).alias("__t1")))
+    grid = bounds.select(
+        key, F.explode(F.sequence(
+            "__t0", "__t1", F.expr(f"INTERVAL 1 {unit}"))).alias("h"))
+
+    wb = (Window.partitionBy(key, "__h")
+          .orderBy(F.col(ts_col).desc(), F.col(id_col).desc()))
+    hourly = (events
+              .withColumn("__h", bucket)
+              .withColumn("__n", F.count(F.lit(1))
+                          .over(Window.partitionBy(key, "__h")))
+              .withColumn("__rn", F.row_number().over(wb))
+              .filter(F.col("__rn") == 1)
+              .select(key, F.col("__h").alias("h"),
+                      F.col(value_col).alias("__val"),
+                      F.col("__n").alias("n_events")))
+
+    wf = (Window.partitionBy(key).orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (grid.join(hourly, [key, "h"], "left")
+            .select(key, "h",
+                    F.last("__val", ignorenulls=True).over(wf)
+                     .alias("value_ffill"),
+                    F.coalesce("n_events", F.lit(0)).alias("n_events")))

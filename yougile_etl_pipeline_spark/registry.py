@@ -806,6 +806,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "p_na_fill_drop",                       # na.fill/na.drop surface
     "sketch_incremental_merge",             # mergeable HLL state
     "events_interval_merge",                # gaps-and-islands merge
+    "events_resample_ffill",                # time-series gap filling
 ]
 
 

@@ -1879,3 +1879,43 @@ def events_interval_merge(spark, sf):
                   (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
                   .alias("e")))
     return merge_intervals(iv, ["o_custkey"], "s", "e")
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + forward fill (operators/relational.py)
+# ---------------------------------------------------------------------------
+
+@register("events_resample_ffill", """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), hourly AS (
+  SELECT user_id, h, val, n_events FROM (
+    SELECT user_id, date_trunc('hour', ts) AS h, value AS val,
+           count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+             AS n_events,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1
+)
+SELECT g.user_id, g.h,
+       last_value(hh.val IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       coalesce(hh.n_events, 0) AS n_events
+FROM grid g LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h
+""")
+def events_resample_ffill(spark, sf):
+    # Irregular events -> regular per-user hourly panel with forward
+    # fill; the survivor per bucket is the latest (ts, event_id) — a
+    # total order, so the carried double is bit-deterministic. Grids
+    # are bounded per key by that key's own activity span.
+    from yougile_etl_pipeline_spark.operators.relational import (
+        resample_ffill,
+    )
+    ev = load_table(spark, sf, "events")
+    return resample_ffill(ev, "user_id", "ts", "value")
