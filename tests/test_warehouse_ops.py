@@ -206,3 +206,48 @@ def test_observe_expectations_rides_the_action(spark, tmp_path):
     assert m["violations_v_lt_8"] == 200        # v in {8, 9}
     # the written data is untouched by observation
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# Pseudonymization + schema evolution on read
+# ---------------------------------------------------------------------------
+
+def test_pseudonymize_preserves_joins_and_salt_unlinks(spark):
+    from yougile_etl_pipeline_spark.operators.quality import pseudonymize
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "uid long, pa string")
+    b = spark.createDataFrame([(1, "m"), (3, "n")], "uid long, pb string")
+    pa_, pb_ = (pseudonymize(a, ["uid"], salt="s1"),
+                pseudonymize(b, ["uid"], salt="s1"))
+    # same salt -> surrogate keys still join (uid=1 matches)
+    assert pa_.join(pb_, "uid").count() == 1
+    # rotated salt -> all linkage broken
+    assert pa_.join(pseudonymize(b, ["uid"], salt="s2"), "uid").count() == 0
+    # surrogates are not the originals
+    assert {r.uid for r in pa_.collect()}.isdisjoint({"1", "2", 1, 2})
+
+
+def test_schema_evolution_merge_and_conform(spark, tmp_path):
+    """Marts evolve columns between loads; mergeSchema + conform must
+    read the union and present the engine's stable contract (older
+    files' missing columns as NULL, declared order)."""
+    from pyspark.sql import types as T
+
+    from yougile_etl_pipeline_spark.schemas import conform
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "k long, v1 string") \
+        .write.parquet(path + "/load=1")
+    spark.createDataFrame([(2, "b", 9.5)], "k long, v1 string, v2 double") \
+        .write.parquet(path + "/load=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    target = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v1", T.StringType()),
+        T.StructField("v2", T.DoubleType()),
+        T.StructField("v3_future", T.StringType()),
+    ])
+    out = {r.k: (r.v1, r.v2, r.v3_future)
+           for r in conform(merged, target).collect()}
+    assert out == {1: ("a", None, None), 2: ("b", 9.5, None)}

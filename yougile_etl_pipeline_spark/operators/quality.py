@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
            "sample_by_rates", "key_skew_profile", "train_val_test_split",
-           "check_expectations", "quarantine", "scd2_build"]
+           "check_expectations", "quarantine", "scd2_build",
+           "pseudonymize"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -195,3 +196,26 @@ def scd2_build(history: DataFrame, keys: list[str], tracked: list[str],
             .withColumn("is_current", F.col("valid_to").isNull())
             .select(*keys, *tracked, "valid_from", "valid_to",
                     "is_current"))
+
+
+def pseudonymize(df: DataFrame, cols: list[str],
+                 *, salt: str, length: int = 16) -> DataFrame:
+    """GDPR pseudonymization: replace direct identifiers with salted
+    sha2-256 surrogates (hex, truncated to ``length``).
+
+    Keyed-hash, not encryption: the same (salt, value) always maps to
+    the same surrogate, so joins and aggregates on the pseudonymized
+    key still work across tables and loads — while reversing requires
+    the salt (keep it out of the lake). Rotating the salt unlinks all
+    history at once; `scrub_keys` handles per-subject erasure and
+    `redact_pii` free-text — together the three cover the erasure/
+    minimization surface. Pure codegen map, no shuffle; sha2 is
+    bit-identical in any engine, so the op is oracle-pairable."""
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.substring(
+                F.sha2(F.concat_ws(":", F.lit(salt),
+                                   F.col(c).cast("string")), 256),
+                1, length))
+    return out

@@ -807,6 +807,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sketch_incremental_merge",             # mergeable HLL state
     "events_interval_merge",                # gaps-and-islands merge
     "events_resample_ffill",                # time-series gap filling
+    "quality_pseudonymize",                 # salted keyed-hash surrogates
 ]
 
 

@@ -1919,3 +1919,26 @@ def events_resample_ffill(spark, sf):
     )
     ev = load_table(spark, sf, "events")
     return resample_ffill(ev, "user_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# PII pseudonymization (operators/quality.py::pseudonymize)
+# ---------------------------------------------------------------------------
+
+@register("quality_pseudonymize", """
+SELECT substr(sha256('mart-2024:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+         AS c_custkey,
+       substr(sha256('mart-2024:' || c_name), 1, 16) AS c_name,
+       c_mktsegment,
+       c_acctbal
+FROM customer
+""")
+def quality_pseudonymize(spark, sf):
+    # Salted keyed-hash surrogates: same (salt, value) -> same surrogate,
+    # so the pseudonymized key still joins/aggregates across tables;
+    # rotating the salt unlinks all history. sha2-256 hex is identical
+    # in both engines -> oracle-paired. Map-only, no shuffle.
+    from yougile_etl_pipeline_spark.operators.quality import pseudonymize
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    return pseudonymize(cust, ["c_custkey", "c_name"], salt="mart-2024")
