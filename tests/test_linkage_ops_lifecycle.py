@@ -142,3 +142,12 @@ def test_compact_path_preserves_rows(spark, tmp_path):
     assert spark.read.parquet(frag).agg(F.sum("id")).collect()[0][0] == before
     prof = file_profile(spark, frag, target_file_bytes=1 << 20).collect()
     assert prof[0].verdict == "ok"
+
+
+def test_compact_path_refuses_partitioned_dataset(spark, tmp_path):
+    path = str(tmp_path / "parted")
+    (spark.range(0, 100)
+     .select(F.col("id"), (F.col("id") % 2).alias("pt"))
+     .write.partitionBy("pt").parquet(path))
+    with pytest.raises(ValueError, match="non-partitioned"):
+        compact_path(spark, path, target_file_bytes=1 << 20)

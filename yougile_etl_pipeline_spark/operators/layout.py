@@ -201,6 +201,13 @@ def compact_path(spark, path: str,
 
     sizes = [os.path.getsize(os.path.join(path, f))
              for f in os.listdir(path) if f.endswith(".parquet")]
+    if not sizes:
+        # partitioned dataset (or not a parquet dir): compact each leaf
+        # via file_profile instead — rewriting through this path would
+        # silently fold partition directories into one flat table.
+        raise ValueError(
+            f"{path} has no top-level parquet files; compact_path only "
+            f"rewrites flat (non-partitioned) datasets")
     rec = max(1, math.ceil(sum(sizes) / target_file_bytes))
     df = spark.read.parquet(path)
     base = path.rstrip("/")
