@@ -34,6 +34,7 @@ DEFAULT = [
     "link_fuzzy_titles", "dim_scd2_orders", "quality_expectations",
     "events_retention_cohorts", "r_unpivot_metrics", "agg_grouping_sets",
     "win_dist_functions", "p_na_fill_drop", "sketch_incremental_merge",
+    "events_interval_merge", "events_resample_ffill", "quality_pseudonymize",
 ]
 
 

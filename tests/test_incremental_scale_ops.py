@@ -102,8 +102,7 @@ def test_merge_equals_full_recompute(spark):
         merge_aggregates(
             partial_aggregate(orders.filter(third == 0), keys, vcol),
             partial_aggregate(orders.filter(third == 1), keys, vcol),
-            keys).select("o_orderstatus", "cnt", "total", "min_v", "max_v")
-        .withColumn("total", F.col("total").cast("decimal(20,6)")),
+            keys).select("o_orderstatus", "cnt", "total", "min_v", "max_v"),
         partial_aggregate(orders.filter(third == 2), keys, vcol), keys)
 
     a = {r.o_orderstatus: (r.cnt, r.total, r.min_v, r.max_v, r.mean_v)

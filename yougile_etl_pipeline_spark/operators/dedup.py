@@ -315,6 +315,29 @@ def simhash_ham_pairs(sig: DataFrame, *, sig_col: str = "simhash60",
              .select("doc_a", "doc_b", "hamming"))
 
 
+def _known_marked(known_fps: DataFrame) -> DataFrame:
+    """Distinct store fingerprints tagged ``__k = 1`` for the left join."""
+    return known_fps.select("fp").distinct().withColumn("__k", F.lit(1))
+
+
+def _verdict_select(probed: DataFrame, fp: DataFrame,
+                    id_col: str) -> DataFrame:
+    """Shared verdict step for incremental dedup: batch-internal canon
+    (min-id per fingerprint — a deterministic total order) joined onto
+    the store-probed rows, then the three-way status. Both the exact and
+    the Bloom-prefiltered operators go through THIS code, so their
+    row-for-row equivalence is structural, not a parallel-maintenance
+    promise."""
+    canon = fp.groupBy("fp").agg(F.min(id_col).alias("__min_id"))
+    return (probed.join(canon, "fp")
+            .select(
+                F.col(id_col), "fp",
+                F.when(F.col("__k").isNotNull(), F.lit("known_dup"))
+                 .when(F.col(id_col) != F.col("__min_id"),
+                       F.lit("batch_dup"))
+                 .otherwise(F.lit("new")).alias("status")))
+
+
 def dedup_incremental(new_docs: DataFrame, known_fps: DataFrame,
                       *, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
@@ -337,16 +360,8 @@ def dedup_incremental(new_docs: DataFrame, known_fps: DataFrame,
     the store keeps the next batch's check exact."""
     fp = new_docs.select(F.col(id_col),
                          fingerprint_exact(text_col).alias("fp"))
-    known = known_fps.select("fp").distinct().withColumn("__k", F.lit(1))
-    canon = fp.groupBy("fp").agg(F.min(id_col).alias("__min_id"))
-    return (fp.join(known, "fp", "left")
-              .join(canon, "fp")
-              .select(
-                  F.col(id_col), "fp",
-                  F.when(F.col("__k").isNotNull(), F.lit("known_dup"))
-                   .when(F.col(id_col) != F.col("__min_id"),
-                         F.lit("batch_dup"))
-                   .otherwise(F.lit("new")).alias("status")))
+    probed = fp.join(_known_marked(known_fps), "fp", "left")
+    return _verdict_select(probed, fp, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -355,34 +370,49 @@ def dedup_incremental(new_docs: DataFrame, known_fps: DataFrame,
 
 _BLOOM_K = 7  # hash functions per key; fpp ≈ (1 - e^(-k*n/m))^k
 
+# Single-slot cache bound for the bloom probe stream (same pattern and
+# rationale as _LAST_SHINGLE_CACHE above).
+_LAST_BLOOM_CACHE: list[DataFrame] = []
+
 
 def _bloom_positions(fps: pd.Series, m_bits: int) -> np.ndarray:
-    """k bit positions per fingerprint, derived from md5(fp || ':' || i).
+    """k bit positions per fingerprint: ONE md5 per fingerprint, k
+    positions by double hashing its two 64-bit halves
+    (``pos_i = (h1 + i·h2) mod m`` — Kirsch-Mitzenmacher, preserves the
+    Bloom fpp bound), then vectorized numpy for the modular walk.
 
     Pure recomputation — build and probe call the same function, so a
     fingerprint present in the store can NEVER probe negative (the
     exactness guarantee). md5 (not Python hash()) keeps positions stable
-    across processes, partitions, and reruns."""
+    across processes, partitions, and reruns; bitmaps are only valid
+    within one (function-version, m_bits) pairing — rebuild per wave,
+    never persist across upgrades."""
     import hashlib
 
-    out = np.empty((len(fps), _BLOOM_K), dtype=np.int64)
+    halves = np.empty((len(fps), 2), dtype=np.uint64)
     for row, fp in enumerate(fps):
-        for i in range(_BLOOM_K):
-            h = hashlib.md5(f"{fp}:{i}".encode()).digest()
-            out[row, i] = int.from_bytes(h[:8], "big") % m_bits
-    return out
+        d = hashlib.md5(str(fp).encode()).digest()
+        halves[row, 0] = int.from_bytes(d[:8], "big")
+        halves[row, 1] = int.from_bytes(d[8:], "big") | 1  # odd step
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    pos = (halves[:, :1] + i * halves[:, 1:]) % np.uint64(m_bits)
+    return pos.astype(np.int64)
 
 
 def build_fp_bloom(known_fps: DataFrame, *, m_bits: int = 1 << 23) -> bytes:
     """One bitmap over the fingerprint store.
 
     Executors each fold their partitions into a local ``m_bits``-bit
-    numpy array inside ``mapInPandas`` (Arrow-batched, no per-row Python
-    dispatch); the driver ORs one small bitmap per partition. At 100 TB:
-    1e9 stored fingerprints at k=7 want m ≈ 1.2e10 bits (~1.4 GB) — still
-    a broadcast-able prefilter, and the partial bitmaps can be OR-reduced
-    in a tree instead of on the driver. The collect here moves
-    ``n_partitions × m/8`` bytes of bitmap, never fingerprint rows."""
+    numpy array inside ``mapInPandas`` (Arrow-batched; one md5 + a
+    vectorized position walk per fingerprint); the driver ORs one small
+    bitmap per partition. At 100 TB: 1e9 stored fingerprints at k=7 want
+    m ≈ 1.2e10 bits (~1.4 GB) — still a broadcast-able prefilter, and
+    the partial bitmaps can be OR-reduced in a tree instead of on the
+    driver. The collect here moves ``n_partitions × m/8`` bytes of
+    bitmap, never fingerprint rows."""
+    if m_bits % 8 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 8, "
+                         f"got {m_bits}")
     n_bytes = m_bits // 8
 
     def fold(batches):
@@ -422,7 +452,7 @@ def dedup_incremental_bloom(new_docs: DataFrame, known_fps: DataFrame,
     through to the exact left join and resolve to NULL there.
 
     Result is row-for-row identical to ``dedup_incremental`` at ANY fpp —
-    the oracle for both is the same SQL.
+    both operators share ``_verdict_select`` and the same SQL oracle.
     """
     from pyspark.sql import functions as SF
 
@@ -437,23 +467,21 @@ def dedup_incremental_bloom(new_docs: DataFrame, known_fps: DataFrame,
         hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8)))
         return pd.Series((hit != 0).all(axis=1))
 
+    # persist: the probe column feeds BOTH filter legs and the canon
+    # aggregate — without it the pandas UDF re-evaluates per consumer.
     fp = (new_docs.select(F.col(id_col),
                           fingerprint_exact(text_col).alias("fp"))
-          .withColumn("__maybe", might_contain("fp")))
-    known = known_fps.select("fp").distinct().withColumn("__k", F.lit(1))
+          .withColumn("__maybe", might_contain("fp"))
+          .persist())
+    prev = _LAST_BLOOM_CACHE.pop(0) if _LAST_BLOOM_CACHE else None
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _LAST_BLOOM_CACHE.append(fp)
 
     # Store join only for probe-positive rows; negatives keep __k = NULL
-    # without touching the store. Both legs then share the batch-internal
-    # canon (min-id) grouping — identical to dedup_incremental.
+    # without touching the store.
     probed = (fp.filter("__maybe")
-                .join(known, "fp", "left")
+                .join(_known_marked(known_fps), "fp", "left")
                 .unionByName(fp.filter("NOT __maybe")
                                .withColumn("__k", F.lit(None).cast("int"))))
-    canon = fp.groupBy("fp").agg(F.min(id_col).alias("__min_id"))
-    return (probed.join(canon, "fp")
-            .select(
-                F.col(id_col), "fp",
-                F.when(F.col("__k").isNotNull(), F.lit("known_dup"))
-                 .when(F.col(id_col) != F.col("__min_id"),
-                       F.lit("batch_dup"))
-                 .otherwise(F.lit("new")).alias("status")))
+    return _verdict_select(probed.drop("__maybe"), fp, id_col)

@@ -213,9 +213,13 @@ def pseudonymize(df: DataFrame, cols: list[str],
     bit-identical in any engine, so the op is oracle-pairable."""
     out = df
     for c in cols:
+        # NULL stays NULL: concat (not concat_ws) propagates it, so a
+        # missing identifier never collapses to the constant sha2(salt)
+        # surrogate — which would fabricate linkage between unrelated
+        # records (NULL joins nothing; a shared constant joins a lot).
         out = out.withColumn(
             c, F.substring(
-                F.sha2(F.concat_ws(":", F.lit(salt),
-                                   F.col(c).cast("string")), 256),
+                F.sha2(F.concat(F.lit(salt + ":"),
+                                F.col(c).cast("string")), 256),
                 1, length))
     return out

@@ -537,9 +537,16 @@ def lm_quality_score(docs: DataFrame, lm: DataFrame | None = None,
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_trigrams"),
                     F.sum("cnt").alias("__s")))
+    # each factor is cast to double BEFORE the product: n × total can
+    # exceed int64 at corpus scale (1e7-trigram doc × 1e13-trigram
+    # corpus ≈ 1e20) and non-ANSI Spark would wrap silently. Both
+    # factors are individually < 2^53 so each conversion is exact and
+    # the product/division are single correctly-rounded ops — still
+    # bit-identical across engines.
     return (per_doc.crossJoin(F.broadcast(total))
             .select(
                 F.col(id_col), "n_trigrams",
                 (F.col("__s").cast("double")
-                 / (F.col("n_trigrams") * F.col("__total")).cast("double"))
+                 / (F.col("n_trigrams").cast("double")
+                    * F.col("__total").cast("double")))
                 .alias("lm_score")))

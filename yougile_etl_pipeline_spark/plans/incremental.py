@@ -239,16 +239,17 @@ def merge_aggregates(stored: DataFrame, batch: DataFrame,
     merged = (stored.unionByName(batch)
               .groupBy(*keys)
               .agg(F.sum("cnt").alias("cnt"),
-                   F.sum("total").alias("__total_dec"),
+                   # keep the EXACT decimal as the stored state: the
+                   # output must itself be mergeable (chained daily
+                   # merges), so the sum is re-narrowed to the state
+                   # scale — decimal(20,6) holds ±1e14 in micro-units,
+                   # the documented range contract — and never rounded
+                   # through double. Doubles are read-time views only.
+                   F.sum("total").cast("decimal(20,6)").alias("total"),
                    F.min("min_v").alias("min_v"),
                    F.max("max_v").alias("max_v")))
-    # Exact decimal internally; double at the boundary (the engine-wide
-    # sum contract) — the mean divides the already-rounded double so both
-    # steps are single correctly-rounded operations in any engine.
-    return (merged
-            .withColumn("total", F.col("__total_dec").cast("double"))
-            .withColumn("mean_v", F.col("total") / F.col("cnt"))
-            .drop("__total_dec"))
+    return merged.withColumn(
+        "mean_v", F.col("total").cast("double") / F.col("cnt"))
 
 
 def partial_aggregate(facts: DataFrame, keys: list[str],
@@ -313,6 +314,12 @@ def scrub_keys(spark: SparkSession, target_path: str, scrub: DataFrame,
                     ignore_errors=True)
         return removed
 
+    if any("=" in d and os.path.isdir(os.path.join(target_path, d))
+           for d in os.listdir(target_path)):
+        raise ValueError(
+            f"{target_path} is partitioned; pass partition_col= so the "
+            f"scrub rewrites only victim partitions (the flat swap would "
+            f"silently flatten the layout)")
     survivors = target.join(victims, keys, "left_anti")
     base = target_path.rstrip("/")
     staging, backup = base + "__staging", base + "__old"

@@ -1622,7 +1622,8 @@ def agg_incremental_merge(spark, sf):
     batch = partial_aggregate(
         orders.filter(F.col("o_orderkey") % 3 == 0),
         ["o_orderstatus"], "o_totalprice")
-    return merge_aggregates(stored, batch, ["o_orderstatus"])
+    return (merge_aggregates(stored, batch, ["o_orderstatus"])
+            .withColumn("total", F.col("total").cast("double")))
 
 
 # ---------------------------------------------------------------------------
@@ -1648,7 +1649,8 @@ WITH norm AS (
   GROUP BY t.doc_id
 )
 SELECT d.doc_id, d.n_trigrams,
-       CAST(d.s AS DOUBLE) / CAST(d.n_trigrams * tot.total AS DOUBLE)
+       CAST(d.s AS DOUBLE)
+         / (CAST(d.n_trigrams AS DOUBLE) * CAST(tot.total AS DOUBLE))
          AS lm_score
 FROM doc d CROSS JOIN tot
 """)

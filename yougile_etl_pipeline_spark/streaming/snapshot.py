@@ -152,11 +152,22 @@ def stream_quarantine(spark: SparkSession, sf_dir: str,
     }
     ev = read_events_stream(spark, sf_dir)
 
-    def gate(batch_df: DataFrame, _batch_id: int) -> None:
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent per micro-batch: both sides land under their
+        # batch_id partition via dynamic overwrite, so a retried batch
+        # REPLACES its own partition instead of appending duplicates
+        # (the same exactly-once contract stream_upsert_mart gets from
+        # MERGE keys).
         good, bad = quarantine(batch_df, rules)
-        good.write.mode("append").parquet(good_path)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        (good.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("batch_id")
+             .parquet(good_path))
         (bad.withColumn("failed", F.concat_ws(",", "failed"))
-            .write.mode("append").parquet(bad_path))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(bad_path))
 
     q = (ev.writeStream.foreachBatch(gate)
          .trigger(availableNow=True)
