@@ -808,6 +808,11 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "events_interval_merge",                # gaps-and-islands merge
     "events_resample_ffill",                # time-series gap filling
     "quality_pseudonymize",                 # salted keyed-hash surrogates
+    "sql_scalar_subquery",                  # scalar subquery via SQL API
+    "sql_exists_agg",                       # correlated EXISTS + agg (Q4)
+    "sql_in_subquery",                      # IN-subquery -> semi join
+    "agg_having",                           # post-aggregation filter
+    "freq_heavy_hitters",                   # Misra-Gries two-pass HH
 ]
 
 

@@ -574,3 +574,106 @@ def sketch_incremental_merge(spark, sf):
                 "o_orderstatus", "exact_customers",
                 (F.abs(F.col("est") - F.col("exact_customers"))
                  <= 0.05 * F.col("exact_customers")).alias("within_tol")))
+
+
+@register("sql_scalar_subquery", """
+SELECT p_partkey, p_size FROM part
+WHERE p_size > (SELECT avg(p_size) FROM part)
+""")
+def sql_scalar_subquery(spark, sf):
+    # Scalar subquery through the SQL entry point: Catalyst rewrites it
+    # to a one-row broadcast (ReusedSubquery/Subquery node), so the fact
+    # scan happens once and the threshold never touches the driver. Avg
+    # over INTs is an exact integer sum / count in both engines -> the
+    # comparison is bit-deterministic (avg over doubles would not be:
+    # summation order differs across partitionings).
+    from yougile_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql("""
+        SELECT p_partkey, p_size FROM part
+        WHERE p_size > (SELECT avg(p_size) FROM part)
+    """)
+
+
+@register("sql_exists_agg", """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+""")
+def sql_exists_agg(spark, sf):
+    # TPC-H Q4 shape: correlated EXISTS over the fact child, then
+    # aggregate. Catalyst plans the EXISTS as a LEFT SEMI hash join
+    # (each order emitted at most once regardless of matching line
+    # count), and the groupBy's partial aggregation collapses the 5
+    # priority groups map-side — the final shuffle carries 5 rows per
+    # partition at any scale.
+    from yougile_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        GROUP BY o_orderpriority
+    """)
+
+
+@register("sql_in_subquery", """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+""")
+def sql_in_subquery(spark, sf):
+    # Uncorrelated IN-subquery -> broadcast left-semi join against the
+    # tiny dim. The null-semantics trap (NOT IN with nulls) is the
+    # reason the engine surfaces IN via the planner instead of
+    # hand-rolled isin() collects: Catalyst gets 3-valued logic right.
+    from yougile_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql("""
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = 2)
+    """)
+
+
+@register("agg_having", """
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS spend
+FROM orders
+WHERE o_custkey IS NOT NULL
+GROUP BY o_custkey
+HAVING count(*) >= 10
+""")
+def agg_having(spark, sf):
+    # HAVING = post-aggregation filter. The decimal-cast sum keeps the
+    # double total bit-identical across engines/partitionings (same
+    # device as agg_pricing_summary).
+    o = load_table(spark, sf, "orders")
+    return (o.filter(F.col("o_custkey").isNotNull())
+             .groupBy("o_custkey")
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum(_dec("o_totalprice")).cast("double").alias("spend"))
+             .filter(F.col("n_orders") >= 10))
+
+
+@register("freq_heavy_hitters", """
+SELECT l_suppkey, count(*) AS cnt FROM lineitem
+GROUP BY l_suppkey
+HAVING count(*) * 200 > (SELECT count(*) FROM lineitem)
+""")
+def freq_heavy_hitters(spark, sf):
+    # Misra-Gries two-pass heavy hitters (operators/frequency.py): the
+    # oracle states the SEMANTICS (plain HAVING over a full groupBy);
+    # the implementation reaches the same exact rows while shuffling
+    # only per-partition sketch survivors + candidate-key rows — the
+    # difference between "shuffle every distinct URL" and "shuffle 200
+    # keys" at 100 TB.
+    from yougile_etl_pipeline_spark.operators.frequency import heavy_hitters
+
+    li = load_table(spark, sf, "lineitem")
+    return heavy_hitters(li, "l_suppkey", 200)
