@@ -234,3 +234,24 @@ def test_merge_aggregates_no_fact_rescan_shape(spark):
     plan = _formatted(spark, QUERIES["agg_incremental_merge"](spark, SF_SMOKE))
     body = plan.split("\n\n")[0]
     assert body.count("Union") == 1
+
+
+def test_heavy_hitters_broadcasts_candidates_with_partial_recount(spark):
+    plan = _formatted(spark, QUERIES["freq_heavy_hitters"](spark, SF_SMOKE))
+    body = plan.split("\n\n")[0]
+    # candidate set is broadcast; the fact-side recount never shuffles raw
+    # rows — only per-key partial counts after the semi join
+    assert "BroadcastHashJoin LeftSemi" in body
+    assert "MapInPandas" in body
+    assert "partial_count" in plan
+    # two key-hash shuffles total: candidate distinct + recount agg
+    assert body.count("Exchange") - body.count("BroadcastExchange") == 2
+    # both scans read only the key column
+    assert "struct<l_suppkey:bigint>" in plan
+
+
+def test_exists_agg_plans_semi_join_not_inner(spark):
+    plan = _formatted(spark, QUERIES["sql_exists_agg"](spark, SF_SMOKE))
+    # EXISTS must not multiply orders by matching line count
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan
