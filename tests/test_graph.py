@@ -104,3 +104,68 @@ def test_cc_string_node_ids_fast_path(spark):
            for r in connected_components(e, nodes).collect()}
     assert got == {"aa": "aa", "bb": "aa", "cc": "aa",
                    "xx": "xx", "yy": "xx", "zz": "zz"}
+
+
+# ---------------------------------------------------------------------------
+# pagerank_fixed_point
+# ---------------------------------------------------------------------------
+
+def _pr(spark, edges, **kw):
+    from yougile_etl_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["rank"]
+            for r in pagerank_fixed_point(df, **kw).collect()}
+
+
+def test_pagerank_star_center_dominates(spark):
+    # Undirected star: the hub must out-rank every leaf.
+    leaves = [f"l{i}" for i in range(6)]
+    edges = [("hub", l) for l in leaves] + [(l, "hub") for l in leaves]
+    ranks = _pr(spark, edges, iterations=5)
+    assert all(ranks["hub"] > ranks[l] for l in leaves)
+    assert len(set(ranks[l] for l in leaves)) == 1  # symmetry preserved
+
+def test_pagerank_mass_conserved_up_to_floor_loss(spark):
+    # With symmetric edges nothing dangles: total rank stays within
+    # floor-division loss of `scale` (each div loses < 1 unit per edge
+    # per iteration) and never exceeds it.
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+             ("c", "d"), ("d", "c")]
+    ranks = _pr(spark, edges, iterations=4)
+    total, scale = sum(ranks.values()), 10**12
+    assert total <= scale
+    assert total >= scale - 4 * (len(edges) + len(ranks)) * 100
+
+def test_pagerank_partitioning_invariant(spark):
+    # Identical bigint ranks at any parallelism (the point of
+    # fixed-point arithmetic).
+    import random
+    rng = random.Random(7)
+    edges = []
+    for i in range(60):
+        a, b = rng.randrange(20), rng.randrange(20)
+        if a != b:
+            edges += [(f"n{a}", f"n{b}"), (f"n{b}", f"n{a}")]
+    df1 = spark.createDataFrame(edges, "src string, dst string").coalesce(1)
+    df8 = spark.createDataFrame(edges, "src string, dst string") \
+        .repartition(8)
+    from yougile_etl_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    r1 = {r["node"]: r["rank"]
+          for r in pagerank_fixed_point(df1, iterations=3).collect()}
+    r8 = {r["node"]: r["rank"]
+          for r in pagerank_fixed_point(df8, iterations=3).collect()}
+    assert r1 == r8
+
+def test_pagerank_rejects_zero_iterations(spark):
+    import pytest as _pt
+
+    from yougile_etl_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pt.raises(ValueError):
+        pagerank_fixed_point(df, iterations=0)

@@ -166,3 +166,64 @@ def canonical_docs(docs: DataFrame, components: DataFrame,
                       .join(sizes, "component")
                       .select(F.col("node").alias(id_col), "cluster_size"))
     return docs.join(keep, id_col)
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    checkpoint_every: int | None = 8,
+) -> DataFrame:
+    """Power-iteration PageRank in integer fixed-point arithmetic.
+
+    Ranks are bigints in units of 1/`scale`; every step is integer
+    multiply / floor-divide / sum — all exactly portable across engines
+    and partitionings, so (unlike float PageRank, whose summation order
+    drifts) the result after a FIXED number of iterations is
+    bit-deterministic and SQL-oracle-pairable.
+
+    Per iteration (the classic distributed shape):
+      contrib = rank div outdeg  per edge (join on src — one shuffle,
+                both sides keyed on the node id),
+      sums    = groupBy(dst).sum (map-side partial sums),
+      rank'   = base + (damping · sums) div 100, nodes with no in-edges
+                keep base (left join from the node set).
+
+    Semantics notes: `edges` must be the complete out-edge list; a
+    dangling node (outdeg 0) contributes nothing — its mass leaks rather
+    than being redistributed (document or symmetrize the edge set if
+    that matters). Overflow-safe: ranks are bounded by `scale`, so
+    damping_pct·rank stays far under int64.
+
+    `checkpoint_every` truncates lineage with `localCheckpoint` every k
+    iterations — without it, deep iteration counts grow the logical plan
+    superlinearly (same device as connected_components).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node"))).distinct())
+    n = nodes.count()
+    base = (100 - damping_pct) * scale // (100 * n)
+    ranks = nodes.select("node", F.lit(scale // n).alias("rank"))
+    for i in range(iterations):
+        contribs = (edges.join(ranks, edges[src] == ranks["node"])
+                    .join(deg, src)
+                    .select(F.col(dst).alias("node"),
+                            F.expr("rank div __outdeg").alias("__c")))
+        sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = (nodes.join(sums, "node", "left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.expr(f"({damping_pct} * coalesce(__s, "
+                                   f"CAST(0 AS BIGINT))) div 100"))
+                         .alias("rank")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -813,6 +813,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_in_subquery",                      # IN-subquery -> semi join
     "agg_having",                           # post-aggregation filter
     "freq_heavy_hitters",                   # Misra-Gries two-pass HH
+    "graph_pagerank",                       # fixed-point power iteration
 ]
 
 

@@ -1944,3 +1944,75 @@ def quality_pseudonymize(spark, sf):
     cust = load_table(spark, sf, "customer").select(
         "c_custkey", "c_name", "c_mktsegment", "c_acctbal")
     return pseudonymize(cust, ["c_custkey", "c_name"], salt="mart-2024")
+
+
+# ---------------------------------------------------------------------------
+# E5b PageRank (operators/graph.py::pagerank_fixed_point)
+# ---------------------------------------------------------------------------
+# Bipartite customer<->supplier trade graph from orders x lineitem; the
+# oracle unrolls the 3 power iterations as chained CTEs. Every step is
+# integer multiply / floor-divide (DuckDB `//` == Spark `div` on
+# non-negative operands), so ranks are bit-identical across engines.
+
+_PR_GRAPH = """
+pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes)
+"""
+
+_PR_STEP = """
+s{i} AS (
+  SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN r{prev} r ON e.src = r.node
+               JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT nd.node,
+         CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+              + (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes nd LEFT JOIN s{i} ON nd.node = s{i}.node
+)"""
+
+_PR_SQL = ("WITH " + _PR_GRAPH
+           + ", r0 AS (SELECT node, CAST(1000000000000 // (SELECT n FROM nn)"
+             " AS BIGINT) AS rank FROM nodes)"
+           + "".join(_PR_STEP.format(i=i, prev=i - 1)
+                     .join([",", ""]) for i in (1, 2, 3))
+           + "\nSELECT node, rank FROM r3")
+
+
+@register("graph_pagerank", _PR_SQL)
+def graph_pagerank(spark, sf):
+    # Link analysis over the near-dup/reference graph surface: which
+    # nodes accumulate mass. Fixed-point integer power iteration makes
+    # an iterative DataFrame algorithm fully oracle-pairable.
+    from yougile_etl_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from yougile_etl_pipeline_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf, ("orders", "lineitem"))
+    pairs = (t["orders"]
+             .join(t["lineitem"],
+                   t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+             .filter(F.col("o_custkey").isNotNull()
+                     & F.col("l_suppkey").isNotNull())
+             .select(
+                 F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                  .alias("c"),
+                 F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                  .alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionAll(pairs.select(F.col("s").alias("src"),
+                                    F.col("c").alias("dst"))))
+    return pagerank_fixed_point(edges, iterations=3)
