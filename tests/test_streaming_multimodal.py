@@ -102,3 +102,29 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
     b_rows = sorted(map(tuple, batch.collect()))
     assert len(s_rows) > 0
     assert s_rows == b_rows
+
+
+def test_stream_session_window_matches_batch(spark):
+    """Native session_window under streaming == batch session_window for
+    every session the watermark has closed (append emits a session only
+    once it can't grow; sessions ending within watermark-of-max stay
+    open and are correctly absent)."""
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        run_sessions_available_now,
+    )
+
+    streamed = run_sessions_available_now(spark, SF_SMOKE)
+    events = load_table(spark, SF_SMOKE, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    batch = (events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select("user_id",
+                     F.col("session_window.start").alias("session_start"),
+                     F.col("session_window.end").alias("session_end"),
+                     "n_events"))
+    got = {(r.user_id, r.session_start, r.session_end): r.n_events
+           for r in streamed.filter(F.col("session_end") < cutoff).collect()}
+    want = {(r.user_id, r.session_start, r.session_end): r.n_events
+            for r in batch.filter(F.col("session_end") < cutoff).collect()}
+    assert want and got == want

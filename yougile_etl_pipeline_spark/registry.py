@@ -814,6 +814,9 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "agg_having",                           # post-aggregation filter
     "freq_heavy_hitters",                   # Misra-Gries two-pass HH
     "graph_pagerank",                       # fixed-point power iteration
+    "sql_correlated_scalar",                # Q17-shape decorrelation
+    "sql_having_total",                     # Q11-shape global-share cut
+    "events_session_native",                # native session_window
 ]
 
 

@@ -677,3 +677,101 @@ def freq_heavy_hitters(spark, sf):
 
     li = load_table(spark, sf, "lineitem")
     return heavy_hitters(li, "l_suppkey", 200)
+
+
+@register("sql_correlated_scalar", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+         AS small_qty_revenue,
+       count(*) AS n_lines
+FROM lineitem l1
+WHERE l_quantity < 0.5 * (SELECT avg(l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l1.l_partkey)
+""")
+def sql_correlated_scalar(spark, sf):
+    # TPC-H Q17 shape: a correlated scalar aggregate per outer row.
+    # Catalyst decorrelates it into one per-partkey aggregate + an
+    # equi-join — the fact is scanned twice but never nested-looped.
+    # Determinism note: l_quantity values are small integral doubles, so
+    # per-part sums are exact in fp64 and avg = exact_sum/count is
+    # bit-identical across engines/partitionings.
+    from yougile_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+                 AS small_qty_revenue,
+               count(*) AS n_lines
+        FROM lineitem l1
+        WHERE l_quantity < 0.5 * (SELECT avg(l_quantity) FROM lineitem l2
+                                  WHERE l2.l_partkey = l1.l_partkey)
+    """)
+
+
+@register("sql_having_total", """
+WITH s AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS rev
+  FROM lineitem GROUP BY l_suppkey
+), t AS (SELECT SUM(rev) AS total FROM s)
+SELECT l_suppkey, CAST(rev AS DOUBLE) AS revenue
+FROM s, t WHERE rev * 1000 > total * 11
+""")
+def sql_having_total(spark, sf):
+    # TPC-H Q11 shape: keep groups whose share of the GLOBAL total
+    # exceeds a threshold. The total re-aggregates the per-group sums
+    # (tiny — never rescans the fact) and broadcasts as a one-row cross
+    # join. The share test is decimal-exact integer arithmetic
+    # (rev*1000 > total*11), so the cut line is identical across
+    # engines — a float `rev > 0.011*total` would wobble at the
+    # boundary.
+    li = load_table(spark, sf, "lineitem")
+    s = (li.groupBy("l_suppkey")
+           .agg(F.sum(_dec("l_extendedprice")).alias("rev")))
+    total = s.agg(F.sum("rev").alias("total"))
+    return (s.crossJoin(F.broadcast(total))
+             .filter(F.col("rev") * 1000 > F.col("total") * 11)
+             .select("l_suppkey", F.col("rev").cast("double")
+                     .alias("revenue")))
+
+
+@register("events_session_native", """
+WITH x AS (
+  SELECT user_id, ts, value, event_id,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ms
+  FROM events
+), y AS (
+  SELECT *, CASE WHEN prev_ms IS NULL
+                   OR epoch_ms(ts) - prev_ms > 1800000
+                 THEN 1 ELSE 0 END AS brk
+  FROM x
+), z AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM y
+)
+SELECT user_id,
+       epoch_ms(MIN(ts)) AS session_start_ms,
+       epoch_ms(MAX(ts)) + 1800000 AS session_end_ms,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS session_value
+FROM z GROUP BY user_id, sid
+""")
+def events_session_native(spark, sf):
+    # Spark-native session windows (F.session_window): the engine's
+    # built-in gap sessionization — one shuffle on user_id, sessions
+    # merged inside the aggregate (no window-function pre-pass), and the
+    # SAME groupBy works under Structured Streaming with a watermark.
+    # Boundary semantics (probed, locked by the oracle): an event at
+    # exactly prev_ts + gap MERGES; a new session needs gap strictly
+    # exceeded. Oracle = classic gaps-and-islands SQL.
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(20,6)"))
+                    .cast("double").alias("session_value"))
+              .select("user_id",
+                      F.unix_millis("session_window.start")
+                       .alias("session_start_ms"),
+                      F.unix_millis("session_window.end")
+                       .alias("session_end_ms"),
+                      "n_events", "session_value"))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from yougile_etl_pipeline_spark.schemas import TESTDATA_SCHEMAS
 
 __all__ = ["read_events_stream", "tumbling_counts", "run_available_now",
+           "session_windows", "run_sessions_available_now",
            "stream_quarantine"]
 
 
@@ -74,6 +75,37 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     """Drain the stream once (availableNow) into a memory sink and return
     the materialized batch DataFrame — the test/driver entry point."""
     q = (tumbling_counts(read_events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Native session windows under streaming: the SAME
+    ``groupBy(user_id, session_window(ts, gap))`` the batch query
+    `events_session_native` runs, now with a watermark bounding state —
+    open sessions persist in the state store only until the watermark
+    passes their end, so state is O(active users), not O(history).
+    Append mode emits each session exactly once, when it can no longer
+    grow."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id", F.session_window("ts", gap))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events"))
+
+
+def run_sessions_available_now(spark: SparkSession, sf_dir: str,
+                               table_name: str = "stream_sessions"
+                               ) -> DataFrame:
+    q = (session_windows(read_events_stream(spark, sf_dir))
          .writeStream.format("memory").queryName(table_name)
          .outputMode("append")
          .trigger(availableNow=True)
