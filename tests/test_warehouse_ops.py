@@ -251,3 +251,67 @@ def test_schema_evolution_merge_and_conform(spark, tmp_path):
     out = {r.k: (r.v1, r.v2, r.v3_future)
            for r in conform(merged, target).collect()}
     assert out == {1: ("a", None, None), 2: ("b", 9.5, None)}
+
+
+# ---------------------------------------------------------------------------
+# scd2_lookup (point-in-time dimension lookup)
+# ---------------------------------------------------------------------------
+
+def _lookup_fixture(spark):
+    from yougile_etl_pipeline_spark.operators.quality import scd2_lookup
+    dim = spark.createDataFrame(
+        [(1, "v1", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+         (1, "v2", "2024-01-02 00:00:00", None),
+         (2, "w1", "2024-01-03 00:00:00", None)],
+        "k int, attr string, valid_from string, valid_to string") \
+        .select("k", "attr",
+                F.col("valid_from").cast("timestamp").alias("valid_from"),
+                F.col("valid_to").cast("timestamp").alias("valid_to"))
+    return scd2_lookup, dim
+
+
+def test_scd2_lookup_picks_interval_and_keeps_grain(spark):
+    scd2_lookup, dim = _lookup_fixture(spark)
+    fact = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00"), (1, "2024-01-05 00:00:00"),
+         (2, "2024-01-01 00:00:00"),   # before w1 opens -> no match
+         (3, "2024-01-01 00:00:00")],  # unknown key -> no match
+        "k int, ts string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts"))
+    out = scd2_lookup(fact, dim, ["k"], "ts")
+    assert out.count() == fact.count()  # grain preserved (<=1 version)
+    got = {(r.k, str(r.ts)): r.attr for r in out.collect()}
+    assert got[(1, "2024-01-01 12:00:00")] == "v1"
+    assert got[(1, "2024-01-05 00:00:00")] == "v2"
+    assert got[(2, "2024-01-01 00:00:00")] is None
+    assert got[(3, "2024-01-01 00:00:00")] is None
+
+
+def test_scd2_lookup_boundary_from_inclusive_to_exclusive(spark):
+    scd2_lookup, dim = _lookup_fixture(spark)
+    fact = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00")],  # exactly v1.valid_to == v2.valid_from
+        "k int, ts string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts"))
+    out = scd2_lookup(fact, dim, ["k"], "ts").collect()
+    assert len(out) == 1 and out[0].attr == "v2"
+
+
+def test_scd2_lookup_shared_lineage_self_join(spark):
+    """dim derived FROM the fact table (the ambiguity trap): unmatched
+    fact rows must keep their own key, not a null from the dim side."""
+    from yougile_etl_pipeline_spark.operators.quality import (
+        scd2_build,
+        scd2_lookup,
+    )
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, attr string")
+    hist = base.withColumn(
+        "loaded_ts", F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    dim = scd2_build(hist, ["k"], ["attr"]).drop("is_current")
+    probes = base.select(
+        "k", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"))
+    out = scd2_lookup(probes, dim, ["k"], "ts")  # all probes pre-dim
+    rows = out.collect()
+    assert sorted(r.k for r in rows) == [1, 2]
+    assert all(r.attr is None for r in rows)

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
            "sample_by_rates", "key_skew_profile", "train_val_test_split",
            "check_expectations", "quarantine", "scd2_build",
-           "pseudonymize"]
+           "scd2_lookup", "pseudonymize"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -223,3 +223,33 @@ def pseudonymize(df: DataFrame, cols: list[str],
                                 F.col(c).cast("string")), 256),
                 1, length))
     return out
+
+
+def scd2_lookup(fact: DataFrame, dim: DataFrame, keys: list[str],
+                ts_col: str, *, from_col: str = "valid_from",
+                to_col: str = "valid_to", how: str = "left") -> DataFrame:
+    """Point-in-time dimension lookup: each fact row joined to the SCD2
+    version valid at its timestamp (``valid_from <= ts < valid_to``,
+    open ``valid_to`` = current).
+
+    Planned as an equi-hash-join on the business keys with the interval
+    test as a residual join condition — never a range cross product.
+    The fan-out before the residual filter is versions-per-key, which an
+    SCD2 dimension bounds by construction (it grows with changes, not
+    loads), and intervals are disjoint so at most one version survives
+    per fact row: the output grain equals the fact grain."""
+    # Rename the dim's key columns before joining: fact and dim often
+    # share lineage (a dim built from the same table), and Spark's
+    # self-join attribute dedup makes drop-by-Column-instance resolve
+    # the WRONG side silently — renamed keys are unambiguous.
+    dimr = dim
+    for k in keys:
+        dimr = dimr.withColumnRenamed(k, f"__dim_{k}")
+    cond = None
+    for k in keys:
+        c = fact[k] == dimr[f"__dim_{k}"]
+        cond = c if cond is None else cond & c
+    cond = cond & (fact[ts_col] >= dimr[from_col]) \
+        & (dimr[to_col].isNull() | (fact[ts_col] < dimr[to_col]))
+    return fact.join(dimr, cond, how) \
+        .drop(*[f"__dim_{k}" for k in keys])

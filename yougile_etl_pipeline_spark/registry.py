@@ -817,6 +817,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_correlated_scalar",                # Q17-shape decorrelation
     "sql_having_total",                     # Q11-shape global-share cut
     "events_session_native",                # native session_window
+    "dim_scd2_lookup",                      # point-in-time dim lookup
 ]
 
 

@@ -2016,3 +2016,84 @@ def graph_pagerank(spark, sf):
              .unionAll(pairs.select(F.col("s").alias("src"),
                                     F.col("c").alias("dst"))))
     return pagerank_fixed_point(edges, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup (operators/quality.py::scd2_lookup)
+# ---------------------------------------------------------------------------
+
+@register("dim_scd2_lookup", """
+WITH h AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         TIMESTAMP '2024-01-01 00:00:00' AS loaded_ts
+  FROM orders WHERE o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END,
+         o_orderstatus, TIMESTAMP '2024-01-02 00:00:00'
+  FROM orders
+), v AS (
+  SELECT *,
+         (lag(o_totalprice) OVER w IS DISTINCT FROM o_totalprice
+          OR lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+          OR row_number() OVER w = 1) AS is_v
+  FROM h WINDOW w AS (PARTITION BY o_orderkey ORDER BY loaded_ts)
+), dim AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         loaded_ts AS valid_from,
+         lead(loaded_ts) OVER w2 AS valid_to
+  FROM (SELECT o_orderkey, o_totalprice, o_orderstatus, loaded_ts
+        FROM v WHERE is_v)
+  WINDOW w2 AS (PARTITION BY o_orderkey ORDER BY loaded_ts)
+), probes AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN TIMESTAMP '2024-01-01 12:00:00'
+              ELSE TIMESTAMP '2024-01-02 12:00:00' END AS probe_ts
+  FROM orders
+)
+SELECT p.o_orderkey, p.probe_ts,
+       d.o_totalprice AS price_asof, d.o_orderstatus AS status_asof
+FROM probes p LEFT JOIN dim d
+  ON p.o_orderkey = d.o_orderkey
+ AND p.probe_ts >= d.valid_from
+ AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+""")
+def dim_scd2_lookup(spark, sf):
+    # Point-in-time ("as of") dimension lookup against the SCD2 build:
+    # even keys probe day-1 noon (keys %5=0 were late arrivals -> NULL
+    # attributes), odd keys probe day-2 noon (see the %7 price change).
+    # Equi-hash-join on the key, interval test as residual; disjoint
+    # validity intervals guarantee <=1 match so the output keeps the
+    # fact grain.
+    from yougile_etl_pipeline_spark.operators.quality import (
+        scd2_build,
+        scd2_lookup,
+    )
+
+    orders = load_table(spark, sf, "orders") \
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    changed = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+         .otherwise(F.col("o_totalprice")))
+    hist = (orders.filter(F.col("o_orderkey") % 5 != 0)
+            .withColumn("loaded_ts",
+                        F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            .unionByName(changed.withColumn(
+                "loaded_ts",
+                F.lit("2024-01-02 00:00:00").cast("timestamp"))))
+    dim = scd2_build(hist, ["o_orderkey"],
+                     ["o_totalprice", "o_orderstatus"]) \
+        .drop("is_current")
+    probes = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0,
+               F.lit("2024-01-01 12:00:00"))
+         .otherwise(F.lit("2024-01-02 12:00:00"))
+         .cast("timestamp").alias("probe_ts"))
+    out = scd2_lookup(probes, dim, ["o_orderkey"], "probe_ts")
+    return out.select("o_orderkey", "probe_ts",
+                      F.col("o_totalprice").alias("price_asof"),
+                      F.col("o_orderstatus").alias("status_asof"))
