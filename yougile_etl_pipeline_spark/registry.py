@@ -818,6 +818,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_having_total",                     # Q11-shape global-share cut
     "events_session_native",                # native session_window
     "dim_scd2_lookup",                      # point-in-time dim lookup
+    "events_time_rollup",                   # multi-granularity rollup
 ]
 
 

@@ -775,3 +775,39 @@ def events_session_native(spark, sf):
                       F.unix_millis("session_window.end")
                        .alias("session_end_ms"),
                       "n_events", "session_value"))
+
+
+@register("events_time_rollup", """
+SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+            WHEN GROUPING(d) = 0 THEN 'day' ELSE 'month' END AS granularity,
+       epoch_ms(COALESCE(h, d, m)) AS bucket_ms,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             date_trunc('month', ts) AS m, value FROM events)
+GROUP BY GROUPING SETS ((h), (d), (m))
+""")
+def events_time_rollup(spark, sf):
+    # Hypertable-style multi-granularity rollup: hourly + daily + monthly
+    # aggregates of the event stream in ONE pass via the native
+    # DataFrame groupingSets API (the SQL twin is agg_grouping_sets).
+    # Spark expands the sets then partially aggregates map-side, so the
+    # shuffle carries one row per (granularity, bucket) — vs three
+    # full scans if each granularity ran as its own job. At 100 TB the
+    # scan dominates: 3x fewer scans is the whole win.
+    ev = load_table(spark, sf, "events")
+    b = ev.select(F.date_trunc("hour", "ts").alias("h"),
+                  F.date_trunc("day", "ts").alias("d"),
+                  F.date_trunc("month", "ts").alias("m"), "value")
+    g = (b.groupingSets([["h"], ["d"], ["m"]], "h", "d", "m")
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+                .alias("total_value"),
+               F.grouping("h").alias("__gh"),
+               F.grouping("d").alias("__gd")))
+    return g.select(
+        F.when(F.col("__gh") == 0, "hour")
+         .when(F.col("__gd") == 0, "day")
+         .otherwise("month").alias("granularity"),
+        F.unix_millis(F.coalesce("h", "d", "m")).alias("bucket_ms"),
+        "n_events", "total_value")
