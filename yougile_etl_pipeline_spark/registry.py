@@ -819,6 +819,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "events_session_native",                # native session_window
     "dim_scd2_lookup",                      # point-in-time dim lookup
     "events_time_rollup",                   # multi-granularity rollup
+    "events_variant_extract",               # VariantType typed paths
 ]
 
 

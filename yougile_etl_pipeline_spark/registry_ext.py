@@ -2097,3 +2097,42 @@ def dim_scd2_lookup(spark, sf):
     return out.select("o_orderkey", "probe_ts",
                       F.col("o_totalprice").alias("price_asof"),
                       F.col("o_orderstatus").alias("status_asof"))
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4 VariantType)
+# ---------------------------------------------------------------------------
+
+@register("events_variant_extract", """
+SELECT event_id,
+       json_extract_string(j, '$.et') AS et,
+       CAST(json_extract(j, '$.v') AS DOUBLE) AS v,
+       CAST(json_extract(j, '$.u') AS BIGINT) AS u,
+       json_extract_string(j, '$.missing') AS missing_path
+FROM (SELECT event_id,
+             to_json(struct_pack(et := event_type, v := value,
+                                 u := user_id)) AS j
+      FROM events)
+""")
+def events_variant_extract(spark, sf):
+    # The engine's schema-less semi-structured path: parse_json -> open
+    # VariantType (binary-encoded, predicate-pushdown-friendly in
+    # parquet) -> typed variant_get extraction; a missing path is NULL,
+    # not an error. Complements events_json_flatten (per-path
+    # get_json_object re-parses the string for every path; VARIANT
+    # parses once). Oracle extracts the same paths with DuckDB JSON
+    # functions — only the extracted typed VALUES cross engines, never
+    # the engine-specific encodings.
+    ev = load_table(spark, sf, "events")
+    payload = F.parse_json(F.to_json(F.struct(
+        F.col("event_type").alias("et"),
+        F.col("value").alias("v"),
+        F.col("user_id").alias("u"))))
+    return (ev.select("event_id", payload.alias("vr"))
+              .select(
+                  "event_id",
+                  F.variant_get("vr", "$.et", "string").alias("et"),
+                  F.variant_get("vr", "$.v", "double").alias("v"),
+                  F.variant_get("vr", "$.u", "long").alias("u"),
+                  F.variant_get("vr", "$.missing", "string")
+                   .alias("missing_path")))
