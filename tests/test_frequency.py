@@ -31,7 +31,9 @@ def test_heavy_hitters_matches_exact_on_skewed_data(spark):
     df = spark.createDataFrame([(r,) for r in rows], "key string") \
         .repartition(8)
     got = {r["key"]: r["cnt"] for r in heavy_hitters(df, "key", 5).collect()}
-    assert got == _exact_hh(rows, 5)  # {"hot": 400, "warm": 150}
+    # threshold is strict count*5 > 1000: only "hot" (400) qualifies —
+    # "warm" (150) is below 200 and must NOT appear
+    assert got == _exact_hh(rows, 5) == {"hot": 400}
 
 
 def test_heavy_hitters_exact_on_low_skew_data(spark):
@@ -70,3 +72,13 @@ def test_heavy_hitters_rejects_degenerate_k(spark):
         pass
     else:
         raise AssertionError("k=1 must raise")
+
+
+def test_heavy_hitters_null_key_is_a_group(spark):
+    # SQL GROUP BY semantics: a frequent-enough NULL key IS a heavy
+    # hitter (null-safe semi join; a plain equi-join would drop it).
+    rows = [None] * 60 + [f"c{i}" for i in range(40)]
+    df = spark.createDataFrame([(r,) for r in rows], "key string") \
+        .repartition(4)
+    got = {r["key"]: r["cnt"] for r in heavy_hitters(df, "key", 3).collect()}
+    assert got == {None: 60}

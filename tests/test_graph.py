@@ -169,3 +169,11 @@ def test_pagerank_rejects_zero_iterations(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pt.raises(ValueError):
         pagerank_fixed_point(df, iterations=0)
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from yougile_etl_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    df = spark.createDataFrame([], "src string, dst string")
+    out = pagerank_fixed_point(df, iterations=2)
+    assert out.columns == ["node", "rank"] and out.count() == 0

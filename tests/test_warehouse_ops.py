@@ -315,3 +315,18 @@ def test_scd2_lookup_shared_lineage_self_join(spark):
     rows = out.collect()
     assert sorted(r.k for r in rows) == [1, 2]
     assert all(r.attr is None for r in rows)
+
+
+def test_scd2_lookup_rejects_shared_nonkey_columns(spark):
+    from yougile_etl_pipeline_spark.operators.quality import scd2_lookup
+    dim = spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:00:00", None)],
+        "k int, attr string, valid_from string, valid_to string") \
+        .select("k", "attr",
+                F.col("valid_from").cast("timestamp").alias("valid_from"),
+                F.col("valid_to").cast("timestamp").alias("valid_to"))
+    fact = spark.createDataFrame(
+        [(1, "y", "2024-01-02 00:00:00")], "k int, attr string, ts string") \
+        .select("k", "attr", F.col("ts").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="share non-key columns"):
+        scd2_lookup(fact, dim, ["k"], "ts")

@@ -48,6 +48,11 @@ def _misra_gries_partition(batches: Iterator[pd.DataFrame], key: str,
     counters: dict = {}
     for batch in batches:
         for val, cnt in batch[key].value_counts(dropna=False).items():
+            # Normalize missing values to None: distinct NaN objects from
+            # different Arrow batches are not dict-equal, which would
+            # split the null key's counter and break accumulation.
+            if pd.isna(val):
+                val = None
             cnt = int(cnt)
             if val in counters:
                 counters[val] += cnt
@@ -81,6 +86,10 @@ def heavy_hitters(df: DataFrame, key: str, k: int) -> DataFrame:
     candidates = key_df.mapInPandas(
         lambda it: _misra_gries_partition(it, key, k),
         schema=key_df.schema).distinct()
-    return (df.join(F.broadcast(candidates), key, "left_semi")
+    # Null-safe semi join (<=>): GROUP BY treats NULL as a group, so a
+    # null key frequent enough IS a heavy hitter — a plain equi-join
+    # would silently drop it and diverge from the SQL semantics.
+    cond = df[key].eqNullSafe(candidates[key])
+    return (df.join(F.broadcast(candidates), cond, "left_semi")
               .groupBy(key).count().withColumnRenamed("count", "cnt")
               .filter(F.col("cnt") * k > total))

@@ -209,6 +209,9 @@ def pagerank_fixed_point(
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node"))).distinct())
     n = nodes.count()
+    if n == 0:
+        # empty edge set: empty (node, rank) result, not a divide-by-zero
+        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
     base = (100 - damping_pct) * scale // (100 * n)
     ranks = nodes.select("node", F.lit(scale // n).alias("rank"))
     for i in range(iterations):

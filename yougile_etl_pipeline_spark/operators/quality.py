@@ -238,6 +238,14 @@ def scd2_lookup(fact: DataFrame, dim: DataFrame, keys: list[str],
     SCD2 dimension bounds by construction (it grows with changes, not
     loads), and intervals are disjoint so at most one version survives
     per fact row: the output grain equals the fact grain."""
+    # Any non-key column name shared between fact and dim would survive
+    # the join twice and poison every downstream by-name reference —
+    # refuse loudly instead of returning an ambiguous frame.
+    clash = (set(fact.columns) - set(keys)) & set(dim.columns)
+    if clash:
+        raise ValueError(
+            f"scd2_lookup: fact and dim share non-key columns "
+            f"{sorted(clash)}; rename them on one side first")
     # Rename the dim's key columns before joining: fact and dim often
     # share lineage (a dim built from the same table), and Spark's
     # self-join attribute dedup makes drop-by-Column-instance resolve

@@ -1985,8 +1985,8 @@ s{i} AS (
 _PR_SQL = ("WITH " + _PR_GRAPH
            + ", r0 AS (SELECT node, CAST(1000000000000 // (SELECT n FROM nn)"
              " AS BIGINT) AS rank FROM nodes)"
-           + "".join(_PR_STEP.format(i=i, prev=i - 1)
-                     .join([",", ""]) for i in (1, 2, 3))
+           + "".join("," + _PR_STEP.format(i=i, prev=i - 1)
+                     for i in (1, 2, 3))
            + "\nSELECT node, rank FROM r3")
 
 
