@@ -820,6 +820,8 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "dim_scd2_lookup",                      # point-in-time dim lookup
     "events_time_rollup",                   # multi-granularity rollup
     "events_variant_extract",               # VariantType typed paths
+    "sql_lateral_topk",                     # LATERAL ORDER BY/LIMIT
+    "sql_recursive_spine",                  # recursive CTE date spine
 ]
 
 

@@ -811,3 +811,57 @@ def events_time_rollup(spark, sf):
          .otherwise("month").alias("granularity"),
         F.unix_millis(F.coalesce("h", "d", "m")).alias("bucket_ms"),
         "n_events", "total_value")
+
+
+@register("sql_lateral_topk", """
+SELECT n_name, l.c_custkey, l.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+""")
+def sql_lateral_topk(spark, sf):
+    # Correlated LATERAL subquery with ORDER BY + LIMIT: per-dim-row
+    # top-k without a window function. Catalyst decorrelates to a
+    # ranked join (the subquery never executes once per nation row);
+    # the (acctbal, custkey) total order makes the k rows deterministic.
+    from yougile_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql("""
+        SELECT n_name, l.c_custkey, l.c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+    """)
+
+
+@register("sql_recursive_spine", """
+WITH RECURSIVE d(day) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL SELECT day + 1 FROM d WHERE day < DATE '1995-01-31')
+SELECT strftime(d.day, '%Y-%m-%d') AS day_iso,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM d LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = d.day
+GROUP BY d.day
+""")
+def sql_recursive_spine(spark, sf):
+    # Recursive CTE (new SQL surface in Spark 4): generate a calendar
+    # spine without a calendar table, then left-join per-day order
+    # counts — gap days survive with 0, which a plain GROUP BY over
+    # orders can never produce. The recursion is driver-tiny (31 rows);
+    # the fact-side count partially aggregates before the join.
+    from yougile_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql("""
+        WITH RECURSIVE d(day) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL SELECT date_add(day, 1) FROM d
+          WHERE day < DATE '1995-01-31')
+        SELECT date_format(d.day, 'yyyy-MM-dd') AS day_iso,
+               count(o.o_orderkey) AS n_orders
+        FROM d LEFT JOIN orders o ON to_date(o.o_orderdate) = d.day
+        GROUP BY d.day
+    """)
