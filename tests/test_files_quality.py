@@ -113,3 +113,27 @@ def test_train_val_test_split_deterministic_and_leakproof(spark):
     assert all(full[k] == v for k, v in sub.items())
     with pytest.raises(ValueError):
         train_val_test_split(docs, "doc_id", fractions=(0.5, 0.2, 0.2))
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC write -> read roundtrip; a filter on the read plan reaches the
+    ORC scan as a pushed predicate (same scan-level pruning contract as
+    parquet)."""
+    from yougile_etl_pipeline_spark.sources.files import read_orc, write_orc
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 1.5).alias("v"))
+    path = str(tmp_path / "orc_mart")
+    write_orc(df, path, partition_by=["g"])
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert {r.g for r in back.select("g").distinct().collect()} == set(range(7))
+    flt = back.filter(F.col("k") < 10)
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    assert flt.count() == 10
+    # partition pruning: filtering the partition column scans 1 directory
+    pruned = back.filter(F.col("g") == 3)
+    assert pruned.count() == df.filter(F.col("g") == 3).count()

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 __all__ = ["read_jsonl", "read_csv", "write_jsonl", "write_csv",
-           "split_quarantine"]
+           "read_orc", "write_orc", "split_quarantine"]
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -70,3 +70,26 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
 def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite",
               header: bool = True) -> None:
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan (columnar sibling of parquet — same vectorized reader,
+    predicate pushdown, and column pruning). Schema optional: unlike
+    JSON/CSV, ORC footers are self-describing, so no inference pass —
+    pass one only to pin a contract (extra columns pruned, missing ones
+    error loudly at analysis)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """ORC write — interop sink for Hive-ecosystem consumers; same
+    layout options as the parquet mart writer."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
