@@ -137,3 +137,34 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     # partition pruning: filtering the partition column scans 1 directory
     pruned = back.filter(F.col("g") == 3)
     assert pruned.count() == df.filter(F.col("g") == 3).count()
+
+
+def test_xml_roundtrip_and_quarantine(spark, tmp_path):
+    """Native XML (Spark 4): write -> read roundtrip, and a malformed
+    row lands in quarantine instead of failing the load."""
+    from pyspark.sql import types as T
+
+    from yougile_etl_pipeline_spark.sources.files import (
+        read_xml,
+        split_quarantine,
+        write_xml,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    out = str(tmp_path / "xml_out")
+    write_xml(df, out)
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("name", T.StringType())])
+    back = read_xml(spark, out, schema)
+    good, bad = split_quarantine(back)
+    assert bad.count() == 0
+    assert {(r.id, r.name) for r in good.collect()} == {(1, "a"), (2, "b")}
+
+    broken = str(tmp_path / "xml_bad")
+    import os
+    os.makedirs(broken)
+    with open(os.path.join(broken, "part.xml"), "w") as f:
+        f.write("<rows><row><id>1</id><name>ok</name></row>"
+                "<row><id>not_a_number</id><name>bad</name></row></rows>")
+    good2, bad2 = split_quarantine(read_xml(spark, broken, schema))
+    assert good2.count() == 1 and bad2.count() == 1

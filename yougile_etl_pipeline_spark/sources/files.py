@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 __all__ = ["read_jsonl", "read_csv", "write_jsonl", "write_csv",
-           "read_orc", "write_orc", "split_quarantine"]
+           "read_orc", "write_orc", "read_xml", "write_xml",
+           "split_quarantine"]
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -93,3 +94,24 @@ def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: T.StructType,
+             *, row_tag: str = "row") -> DataFrame:
+    """XML scan (native source since Spark 4 — no external package).
+    Same contract as JSONL/CSV: explicit schema, PERMISSIVE mode with a
+    corrupt-record column so malformed rows quarantine instead of
+    failing the load (feed through ``split_quarantine``)."""
+    return (spark.read.format("xml")
+            .option("rowTag", row_tag)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .schema(_with_corrupt(schema))
+            .load(path))
+
+
+def write_xml(df: DataFrame, path: str, *, row_tag: str = "row",
+              mode: str = "overwrite") -> None:
+    """XML write — interop sink for XML-consuming systems."""
+    (df.write.format("xml").option("rowTag", row_tag)
+       .mode(mode).save(path))
