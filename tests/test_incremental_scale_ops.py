@@ -143,3 +143,27 @@ def test_lm_plan_broadcasts_model(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     plan = lm_quality_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # model side never shuffles the scan
+
+
+def test_delta_join_algebra_exact(spark):
+    """old ∪ delta == full join, as MULTISETS (exceptAll empty both
+    ways) — appending the delta to the stored join is equivalent to
+    recomputing it, duplicates included."""
+    from yougile_etl_pipeline_spark.plans.incremental import delta_join
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (1, "a1b"), (2, "a2"), (3, "a3")], "k int, va string")
+    da = spark.createDataFrame([(2, "a2new"), (4, "a4")], "k int, va string")
+    b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b2b"), (4, "b4")], "k int, vb string")
+    db = spark.createDataFrame([(1, "b1new"), (3, "b3")], "k int, vb string")
+
+    full = a.unionByName(da).join(b.unionByName(db), "k") \
+        .select("k", "va", "vb")
+    old = a.join(b, "k").select("k", "va", "vb")
+    delta = delta_join(a, da, b, db, "k").select("k", "va", "vb")
+    recomposed = old.unionByName(delta)
+    assert recomposed.exceptAll(full).count() == 0
+    assert full.exceptAll(recomposed).count() == 0
+    # and the delta is genuinely incremental: nothing from old rejoins
+    assert delta.exceptAll(full).count() == 0

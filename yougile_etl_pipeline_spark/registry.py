@@ -822,6 +822,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "events_variant_extract",               # VariantType typed paths
     "sql_lateral_topk",                     # LATERAL ORDER BY/LIMIT
     "sql_recursive_spine",                  # recursive CTE date spine
+    "join_incremental_delta",               # materialized-join delta
 ]
 
 

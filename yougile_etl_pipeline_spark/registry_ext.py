@@ -2136,3 +2136,50 @@ def events_variant_extract(spark, sf):
                   F.variant_get("vr", "$.u", "long").alias("u"),
                   F.variant_get("vr", "$.missing", "string")
                    .alias("missing_path")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental join maintenance (plans/incremental.py::delta_join)
+# ---------------------------------------------------------------------------
+
+@register("join_incremental_delta", """
+WITH a_h AS (SELECT o_orderkey, o_custkey FROM orders
+             WHERE o_orderkey % 10 <> 0),
+a_d AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 = 0),
+b_h AS (SELECT l_orderkey AS o_orderkey, l_suppkey, l_quantity
+        FROM lineitem WHERE l_linenumber % 3 <> 0),
+b_d AS (SELECT l_orderkey AS o_orderkey, l_suppkey, l_quantity
+        FROM lineitem WHERE l_linenumber % 3 = 0),
+full_j AS (
+  SELECT a.o_orderkey, a.o_custkey, b.l_suppkey, b.l_quantity
+  FROM (SELECT * FROM a_h UNION ALL SELECT * FROM a_d) a
+  JOIN (SELECT * FROM b_h UNION ALL SELECT * FROM b_d) b
+    USING (o_orderkey)),
+old_j AS (
+  SELECT a.o_orderkey, a.o_custkey, b.l_suppkey, b.l_quantity
+  FROM a_h a JOIN b_h b USING (o_orderkey))
+SELECT * FROM full_j
+EXCEPT ALL
+SELECT * FROM old_j
+""")
+def join_incremental_delta(spark, sf):
+    # The rows a materialized orders⋈lineitem mart GAINS when a batch
+    # lands on each side: computed via join algebra (dA⋈(B∪dB) ∪ A⋈dB)
+    # — history never re-joins history, so per-load cost scales with
+    # the batch. The oracle states the SEMANTICS as full-minus-old
+    # (EXCEPT ALL, multiset-exact); the implementation never computes
+    # either full join.
+    from yougile_etl_pipeline_spark.plans.incremental import delta_join
+    from yougile_etl_pipeline_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf, ("orders", "lineitem"))
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    li = t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"),
+                              "l_suppkey", "l_quantity",
+                              "l_linenumber")
+    a_h = o.filter(F.col("o_orderkey") % 10 != 0)
+    a_d = o.filter(F.col("o_orderkey") % 10 == 0)
+    b_h = li.filter(F.col("l_linenumber") % 3 != 0).drop("l_linenumber")
+    b_d = li.filter(F.col("l_linenumber") % 3 == 0).drop("l_linenumber")
+    return delta_join(a_h, a_d, b_h, b_d, "o_orderkey") \
+        .select("o_orderkey", "o_custkey", "l_suppkey", "l_quantity")
