@@ -125,17 +125,21 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         F.col("id").alias("k"),
         (F.col("id") % 7).alias("g"),
         (F.col("id") * 1.5).alias("v"))
-    path = str(tmp_path / "orc_mart")
+    path = str(tmp_path / "colstore")  # name must not contain "orc"
     write_orc(df, path, partition_by=["g"])
     back = read_orc(spark, path)
     assert back.count() == 1000
     assert {r.g for r in back.select("g").distinct().collect()} == set(range(7))
     flt = back.filter(F.col("k") < 10)
     plan = flt._jdf.queryExecution().executedPlan().toString()
-    assert "orc" in plan.lower()
+    assert "Format: ORC" in plan
+    assert "LessThan(k,10)" in plan          # filter reached PushedFilters
     assert flt.count() == 10
-    # partition pruning: filtering the partition column scans 1 directory
+    # partition pruning: the partition-column filter appears as a
+    # PartitionFilter (directory pruning), not a data filter
     pruned = back.filter(F.col("g") == 3)
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(g" in pplan
     assert pruned.count() == df.filter(F.col("g") == 3).count()
 
 

@@ -165,5 +165,8 @@ def test_delta_join_algebra_exact(spark):
     recomposed = old.unionByName(delta)
     assert recomposed.exceptAll(full).count() == 0
     assert full.exceptAll(recomposed).count() == 0
-    # and the delta is genuinely incremental: nothing from old rejoins
-    assert delta.exceptAll(full).count() == 0
+    # delta == full \ old as multisets (the oracle's EXCEPT ALL
+    # definition): old rows never re-emit, genuine gains never drop
+    gain = full.exceptAll(old)
+    assert delta.exceptAll(gain).count() == 0
+    assert gain.exceptAll(delta).count() == 0
