@@ -823,6 +823,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_lateral_topk",                     # LATERAL ORDER BY/LIMIT
     "sql_recursive_spine",                  # recursive CTE date spine
     "join_incremental_delta",               # materialized-join delta
+    "j_salted_skew",                        # salted join == plain join
 ]
 
 

@@ -865,3 +865,23 @@ def sql_recursive_spine(spark, sf):
         FROM d LEFT JOIN orders o ON to_date(o.o_orderdate) = d.day
         GROUP BY d.day
     """)
+
+
+@register("j_salted_skew", """
+SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+""")
+def j_salted_skew(spark, sf):
+    # Skew-resistant salted join, oracle-proven identical to the plain
+    # equi-join it replaces (salting is an execution strategy, not a
+    # semantics change): the big side gets a row-hash salt in [0,8), the
+    # dim side replicates x8, and the (key, salt) join spreads any hot
+    # key over 8 reducers. For hot keys AQE's skew splitting can't fix.
+    from yougile_etl_pipeline_spark.operators.relational import salted_join
+
+    t = load_tables(spark, sf, ("lineitem", "supplier"))
+    li = t["lineitem"].select("l_orderkey", "l_linenumber",
+                              F.col("l_suppkey").alias("suppkey"))
+    supp = t["supplier"].select(F.col("s_suppkey").alias("suppkey"),
+                                "s_name")
+    return salted_join(li, supp, "suppkey", salt=8)
