@@ -82,3 +82,25 @@ def test_heavy_hitters_null_key_is_a_group(spark):
         .repartition(4)
     got = {r["key"]: r["cnt"] for r in heavy_hitters(df, "key", 3).collect()}
     assert got == {None: 60}
+
+
+def test_heavy_hitters_randomized_equivalence(spark):
+    """Seeded random corpora with varied skew: MG-prefiltered output ==
+    exact GROUP BY/HAVING result on every draw (the sketch only prunes,
+    never decides)."""
+    import random
+    rng = random.Random(20260813)
+    for trial in range(5):
+        n_keys = rng.choice([3, 10, 40])
+        zipf = rng.choice([True, False])
+        rows = []
+        for i in range(n_keys):
+            c = rng.randrange(1, 120) * (n_keys - i if zipf else 1)
+            rows += [f"t{trial}k{i}"] * c
+        rng.shuffle(rows)
+        k = rng.choice([3, 5, 17])
+        df = spark.createDataFrame([(r,) for r in rows], "key string") \
+            .repartition(rng.choice([1, 3, 8]))
+        got = {r["key"]: r["cnt"]
+               for r in heavy_hitters(df, "key", k).collect()}
+        assert got == _exact_hh(rows, k), (trial, k, len(rows))
