@@ -824,6 +824,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_recursive_spine",                  # recursive CTE date spine
     "join_incremental_delta",               # materialized-join delta
     "j_salted_skew",                        # salted join == plain join
+    "sql_disjunctive_join",                 # Q19-shape OR-predicate join
 ]
 
 

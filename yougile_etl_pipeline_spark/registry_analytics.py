@@ -885,3 +885,42 @@ def j_salted_skew(spark, sf):
     supp = t["supplier"].select(F.col("s_suppkey").alias("suppkey"),
                                 "s_name")
     return salted_join(li, supp, "suppkey", salt=8)
+
+
+@register("sql_disjunctive_join", """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+""")
+def sql_disjunctive_join(spark, sf):
+    # TPC-H Q19 shape: OR-of-conjunctions mixing both join sides.
+    # Catalyst factors the single-sided conjuncts out of the
+    # disjunction (p_brand IN (...), l_quantity <= 30, p_size <= 15)
+    # and pushes them below the join into each scan, so the join probes
+    # a pre-filtered fraction of both tables; the residual disjunction
+    # evaluates post-join in codegen. The decimal-cast revenue keeps
+    # the sum bit-identical across engines.
+    t = load_tables(spark, sf, ("lineitem", "part"))
+    li, p = t["lineitem"], t["part"]
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("l_quantity").between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("l_quantity").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("l_quantity").between(20, 30)
+           & F.col("p_size").between(1, 15)))
+    return joined.filter(band).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(20,6)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
