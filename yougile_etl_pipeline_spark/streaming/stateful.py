@@ -104,3 +104,90 @@ def run_sessionize_available_now(spark, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 next-gen stateful API)
+# ---------------------------------------------------------------------------
+
+RUNNING_SCHEMA = ("user_id BIGINT, n_events BIGINT, "
+                  "total_value_micros BIGINT")
+
+
+def running_totals_stream(events):
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 successor to ``applyInPandasWithState``: explicit typed
+    state handles (ValueState here; the API also offers ListState /
+    MapState / timers / TTL) instead of one opaque state tuple, and
+    Update output mode emitting the refreshed total each micro-batch.
+
+    Totals accumulate in integer MICROS (value · 1e6 rounded) so state
+    merges are exact and the final number is bit-stable regardless of
+    micro-batch slicing — the same fixed-point device the batch
+    aggregates use via DECIMAL.
+
+    Environment note: the transformWithState runtime requires the
+    ``protobuf`` Python package (its state-server protocol) — absent
+    here, so the parity test skips via importorskip; on a standard
+    cluster install it runs as written. ``applyInPandasWithState``
+    (``sessionize_stateful`` above) remains the in-env-tested stateful
+    path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            schema = StructType([
+                StructField("n", LongType()),
+                StructField("micros", LongType()),
+            ])
+            self._state = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, micros = self._state.get()
+            else:
+                n, micros = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                micros += int(round(
+                    (pdf["value"].fillna(0.0) * 1_000_000).round().sum()))
+            self._state.update((n, micros))
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_micros": [micros],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return (events
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotals(),
+                outputStructType=RUNNING_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))
+
+
+def run_running_totals_available_now(spark, sf_dir: str,
+                                     table_name: str = "stream_running"
+                                     ) -> "DataFrame":
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        read_events_stream,
+    )
+
+    q = (running_totals_stream(read_events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
