@@ -128,3 +128,41 @@ def test_stream_session_window_matches_batch(spark):
     want = {(r.user_id, r.session_start, r.session_end): r.n_events
             for r in batch.filter(F.col("session_end") < cutoff).collect()}
     assert want and got == want
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting an availableNow query from its checkpoint processes
+    only NEW files: batch-1 rows are not re-emitted when batch 2 lands —
+    the exactly-once contract a 16-loads/day mart depends on."""
+    import os
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def land(lo, hi, name):
+        spark.range(lo, hi).selectExpr("id AS k") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / name))
+        # move the data file into the monitored dir as one new file
+        import glob
+        import shutil
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    def drain():
+        q = (spark.readStream.schema("k bigint").parquet(src)
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    land(0, 100, "b1")
+    drain()
+    assert spark.read.parquet(sink).count() == 100
+    land(100, 150, "b2")
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 150                      # no batch-1 re-emit
+    assert out.select("k").distinct().count() == 150

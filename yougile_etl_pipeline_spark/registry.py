@@ -825,6 +825,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "join_incremental_delta",               # materialized-join delta
     "j_salted_skew",                        # salted join == plain join
     "sql_disjunctive_join",                 # Q19-shape OR-predicate join
+    "sql_market_share",                     # Q8-shape conditional ratio
 ]
 
 

@@ -924,3 +924,43 @@ def sql_disjunctive_join(spark, sf):
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
               .cast("decimal(20,6)")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"))
+
+
+@register("sql_market_share", """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(CAST(SUM(CASE WHEN n_regionkey = 2
+                          THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(20,6))
+                          ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(20,6))) AS DOUBLE)
+            AS DOUBLE) AS region2_share,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY year(o_orderdate)
+""")
+def sql_market_share(spark, sf):
+    # TPC-H Q8 shape: a conditional-aggregate ratio (one region's share
+    # of total revenue per year) — numerator and denominator from the
+    # SAME pass via CASE inside SUM, never two scans. Both sums are
+    # decimal-exact; the single IEEE division of two identical doubles
+    # is then bit-deterministic across engines.
+    t = load_tables(spark, sf,
+                    ("lineitem", "orders", "customer", "nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(20,6)")
+    joined = (t["lineitem"]
+              .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(t["nation"]),
+                    F.col("c_nationkey") == F.col("n_nationkey")))
+    zero = F.lit(0).cast("decimal(20,6)")
+    return (joined
+            .groupBy(F.year("o_orderdate").alias("order_year"))
+            .agg((F.sum(F.when(F.col("n_regionkey") == 2, rev)
+                        .otherwise(zero)).cast("double")
+                  / F.sum(rev).cast("double")).alias("region2_share"),
+                 F.count(F.lit(1)).alias("n_lines")))
