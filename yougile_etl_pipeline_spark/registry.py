@@ -826,6 +826,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "j_salted_skew",                        # salted join == plain join
     "sql_disjunctive_join",                 # Q19-shape OR-predicate join
     "sql_market_share",                     # Q8-shape conditional ratio
+    "agg_collect_sorted",                   # deterministic collect_list
 ]
 
 

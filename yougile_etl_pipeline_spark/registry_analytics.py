@@ -964,3 +964,24 @@ def sql_market_share(spark, sf):
                         .otherwise(zero)).cast("double")
                   / F.sum(rev).cast("double")).alias("region2_share"),
                  F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("agg_collect_sorted", """
+SELECT o_orderpriority,
+       list_sort(list(o_orderkey)) AS order_keys,
+       count(*) AS n
+FROM orders WHERE o_orderkey % 500 = 0
+GROUP BY o_orderpriority
+""")
+def agg_collect_sorted(spark, sf):
+    # Nested-result aggregation: collect_list is the one Spark aggregate
+    # whose raw output is partition-order-DEPENDENT — array_sort
+    # restores determinism, which is exactly why the engine exposes the
+    # sorted form as the blessed surface (an unsorted collect_list can
+    # never be oracle-paired or reproducibly diffed).
+    o = load_table(spark, sf, "orders")
+    return (o.filter(F.col("o_orderkey") % 500 == 0)
+             .groupBy("o_orderpriority")
+             .agg(F.array_sort(F.collect_list("o_orderkey"))
+                   .alias("order_keys"),
+                  F.count(F.lit(1)).alias("n")))
