@@ -255,3 +255,15 @@ def test_exists_agg_plans_semi_join_not_inner(spark):
     # EXISTS must not multiply orders by matching line count
     assert "LeftSemi" in plan
     assert "partial_count" in plan
+
+
+def test_disjunctive_join_pushes_factored_conjuncts_to_both_scans(spark):
+    # Q19 shape: Catalyst must factor the single-sided conjuncts out of
+    # the OR-of-conjunctions and push them into EACH scan — losing this
+    # means both tables stream unfiltered into the join
+    plan = _formatted(spark, QUERIES["sql_disjunctive_join"](spark, SF_SMOKE))
+    import re
+    li_pushed = re.findall(r"PushedFilters: \[[^\]]*l_quantity[^\]]*\]", plan)
+    p_pushed = re.findall(r"PushedFilters: \[[^\]]*p_size[^\]]*\]", plan)
+    assert li_pushed, "lineitem scan lost its factored quantity filter"
+    assert p_pushed, "part scan lost its factored size/brand filter"

@@ -369,9 +369,9 @@ def test_transform_with_state_running_totals_match_batch(spark):
     groupBy — integer-micros state makes the comparison exact, not
     approximate. Requires the protobuf package (the API's state-server
     protocol) — skipped where absent."""
-    import pytest as _pt
-    _pt.importorskip("google.protobuf")
-    from yougile_etl_pipeline_spark.sources.tables import load_table
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql.window import Window
+
     from yougile_etl_pipeline_spark.streaming.stateful import (
         run_running_totals_available_now,
     )
@@ -379,16 +379,15 @@ def test_transform_with_state_running_totals_match_batch(spark):
     out = run_running_totals_available_now(spark, SF_SMOKE)
     # update mode may emit one row per micro-batch per user: keep the
     # row with the highest n_events (the final state) per user
-    import pyspark.sql.functions as F
-    from pyspark.sql.window import Window
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     final = (out.withColumn("__r", F.row_number().over(w))
              .filter("__r = 1").drop("__r"))
     ev = load_table(spark, SF_SMOKE, "events")
+    # same half-up floor(x*1e6 + 0.5) formula as the operator's state
     batch = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1_000_000)
-              .cast("long")).alias("total_value_micros"))
+        F.sum(F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1_000_000
+                      + 0.5).cast("long")).alias("total_value_micros"))
     got = {(r.user_id, r.n_events, r.total_value_micros)
            for r in final.collect()}
     want = {(r.user_id, r.n_events, r.total_value_micros)

@@ -154,10 +154,16 @@ def running_totals_stream(events):
                 n, micros = self._state.get()
             else:
                 n, micros = 0, 0
+            import numpy as np
             for pdf in rows:
                 n += len(pdf)
-                micros += int(round(
-                    (pdf["value"].fillna(0.0) * 1_000_000).round().sum()))
+                # half-UP per-row rounding (floor(x + 0.5)) — numpy's
+                # .round() is half-to-EVEN, which would disagree with
+                # any SQL-side ROUND at exact .5 micros; the batch
+                # parity test uses the same floor(x + 0.5) formula
+                micros += int(np.floor(
+                    pdf["value"].fillna(0.0).to_numpy() * 1_000_000
+                    + 0.5).sum())
             self._state.update((n, micros))
             yield pd.DataFrame({
                 "user_id": [key[0]],
