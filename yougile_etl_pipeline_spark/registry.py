@@ -827,6 +827,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_disjunctive_join",                 # Q19-shape OR-predicate join
     "sql_market_share",                     # Q8-shape conditional ratio
     "agg_collect_sorted",                   # deterministic collect_list
+    "f_null_functions",                     # nullif/nvl/nvl2/coalesce
 ]
 
 

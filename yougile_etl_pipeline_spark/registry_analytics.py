@@ -985,3 +985,31 @@ def agg_collect_sorted(spark, sf):
              .agg(F.array_sort(F.collect_list("o_orderkey"))
                    .alias("order_keys"),
                   F.count(F.lit(1)).alias("n")))
+
+
+@register("f_null_functions", """
+SELECT o_orderkey,
+       nullif(o_orderstatus, 'O') AS status_or_null,
+       ifnull(o_custkey, -1) AS custkey_filled,
+       CASE WHEN o_custkey IS NOT NULL THEN 'known' ELSE 'unknown' END
+         AS custkey_label,
+       coalesce(CAST(o_custkey AS VARCHAR), o_orderstatus, 'none')
+         AS first_present
+FROM orders
+""")
+def f_null_functions(spark, sf):
+    # The null-handling scalar family beyond F1's two-arg coalesce:
+    # nullif (sentinel -> NULL), nvl (NULL -> sentinel), nvl2
+    # (three-valued dispatch), multi-arg coalesce with mixed types
+    # pinned to string explicitly (implicit cross-type coercion differs
+    # between engines; explicit casts don't).
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("O")).alias("status_or_null"),
+        F.nvl(F.col("o_custkey"), F.lit(-1)).alias("custkey_filled"),
+        F.nvl2(F.col("o_custkey"), F.lit("known"), F.lit("unknown"))
+         .alias("custkey_label"),
+        F.coalesce(F.col("o_custkey").cast("string"),
+                   F.col("o_orderstatus"), F.lit("none"))
+         .alias("first_present"))
