@@ -828,6 +828,10 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_market_share",                     # Q8-shape conditional ratio
     "agg_collect_sorted",                   # deterministic collect_list
     "f_null_functions",                     # nullif/nvl/nvl2/coalesce
+    "sql_q3_shipping_priority",             # Q3 top-10 revenue
+    "sql_q14_promo_share",                  # Q14 category share
+    "sql_q16_supplier_cnt",                 # Q16 NOT IN -> null-aware anti
+    "sql_q22_dormant_rich",                 # Q22 double decorrelation
 ]
 
 

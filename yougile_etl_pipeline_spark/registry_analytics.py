@@ -1013,3 +1013,134 @@ def f_null_functions(spark, sf):
         F.coalesce(F.col("o_custkey").cast("string"),
                    F.col("o_orderstatus"), F.lit("none"))
          .alias("first_present"))
+
+
+@register("sql_q3_shipping_priority", """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def sql_q3_shipping_priority(spark, sf):
+    # TPC-H Q3: segment filter pushed to the customer scan, both date
+    # filters pushed to their scans, 3-way join, top-10 by revenue via
+    # TakeOrdered (never a global sort). (o_orderkey tie-break makes
+    # the LIMIT deterministic.)
+    t = load_tables(spark, sf, ("customer", "orders", "lineitem"))
+    cut = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(20,6)")
+    return (t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+            .filter(F.col("o_orderdate") < cut)
+            .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate") > cut)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .select("o_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("order_date"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+@register("sql_q14_promo_share", """
+SELECT CAST(CAST(SUM(CASE WHEN p_type LIKE '%BRUSHED%'
+                          THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(20,6))
+                          ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(20,6))) AS DOUBLE) AS DOUBLE)
+         AS brushed_share,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-02-01 00:00:00'
+""")
+def sql_q14_promo_share(spark, sf):
+    # TPC-H Q14 shape: one category's revenue share in a date window —
+    # CASE-in-SUM single pass, decimal-exact sums, one IEEE division.
+    t = load_tables(spark, sf, ("lineitem", "part"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(20,6)")
+    zero = F.lit(0).cast("decimal(20,6)")
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1995-02-01 00:00:00").cast("timestamp")
+    return (t["lineitem"]
+            .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+            .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+            .agg((F.sum(F.when(F.col("p_type").like("%BRUSHED%"), rev)
+                        .otherwise(zero)).cast("double")
+                  / F.sum(rev).cast("double")).alias("brushed_share"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("sql_q16_supplier_cnt", """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size IN (9, 14, 23)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_suppkey % 13 = 0)
+GROUP BY p_brand, p_size
+""")
+def sql_q16_supplier_cnt(spark, sf):
+    # TPC-H Q16 shape: NOT IN subquery -> Catalyst's null-aware anti
+    # join (the plan that gets 3-valued NOT IN right — a hand-rolled
+    # left-anti would silently differ if the subquery ever produced a
+    # NULL), then distinct-count per group.
+    from yougile_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql("""
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_size IN (9, 14, 23)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_suppkey % 13 = 0)
+        GROUP BY p_brand, p_size
+    """)
+
+
+@register("sql_q22_dormant_rich", """
+SELECT substr(c_name, 10, 2) AS name_code,
+       count(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(20,6))
+      * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(20,6))) FROM customer
+         WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY substr(c_name, 10, 2)
+""")
+def sql_q22_dormant_rich(spark, sf):
+    # TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join
+    # + grouped aggregate in one statement — the composite the planner
+    # must decorrelate twice. Determinism: "bal > avg" is rewritten as
+    # "bal*count > sum" in exact DECIMAL arithmetic — a float avg is
+    # summation-order-dependent in the last ulp, and a customer sitting
+    # exactly on the boundary would flip between engines.
+    from yougile_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql("""
+        SELECT substr(c_name, 10, 2) AS name_code,
+               count(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+                 AS total_bal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(20,6))
+              * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(20,6)))
+                 FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY substr(c_name, 10, 2)
+    """)
