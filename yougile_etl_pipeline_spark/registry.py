@@ -832,6 +832,9 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_q14_promo_share",                  # Q14 category share
     "sql_q16_supplier_cnt",                 # Q16 NOT IN -> null-aware anti
     "sql_q22_dormant_rich",                 # Q22 double decorrelation
+    "sql_parameterized",                    # named-parameter binding
+    "f_try_arithmetic",                     # error-safe try_ functions
+    "win_first_last_ignorenulls",           # IGNORE NULLS navigation
 ]
 
 

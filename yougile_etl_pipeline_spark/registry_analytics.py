@@ -1144,3 +1144,86 @@ def sql_q22_dormant_rich(spark, sf):
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY substr(c_name, 10, 2)
     """)
+
+
+@register("sql_parameterized", """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > 100000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""")
+def sql_parameterized(spark, sf):
+    # Named-parameter SQL (spark.sql(..., args={...})): the
+    # injection-safe templating surface — parameters bind as typed
+    # literals in the plan (constant-folded, pushdown-eligible), never
+    # string-spliced. The oracle states the bound form.
+    from yougile_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                 AS total
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+    """, args={"min_price": 100000.0, "status": "O"})
+
+
+@register("f_try_arithmetic", """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0 THEN NULL
+            ELSE l_extendedprice / l_discount END AS price_per_discount,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       CASE WHEN l_quantity = 0 THEN NULL
+            ELSE l_extendedprice / l_quantity END AS unit_price
+FROM lineitem WHERE l_orderkey < 300
+""")
+def f_try_arithmetic(spark, sf):
+    # Error-safe arithmetic: try_divide / try_cast return NULL where
+    # strict (ANSI) evaluation would raise — the semantics a pipeline
+    # wants for dirty data (quarantine the NULLs downstream rather than
+    # kill the job). Oracle mirrors with CASE guards / TRY_CAST. Both
+    # divisions stay double/double: ONE IEEE division of identical
+    # operands is bit-deterministic, whereas a decimal/decimal quotient
+    # is rounded to an engine-specific result scale (Spark and DuckDB
+    # pick different scales) and diverges after the double cast —
+    # caught by the oracle on first registration.
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.try_divide("l_extendedprice", "l_discount")
+         .alias("price_per_discount"),
+        F.try_to_number("l_returnflag", F.lit("99")).cast("int")
+         .alias("flag_as_int"),
+        F.try_divide("l_extendedprice", "l_quantity")
+         .alias("unit_price"))
+
+
+@register("win_first_last_ignorenulls", """
+SELECT o_orderkey, o_custkey,
+       first_value(o_custkey IGNORE NULLS) OVER w AS first_known_cust,
+       last_value(o_custkey IGNORE NULLS) OVER w AS last_known_cust,
+       count(o_custkey) OVER w AS known_so_far
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def win_first_last_ignorenulls(spark, sf):
+    # IGNORE NULLS window navigation — the gap-tolerant "carry the last
+    # known value" primitive (same family resample_ffill builds on).
+    # The growing ROWS frame makes first/last deterministic given the
+    # (status, orderkey) total order.
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf, "orders")
+    w = (Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_custkey", ignorenulls=True).over(w)
+         .alias("first_known_cust"),
+        F.last("o_custkey", ignorenulls=True).over(w)
+         .alias("last_known_cust"),
+        F.count("o_custkey").over(w).alias("known_so_far"))
