@@ -330,3 +330,44 @@ def test_scd2_lookup_rejects_shared_nonkey_columns(spark):
         .select("k", "attr", F.col("ts").cast("timestamp").alias("ts"))
     with pytest.raises(ValueError, match="share non-key columns"):
         scd2_lookup(fact, dim, ["k"], "ts")
+
+
+def test_dynamic_partition_overwrite_preserves_untouched(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: an overwrite containing only
+    partitions g=0/g=1 must leave g=2's data intact (static mode would
+    truncate the whole table) — the idempotent-backfill write mode."""
+    path = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [(g, v) for g in range(3) for v in range(10)], "g int, v int")
+    base.write.partitionBy("g").parquet(path)
+    patch = spark.createDataFrame(
+        [(0, 100), (1, 101)], "g int, v int")
+    (patch.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("g").parquet(path))
+    back = spark.read.parquet(path)
+    assert back.filter("g = 2").count() == 10        # untouched
+    assert back.filter("g = 0").count() == 1         # replaced
+    assert back.filter("g = 1").count() == 1
+    assert {r.v for r in back.filter("g < 2").collect()} == {100, 101}
+
+
+def test_ctas_insert_into_managed_table_lifecycle(spark):
+    """Catalog-managed table lifecycle: CTAS creates a parquet table in
+    the warehouse, INSERT INTO appends through the catalog, DROP TABLE
+    removes it — the SQL-first table surface (vs path-based writes)."""
+    spark.sql("DROP TABLE IF EXISTS t_ctas_lifecycle")
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v") \
+        .createOrReplaceTempView("t_ctas_src")
+    spark.sql("""CREATE TABLE t_ctas_lifecycle USING parquet
+                 AS SELECT * FROM t_ctas_src WHERE k < 5""")
+    assert spark.table("t_ctas_lifecycle").count() == 5
+    spark.sql("""INSERT INTO t_ctas_lifecycle
+                 SELECT * FROM t_ctas_src WHERE k >= 5""")
+    assert spark.table("t_ctas_lifecycle").count() == 10
+    assert spark.sql(
+        "SELECT CAST(SUM(v) AS BIGINT) AS s FROM t_ctas_lifecycle"
+    ).collect()[0].s == 90
+    spark.sql("DROP TABLE t_ctas_lifecycle")
+    assert "t_ctas_lifecycle" not in [
+        t.name for t in spark.catalog.listTables()]
