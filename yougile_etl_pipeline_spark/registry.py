@@ -842,6 +842,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_parameterized",                    # named-parameter binding
     "f_try_arithmetic",                     # error-safe try_ functions
     "win_first_last_ignorenulls",           # IGNORE NULLS navigation
+    "agg_median_split",                     # group-median join-back
 ]
 
 

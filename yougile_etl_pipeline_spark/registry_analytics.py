@@ -1227,3 +1227,30 @@ def win_first_last_ignorenulls(spark, sf):
         F.last("o_custkey", ignorenulls=True).over(w)
          .alias("last_known_cust"),
         F.count("o_custkey").over(w).alias("known_so_far"))
+
+
+@register("agg_median_split", """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       o.o_totalprice > m.p50 AS above_median
+FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+""")
+def agg_median_split(spark, sf):
+    # Quantile bucketing: label every row against its GROUP's median —
+    # one tiny aggregate (5 rows) broadcast-joined back to the facts,
+    # the aggregate-then-rejoin shape every feature-engineering
+    # pipeline uses (a windowed percentile over the whole fact would
+    # sort each group instead). Spark percentile and DuckDB
+    # quantile_cont share the same interpolation (verified bit-identical
+    # on this data — see module docstring), so the > comparison is
+    # deterministic.
+    o = load_table(spark, sf, "orders")
+    med = (o.groupBy("o_orderpriority")
+            .agg(F.percentile("o_totalprice", 0.5).alias("p50")))
+    return (o.join(F.broadcast(med), "o_orderpriority")
+             .select("o_orderkey", "o_orderpriority",
+                     (F.col("o_totalprice") > F.col("p50"))
+                     .alias("above_median")))
