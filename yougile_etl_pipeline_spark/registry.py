@@ -843,6 +843,8 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "f_try_arithmetic",                     # error-safe try_ functions
     "win_first_last_ignorenulls",           # IGNORE NULLS navigation
     "agg_median_split",                     # group-median join-back
+    "win_time_range_frame",                 # INTERVAL range frame
+    "f_array_set_ops",                      # array intersect/distinct
 ]
 
 

@@ -1254,3 +1254,61 @@ def agg_median_split(spark, sf):
              .select("o_orderkey", "o_orderpriority",
                      (F.col("o_totalprice") > F.col("p50"))
                      .alias("above_median")))
+
+
+@register("win_time_range_frame", """
+SELECT o_custkey, o_orderkey,
+       count(*) OVER w AS n_trailing_30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) OVER w AS DOUBLE)
+         AS spend_trailing_30d
+FROM orders WHERE o_custkey IS NOT NULL
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+""")
+def win_time_range_frame(spark, sf):
+    # Time-INTERVAL RANGE frame: the trailing-30-days rolling metric
+    # WITHOUT resampling to a grid first (win_range_frame covers
+    # numeric ranges; this is the event-time variant). RANGE frames are
+    # value-based, so same-date peers share one frame — deterministic
+    # under any tie order, which is what makes it oracle-pairable.
+    o = load_table(spark, sf, "orders") \
+        .filter(F.col("o_custkey").isNotNull())
+    # expressed via SQL exprs: the DataFrame Window.rangeBetween API
+    # takes only numeric offsets, the INTERVAL frame needs the SQL form
+    return o.selectExpr(
+        "o_custkey", "o_orderkey",
+        """count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+           AS n_trailing_30d""",
+        """CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS spend_trailing_30d""")
+
+
+@register("f_array_set_ops", """
+SELECT d1.doc_id,
+       list_sort(list_intersect(string_split(d1.text, ' '),
+                                string_split(d2.text, ' ')))
+         AS shared_tokens,
+       CAST(len(list_distinct(string_split(d1.text, ' '))) AS INTEGER)
+         AS n_distinct_tokens
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+WHERE d1.doc_id % 50 = 0
+""")
+def f_array_set_ops(spark, sf):
+    # Array set algebra (intersect/distinct) on tokenized text — result
+    # arrays are SORTED before comparison because each engine's
+    # set-operation output order is an implementation detail (Spark
+    # preserves left-operand order, DuckDB doesn't guarantee one).
+    docs = load_table(spark, sf, "documents")
+    d1 = docs.filter(F.col("doc_id") % 50 == 0) \
+        .select(F.col("doc_id"), F.split("text", " ").alias("t1"))
+    d2 = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                     F.split("text", " ").alias("t2"))
+    return (d1.join(d2, "doc_id")
+            .select("doc_id",
+                    F.array_sort(F.array_intersect("t1", "t2"))
+                     .alias("shared_tokens"),
+                    F.size(F.array_distinct("t1"))
+                     .alias("n_distinct_tokens")))
