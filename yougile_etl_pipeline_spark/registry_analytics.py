@@ -1312,3 +1312,37 @@ def f_array_set_ops(spark, sf):
                      .alias("shared_tokens"),
                     F.size(F.array_distinct("t1"))
                      .alias("n_distinct_tokens")))
+
+
+@register("sql_q10_returned_items", """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS lost_revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+""")
+def sql_q10_returned_items(spark, sf):
+    # TPC-H Q10: revenue lost to returns per customer — the return-flag
+    # filter pushes to the lineitem scan, nation broadcasts, and the
+    # top-20 is TakeOrdered over the grouped result (c_custkey
+    # tie-break pins the LIMIT).
+    t = load_tables(spark, sf,
+                    ("customer", "orders", "lineitem", "nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(20,6)")
+    return (t["customer"]
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+            .join(t["lineitem"].filter(F.col("l_returnflag") == "R"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("lost_revenue"))
+            .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+            .limit(20))
