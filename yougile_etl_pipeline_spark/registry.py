@@ -846,6 +846,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "win_time_range_frame",                 # INTERVAL range frame
     "f_array_set_ops",                      # array intersect/distinct
     "sql_q10_returned_items",               # Q10 returns report
+    "agg_sufficient_stats",                 # exact mergeable moments
 ]
 
 

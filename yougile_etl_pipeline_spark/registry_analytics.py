@@ -1346,3 +1346,60 @@ def sql_q10_returned_items(spark, sf):
             .agg(F.sum(rev).cast("double").alias("lost_revenue"))
             .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
             .limit(20))
+
+
+@register("agg_sufficient_stats", """
+WITH scaled AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(19,3)) * 1000 AS BIGINT) AS qm,
+         CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * 100 AS BIGINT) AS pc
+  FROM lineitem
+), s AS (
+  SELECT count(*) AS n,
+         CAST(SUM(qm) AS DOUBLE) / 1000.0 AS sx,
+         CAST(SUM(pc) AS DOUBLE) / 100.0 AS sy,
+         CAST(SUM(qm * pc) AS DOUBLE) / 100000.0 AS sxy,
+         CAST(SUM(qm * qm) AS DOUBLE) / 1000000.0 AS sxx
+  FROM scaled
+)
+SELECT n, sx, sy, sxy, sxx,
+       (sxy - sx * sy / n) / (n - 1) AS covar_qty_price
+FROM s
+""")
+def agg_sufficient_stats(spark, sf):
+    # Covariance from SUFFICIENT STATISTICS (n, Σx, Σy, Σxy, Σxx) —
+    # the mergeable form: per-partition stats sum exactly (scaled
+    # integers), so the same numbers fall out at any partitioning or as
+    # incremental batch merges, then a handful of IEEE ops on identical
+    # doubles is bit-deterministic. The built-in F.covar_samp/F.corr accumulate in
+    # floats with engine-specific update order — statistically equal,
+    # bit-different, never oracle-pairable. Caveat discovered on first
+    # registration: even identical formulas can diverge when one engine
+    # contracts a*b - c into FMA (DuckDB did, for the correlation
+    # denominator sxx - sx*sx/n) — keep cross-engine float expressions
+    # to one rounding-ambiguity-free layer.
+    # Scaled-INTEGER moments: decimal-x-decimal products are a
+    # cross-engine minefield (DuckDB float-falls-back above precision
+    # 38 and int64-overflows below 19 — both caught by the oracle on
+    # registration), so quantities scale to exact bigint millis and
+    # prices to cents, every product and sum stays in exact int64 range
+    # (max |Sqm*pc| ~ 1.8e17 < 2^63), and ONE final division per moment
+    # returns to real units. This is also the mergeable form: integer
+    # partial sums combine exactly across partitions or batches.
+    li = load_table(spark, sf, "lineitem")
+    qm = (F.col("l_quantity").cast("decimal(19,3)") * 1000) \
+        .cast("bigint")
+    pc = (F.col("l_extendedprice").cast("decimal(19,2)") * 100) \
+        .cast("bigint")
+    scaled = li.select(qm.alias("qm"), pc.alias("pc"))
+    s = scaled.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("qm").cast("double") / 1000.0).alias("sx"),
+        (F.sum("pc").cast("double") / 100.0).alias("sy"),
+        (F.sum(F.col("qm") * F.col("pc")).cast("double") / 100000.0)
+        .alias("sxy"),
+        (F.sum(F.col("qm") * F.col("qm")).cast("double") / 1000000.0)
+        .alias("sxx"))
+    return s.select(
+        "n", "sx", "sy", "sxy", "sxx",
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+         / (F.col("n") - 1)).alias("covar_qty_price"))
