@@ -847,6 +847,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "f_array_set_ops",                      # array intersect/distinct
     "sql_q10_returned_items",               # Q10 returns report
     "agg_sufficient_stats",                 # exact mergeable moments
+    "agg_listagg",                          # ordered string aggregation
 ]
 
 

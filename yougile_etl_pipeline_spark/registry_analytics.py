@@ -1403,3 +1403,32 @@ def agg_sufficient_stats(spark, sf):
         "n", "sx", "sy", "sxy", "sxx",
         ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
          / (F.col("n") - 1)).alias("covar_qty_price"))
+
+
+@register("agg_listagg", """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS top_names,
+       count(*) AS n
+FROM customer
+WHERE c_acctbal > 9900 AND c_nationkey IS NOT NULL
+GROUP BY c_nationkey
+""")
+def agg_listagg(spark, sf):
+    # String aggregation (listagg, new in Spark 4) — the classic
+    # report-building aggregate. WITHIN GROUP (ORDER BY balance DESC,
+    # name) makes the concatenation order total, so the string is
+    # deterministic and oracle-pairable (an unordered listagg is
+    # partition-order-dependent, same trap as raw collect_list).
+    from yougile_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf)
+    return spark.sql("""
+        SELECT c_nationkey,
+               listagg(c_name, ',')
+                 WITHIN GROUP (ORDER BY c_acctbal DESC, c_name)
+                 AS top_names,
+               count(*) AS n
+        FROM customer
+        WHERE c_acctbal > 9900 AND c_nationkey IS NOT NULL
+        GROUP BY c_nationkey
+    """)
