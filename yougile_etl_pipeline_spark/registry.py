@@ -848,6 +848,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_q10_returned_items",               # Q10 returns report
     "agg_sufficient_stats",                 # exact mergeable moments
     "agg_listagg",                          # ordered string aggregation
+    "agg_mode_per_group",                   # deterministic per-group mode
 ]
 
 

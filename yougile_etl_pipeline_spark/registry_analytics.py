@@ -1432,3 +1432,35 @@ def agg_listagg(spark, sf):
         WHERE c_acctbal > 9900 AND c_nationkey IS NOT NULL
         GROUP BY c_nationkey
     """)
+
+
+@register("agg_mode_per_group", """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+FROM r WHERE rn = 1
+""")
+def agg_mode_per_group(spark, sf):
+    # Per-group MODE with a deterministic tie-break (count DESC, then
+    # value) — the built-in mode() aggregate resolves ties in
+    # engine-/partition-dependent order, so the certified surface is
+    # the count + row_number formulation: two shuffles, both on small
+    # grouped data, and every tie broken by a total order.
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf, "orders")
+    c = (o.groupBy("o_orderstatus", "o_orderpriority")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("o_orderstatus") \
+        .orderBy(F.col("cnt").desc(), F.col("o_orderpriority"))
+    return (c.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("o_orderstatus",
+                     F.col("o_orderpriority").alias("mode_priority"),
+                     F.col("cnt").alias("mode_count")))
