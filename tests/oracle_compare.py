@@ -62,6 +62,19 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
             float_tol: float = 0.0) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     issues: list[str] = []
+    # Driver-faithful rejection: the round driver canonicalizes through
+    # pandas sort/hash, which crashes on list-valued cells
+    # (CORRECTNESS_r03 text_inverted_index: "unhashable type: 'list'").
+    # Certified queries must serialize arrays/maps/structs to strings at
+    # the query boundary; fail here so the class can't reach the driver.
+    bad = [f.name for f in spark_df.schema.fields
+           if f.dataType.typeName() in ("array", "map", "struct")]
+    if bad:
+        issues.append(
+            f"non-scalar output columns {bad}: the certification driver "
+            "cannot hash array/map/struct cells — serialize to string "
+            "(array_join/concat_ws) at the query boundary")
+        return issues
     sp = spark_df.toPandas()
     du = con.execute(sql).df()
     if sorted(sp.columns) != sorted(du.columns):

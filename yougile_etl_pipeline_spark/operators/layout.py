@@ -157,32 +157,29 @@ def file_profile(spark, path: str,
     The small-file problem is the quiet 100 TB killer: a mart appended
     hourly for a year holds ~10⁴ directories × many tiny files, and scan
     planning + footer reads + task scheduling start to dominate query
-    time. The listing here is driver-side filesystem metadata (exactly
-    what a real lakehouse OPTIMIZE planner reads — never row data);
+    time. The listing here is driver-side filesystem metadata via the
+    Hadoop FileSystem API (exactly what a real lakehouse OPTIMIZE
+    planner reads — never row data; works on hdfs://s3a://local alike);
     `recommended_files = ceil(bytes / target)` with a floor of 1.
 
     Verdicts: ``small-files`` (would merge ≥2× fewer files), ``ok``,
     ``oversized`` (files above ~2× target — split candidates)."""
     import math
-    import os
+
+    from yougile_etl_pipeline_spark import fsutil
 
     rows = []
-    for dirpath, _dirnames, filenames in os.walk(path):
-        pq = [f for f in filenames
-              if f.endswith(".parquet") and not f.startswith(".")]
-        if not pq:
-            continue
-        sizes = [os.path.getsize(os.path.join(dirpath, f)) for f in pq]
+    for leaf, sizes in fsutil.leaf_parquet_sizes(path).items():
         total = sum(sizes)
         rec = max(1, math.ceil(total / target_file_bytes))
-        if len(pq) >= 2 * rec:
+        if len(sizes) >= 2 * rec:
             verdict = "small-files"
         elif max(sizes) > 2 * target_file_bytes:
             verdict = "oversized"
         else:
             verdict = "ok"
-        rows.append((os.path.relpath(dirpath, path), len(pq), total,
-                     total // len(pq), rec, verdict))
+        rows.append((leaf if leaf else ".", len(sizes), total,
+                     total // len(sizes), rec, verdict))
     return spark.createDataFrame(
         rows, "leaf_dir string, n_files int, total_bytes long, "
               "avg_file_bytes long, recommended_files int, verdict string")
@@ -194,13 +191,14 @@ def compact_path(spark, path: str,
     file count via the crash-safe staging swap (`plans/incremental`
     contract: a crash leaves old or new intact, never half). Returns the
     new file count. Row data is preserved bit-for-bit; only layout
-    changes — callers verify with a count/hash, tests do."""
+    changes — callers verify with a count/hash, tests do. Directory
+    manipulation goes through fsutil (Hadoop FileSystem API), so the
+    rewrite works on any scheme, not just local paths."""
     import math
-    import os
-    import shutil
 
-    sizes = [os.path.getsize(os.path.join(path, f))
-             for f in os.listdir(path) if f.endswith(".parquet")]
+    from yougile_etl_pipeline_spark import fsutil
+
+    sizes = fsutil.leaf_parquet_sizes(path).get("", [])
     if not sizes:
         # partitioned dataset (or not a parquet dir): compact each leaf
         # via file_profile instead — rewriting through this path would
@@ -213,9 +211,8 @@ def compact_path(spark, path: str,
     base = path.rstrip("/")
     staging, backup = base + "__staging", base + "__old"
     df.repartition(rec).write.mode("overwrite").parquet(staging)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    fsutil.rmtree(backup)
+    fsutil.rename(path, backup)
+    fsutil.rename(staging, path)
+    fsutil.rmtree(backup)
     return rec

@@ -81,11 +81,14 @@ def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
     collect, no full-table rewrite). Unpartitioned targets fall back to a
     staging-directory swap (small marts only; document Delta/Iceberg for
     transactional multi-writer needs).
-    """
-    import os
-    import shutil
 
-    target_exists = os.path.exists(target_path)
+    All directory manipulation goes through ``fsutil`` (Hadoop
+    FileSystem API), so the same code path works on hdfs:// / s3a:// /
+    local — never driver-local ``os`` calls that silently no-op off-box.
+    """
+    from yougile_etl_pipeline_spark import fsutil
+
+    target_exists = fsutil.exists(target_path)
     if not target_exists:
         writer = updates.write.mode("overwrite")
         if partition_col:
@@ -130,9 +133,8 @@ def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
         # explicitly.
         for p_val in touched:
             if p_val not in present:
-                shutil.rmtree(
-                    os.path.join(target_path, f"{partition_col}={p_val}"),
-                    ignore_errors=True)
+                fsutil.rmtree(
+                    fsutil.join(target_path, f"{partition_col}={p_val}"))
         return
 
     merged = (target.join(updates.select(*keys).distinct(), keys, "left_anti")
@@ -141,15 +143,16 @@ def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
     # staging, then drop the old copy. A crash between any two steps
     # leaves either the old or the new mart intact under a recoverable
     # name (never a half-deleted live directory); recover_merge_target()
-    # repairs the directory on the next run.
+    # repairs the directory on the next run. Rename atomicity is the
+    # filesystem's (HDFS: atomic; S3A: copy — which is why the repair
+    # path exists at all).
     base = target_path.rstrip("/")
     staging, backup = base + "__staging", base + "__old"
     merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)          # leftover from a prior crash
-    os.rename(target_path, backup)
-    os.rename(staging, target_path)
-    shutil.rmtree(backup)
+    fsutil.rmtree(backup)              # leftover from a prior crash
+    fsutil.rename(target_path, backup)
+    fsutil.rename(staging, target_path)
+    fsutil.rmtree(backup)
 
 
 def recover_merge_target(target_path: str) -> str:
@@ -158,27 +161,22 @@ def recover_merge_target(target_path: str) -> str:
     the live tree moved aside — the fully-written staging is promoted),
     or 'restored_backup' (staging incomplete or missing — the old tree is
     put back)."""
-    import os
-    import shutil
+    from yougile_etl_pipeline_spark import fsutil
 
     base = target_path.rstrip("/")
     staging, backup = base + "__staging", base + "__old"
-    if os.path.exists(target_path):
+    if fsutil.exists(target_path):
         # live tree intact; drop whichever temps remain
-        for p in (staging, backup):
-            if os.path.exists(p):
-                shutil.rmtree(p)
+        fsutil.rmtree(staging)
+        fsutil.rmtree(backup)
         return "clean"
-    if os.path.exists(staging) and os.path.exists(
-            os.path.join(staging, "_SUCCESS")):
-        os.rename(staging, target_path)
-        if os.path.exists(backup):
-            shutil.rmtree(backup)
+    if fsutil.exists(fsutil.join(staging, "_SUCCESS")):
+        fsutil.rename(staging, target_path)
+        fsutil.rmtree(backup)
         return "promoted_staging"
-    if os.path.exists(backup):
-        os.rename(backup, target_path)
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
+    if fsutil.exists(backup):
+        fsutil.rename(backup, target_path)
+        fsutil.rmtree(staging)
         return "restored_backup"
     raise FileNotFoundError(
         f"no live, staging, or backup tree at {target_path}")
@@ -283,8 +281,7 @@ def scrub_keys(spark: SparkSession, target_path: str, scrub: DataFrame,
 
     Returns the number of rows removed — the audit line the erasure job
     must log."""
-    import os
-    import shutil
+    from yougile_etl_pipeline_spark import fsutil
 
     target = spark.read.parquet(target_path)
     victims = scrub.select(*keys).distinct()
@@ -310,13 +307,12 @@ def scrub_keys(spark: SparkSession, target_path: str, scrub: DataFrame,
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         for p_val in touched:
             if p_val not in present:
-                shutil.rmtree(
-                    os.path.join(target_path, f"{partition_col}={p_val}"),
-                    ignore_errors=True)
+                fsutil.rmtree(
+                    fsutil.join(target_path, f"{partition_col}={p_val}"))
         return removed
 
-    if any("=" in d and os.path.isdir(os.path.join(target_path, d))
-           for d in os.listdir(target_path)):
+    if any("=" in d and fsutil.is_dir(fsutil.join(target_path, d))
+           for d in fsutil.listdir(target_path)):
         raise ValueError(
             f"{target_path} is partitioned; pass partition_col= so the "
             f"scrub rewrites only victim partitions (the flat swap would "
@@ -325,11 +321,10 @@ def scrub_keys(spark: SparkSession, target_path: str, scrub: DataFrame,
     base = target_path.rstrip("/")
     staging, backup = base + "__staging", base + "__old"
     survivors.write.mode("overwrite").parquet(staging)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.rename(target_path, backup)
-    os.rename(staging, target_path)
-    shutil.rmtree(backup)
+    fsutil.rmtree(backup)
+    fsutil.rename(target_path, backup)
+    fsutil.rename(staging, target_path)
+    fsutil.rmtree(backup)
     return removed
 
 
@@ -339,16 +334,17 @@ def missing_partitions(path: str, expected: list[str],
     ``dags/yougile_etl_dag.py`` schedule, expressed over the mart
     itself): which expected partition values have no directory — or an
     incomplete one (present but no data files, e.g. a killed write) —
-    under ``path``. Driver-side metadata listing only; the mart's row
-    data is never read."""
-    import os
+    under ``path``. Driver-side metadata listing only (via the Hadoop
+    FileSystem API — works on any scheme); the mart's row data is never
+    read."""
+    from yougile_etl_pipeline_spark import fsutil
 
     missing = []
     for val in expected:
-        d = os.path.join(path, f"{partition_col}={val}")
-        has_data = (os.path.isdir(d)
+        d = fsutil.join(path, f"{partition_col}={val}")
+        has_data = (fsutil.is_dir(d)
                     and any(f.endswith(".parquet") and not f.startswith(".")
-                            for f in os.listdir(d)))
+                            for f in fsutil.listdir(d)))
         if not has_data:
             missing.append(val)
     return missing

@@ -740,8 +740,9 @@ def set_union_distinct(spark, sf):
 # oracle changed this round — so every operator earns an official green
 # row. Runs at import-bottom, after ALL registrations (see module tail).
 _STABLE_CERTIFIED = [
-    # r01+r02 driver-green, code untouched this round — reinsert at the
-    # end of the registration order, preserving relative order.
+    # r01+r02 driver HASH-green (hash_match=True in CORRECTNESS_r01 AND
+    # r02), code untouched since — reinsert at the end of the
+    # registration order, preserving relative order.
     "mart_flagship", "p2_projection", "p3_rename", "p4_conform",
     "p5_member_filter", "p6_nullsafe_neq", "p7_null_predicates",
     "p8_drop_cols", "p9_literal_append", "j1_left_broadcast_dim",
@@ -755,19 +756,31 @@ _STABLE_CERTIFIED = [
     "text_token_stats", "text_lang_id", "text_quality_score",
     "text_fingerprints", "dedup_exact",
     "mm_binary_metadata", "mm_decode_features", "events_hourly_snapshot",
-    "events_json_flatten", "events_sessionize", "stream_tumbling_counts",
-    # NOT listed (kept in the window): set_except, dedup_shingle_jaccard,
-    # dedup_simhash, dedup_minhash_lsh (codegen-shingling rewrite),
-    # sim_cosine_topk, sim_ann_lsh_bucket — all changed this round; plus
-    # every never-certified and newly added query.
-    #
-    # Window overflow (52 never-certified/changed queries, 50 slots):
-    # two are deliberately deferred to the front of the round-4 window —
-    # stream_click_attribution (no SQL oracle: its slot would only buy a
-    # rows-only row; it is pytest-verified via batch parity) and j_cross
-    # (trivial crossJoin, judge-verified green at sf0.01 in round 2).
-    # This keeps set_union_distinct and f_case_bands — never certified by
-    # ANY check — inside list(QUERIES)[:50].
+    "events_json_flatten", "events_sessionize",
+    # r01+r02 driver-checked ROWS-ONLY (err='no_oracle', rows>0 both
+    # rounds): stream-stream join, no SQL-expressible oracle by design.
+    "stream_tumbling_counts",
+    # r03 driver HASH-green (hash_match=True in CORRECTNESS_r03), code
+    # untouched since — the full r03 window minus text_inverted_index
+    # (red in r03: raw-array output; fixed this round, kept in the
+    # window for recertification).
+    "set_except", "text_repetition_stats", "doc_chunks",
+    "sample_source_mix", "train_pack_sequences", "dedup_shingle_jaccard",
+    "dedup_shingle_capped", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_clusters", "dedup_canonical_docs",
+    "sim_cosine_topk", "sim_ann_lsh_bucket", "sim_ann_lsh_sized",
+    "events_asof_join", "corpus_clean_pipeline", "events_funnel",
+    "ivf_kmeans_step", "sim_ivf_topk", "sim_ivf_multiprobe",
+    "dedup_embedding_cosine_w6", "dedup_embedding_cosine",
+    "mm_frame_sample", "text_zscore_by_lang", "agg_pivot_status",
+    "agg_cube", "agg_count_distinct", "agg_percentiles",
+    "f_string_functions", "f_math_functions", "f_date_arithmetic",
+    "win_lead_lag_ntile", "win_range_frame", "f_array_functions",
+    "sample_deterministic", "quality_profile", "sql_api_top_nations",
+    "sketch_approx_distinct", "sketch_approx_quantiles",
+    "events_interval_join", "agg_regional_volume", "set_except_all",
+    "set_except_dup_left", "set_intersect_all", "f_regexp_extract",
+    "j_full_outer", "set_union_distinct", "f_case_bands",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit
@@ -780,60 +793,29 @@ _STABLE_CERTIFIED = [
 # registration that silently pushed an uncertified query out of the
 # window fails the test.
 #
-# ROUND-4 ROTATION NOTE: this list (57 entries) exceeds one 50-slot
-# window. Once CORRECTNESS_r03 lands green, move the r03-certified 50
-# into _STABLE_CERTIFIED and promote the first 50 of this list; the
-# remaining ~7 (plus any round-4 additions) wait one more round. Every
-# entry below was mini-driver-verified green at sf0.01 AND sf0.001 in
-# the session that added it.
+# ROUND-4 ROTATION (executed this round): CORRECTNESS_r03 landed 49/50
+# hash-green; those 49 moved into _STABLE_CERTIFIED above. The round-4
+# window (= every query in neither list, first 50 of registration
+# order) is: text_inverted_index (r03-red, array output stringified
+# this round) + 48 promoted from the old deferral head + f_array_set_ops
+# (implementation changed this round — array output stringified — so it
+# must certify now, jumping the queue per the changed-this-round rule).
+# agg_collect_sorted (also changed) was already inside the promoted
+# head. stream_click_attribution stays deferred one more round: it has
+# no SQL oracle (stream-stream join), so its slot would only buy a
+# rows-only row — batch-parity proof chain documented at its
+# registration site (streaming/registry entry + COVERAGE.md).
+#
+# ROUND-5 ROTATION PLAN (written now, per VERDICT r03 #4): the 15
+# entries below are every query that will still lack an official driver
+# row after r04 certifies. All 15 fit one window — promote ALL of them
+# at round-5 start (move the r04 greens into _STABLE_CERTIFIED first);
+# any round-5 additions join them (35 free slots). End state: every
+# registered query driver-certified by end of round 5.
 _DEFERRED_TO_NEXT_WINDOW = [
-    "stream_click_attribution",   # no SQL oracle (stream-stream join)
-    "j_cross",                    # judge-verified green in round 2
-    "text_redact_pii", "decontam_ngram_overlap", "text_tfidf_top_terms",
-    "emb_quantize_int8", "sim_topk_int8",   # int8 quantization family
-    "text_vocab_topv", "text_oov_rate",     # vocabulary-coverage family
-    "layout_zorder_profile",                # z-order clustering
-    "quality_key_skew",                     # join-key skew profile
-    "dedup_incremental_batch",              # incremental-ingest dedup
-    "quality_train_split",                  # train/val/test assignment
-    "snapshot_diff_audit",                  # two-snapshot CDC diff
-    "decontam_embedding",                   # semantic decontamination
-    # round-3 session-2 registrations (all mini-driver-verified green at
-    # sf0.01 this session; next rotation moves them into the window):
-    "dedup_incremental_bloom",              # bloom-prefiltered dedup
-    "agg_incremental_merge",                # mergeable aggregate state
-    "text_lm_quality",                      # char-trigram LM score
-    "link_fuzzy_titles",                    # fuzzy record linkage
-    "dim_scd2_orders",                      # SCD2 dimension build
-    "quality_expectations",                 # expectations runner
-    "events_retention_cohorts",             # retention matrix
-    "r_unpivot_metrics",                    # wide->long melt
-    "agg_grouping_sets",                    # explicit grouping sets
-    "win_dist_functions",                   # percent_rank/cume_dist
-    "p_na_fill_drop",                       # na.fill/na.drop surface
-    "sketch_incremental_merge",             # mergeable HLL state
-    "events_interval_merge",                # gaps-and-islands merge
-    "events_resample_ffill",                # time-series gap filling
-    "quality_pseudonymize",                 # salted keyed-hash surrogates
-    "sql_scalar_subquery",                  # scalar subquery via SQL API
-    "sql_exists_agg",                       # correlated EXISTS + agg (Q4)
-    "sql_in_subquery",                      # IN-subquery -> semi join
-    "agg_having",                           # post-aggregation filter
-    "freq_heavy_hitters",                   # Misra-Gries two-pass HH
-    "graph_pagerank",                       # fixed-point power iteration
-    "sql_correlated_scalar",                # Q17-shape decorrelation
-    "sql_having_total",                     # Q11-shape global-share cut
-    "events_session_native",                # native session_window
-    "dim_scd2_lookup",                      # point-in-time dim lookup
-    "events_time_rollup",                   # multi-granularity rollup
-    "events_variant_extract",               # VariantType typed paths
-    "sql_lateral_topk",                     # LATERAL ORDER BY/LIMIT
-    "sql_recursive_spine",                  # recursive CTE date spine
-    "join_incremental_delta",               # materialized-join delta
-    "j_salted_skew",                        # salted join == plain join
-    "sql_disjunctive_join",                 # Q19-shape OR-predicate join
-    "sql_market_share",                     # Q8-shape conditional ratio
-    "agg_collect_sorted",                   # deterministic collect_list
+    "stream_click_attribution",   # no SQL oracle (stream-stream join);
+                                  # rows-only slot deferred twice — r05
+                                  # window HAS free slots, promote then
     "f_null_functions",                     # nullif/nvl/nvl2/coalesce
     "sql_q3_shipping_priority",             # Q3 top-10 revenue
     "sql_q14_promo_share",                  # Q14 category share
@@ -844,7 +826,6 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "win_first_last_ignorenulls",           # IGNORE NULLS navigation
     "agg_median_split",                     # group-median join-back
     "win_time_range_frame",                 # INTERVAL range frame
-    "f_array_set_ops",                      # array intersect/distinct
     "sql_q10_returned_items",               # Q10 returns report
     "agg_sufficient_stats",                 # exact mergeable moments
     "agg_listagg",                          # ordered string aggregation

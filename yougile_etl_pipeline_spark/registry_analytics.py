@@ -968,7 +968,7 @@ def sql_market_share(spark, sf):
 
 @register("agg_collect_sorted", """
 SELECT o_orderpriority,
-       list_sort(list(o_orderkey)) AS order_keys,
+       array_to_string(list_sort(list(o_orderkey)), ' ') AS order_keys,
        count(*) AS n
 FROM orders WHERE o_orderkey % 500 = 0
 GROUP BY o_orderpriority
@@ -978,11 +978,14 @@ def agg_collect_sorted(spark, sf):
     # whose raw output is partition-order-DEPENDENT — array_sort
     # restores determinism, which is exactly why the engine exposes the
     # sorted form as the blessed surface (an unsorted collect_list can
-    # never be oracle-paired or reproducibly diffed).
+    # never be oracle-paired or reproducibly diffed). The sorted array is
+    # serialized to a space-joined string at the query boundary — the
+    # certification driver hashes scalar cells only (CORRECTNESS_r03).
     o = load_table(spark, sf, "orders")
     return (o.filter(F.col("o_orderkey") % 500 == 0)
              .groupBy("o_orderpriority")
-             .agg(F.array_sort(F.collect_list("o_orderkey"))
+             .agg(F.array_join(F.array_sort(F.collect_list("o_orderkey"))
+                                .cast("array<string>"), " ")
                    .alias("order_keys"),
                   F.count(F.lit(1)).alias("n")))
 
@@ -1288,8 +1291,9 @@ def win_time_range_frame(spark, sf):
 
 @register("f_array_set_ops", """
 SELECT d1.doc_id,
-       list_sort(list_intersect(string_split(d1.text, ' '),
-                                string_split(d2.text, ' ')))
+       array_to_string(
+         list_sort(list_intersect(string_split(d1.text, ' '),
+                                  string_split(d2.text, ' '))), ' ')
          AS shared_tokens,
        CAST(len(list_distinct(string_split(d1.text, ' '))) AS INTEGER)
          AS n_distinct_tokens
@@ -1300,7 +1304,9 @@ def f_array_set_ops(spark, sf):
     # Array set algebra (intersect/distinct) on tokenized text — result
     # arrays are SORTED before comparison because each engine's
     # set-operation output order is an implementation detail (Spark
-    # preserves left-operand order, DuckDB doesn't guarantee one).
+    # preserves left-operand order, DuckDB doesn't guarantee one), then
+    # serialized to a space-joined string at the query boundary — the
+    # certification driver hashes scalar cells only (CORRECTNESS_r03).
     docs = load_table(spark, sf, "documents")
     d1 = docs.filter(F.col("doc_id") % 50 == 0) \
         .select(F.col("doc_id"), F.split("text", " ").alias("t1"))
@@ -1308,7 +1314,8 @@ def f_array_set_ops(spark, sf):
                      F.split("text", " ").alias("t2"))
     return (d1.join(d2, "doc_id")
             .select("doc_id",
-                    F.array_sort(F.array_intersect("t1", "t2"))
+                    F.array_join(
+                        F.array_sort(F.array_intersect("t1", "t2")), " ")
                      .alias("shared_tokens"),
                     F.size(F.array_distinct("t1"))
                      .alias("n_distinct_tokens")))

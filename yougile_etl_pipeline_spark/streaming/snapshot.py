@@ -191,14 +191,17 @@ def stream_quarantine(spark: SparkSession, sf_dir: str,
         # (the same exactly-once contract stream_upsert_mart gets from
         # MERGE keys).
         good, bad = quarantine(batch_df, rules)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
+        # partitionOverwriteMode is set per-WRITE, not on the session —
+        # a session-wide conf.set here would leak "dynamic" into every
+        # later overwrite (scrub_keys save/restores the same setting).
         (good.withColumn("batch_id", F.lit(batch_id))
              .write.mode("overwrite").partitionBy("batch_id")
+             .option("partitionOverwriteMode", "dynamic")
              .parquet(good_path))
         (bad.withColumn("failed", F.concat_ws(",", "failed"))
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite").partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
             .parquet(bad_path))
 
     q = (ev.writeStream.foreachBatch(gate)
@@ -206,6 +209,13 @@ def stream_quarantine(spark: SparkSession, sf_dir: str,
          .option("checkpointLocation", good_path + "_ckpt")
          .start())
     q.awaitTermination()
-    n_good = spark.read.parquet(good_path).count()
-    n_bad = spark.read.parquet(bad_path).count()
-    return n_good, n_bad
+
+    def _count(path: str) -> int:
+        # A side that never received a row holds only _SUCCESS — reading
+        # it would raise "unable to infer schema"; that side counts 0.
+        try:
+            return spark.read.parquet(path).count()
+        except Exception:
+            return 0
+
+    return _count(good_path), _count(bad_path)
