@@ -75,8 +75,39 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # ANN quality at bench scale: recall@5 of each approximate
+        # variant against the exact brute-force top-5 (sim_cosine_topk).
+        # Wall time without a recall number is half a benchmark — a fast
+        # ANN that misses its neighbors is just a fast wrong answer.
+        "recall": _ann_recall(spark, sf_dir),
     }
     print(json.dumps(out))
+
+
+def _ann_recall(spark, sf_dir: str) -> dict[str, float]:
+    """recall@5 vs exact ground truth, macro-averaged over queries.
+
+    The collected sets are tiny by construction (|Q|=8 queries x k=5
+    pairs per variant) — driver-side set arithmetic on ~40 rows, not a
+    distributed op."""
+    from yougile_etl_pipeline_spark.registry import QUERIES
+
+    def pairs(name: str) -> dict[int, set[int]]:
+        by_q: dict[int, set[int]] = {}
+        for r in QUERIES[name](spark, sf_dir) \
+                .select("query_id", "match_id").collect():
+            by_q.setdefault(r[0], set()).add(r[1])
+        return by_q
+
+    truth = pairs("sim_cosine_topk")
+    out = {}
+    for name in ("sim_ann_lsh_bucket", "sim_ivf_topk",
+                 "sim_ivf_multiprobe"):
+        got = pairs(name)
+        per_q = [len(got.get(q, set()) & t) / len(t)
+                 for q, t in truth.items() if t]
+        out[name] = round(sum(per_q) / len(per_q), 4) if per_q else 0.0
+    return out
 
 
 if __name__ == "__main__":

@@ -768,9 +768,15 @@ _STABLE_CERTIFIED = [
     "sample_source_mix", "train_pack_sequences", "dedup_shingle_jaccard",
     "dedup_shingle_capped", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_clusters", "dedup_canonical_docs",
-    "sim_cosine_topk", "sim_ann_lsh_bucket", "sim_ann_lsh_sized",
+    "sim_cosine_topk", "sim_ann_lsh_sized",
     "events_asof_join", "corpus_clean_pipeline", "events_funnel",
-    "ivf_kmeans_step", "sim_ivf_topk", "sim_ivf_multiprobe",
+    "ivf_kmeans_step",
+    # NOT listed despite r03 green: sim_ann_lsh_bucket, sim_ivf_topk,
+    # sim_ivf_multiprobe — retuned this round (LSH L=4→18 tables; IVF
+    # centroids 256→64 by the √N policy, after the bench recall block
+    # measured 0.50/0.725/0.825 recall@5 at the old knobs vs
+    # 0.95/0.95/0.975 now). Changed implementation+oracle ⇒ back into
+    # the window for recertification, per the changed-this-round rule.
     "dedup_embedding_cosine_w6", "dedup_embedding_cosine",
     "mm_frame_sample", "text_zscore_by_lang", "agg_pivot_status",
     "agg_cube", "agg_count_distinct", "agg_percentiles",
@@ -816,6 +822,11 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "stream_click_attribution",   # no SQL oracle (stream-stream join);
                                   # rows-only slot deferred twice — r05
                                   # window HAS free slots, promote then
+    # displaced from the r04 window by the retuned ANN trio (window
+    # holds exactly 50): j_cross is judge-verified green (round 2);
+    # the int8 pair shares the verified similarity machinery and is
+    # mini-driver green — all three promote in r05.
+    "j_cross", "emb_quantize_int8", "sim_topk_int8",
     "f_null_functions",                     # nullif/nvl/nvl2/coalesce
     "sql_q3_shipping_priority",             # Q3 top-10 revenue
     "sql_q14_promo_share",                  # Q14 category share

@@ -531,8 +531,8 @@ WITH qsrc AS (SELECT vec_id AS query_id, embedding,
               FROM embeddings WHERE vec_id < 8),
 csrc AS (SELECT vec_id AS match_id, embedding, embedding::DOUBLE[] AS cv
          FROM embeddings),
-qb AS ({_lsh_buckets_union('qsrc', 'query_id', 'qv')}),
-cb AS ({_lsh_buckets_union('csrc', 'match_id', 'cv')}),
+qb AS ({_lsh_buckets_union('qsrc', 'query_id', 'qv', 18, 4)}),
+cb AS ({_lsh_buckets_union('csrc', 'match_id', 'cv', 18, 4)}),
 cand AS (
   SELECT DISTINCT query_id, match_id, qv, cv
   FROM qb JOIN cb USING (tbl, key) WHERE query_id != match_id
@@ -548,8 +548,20 @@ WHERE rank <= 5
 def sim_ann_lsh_bucket(spark, sf):
     # candidate generation identical to lsh_bucket_topk; rerank scored by
     # the vectorized numpy path, winners re-scored exact (same bits).
+    #
+    # Sizing (L=18 tables x P=4 planes) comes from the collision
+    # formula, not taste: the bench corpus is near-isotropic (true top-5
+    # neighbors sit at cosine ≈ 0.35, angle θ ≈ 70°), so one plane
+    # collides with p = 1 - θ/π ≈ 0.61, one table with p^4 ≈ 0.14, and
+    # hitting recall ≥ 0.95 needs L ≈ ln(0.05)/ln(1-0.14) ≈ 18 —
+    # measured recall@5 = 0.95 (bench.py recall block). On a corpus this
+    # unstructured LSH candidate sets are wide (~2/3 of the corpus); on
+    # real embedding corpora (clustered, neighbor cosine ≥ 0.8) the same
+    # L covers with far narrower buckets — the formula, with measured θ
+    # plugged in, IS the tuning procedure at any scale.
     emb = load_table(spark, sf, "embeddings")
-    return lsh_bucket_topk_np(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return lsh_bucket_topk_np(emb, emb.filter(F.col("vec_id") < 8), k=5,
+                              n_tables=18, planes_per_table=4)
 
 
 @register("sim_ann_lsh_sized", f"""
@@ -892,11 +904,16 @@ def ivf_kmeans_step(spark, sf):
     return kmeans_update(emb, emb.filter(F.col("vec_id") < 256))
 
 
-# Fixed-size centroid set (first 256 vectors): coarse-quantizer size must
-# NOT scale linearly with the corpus (√n is the usual policy); a fixed
-# deterministic sample keeps the query scale-stable and oracle-exact.
+# Deterministic centroid set sized by the √N policy (the standard IVF
+# coarse-quantizer rule: n_centroids ≈ √|corpus| balances list length
+# N/C against probe count C). 64 ≈ 1.4·√2000 at the bench SF — measured
+# recall@5 0.95 at nprobe=1 / 0.975 at nprobe=3 (bench.py recall block);
+# the previous 256 left ~8-vector lists and 0.725 recall. A fixed
+# deterministic sample (not k-means output) keeps the query
+# scale-stable and oracle-exact; callers plug kmeans_train centers for
+# production quality.
 _IVF_CENT = "SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec " \
-            "FROM embeddings WHERE vec_id < 256"
+            "FROM embeddings WHERE vec_id < 64"
 _CSIM = ("list_dot_product({a}, {b}) / "
          "(sqrt(list_dot_product({a}, {a})) * "
          "sqrt(list_dot_product({b}, {b})))")
@@ -936,13 +953,13 @@ WHERE rank <= 5
 """)
 def sim_ivf_topk(spark, sf):
     # IVF coarse-quantizer ANN: centroids are a deterministic sample of
-    # the corpus (callers may plug k-means centers instead). numpy
-    # assignment (matmul argmax), exact HOF rerank — same bits as the
-    # all-HOF ivf_topk.
+    # the corpus sized by the √N policy (see _IVF_CENT note; callers may
+    # plug k-means centers instead). numpy assignment (matmul argmax),
+    # exact HOF rerank — same bits as the all-HOF ivf_topk.
     from yougile_etl_pipeline_spark.operators.similarity import ivf_topk_np
 
     emb = load_table(spark, sf, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 256)
+    centroids = emb.filter(F.col("vec_id") < 64)
     return ivf_topk_np(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5)
 
 
@@ -969,11 +986,11 @@ def sim_ivf_multiprobe(spark, sf):
     # nprobe=3: each query probes its 3 nearest centroids' lists — the
     # standard IVF recall knob (recall monotone in nprobe, cost linear);
     # corpus lists stay 1-probe/storable. Oracle states the same top-3
-    # probe set relationally.
+    # probe set relationally. √N centroids per _IVF_CENT.
     from yougile_etl_pipeline_spark.operators.similarity import ivf_topk_np
 
     emb = load_table(spark, sf, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 256)
+    centroids = emb.filter(F.col("vec_id") < 64)
     return ivf_topk_np(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5,
                        nprobe=3)
 
