@@ -859,8 +859,17 @@ def stream_tumbling_counts(spark, sf):
 
 @register("stream_click_attribution")  # stream-stream join → rows-only;
 def stream_click_attribution(spark, sf):
-    # batch parity vs events_interval_join asserted in
-    # tests/test_streaming_multimodal.py (same rows, literally).
+    # No DuckDB oracle CAN exist (stream-stream interval join with
+    # watermark state), so the driver records a rows-only row — but the
+    # correctness proof chain is complete and two links long:
+    #   1. tests/test_streaming_multimodal.py asserts this streaming
+    #      query's output rows LITERALLY EQUAL the batch
+    #      events_interval_join's rows on the same input (sorted
+    #      row-set equality, not just counts);
+    #   2. events_interval_join is oracle-paired and driver hash-green
+    #      (CORRECTNESS_r03).
+    # Transitively the streaming rows match the SQL oracle; the
+    # rows-only driver row certifies the streaming machinery runs.
     from yougile_etl_pipeline_spark.streaming.joins import (
         run_attribution_available_now,
     )
