@@ -363,3 +363,34 @@ def test_embedding_decontaminate_flags_planted_paraphrase(spark):
     assert out[1][1] and abs(out[1][0] - 1.0) < 1e-12
     assert out[2][1] and out[2][0] > 0.9
     assert not out[3][1] and out[3][0] == 0.0
+
+
+def test_ann_sizing_report_formulas(spark):
+    # The report must reproduce the sizing math that retuned the r04
+    # ANN knobs: on the near-isotropic synthetic embeddings the
+    # neighbor angle is ~70 degrees, per-table collision ~0.14, and the
+    # recommended table count lands in the empirically-validated range
+    # (L=18 measured recall 0.95 at sf0.1; the sf0.001 corpus is
+    # smaller so the angle — and hence L — may differ slightly).
+    import math
+
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        ann_sizing_report,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rpt = ann_sizing_report(emb, emb.filter(F.col("vec_id") < 4),
+                            k=5, target_recall=0.95)
+    # internal consistency: every derived number follows its formula
+    assert rpt["n_corpus"] == emb.count()
+    theta = math.acos(rpt["mean_neighbor_cos"])
+    assert abs(rpt["lsh_p_plane"] - (1 - theta / math.pi)) < 1e-12
+    assert abs(rpt["lsh_p_table"] - rpt["lsh_p_plane"] ** 4) < 1e-12
+    L = rpt["lsh_tables_for_target"]
+    # L is the smallest integer hitting the target under the model
+    assert 1 - (1 - rpt["lsh_p_table"]) ** L >= 0.95
+    assert L == 1 or 1 - (1 - rpt["lsh_p_table"]) ** (L - 1) < 0.95
+    assert rpt["ivf_n_centroids"] == round(math.sqrt(rpt["n_corpus"]))
+    # geometry sanity on this corpus: near-isotropic, weak neighbors
+    assert 0.2 < rpt["mean_neighbor_cos"] < 0.7
+    assert rpt["lsh_tables_for_target"] >= 4

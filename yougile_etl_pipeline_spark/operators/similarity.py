@@ -46,6 +46,7 @@ __all__ = [
     "kmeans_update",
     "kmeans_train",
     "embedding_decontaminate",
+    "ann_sizing_report",
 ]
 
 EMBED_DIM = 64
@@ -726,3 +727,57 @@ def embedding_decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
              .select(F.col(id_col), "max_benchmark_cos",
                      (F.col("max_benchmark_cos") >= threshold)
                      .alias("contaminated")))
+
+
+def ann_sizing_report(corpus: DataFrame, queries: DataFrame, *,
+                      k: int = 5, target_recall: float = 0.95,
+                      planes_per_table: int = PLANES_PER_TABLE,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> dict:
+    """Measure the corpus's neighbor geometry and apply the LSH/IVF
+    sizing formulas — the tuning PROCEDURE as an operator, so index
+    parameters are derived from data, never guessed.
+
+    Pipeline (all distributed; only |Q|·k scalar rows reach the driver):
+      1. exact top-k per query vector (`brute_force_topk` — broadcast
+         queries, one corpus scan);
+      2. mean true-neighbor cosine -> angle θ;
+      3. LSH: per-plane collision p = 1 - θ/π, per-table p^P, tables
+         needed L = ln(1-target) / ln(1-p^P);
+      4. IVF: n_centroids = round(√N) (balanced-list rule) with the
+         probe-list length N/C that implies.
+
+    Run it on a deterministic SAMPLE of queries against the full corpus
+    (or a corpus sample at extreme scale): the geometry statistics
+    converge long before the sample stops fitting a broadcast. Returns
+    a plain dict (a report, not a relation — it parameterizes the next
+    index build rather than joining with anything).
+    """
+    import math
+
+    n_corpus = corpus.count()
+    nn = brute_force_topk(corpus, queries, k,
+                          id_col=id_col, vec_col=vec_col)
+    mean_cos = nn.agg(F.avg("cos_sim")).collect()[0][0]
+    mean_cos = max(-1.0, min(1.0, float(mean_cos)))
+    theta = math.acos(mean_cos)
+    p_plane = 1.0 - theta / math.pi
+    p_table = p_plane ** planes_per_table
+    if p_table >= 1.0:
+        n_tables = 1
+    else:
+        n_tables = max(1, math.ceil(math.log(1.0 - target_recall)
+                                    / math.log(1.0 - p_table)))
+    n_centroids = max(1, round(math.sqrt(n_corpus)))
+    return {
+        "n_corpus": n_corpus,
+        "mean_neighbor_cos": mean_cos,
+        "neighbor_angle_deg": math.degrees(theta),
+        "lsh_p_plane": p_plane,
+        "lsh_p_table": p_table,
+        "lsh_planes_per_table": planes_per_table,
+        "lsh_tables_for_target": n_tables,
+        "ivf_n_centroids": n_centroids,
+        "ivf_expected_list_len": n_corpus / n_centroids,
+        "target_recall": target_recall,
+    }

