@@ -140,3 +140,30 @@ def test_events_reader_handles_both_parquet_ts_units(spark, tmp_path):
                load_table(spark, str(tmp_path / "ns"), "events").collect()}
     assert us_rows == ns_rows
     assert us_rows[1].year == 2024                       # not 1970, not 56k
+
+
+def test_per_write_dynamic_partition_overwrite(spark, tmp_path):
+    # stream_quarantine (streaming/snapshot.py) relies on the WRITER
+    # option "partitionOverwriteMode=dynamic" taking precedence over
+    # the session conf, so a retried micro-batch replaces only its own
+    # batch_id partition without leaking a session-wide conf change
+    # (the bug class: conf.set inside foreachBatch never restored).
+    # Lock the semantics: two dynamic overwrites of DIFFERENT
+    # partitions must both survive while the session stays static.
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static") == "static"
+    d = str(tmp_path / "mart")
+    for x, p in ((1, "a"), (2, "b")):
+        (spark.createDataFrame([(x, p)], ["x", "p"])
+              .write.mode("overwrite").partitionBy("p")
+              .option("partitionOverwriteMode", "dynamic").parquet(d))
+    assert sorted((r.x, r.p) for r in spark.read.parquet(d).collect()) \
+        == [(1, "a"), (2, "b")]
+    # and a re-write of one partition REPLACES it, leaving the other
+    (spark.createDataFrame([(9, "a")], ["x", "p"])
+          .write.mode("overwrite").partitionBy("p")
+          .option("partitionOverwriteMode", "dynamic").parquet(d))
+    assert sorted((r.x, r.p) for r in spark.read.parquet(d).collect()) \
+        == [(2, "b"), (9, "a")]
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static") == "static"
