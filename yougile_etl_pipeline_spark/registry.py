@@ -628,6 +628,7 @@ def sort_limit_topk(spark, sf):
 # last so `register` exists; keep at module bottom.
 from yougile_etl_pipeline_spark import registry_ext  # noqa: E402,F401
 from yougile_etl_pipeline_spark import registry_analytics  # noqa: E402,F401
+from yougile_etl_pipeline_spark import registry_tpch  # noqa: E402,F401
 
 
 @register("set_except_all", """
@@ -842,6 +843,20 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "agg_sufficient_stats",                 # exact mergeable moments
     "agg_listagg",                          # ordered string aggregation
     "agg_mode_per_group",                   # deterministic per-group mode
+    # Round-4 additions (registry_tpch.py): the ten TPC-H shapes that
+    # complete all 22 classics. Registered after the r04 window was
+    # frozen, so they defer to r05 by construction (25 deferred total —
+    # still one window; the round-5 promote-ALL plan above holds).
+    "sql_q2_min_cost_supplier",             # Q2 correlated-min match
+    "sql_q6_forecast_revenue",              # Q6 scan-filter-aggregate
+    "sql_q7_nation_volume",                 # Q7 bilateral volume
+    "sql_q9_product_profit",                # Q9 profit by nation/year
+    "sql_q12_late_lines_priority",          # Q12 priority mix
+    "sql_q13_order_distribution",           # Q13 outer-join count dist
+    "sql_q15_top_supplier",                 # Q15 view + scalar max
+    "sql_q18_large_orders",                 # Q18 IN-over-HAVING
+    "sql_q20_excess_suppliers",             # Q20 nested IN + HAVING
+    "sql_q21_waiting_suppliers",            # Q21 EXISTS/NOT-EXISTS pair
 ]
 
 
