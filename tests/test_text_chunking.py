@@ -53,3 +53,41 @@ def test_chunks_overlap_stride(spark):
     short = chunk_documents(_docs(spark, [(2, "one two")]),
                             chunk_size=32, stride=24).collect()
     assert len(short) == 1 and short[0].chunk_tokens == 2
+
+
+def test_line_dedup_drops_shared_segments_keeps_order(spark):
+    """A segment (aligned seg_tokens window) shared by >= min_df docs is
+    dropped from EVERY document; unique segments survive in original
+    order; a fully-boilerplate doc survives with empty text."""
+    from yougile_etl_pipeline_spark.operators.text import line_dedup
+
+    boiler = "terms of service apply"                  # one 4-token segment
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),       # boiler + unique
+        (2, boiler + " epsilon zeta eta theta"),       # boiler + unique
+        (3, boiler),                                   # only boiler
+        (4, "iota kappa lambda mu nu xi omicron pi"),  # two unique segs
+    ]
+    out = {r.doc_id: r for r in line_dedup(
+        _docs(spark, rows), seg_tokens=4, min_df=2).collect()}
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[2].clean_text == "epsilon zeta eta theta"
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[3].n_dropped == 1
+    assert out[4].clean_text == "iota kappa lambda mu nu xi omicron pi"
+    assert out[4].n_dropped == 0
+    assert all(r.n_kept + r.n_dropped >= 1 for r in out.values())
+
+
+def test_line_dedup_alignment_blocks_cross_offset_matches(spark):
+    """Segmentation is aligned: the same words at a different alignment
+    are different segments (exact line dedup, not shingle dedup)."""
+    from yougile_etl_pipeline_spark.operators.text import line_dedup
+
+    rows = [
+        (1, "a b c d e f g h"),      # segments: [a b c d], [e f g h]
+        (2, "x a b c d e f g"),      # segments: [x a b c], [d e f g]
+    ]
+    out = {r.doc_id: r for r in line_dedup(
+        _docs(spark, rows), seg_tokens=4, min_df=2).collect()}
+    assert out[1].n_dropped == 0 and out[2].n_dropped == 0

@@ -26,6 +26,7 @@ __all__ = [
     "quality_score",
     "repetition_stats",
     "chunk_documents",
+    "line_dedup",
     "pack_chunks",
     "redact_pii",
     "ngram_contamination",
@@ -240,6 +241,50 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     return (df.select(F.col(id_col), F.explode(chunks).alias("c"))
               .select(id_col, "c.chunk_idx", "c.chunk_text",
                       "c.chunk_tokens"))
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               *, seg_tokens: int = 8, min_df: int = 2) -> DataFrame:
+    """Cross-document repeated-passage removal (CCNet/RefinedWeb line
+    dedup): split each document into aligned `seg_tokens`-token segments
+    (the "lines" of a newline-free corpus), drop every copy of any
+    segment that occurs in ≥ `min_df` distinct documents (boilerplate:
+    headers, navigation, license blocks), and reassemble the survivors
+    in original order. Output: one row per document with the cleaned
+    text and kept/dropped segment counts — docs reduced to nothing
+    survive with empty text, so downstream length filters see them.
+
+    Plan: map-only segmentation (transform+posexplode), one shuffle to
+    count per-segment document frequency, a frequency join back, then a
+    per-doc aggregation whose sorted-collect makes reassembly
+    partition-order independent. At 100 TB the frequency shuffle carries
+    a 16-byte fingerprint (md5(segment)) instead of the segment text,
+    and the join back is fingerprint-keyed — identical shape to
+    `fingerprint_exact` dedup; here the raw segment is the key so the
+    DuckDB twin is byte-for-byte checkable."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_segs = F.ceil(F.greatest(n, F.lit(1)) / F.lit(seg_tokens))
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)))
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(segs_arr).alias("seg_idx", "seg"))
+    freq = segs.groupBy("seg").agg(
+        F.count_distinct(id_col).alias("seg_df"))
+    flagged = segs.join(freq, "seg").withColumn(
+        "keep", F.col("seg_df") < min_df)
+    ordered = F.array_sort(F.collect_list(
+        F.struct("seg_idx", "keep", "seg")))
+    return (flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.filter(ordered, lambda s: s.keep),
+                        lambda s: s.seg), " ").alias("clean_text"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        F.count_if(~F.col("keep")).alias("n_dropped")))
 
 
 def pack_chunks(chunks: DataFrame, *, seq_tokens: int = 1024,

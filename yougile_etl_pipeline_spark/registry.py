@@ -857,6 +857,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_q18_large_orders",                 # Q18 IN-over-HAVING
     "sql_q20_excess_suppliers",             # Q20 nested IN + HAVING
     "sql_q21_waiting_suppliers",            # Q21 EXISTS/NOT-EXISTS pair
+    "text_line_dedup",                      # CCNet cross-doc passage drop
 ]
 
 

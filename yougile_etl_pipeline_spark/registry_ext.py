@@ -208,6 +208,33 @@ def doc_chunks(spark, sf):
     return TX.chunk_documents(docs, chunk_size=32, stride=24)
 
 
+@register("text_line_dedup", f"""
+WITH segs AS (
+  SELECT doc_id, CAST((s-1)//8 AS BIGINT) AS seg_idx,
+         array_to_string(({_toks()})[s:s+7], ' ') AS seg
+  FROM documents,
+       unnest(range(1, greatest(len({_toks()}), 1) + 1, 8)) AS t(s)
+), freq AS (SELECT seg, count(DISTINCT doc_id) AS seg_df
+            FROM segs GROUP BY seg)
+SELECT doc_id,
+  COALESCE(array_to_string(list(seg ORDER BY seg_idx)
+             FILTER (WHERE seg_df < 2), ' '), '') AS clean_text,
+  CAST(count(*) FILTER (WHERE seg_df < 2) AS BIGINT) AS n_kept,
+  CAST(count(*) FILTER (WHERE seg_df >= 2) AS BIGINT) AS n_dropped
+FROM segs JOIN freq USING (seg)
+GROUP BY doc_id
+""")
+def text_line_dedup(spark, sf):
+    # CCNet-style cross-document passage removal: every copy of any
+    # aligned 8-token segment occurring in >= 2 distinct documents is
+    # dropped, survivors reassembled in order (operators/text.py::
+    # line_dedup). The segment-frequency shuffle + fingerprint join-back
+    # is the line-dedup stage of a corpus cleaning pipeline; output is
+    # all-scalar (clean_text string, counts) so the driver can hash it.
+    docs = load_table(spark, sf, "documents")
+    return TX.line_dedup(docs, seg_tokens=8, min_df=2)
+
+
 # Data-mixing rates: literal dict shared by the Spark op and the SQL
 # oracle — both sides compute thresholds from the SAME source of truth.
 _MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
