@@ -267,3 +267,27 @@ def test_disjunctive_join_pushes_factored_conjuncts_to_both_scans(spark):
     p_pushed = re.findall(r"PushedFilters: \[[^\]]*p_size[^\]]*\]", plan)
     assert li_pushed, "lineitem scan lost its factored quantity filter"
     assert p_pushed, "part scan lost its factored size/brand filter"
+
+
+def test_q21_decorrelates_exists_pair_no_nested_loop(spark):
+    # Q21 shape: the EXISTS must plan as a semi join and the NOT EXISTS
+    # as an anti join, both on l_orderkey — a nested-loop (BNLJ) or
+    # cartesian fallback here re-scans lineitem per outer row and is the
+    # classic 100 TB plan disaster for this query
+    plan = _formatted(spark, QUERIES["sql_q21_waiting_suppliers"](
+        spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_single_frequency_shuffle_then_doc_agg(spark):
+    # line_dedup: segmentation is map-only; the plan may shuffle only on
+    # the segment (frequency count + join-back) and on doc_id (final
+    # reassembly) — a plan that shuffles the exploded rows more than
+    # three times is carrying segment text it should not
+    plan = _formatted(spark, QUERIES["text_line_dedup"](spark, SF_SMOKE))
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") - body.count("BroadcastExchange") <= 4
+    assert "HashAggregate" in body
