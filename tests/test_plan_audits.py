@@ -291,3 +291,12 @@ def test_line_dedup_single_frequency_shuffle_then_doc_agg(spark):
     body = plan.split("\n\n")[0]
     assert body.count("Exchange") - body.count("BroadcastExchange") <= 4
     assert "HashAggregate" in body
+
+
+def test_self_dedup_is_map_only(spark):
+    # self_dedup claims zero shuffle: segmentation, first-occurrence
+    # filter, and reassembly are all per-row HOF expressions
+    plan = _formatted(spark, QUERIES["text_self_dedup"](spark, SF_SMOKE))
+    body = plan.split("\n\n")[0]
+    assert "Exchange" not in body
+    assert "WholeStageCodegen" in plan or "Project" in body

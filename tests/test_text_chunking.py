@@ -91,3 +91,38 @@ def test_line_dedup_alignment_blocks_cross_offset_matches(spark):
     out = {r.doc_id: r for r in line_dedup(
         _docs(spark, rows), seg_tokens=4, min_df=2).collect()}
     assert out[1].n_dropped == 0 and out[2].n_dropped == 0
+
+
+def test_self_dedup_keeps_first_occurrence_in_order(spark):
+    """Within a doc, later copies of a segment drop, first stays at its
+    position; distinct docs don't affect each other (no cross-doc
+    state)."""
+    from yougile_etl_pipeline_spark.operators.text import self_dedup
+
+    rows = [
+        (1, "a b c d a b e f"),   # segs(2): [a b][c d][a b][e f]
+        (2, "a b a b a b"),       # all same segment
+        (3, "x y z w"),           # no repeats
+    ]
+    out = {r.doc_id: r for r in self_dedup(
+        _docs(spark, rows), seg_tokens=2).collect()}
+    assert out[1].clean_text == "a b c d e f"
+    assert (out[1].n_kept, out[1].n_dropped) == (3, 1)
+    assert out[2].clean_text == "a b"
+    assert (out[2].n_kept, out[2].n_dropped) == (1, 2)
+    assert out[3].clean_text == "x y z w" and out[3].n_dropped == 0
+
+
+def test_topk_per_group_quota_and_tiebreak(spark):
+    """Each group keeps exactly min(k, |group|) rows, ranked score DESC
+    with ascending id tie-break — survivor set independent of input
+    order/partitioning."""
+    from yougile_etl_pipeline_spark.operators.quality import topk_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.9), (2, "a", 0.9), (3, "a", 0.5), (4, "a", 0.1),
+         (5, "b", 0.7), (6, "b", 0.2)],
+        "doc_id long, source string, q double").repartition(5)
+    out = topk_per_group(df, "source", "q", "doc_id", 2).collect()
+    kept = {(r.source, r.doc_id, r.rank) for r in out}
+    assert kept == {("a", 1, 1), ("a", 2, 2), ("b", 5, 1), ("b", 6, 2)}

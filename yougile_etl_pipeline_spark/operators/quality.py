@@ -8,11 +8,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
            "sample_by_rates", "key_skew_profile", "train_val_test_split",
            "check_expectations", "quarantine", "scd2_build",
-           "scd2_lookup", "pseudonymize"]
+           "scd2_lookup", "pseudonymize", "topk_per_group"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -80,6 +81,28 @@ def sample_by_rates(df: DataFrame, key: str, group_col: str,
               if thresh is not None
               else F.lit(int(round(default_rate * buckets))))
     return df.filter(hash_bucket(key, buckets) < thresh)
+
+
+def topk_per_group(df: DataFrame, group_col: str, order_col: str,
+                   tiebreak_col: str, k: int,
+                   *, rank_col: str = "rank") -> DataFrame:
+    """Per-group quality quota: keep the top-`k` rows of each group
+    ranked by `order_col` DESC (ties broken by `tiebreak_col` ASC, so
+    the survivor set is deterministic at any partitioning). The corpus
+    "domain quota" op — cap every source/domain at its k best documents
+    so one giant domain can't dominate the training mix.
+
+    One shuffle on `group_col`; within each partition `row_number`
+    streams sorted groups, so state is O(1) per group. At 100 TB a
+    skewed giant group serializes its sort into one task — pre-filter
+    with an approximate per-group threshold (percentile_approx on
+    `order_col`) before the exact window when a group exceeds executor
+    memory."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col))
+    return (df.withColumn(rank_col,
+                          F.row_number().over(w).cast("long"))
+              .filter(F.col(rank_col) <= k))
 
 
 def key_skew_profile(df: DataFrame, key_col: str, *,

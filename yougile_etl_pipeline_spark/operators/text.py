@@ -27,6 +27,7 @@ __all__ = [
     "repetition_stats",
     "chunk_documents",
     "line_dedup",
+    "self_dedup",
     "pack_chunks",
     "redact_pii",
     "ngram_contamination",
@@ -285,6 +286,39 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
                         lambda s: s.seg), " ").alias("clean_text"),
         F.count_if(F.col("keep")).alias("n_kept"),
         F.count_if(~F.col("keep")).alias("n_dropped")))
+
+
+def self_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               *, seg_tokens: int = 8) -> DataFrame:
+    """Intra-document repeated-segment removal: within each document,
+    keep only the FIRST occurrence of every aligned `seg_tokens`-token
+    segment (the within-doc counterpart of `line_dedup` — scraped pages
+    repeat nav blocks and list items inside one document; Gopher-style
+    repetition FILTERS drop the whole doc, this op salvages it).
+
+    Entirely map-only: segmentation, first-occurrence filtering
+    (higher-order `filter` with an index-bounded `array_contains`
+    prefix probe) and reassembly all happen per row — ZERO shuffle, so
+    at 100 TB this pipelines into whatever stage follows at scan
+    speed. Per-row cost is O(segs² · seg_tokens) in the worst case;
+    segs = len/seg_tokens is small for bounded documents, and the work
+    is whole-stage-codegen JVM expressions, not Python."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_segs = F.ceil(F.greatest(n, F.lit(1)) / F.lit(seg_tokens))
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)))
+    kept = F.filter(
+        segs_arr,
+        lambda s, i: ~F.array_contains(F.slice(segs_arr, F.lit(1), i), s))
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(segs_arr) - F.size(kept)).cast("long").alias("n_dropped"))
 
 
 def pack_chunks(chunks: DataFrame, *, seq_tokens: int = 1024,

@@ -858,6 +858,8 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sql_q20_excess_suppliers",             # Q20 nested IN + HAVING
     "sql_q21_waiting_suppliers",            # Q21 EXISTS/NOT-EXISTS pair
     "text_line_dedup",                      # CCNet cross-doc passage drop
+    "text_self_dedup",                      # intra-doc segment dedup
+    "sample_quality_quota",                 # per-source top-k quality cap
 ]
 
 

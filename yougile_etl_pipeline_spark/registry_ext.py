@@ -235,6 +235,64 @@ def text_line_dedup(spark, sf):
     return TX.line_dedup(docs, seg_tokens=8, min_df=2)
 
 
+@register("text_self_dedup", f"""
+WITH segs AS (
+  SELECT doc_id, CAST((s-1)//2 AS BIGINT) AS seg_idx,
+         array_to_string(({_toks()})[s:s+1], ' ') AS seg
+  FROM documents,
+       unnest(range(1, greatest(len({_toks()}), 1) + 1, 2)) AS t(s)
+), firsts AS (
+  SELECT doc_id, seg, min(seg_idx) AS first_idx
+  FROM segs GROUP BY doc_id, seg
+)
+SELECT s.doc_id,
+  COALESCE(array_to_string(list(s.seg ORDER BY s.seg_idx)
+             FILTER (WHERE s.seg_idx = f.first_idx), ' '), '')
+    AS clean_text,
+  CAST(count(*) FILTER (WHERE s.seg_idx = f.first_idx) AS BIGINT)
+    AS n_kept,
+  CAST(count(*) FILTER (WHERE s.seg_idx <> f.first_idx) AS BIGINT)
+    AS n_dropped
+FROM segs s JOIN firsts f ON s.doc_id = f.doc_id AND s.seg = f.seg
+GROUP BY s.doc_id
+""")
+def text_self_dedup(spark, sf):
+    # Intra-document repeated-segment removal (operators/text.py::
+    # self_dedup): first occurrence of each aligned 2-token segment
+    # survives, later copies drop — entirely map-only HOF expressions,
+    # zero shuffle (the DuckDB twin needs a group/join; the Spark side
+    # does not — plan-audited). 2-token segments because the synthetic
+    # corpus repeats at that granularity (246 duplicated pairs at
+    # sf0.01); real corpora use 8+.
+    docs = load_table(spark, sf, "documents")
+    return TX.self_dedup(docs, seg_tokens=2)
+
+
+@register("sample_quality_quota", f"""
+WITH scored AS ({_QUALITY_SQL}),
+ranked AS (
+  SELECT d.doc_id, d.source, s.quality,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.quality DESC, d.doc_id) AS rank
+  FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, source, quality, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 50
+""")
+def sample_quality_quota(spark, sf):
+    # Per-source quality quota ("domain cap"): every source keeps only
+    # its 50 best documents by the heuristic quality score, determinisic
+    # tie-break on doc_id — one shuffle on source
+    # (operators/quality.py::topk_per_group). The mix-shaping step after
+    # scoring and before packing: a giant crawl domain cannot drown the
+    # curated sources.
+    from yougile_etl_pipeline_spark.operators.quality import topk_per_group
+
+    docs = TX.quality_score(load_table(spark, sf, "documents"))
+    return topk_per_group(docs.select("doc_id", "source", "quality"),
+                          "source", "quality", "doc_id", 50)
+
+
 # Data-mixing rates: literal dict shared by the Spark op and the SQL
 # oracle — both sides compute thresholds from the SAME source of truth.
 _MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
