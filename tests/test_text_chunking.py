@@ -126,3 +126,23 @@ def test_topk_per_group_quota_and_tiebreak(spark):
     out = topk_per_group(df, "source", "q", "doc_id", 2).collect()
     kept = {(r.source, r.doc_id, r.rank) for r in out}
     assert kept == {("a", 1, 1), ("a", 2, 2), ("b", 5, 1), ("b", 6, 2)}
+
+
+def test_topk_per_group_prefilter_equals_exact_on_skewed_data(spark):
+    """The approximate-threshold prefilter must not change the result:
+    on a skewed distribution (one giant group, one tiny) the prefiltered
+    path returns exactly the rows the plain window path returns."""
+    from yougile_etl_pipeline_spark.operators.quality import topk_per_group
+
+    rows = ([(i, "big", float(i % 97)) for i in range(3000)]
+            + [(10_000 + i, "small", float(i)) for i in range(5)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, q double").repartition(7)
+    exact = {(r.source, r.doc_id, r.rank)
+             for r in topk_per_group(df, "source", "q", "doc_id",
+                                     10).collect()}
+    fast = {(r.source, r.doc_id, r.rank)
+            for r in topk_per_group(df, "source", "q", "doc_id", 10,
+                                    prefilter=True).collect()}
+    assert fast == exact
+    assert len({d for (s, d, _) in exact if s == "small"}) == 5
