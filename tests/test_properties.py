@@ -85,3 +85,42 @@ def test_interval_join_banded_equals_naive(spark, ts_a, ts_b):
              for _, y_id, y in [(1, i, t) for i, t in enumerate(ts_b)]
              if x < y <= x + 100}
     assert banded == naive
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=24),
+    min_size=1, max_size=6))
+@_slow
+def test_dedup_roundtrip_and_python_oracle(spark, docs):
+    """line_dedup/self_dedup vs a per-row python micro-oracle on random
+    small-vocab token streams: (a) with min_df above the corpus size,
+    line_dedup is the identity; (b) self_dedup keeps exactly the
+    first occurrence of each aligned segment, in order."""
+    from yougile_etl_pipeline_spark.operators.text import (
+        line_dedup,
+        self_dedup,
+    )
+
+    W = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ident = {r.doc_id: r.clean_text
+             for r in line_dedup(sdf, seg_tokens=W,
+                                 min_df=len(docs) + 1).collect()}
+    assert ident == dict(rows)
+
+    def segs(toks):
+        return [" ".join(toks[i:i + W]) for i in range(0, len(toks), W)]
+
+    expect = {}
+    for i, toks in enumerate(docs):
+        seen, kept = set(), []
+        for s in segs(toks):
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        expect[i] = " ".join(kept)
+    got = {r.doc_id: r.clean_text
+           for r in self_dedup(sdf, seg_tokens=W).collect()}
+    assert got == expect
