@@ -105,3 +105,47 @@ def test_asof_join_no_chimera_and_null_keys(spark):
     r3 = asof_join(left3, right3, on="k", left_ts="ts", right_ts="ts",
                    right_cols=[]).collect()[0]
     assert r3.ts_asof == 10
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.operators.relational import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 20, 102), (2, 50, 200)],
+        "k long, ts long, rid long")
+    left = spark.createDataFrame(
+        [(1, 5, 900),    # earliest at-or-after -> ts=10
+         (1, 20, 901),   # equal ts inclusive; tie -> LEAST rid (101)
+         (1, 21, 902),   # nothing after -> null
+         (2, 10, 903),   # forward gap 40
+         (3, 1, 904)],   # no right rows -> null
+        "k long, ts long, lid long")
+    fwd = {r.lid: (r.ts_asof, r.rid_asof)
+           for r in asof_join(left, right, on="k", left_ts="ts",
+                              right_ts="ts", right_cols=["rid"],
+                              direction="forward").collect()}
+    assert fwd[900] == (10, 100)
+    assert fwd[901] == (20, 101)
+    assert fwd[902] == (None, None)
+    assert fwd[903] == (50, 200)
+    assert fwd[904] == (None, None)
+
+    # tolerance voids the k=2 match (gap 40 > 30) but keeps nearer ones
+    tol = {r.lid: (r.ts_asof, r.rid_asof)
+           for r in asof_join(left, right, on="k", left_ts="ts",
+                              right_ts="ts", right_cols=["rid"],
+                              direction="forward",
+                              tolerance=F.lit(30)).collect()}
+    assert tol[900] == (10, 100) and tol[903] == (None, None)
+
+    # backward tolerance: latest at-or-before but not older than 6
+    back = spark.createDataFrame([(1, 26, 905), (1, 100, 906)],
+                                 "k long, ts long, lid long")
+    out = {r.lid: (r.ts_asof, r.rid_asof)
+           for r in asof_join(back, right, on="k", left_ts="ts",
+                              right_ts="ts", right_cols=["rid"],
+                              tolerance=F.lit(6)).collect()}
+    assert out[905] == (20, 102)      # gap 26-20=6 <= 6 -> kept
+    assert out[906] == (None, None)   # gap 80 -> voided

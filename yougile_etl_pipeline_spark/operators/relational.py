@@ -174,11 +174,18 @@ def interval_join(left: DataFrame, right: DataFrame, *,
 def asof_join(left: DataFrame, right: DataFrame, *, on: str,
               left_ts: str, right_ts: str,
               right_cols: list[str], suffix: str = "_asof",
-              tiebreak: str | None = None) -> DataFrame:
-    """As-of join (backward): each left row picks the LATEST right row
-    with the same `on` key and ``right_ts <= left_ts`` — time-series
-    enrichment Spark has no native operator for (price as of trade time,
-    last click before purchase).
+              tiebreak: str | None = None,
+              direction: str = "backward",
+              tolerance=None) -> DataFrame:
+    """As-of join: each left row picks, among right rows with the same
+    `on` key, the LATEST with ``right_ts <= left_ts`` (backward, the
+    default — price as of trade time, last click before purchase) or
+    the EARLIEST with ``right_ts >= left_ts`` (forward — next action
+    after an event). Optional `tolerance` (a Column, or a string
+    Spark-SQL expression such as ``"INTERVAL 2 HOURS"`` / a numeric
+    literal for numeric timestamps) voids matches farther than that
+    from the left timestamp — the pandas ``merge_asof`` knobs, which
+    Spark has no native operator for.
 
     Scale shape — the union-sort trick, NOT a range join: tag both
     inputs, union, and run one ``last(..., ignorenulls=True)`` window per
@@ -186,12 +193,15 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     the key plus a per-key sort — at 100 TB this is the same plan a
     co-partitioned merge join would give, with no quadratic candidate
     set (a naive ``r.ts <= l.ts`` join explodes per key; the banded
-    `interval_join` bounds it only for bounded gaps).
+    `interval_join` bounds it only for bounded gaps). `direction` only
+    flips the sort order; `tolerance` is a post-window mask on the one
+    matched row per left row — neither changes the cost shape.
 
-    Determinism: at equal (ts), right rows sort before left rows (<= is
-    inclusive) and among equal-ts right rows the greatest `tiebreak`
-    (default: `right_ts` when no payload columns) wins. The matched
-    payload is carried as ONE struct filled by a single
+    Determinism: at equal (ts), right rows sort before left rows (the
+    comparison is inclusive both directions) and among equal-ts right
+    rows the greatest `tiebreak` wins going backward, the least going
+    forward (default tiebreak: `right_ts` when no payload columns). The
+    matched payload is carried as ONE struct filled by a single
     ``last(ignorenulls)`` — per-column fills would splice values from
     DIFFERENT right rows whenever the matched row holds a NULL (chimera
     rows). NULL keys follow equi-join semantics: a NULL-key left row
@@ -200,6 +210,9 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     """
     from pyspark.sql.window import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    fwd = direction == "forward"
     if tiebreak is None:
         tiebreak = right_cols[0] if right_cols else right_ts
     payload = [right_ts, *right_cols]
@@ -216,8 +229,10 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
         F.struct(*[F.col(c) for c in left.columns]).alias("__l_marker"),
     )
     w = (Window.partitionBy(on)
-               .orderBy(F.col("__ts"), F.col("__is_r").desc(),
-                        F.col("__tb").asc_nulls_first())
+               .orderBy(F.col("__ts").desc() if fwd else F.col("__ts"),
+                        F.col("__is_r").desc(),
+                        F.col("__tb").desc_nulls_first() if fwd
+                        else F.col("__tb").asc_nulls_first())
                .rowsBetween(Window.unboundedPreceding, 0))
     filled = (l.filter(F.col(on).isNotNull()).unionByName(r)
                .withColumn("__m", F.last("__p", ignorenulls=True).over(w)))
@@ -225,6 +240,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     null_left = (l.filter(F.col(on).isNull())
                   .withColumn("__m", F.col("__p")))
     out = filled.filter(F.col("__is_r") == 0).unionByName(null_left)
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        mts = F.col(f"__m.{right_ts}")
+        gap = (mts - F.col("__ts")) if fwd else (F.col("__ts") - mts)
+        out = out.withColumn(
+            "__m", F.when(mts.isNull() | (gap <= tol), F.col("__m")))
     for c in left.columns:
         out = out.withColumn(c, F.col(f"__l_marker.{c}"))
     keep = [*left.columns,

@@ -864,6 +864,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "text_line_dedup",                      # CCNet cross-doc passage drop
     "text_self_dedup",                      # intra-doc segment dedup
     "sample_quality_quota",                 # per-source top-k quality cap
+    "events_asof_forward",                  # forward as-of + tolerance
 ]
 
 

@@ -832,6 +832,53 @@ def events_asof_join(spark, sf):
                       F.col("event_id_asof").alias("click_id"))
 
 
+@register("events_asof_forward", """
+WITH c AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events
+  WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ms,
+         c.ms AS next_click_ms, c.event_id AS next_click_id,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY c.ms ASC NULLS LAST, c.event_id ASC NULLS LAST) AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id
+                    AND c.ms >= p.purchase_ms
+                    AND c.ms - p.purchase_ms <= 7200000
+)
+SELECT purchase_id, user_id, purchase_ms, next_click_ms, next_click_id
+FROM j WHERE rn = 1
+""")
+def events_asof_forward(spark, sf):
+    # Forward as-of with tolerance: each purchase picks the user's
+    # EARLIEST click at or after it, voided beyond 2 hours — the "next
+    # action within the attribution window" query, pandas
+    # merge_asof(direction='forward', tolerance=...) parity. Same
+    # union-sort single-shuffle plan as backward (the direction flips
+    # only the sort; tolerance is a post-window mask on the one matched
+    # row — a nearer-than-tolerance match can't hide behind a farther
+    # one).
+    from yougile_etl_pipeline_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ms", F.unix_millis("ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ms", "event_id"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select(F.col("event_id").alias("purchase_id"),
+                           "user_id", F.col("ms").alias("purchase_ms")))
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_ts="purchase_ms", right_ts="ms",
+                    right_cols=["event_id"], suffix="_asof",
+                    direction="forward", tolerance=F.lit(7200000))
+    return out.select("purchase_id", "user_id", "purchase_ms",
+                      F.col("ms_asof").alias("next_click_ms"),
+                      F.col("event_id_asof").alias("next_click_id"))
+
+
 @register("corpus_clean_pipeline", f"""
 WITH RECURSIVE {_CC_EDGES}, comp AS (
   SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
