@@ -146,3 +146,23 @@ def test_topk_per_group_prefilter_equals_exact_on_skewed_data(spark):
                                     prefilter=True).collect()}
     assert fast == exact
     assert len({d for (s, d, _) in exact if s == "small"}) == 5
+
+
+def test_bm25_ranks_matching_docs_and_rewards_rarity(spark):
+    """BM25 sanity: docs containing query terms outscore docs without;
+    a rare term contributes more than a ubiquitous one at equal tf."""
+    from yougile_etl_pipeline_spark.operators.text import bm25_scores
+
+    rows = [
+        (1, "rare common filler filler"),   # rare + common
+        (2, "common filler filler filler"),  # common only
+        (3, "filler filler filler filler"),  # no query terms
+        (4, "common x y z"),                 # common only (same tf as 2)
+    ]
+    out = {r.doc_id: r for r in bm25_scores(
+        _docs(spark, rows), ["rare", "common"]).collect()}
+    assert out[3].bm25 == 0.0 and out[3].n_query_terms_present == 0
+    assert out[1].bm25 > out[2].bm25 > 0.0
+    assert out[1].n_query_terms_present == 2
+    # doc 2 and 4: same tf, same length -> identical score
+    assert out[2].bm25 == out[4].bm25

@@ -25,6 +25,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "repetition_stats",
+    "bm25_scores",
     "chunk_documents",
     "line_dedup",
     "self_dedup",
@@ -286,6 +287,59 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
                         lambda s: s.seg), " ").alias("clean_text"),
         F.count_if(F.col("keep")).alias("n_kept"),
         F.count_if(~F.col("keep")).alias("n_dropped")))
+
+
+def bm25_scores(df: DataFrame, terms: list[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                *, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 relevance of every document against a literal query term
+    list — the retrieval scorer for corpus search/inspection tooling.
+
+    Linear-idf variant: idf(t) = (N − df + 0.5)/(df + 0.5), i.e. the
+    argument of BM25's ln, used directly — ln is not bit-portable
+    across engines while +,×,÷ are IEEE-exact, so the oracle matches
+    to the last bit (same trade `tfidf_top_terms` documents: stronger
+    rare-term weighting than ln-idf, identical ordering for a fixed
+    corpus). Negative-idf terms (df > N/2) keep their negative weight.
+
+    Determinism without decimal tricks: per-term scores are summed as a
+    FIXED-ORDER expression tree (term literals in input order), never a
+    double aggregation — so there is no partition-order dependence to
+    pin. Corpus stats (per-term df, total length — exact integers) are
+    one tiny aggregation broadcast back via cross join, so the whole
+    scorer stays a lazy plan (no driver collect) and every float is
+    derived from exact ints by the same IEEE ops on both engines; the
+    scoring pass itself is map-only over the corpus."""
+    toks = tokens(text_col)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.size(toks)).alias("__len_sum"),
+        *[F.count_if(F.array_contains(toks, t)).alias(f"__df_{i}")
+          for i, t in enumerate(terms)])
+    x = df.crossJoin(F.broadcast(stats))
+    avgdl = (F.col("__len_sum").cast("double")
+             / F.col("__n").cast("double"))
+    dl = F.size(toks).cast("double")
+    norm = F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                        + F.lit(b) * dl / avgdl)
+    def _eq(term):
+        # one-arg lambda factory: a two-parameter lambda (even with a
+        # default) would be read by F.filter as an (element, index)
+        # function and compare tokens against their positions
+        return lambda y: y == term
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        dfc = F.col(f"__df_{i}")
+        idf = ((F.col("__n") - dfc + F.lit(0.5))
+               / (dfc + F.lit(0.5)))
+        tf = F.size(F.filter(toks, _eq(t))).cast("double")
+        score = score + idf * tf * (F.lit(k1) + F.lit(1.0)) / (tf + norm)
+    n_hit = F.array_contains(toks, terms[0]).cast("int")
+    for t in terms[1:]:
+        n_hit = n_hit + F.array_contains(toks, t).cast("int")
+    return x.select(F.col(id_col), score.alias("bm25"),
+                    n_hit.cast("long").alias("n_query_terms_present"))
 
 
 def self_dedup(df: DataFrame, id_col: str = "doc_id",

@@ -865,6 +865,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "text_self_dedup",                      # intra-doc segment dedup
     "sample_quality_quota",                 # per-source top-k quality cap
     "events_asof_forward",                  # forward as-of + tolerance
+    "text_bm25_scores",                     # linear-idf BM25 retrieval
 ]
 
 

@@ -235,6 +235,59 @@ def text_line_dedup(spark, sf):
     return TX.line_dedup(docs, seg_tokens=8, min_df=2)
 
 
+@register("text_bm25_scores", f"""
+WITH stats AS (
+  SELECT count(*) AS n,
+         SUM(len({_toks()})) AS len_sum,
+         count_if(list_contains({_toks()}, 'table')) AS df0,
+         count_if(list_contains({_toks()}, 'spark')) AS df1,
+         count_if(list_contains({_toks()}, 'vector')) AS df2
+  FROM documents
+)
+SELECT doc_id,
+  CAST(0.0 AS DOUBLE)
+  + ((s.n - s.df0 + CAST(0.5 AS DOUBLE)) / (s.df0 + CAST(0.5 AS DOUBLE)))
+    * CAST(len(list_filter({_toks()}, y -> y = 'table')) AS DOUBLE)
+    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+    / (CAST(len(list_filter({_toks()}, y -> y = 'table')) AS DOUBLE)
+       + CAST(1.2 AS DOUBLE)
+         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * CAST(len({_toks()}) AS DOUBLE)
+              / (CAST(s.len_sum AS DOUBLE) / CAST(s.n AS DOUBLE))))
+  + ((s.n - s.df1 + CAST(0.5 AS DOUBLE)) / (s.df1 + CAST(0.5 AS DOUBLE)))
+    * CAST(len(list_filter({_toks()}, y -> y = 'spark')) AS DOUBLE)
+    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+    / (CAST(len(list_filter({_toks()}, y -> y = 'spark')) AS DOUBLE)
+       + CAST(1.2 AS DOUBLE)
+         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * CAST(len({_toks()}) AS DOUBLE)
+              / (CAST(s.len_sum AS DOUBLE) / CAST(s.n AS DOUBLE))))
+  + ((s.n - s.df2 + CAST(0.5 AS DOUBLE)) / (s.df2 + CAST(0.5 AS DOUBLE)))
+    * CAST(len(list_filter({_toks()}, y -> y = 'vector')) AS DOUBLE)
+    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+    / (CAST(len(list_filter({_toks()}, y -> y = 'vector')) AS DOUBLE)
+       + CAST(1.2 AS DOUBLE)
+         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * CAST(len({_toks()}) AS DOUBLE)
+              / (CAST(s.len_sum AS DOUBLE) / CAST(s.n AS DOUBLE))))
+  AS bm25,
+  CAST(CAST(list_contains({_toks()}, 'table') AS INTEGER)
+     + CAST(list_contains({_toks()}, 'spark') AS INTEGER)
+     + CAST(list_contains({_toks()}, 'vector') AS INTEGER) AS BIGINT)
+    AS n_query_terms_present
+FROM documents, stats s
+""")
+def text_bm25_scores(spark, sf):
+    # BM25 retrieval scoring of the corpus against the literal query
+    # {table, spark, vector} (operators/text.py::bm25_scores,
+    # linear-idf variant — ln isn't bit-portable, its argument is).
+    # Fixed-order expression-tree summation and exact-int-derived
+    # floats keep the doubles bit-identical to the oracle; corpus
+    # stats ride a broadcast cross join, scoring is map-only.
+    docs = load_table(spark, sf, "documents")
+    return TX.bm25_scores(docs, ["table", "spark", "vector"])
+
+
 @register("text_self_dedup", f"""
 WITH segs AS (
   SELECT doc_id, CAST((s-1)//2 AS BIGINT) AS seg_idx,
