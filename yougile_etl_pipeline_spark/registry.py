@@ -816,13 +816,13 @@ _STABLE_CERTIFIED = [
 #
 # ROUND-5 ROTATION PLAN (written at r04 start per VERDICT r03 #4, count
 # updated for the r04 additions): the entries below — 18 carried from
-# before r04 plus the 13 registered during r04 (ten TPC-H completions,
-# three corpus ops) = 31 — are every query that will still lack an
-# official driver row after r04 certifies. All 31 fit one window —
-# promote ALL of them at round-5 start (move the r04 greens into
-# _STABLE_CERTIFIED first); any round-5 additions join them (19 free
-# slots). End state: every registered query driver-certified by end of
-# round 5.
+# before r04 plus the 15 registered during r04 (ten TPC-H completions,
+# three corpus-dedup/quota ops, forward as-of, BM25) = 33 — are every
+# query that will still lack an official driver row after r04
+# certifies. All 33 fit one window — promote ALL of them at round-5
+# start (move the r04 greens into _STABLE_CERTIFIED first); any round-5
+# additions join them (17 free slots). End state: every registered
+# query driver-certified by end of round 5.
 _DEFERRED_TO_NEXT_WINDOW = [
     "stream_click_attribution",   # no SQL oracle (stream-stream join);
                                   # rows-only slot deferred twice — r05
@@ -846,11 +846,11 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "agg_sufficient_stats",                 # exact mergeable moments
     "agg_listagg",                          # ordered string aggregation
     "agg_mode_per_group",                   # deterministic per-group mode
-    # Round-4 additions (registry_tpch.py + the three corpus ops below):
-    # the ten TPC-H shapes that complete all 22 classics. Registered
-    # after the r04 window was frozen, so they defer to r05 by
-    # construction (31 deferred total — still one window; the round-5
-    # promote-ALL plan above holds).
+    # Round-4 additions (registry_tpch.py + the corpus/asof/BM25 ops
+    # below): the ten TPC-H shapes that complete all 22 classics.
+    # Registered after the r04 window was frozen, so they defer to r05
+    # by construction (33 deferred total — still one window; the
+    # round-5 promote-ALL plan above holds).
     "sql_q2_min_cost_supplier",             # Q2 correlated-min match
     "sql_q6_forecast_revenue",              # Q6 scan-filter-aggregate
     "sql_q7_nation_volume",                 # Q7 bilateral volume
