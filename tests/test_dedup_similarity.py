@@ -394,3 +394,19 @@ def test_ann_sizing_report_formulas(spark):
     # geometry sanity on this corpus: near-isotropic, weak neighbors
     assert 0.2 < rpt["mean_neighbor_cos"] < 0.7
     assert rpt["lsh_tables_for_target"] >= 4
+
+
+def test_brute_force_np_enforces_query_collect_cap(spark, monkeypatch):
+    """The driver-side query collect is a contract, not an assumption:
+    exceeding the cap raises with guidance instead of materializing an
+    unbounded driver matrix."""
+    import pytest
+
+    from yougile_etl_pipeline_spark.operators import similarity as S
+
+    df = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    monkeypatch.setattr(S, "_MAX_COLLECTED_QUERIES", 3)
+    with pytest.raises(ValueError, match="collects the query side"):
+        S.brute_force_topk_np(df, df, k=2)

@@ -50,6 +50,11 @@ __all__ = [
 ]
 
 EMBED_DIM = 64
+# brute_force_topk_np collects the query side to the driver; cap it so
+# an oversized query set fails loudly instead of OOMing the driver
+# (100k × 64-dim float64 ≈ 50 MB — comfortably under driver memory,
+# far above any sane broadcast-queries workload).
+_MAX_COLLECTED_QUERIES = 100_000
 # Multi-table LSH: L tables × P planes. For near-orthogonal neighbors
 # (angle θ), one table's recall is (1-θ/π)^P; L independent tables lift it
 # to 1-(1-p)^L. The 4×4 default is sized for the test corpus (16 buckets/
@@ -258,12 +263,22 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Same contract and (on distinct-score data) same bits as
     `brute_force_topk`; the full |Q|·N scoring runs as one matmul per
     Arrow batch instead of interpreted HOF pairs. Queries are collected
-    to the driver (small by assumption — the same rows `brute_force_topk`
-    broadcasts). Winning candidates carry their vectors out of the scorer,
-    so the corpus is scanned exactly once."""
+    to the driver (the same rows `brute_force_topk` broadcasts) — the
+    small-|Q| contract is ENFORCED, not assumed: more than
+    `_MAX_COLLECTED_QUERIES` rows raises instead of silently building a
+    driver-sized matrix (batch the query set, or flip corpus/queries —
+    top-k is not symmetric, so flipping is a semantic choice, not a
+    transparent fallback). Winning candidates carry their vectors out
+    of the scorer, so the corpus is scanned exactly once."""
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = queries.select(id_col, vec_col).limit(
+        _MAX_COLLECTED_QUERIES + 1).collect()
+    if len(q_rows) > _MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"brute_force_topk_np collects the query side to the driver; "
+            f"got > {_MAX_COLLECTED_QUERIES} query rows — batch the "
+            f"queries or use the LSH/IVF paths for query sets this large")
     if not q_rows:
         return brute_force_topk(corpus, queries, k,
                                 id_col=id_col, vec_col=vec_col)
