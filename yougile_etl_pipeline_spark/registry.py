@@ -744,6 +744,16 @@ _STABLE_CERTIFIED = [
     # r01+r02 driver HASH-green (hash_match=True in CORRECTNESS_r01 AND
     # r02), code untouched since — reinsert at the end of the
     # registration order, preserving relative order.
+    #
+    # r04 helper-change disclosure (the "unchanged" claim is per QUERY
+    # BEHAVIOR; two stable entries ride helpers that gained
+    # backward-compatible surface this round): `events_asof_join` —
+    # asof_join grew `direction`/`tolerance` params (defaults preserve
+    # the old path bit-for-bit); `sim_cosine_topk` — brute_force_topk_np
+    # gained a query-collect cap guard (inactive below 100k query
+    # rows). Both re-verified hash-green against the oracle this round
+    # by the full-registry mini-driver sweep AND the driver-simulation
+    # recipe; neither default result changed.
     "mart_flagship", "p2_projection", "p3_rename", "p4_conform",
     "p5_member_filter", "p6_nullsafe_neq", "p7_null_predicates",
     "p8_drop_cols", "p9_literal_append", "j1_left_broadcast_dim",
