@@ -300,3 +300,26 @@ def test_self_dedup_is_map_only(spark):
     body = plan.split("\n\n")[0]
     assert "Exchange" not in body
     assert "WholeStageCodegen" in plan or "Project" in body
+
+
+def test_plan_profile_counts_match_known_plans(spark):
+    # plan_profile must report the same facts the audits above assert:
+    # the flagship mart has exactly 2 shuffle exchanges, >=4 broadcasts,
+    # a shuffled-hash fact join, no SMJ/nested loop; a TakeOrdered
+    # top-k query reports take_ordered>0 and no global sort
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        plan_profile,
+    )
+
+    p = plan_profile(build_mart(spark, SF_SMOKE))
+    assert p["shuffle_exchanges"] == 2
+    assert p["broadcast_exchanges"] >= 4
+    assert p["join_types"].get("ShuffledHashJoin", 0) == 1
+    assert "SortMergeJoin" not in p["join_types"]
+    assert not p["has_nested_loop_join"]
+    assert p["scans_with_pushed_filters"] >= 1
+    assert p["adaptive"]
+
+    topk = plan_profile(QUERIES["agg_topk_revenue"](spark, SF_SMOKE))
+    assert topk["take_ordered"] >= 1
+    assert topk["global_sorts"] == 0

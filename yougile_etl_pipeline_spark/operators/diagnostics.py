@@ -1,0 +1,68 @@
+"""Physical-plan introspection for pipeline ops tooling.
+
+`plan_profile` turns a DataFrame's formatted physical plan into the
+handful of scale-relevant counters an engineer (or a CI gate) actually
+checks before shipping a pipeline to a 100 TB cluster: how many shuffle
+exchanges, how many broadcasts, whether scans carry pushed filters and
+pruned schemas, which join strategies got picked, and whether the hot
+path stays inside whole-stage codegen. The same signals
+``tests/test_plan_audits.py`` asserts — exposed as an operator so a
+deployment script can gate on them (e.g. "fail the release if the
+nightly mart build gained a SortMergeJoin or lost a pushed filter")
+without string-diffing plans by hand.
+
+Driver-side and plan-only: nothing is executed, no job runs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = ["plan_profile", "formatted_plan"]
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The EXPLAIN FORMATTED text of `df`'s physical plan."""
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def plan_profile(df: DataFrame) -> dict[str, object]:
+    """Scale-relevant counters of `df`'s physical plan (no execution).
+
+    Keys: ``shuffle_exchanges``, ``broadcast_exchanges``, ``scans``,
+    ``scans_with_pushed_filters``, ``join_types`` (operator name →
+    count), ``has_nested_loop_join``, ``adaptive`` (AQE wraps the
+    plan), ``take_ordered`` (distributed top-k instead of a global
+    sort), ``global_sorts``.
+
+    Whole-stage-codegen spans are deliberately NOT reported: under AQE
+    (always on in this engine) codegen collapses per stage at RUNTIME,
+    so a plan-only count is identically zero — read it off the executed
+    plan / Spark UI after a run instead.
+    """
+    plan = formatted_plan(df)
+    body = plan.split("\n\n")[0]
+    joins: dict[str, int] = {}
+    for m in re.finditer(
+            r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin|"
+            r"BroadcastNestedLoopJoin|CartesianProduct)", body):
+        joins[m.group(1)] = joins.get(m.group(1), 0) + 1
+    pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
+    return {
+        "shuffle_exchanges": (body.count("Exchange")
+                              - body.count("BroadcastExchange")),
+        "broadcast_exchanges": body.count("BroadcastExchange"),
+        "scans": len(re.findall(r"Scan parquet", body)),
+        "scans_with_pushed_filters": pushed,
+        "join_types": joins,
+        "has_nested_loop_join": ("BroadcastNestedLoopJoin" in body
+                                 or "CartesianProduct" in body),
+        "adaptive": "AdaptiveSparkPlan" in body,
+        "take_ordered": body.count("TakeOrderedAndProject"),
+        "global_sorts": len(re.findall(r"\+- Sort ", body)),
+    }
