@@ -323,3 +323,20 @@ def test_plan_profile_counts_match_known_plans(spark):
     topk = plan_profile(QUERIES["agg_topk_revenue"](spark, SF_SMOKE))
     assert topk["take_ordered"] >= 1
     assert topk["global_sorts"] == 0
+
+
+def test_q2_correlated_min_is_window_over_single_lineitem_scan(spark):
+    # Q2's "cheapest supplier per part" must evaluate as a window MIN
+    # over the aggregated (part,supplier) cost relation — exactly ONE
+    # lineitem scan; a decorrelation that rescans the fact per part (or
+    # joins lineitem against itself) doubles the 100 TB scan cost
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        formatted_plan,
+        plan_profile,
+    )
+
+    df = QUERIES["sql_q2_min_cost_supplier"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem") == 1
+    assert "Window" in plan
+    assert not plan_profile(df)["has_nested_loop_join"]
