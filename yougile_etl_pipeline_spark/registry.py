@@ -826,13 +826,14 @@ _STABLE_CERTIFIED = [
 #
 # ROUND-5 ROTATION PLAN (written at r04 start per VERDICT r03 #4, count
 # updated for the r04 additions): the entries below — 18 carried from
-# before r04 plus the 15 registered during r04 (ten TPC-H completions,
-# three corpus-dedup/quota ops, forward as-of, BM25) = 33 — are every
-# query that will still lack an official driver row after r04
-# certifies. All 33 fit one window — promote ALL of them at round-5
-# start (move the r04 greens into _STABLE_CERTIFIED first); any round-5
-# additions join them (17 free slots). End state: every registered
-# query driver-certified by end of round 5.
+# before r04 plus the 16 registered during r04 (ten TPC-H completions,
+# three corpus-dedup/quota ops, forward as-of, BM25, the LSH
+# recall/precision eval) = 34 — are every query that will still lack an
+# official driver row after r04 certifies. All 34 fit one window —
+# promote ALL of them at round-5 start (move the r04 greens into
+# _STABLE_CERTIFIED first); any round-5 additions join them (16 free
+# slots). End state: every registered query driver-certified by end of
+# round 5.
 _DEFERRED_TO_NEXT_WINDOW = [
     "stream_click_attribution",   # no SQL oracle (stream-stream join);
                                   # rows-only slot deferred twice — r05
@@ -859,7 +860,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     # Round-4 additions (registry_tpch.py + the corpus/asof/BM25 ops
     # below): the ten TPC-H shapes that complete all 22 classics.
     # Registered after the r04 window was frozen, so they defer to r05
-    # by construction (33 deferred total — still one window; the
+    # by construction (34 deferred total — still one window; the
     # round-5 promote-ALL plan above holds).
     "sql_q2_min_cost_supplier",             # Q2 correlated-min match
     "sql_q6_forecast_revenue",              # Q6 scan-filter-aggregate
@@ -876,6 +877,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "sample_quality_quota",                 # per-source top-k quality cap
     "events_asof_forward",                  # forward as-of + tolerance
     "text_bm25_scores",                     # linear-idf BM25 retrieval
+    "dedup_minhash_recall_eval",            # LSH recall/precision vs exact
 ]
 
 

@@ -490,6 +490,71 @@ def dedup_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=4)
 
 
+@register("dedup_minhash_recall_eval", f"""
+WITH truth AS (
+  {_shingle_jaccard_oracle(1000, 0.5)}
+), ex AS (
+  SELECT doc_id AS doc, unnest({_shingles_sql()}) AS sh FROM documents
+), sig AS (
+  SELECT doc, {_MH_MINS} FROM ex GROUP BY doc
+), bk AS (
+  {_MH_BANDS}
+), cand AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+  GROUP BY 1, 2
+), j AS (
+  SELECT t.doc_a AS t_a, c.doc_a AS c_a
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT
+  CAST(count_if(t_a IS NOT NULL) AS BIGINT) AS n_true,
+  CAST(count_if(c_a IS NOT NULL) AS BIGINT) AS n_candidates,
+  CAST(count_if(t_a IS NOT NULL AND c_a IS NOT NULL) AS BIGINT) AS n_hits,
+  CAST(count_if(t_a IS NOT NULL AND c_a IS NULL) AS BIGINT) AS n_missed,
+  CAST(count_if(t_a IS NOT NULL AND c_a IS NOT NULL) AS DOUBLE)
+    / CAST(count_if(t_a IS NOT NULL) AS DOUBLE) AS recall,
+  CAST(count_if(t_a IS NOT NULL AND c_a IS NOT NULL) AS DOUBLE)
+    / CAST(count_if(c_a IS NOT NULL) AS DOUBLE) AS precision
+FROM j
+""")
+def dedup_minhash_recall_eval(spark, sf):
+    # Dedup-tier quality measurement (the text analogue of bench.py's
+    # ANN recall block, but fully oracle-paired because BOTH sides are
+    # exact computations): MinHash-LSH candidate pairs vs the exact
+    # shingle-Jaccard >= 0.5 truth set — recall says how much real
+    # duplication the banding misses, precision how much candidate
+    # verification will discard. Truth is the lang-blocked exact pairs
+    # (candidates crossing blocks count as spurious, by definition of
+    # the production blocking). One full-outer join of two already-
+    # bounded pair sets; ratios divide exact BIGINTs, so the doubles
+    # are bit-identical across engines. At 100 TB this runs on a
+    # sampled corpus slice — truth is quadratic-bounded by the same
+    # stop-shingle cap the production pass uses.
+    docs = load_table(spark, sf, "documents")
+    truth = shingle_jaccard_pairs(docs, "doc_id", "text",
+                                  threshold=0.5, block_cols=["lang"]) \
+        .select("doc_a", "doc_b")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text",
+                             n_hashes=8, bands=4) \
+        .select("doc_a", "doc_b")
+    j = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)),
+        ["doc_a", "doc_b"], "full_outer")
+    t_has = F.col("t").isNotNull()
+    c_has = F.col("c").isNotNull()
+    return j.agg(
+        F.count_if(t_has).alias("n_true"),
+        F.count_if(c_has).alias("n_candidates"),
+        F.count_if(t_has & c_has).alias("n_hits"),
+        F.count_if(t_has & ~c_has).alias("n_missed"),
+        (F.count_if(t_has & c_has).cast("double")
+         / F.count_if(t_has).cast("double")).alias("recall"),
+        (F.count_if(t_has & c_has).cast("double")
+         / F.count_if(c_has).cast("double")).alias("precision"))
+
+
 # SimHash, oracle-paired: the per-shingle hash is the first 15 hex chars
 # of md5 (60 bits — inside signed int64 on both engines), so DuckDB
 # computes the identical signature bit-for-bit. The xxhash64 variant
