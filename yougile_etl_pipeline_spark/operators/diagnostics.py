@@ -54,9 +54,15 @@ def plan_profile(df: DataFrame) -> dict[str, object]:
         joins[m.group(1)] = joins.get(m.group(1), 0) + 1
     pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
     return {
-        "shuffle_exchanges": (body.count("Exchange")
-                              - body.count("BroadcastExchange")),
+        # "Exchange" alone also substring-matches BroadcastExchange and
+        # ReusedExchange (exchange reuse is common: a CTE scanned twice,
+        # Q21's repeated lineitem legs) — a reused exchange is a cache
+        # hit, not an extra shuffle, so match the bare node name only
+        # and report reuse as its own counter.
+        "shuffle_exchanges": len(re.findall(
+            r"(?<!Broadcast)(?<!Reused)Exchange", body)),
         "broadcast_exchanges": body.count("BroadcastExchange"),
+        "reused_exchanges": body.count("ReusedExchange"),
         "scans": len(re.findall(r"Scan parquet", body)),
         "scans_with_pushed_filters": pushed,
         "join_types": joins,

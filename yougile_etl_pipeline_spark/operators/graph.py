@@ -230,3 +230,41 @@ def pagerank_fixed_point(
                 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, *, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Exact triangle count of an undirected graph — the standard
+    clustering/community-structure probe over a candidate-pair graph
+    (near-dup edges, co-citation, entity linkage).
+
+    Distributed shape: canonicalize every edge to (lo, hi) with
+    lo < hi and dedupe (self-loops dropped), then count paths
+    lo→mid→hi that close with a (lo, hi) edge — two equi-joins, each
+    shuffling on a node id, never an all-pairs product. Because every
+    triangle {a<b<c} is generated exactly once (as a→b→c closed by
+    a—c), no post-division by 3/6 is needed and the count is exact —
+    integer, partitioning-independent, SQL-oracle-pairable.
+
+    At 100 TB scale the classic refinement is degree orientation
+    (order endpoints by (degree, id) instead of raw id, so high-degree
+    hubs never appear as `lo` and the wedge join's fan-out is bounded
+    by O(E^1.5) total wedges); the id-orientation here keeps the
+    oracle trivial and is correct at any scale — swap the orientation
+    key if a hub-skewed graph makes the wedge stage the bottleneck.
+
+    Returns a single row ``(n_triangles: long)``.
+    """
+    canon = (edges.filter(F.col(src) != F.col(dst))
+             .select(F.least(src, dst).alias("lo"),
+                     F.greatest(src, dst).alias("hi"))
+             .distinct())
+    wedge = (canon.alias("e1")
+             .join(canon.alias("e2"), F.col("e1.hi") == F.col("e2.lo"))
+             .select(F.col("e1.lo").alias("a"),
+                     F.col("e1.hi").alias("b"),
+                     F.col("e2.hi").alias("c")))
+    closed = wedge.join(
+        canon.alias("e3"),
+        (F.col("a") == F.col("e3.lo")) & (F.col("c") == F.col("e3.hi")))
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -131,9 +131,14 @@ def topk_per_group(df: DataFrame, group_col: str, order_col: str,
                 F.percentile_approx(order_col, prefilter_quantile)
                  .alias("__cut"),
                 F.count(F.lit(1)).alias("__gn"))
+            # NULL order_col rows must survive the cut (NULL >= __cut
+            # is NULL → filtered): the exact window sorts them last but
+            # still keeps them when a giant group has < k non-NULL
+            # values, and the superset guarantee must cover that case.
             src = (df.join(F.broadcast(cuts), group_col)
                      .filter((F.col("__gn") < min_n)
-                             | (F.col(order_col) >= F.col("__cut")))
+                             | (F.col(order_col) >= F.col("__cut"))
+                             | F.col(order_col).isNull())
                      .select(*df.columns))
     return (src.withColumn(rank_col,
                            F.row_number().over(w).cast("long"))

@@ -309,7 +309,14 @@ def bm25_scores(df: DataFrame, terms: list[str],
     one tiny aggregation broadcast back via cross join, so the whole
     scorer stays a lazy plan (no driver collect) and every float is
     derived from exact ints by the same IEEE ops on both engines; the
-    scoring pass itself is map-only over the corpus."""
+    scoring pass itself is map-only over the corpus.
+
+    `terms` must be non-empty; a duplicated term is scored (and counted
+    in `n_query_terms_present`) once per occurrence, matching BM25 over
+    the raw query token sequence — dedupe the list first for set
+    semantics."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
     toks = tokens(text_col)
     stats = df.agg(
         F.count(F.lit(1)).alias("__n"),

@@ -629,6 +629,7 @@ def sort_limit_topk(spark, sf):
 from yougile_etl_pipeline_spark import registry_ext  # noqa: E402,F401
 from yougile_etl_pipeline_spark import registry_analytics  # noqa: E402,F401
 from yougile_etl_pipeline_spark import registry_tpch  # noqa: E402,F401
+from yougile_etl_pipeline_spark import registry_r05  # noqa: E402,F401
 
 
 @register("set_except_all", """
@@ -745,15 +746,12 @@ _STABLE_CERTIFIED = [
     # r02), code untouched since — reinsert at the end of the
     # registration order, preserving relative order.
     #
-    # r04 helper-change disclosure (the "unchanged" claim is per QUERY
-    # BEHAVIOR; two stable entries ride helpers that gained
-    # backward-compatible surface this round): `events_asof_join` —
-    # asof_join grew `direction`/`tolerance` params (defaults preserve
-    # the old path bit-for-bit); `sim_cosine_topk` — brute_force_topk_np
-    # gained a query-collect cap guard (inactive below 100k query
-    # rows). Both re-verified hash-green against the oracle this round
-    # by the full-registry mini-driver sweep AND the driver-simulation
-    # recipe; neither default result changed.
+    # r05 note: `events_asof_join` and `sim_cosine_topk` are NOT
+    # listed despite their green history — their helpers changed in
+    # r04 (asof_join grew direction/tolerance; brute_force_topk_np
+    # grew the collect-cap guard), and although defaults preserve the
+    # old path bit-for-bit, VERDICT r04 asked for an official
+    # recertification to retire the caveat. Both sit in the r05 window.
     "mart_flagship", "p2_projection", "p3_rename", "p4_conform",
     "p5_member_filter", "p6_nullsafe_neq", "p7_null_predicates",
     "p8_drop_cols", "p9_literal_append", "j1_left_broadcast_dim",
@@ -779,8 +777,8 @@ _STABLE_CERTIFIED = [
     "sample_source_mix", "train_pack_sequences", "dedup_shingle_jaccard",
     "dedup_shingle_capped", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_clusters", "dedup_canonical_docs",
-    "sim_cosine_topk", "sim_ann_lsh_sized",
-    "events_asof_join", "corpus_clean_pipeline", "events_funnel",
+    "sim_ann_lsh_sized",
+    "corpus_clean_pipeline", "events_funnel",
     "ivf_kmeans_step",
     # NOT listed despite r03 green: sim_ann_lsh_bucket, sim_ivf_topk,
     # sim_ivf_multiprobe — retuned this round (LSH L=4→18 tables; IVF
@@ -799,86 +797,53 @@ _STABLE_CERTIFIED = [
     "events_interval_join", "agg_regional_volume", "set_except_all",
     "set_except_dup_left", "set_intersect_all", "f_regexp_extract",
     "j_full_outer", "set_union_distinct", "f_case_bands",
+    # r04 driver HASH-green (CORRECTNESS_r04: 50/50, rows + schema +
+    # hash), code untouched since — the full r04 window promotes,
+    # including the three array-output queries stringified in r04
+    # (text_inverted_index, agg_collect_sorted, f_array_set_ops) and
+    # the retuned-and-recertified ANN trio.
+    "sim_ann_lsh_bucket", "text_inverted_index", "sim_ivf_topk",
+    "sim_ivf_multiprobe", "text_redact_pii", "decontam_ngram_overlap",
+    "text_tfidf_top_terms", "text_vocab_topv", "text_oov_rate",
+    "layout_zorder_profile", "quality_key_skew",
+    "dedup_incremental_batch", "quality_train_split",
+    "snapshot_diff_audit", "decontam_embedding",
+    "dedup_incremental_bloom", "agg_incremental_merge",
+    "text_lm_quality", "link_fuzzy_titles", "dim_scd2_orders",
+    "quality_expectations", "events_retention_cohorts",
+    "events_interval_merge", "events_resample_ffill",
+    "quality_pseudonymize", "graph_pagerank", "dim_scd2_lookup",
+    "events_variant_extract", "join_incremental_delta",
+    "r_unpivot_metrics", "agg_grouping_sets", "win_dist_functions",
+    "p_na_fill_drop", "sketch_incremental_merge", "sql_scalar_subquery",
+    "sql_exists_agg", "sql_in_subquery", "agg_having",
+    "freq_heavy_hitters", "sql_correlated_scalar", "sql_having_total",
+    "events_session_native", "events_time_rollup", "sql_lateral_topk",
+    "sql_recursive_spine", "j_salted_skew", "sql_disjunctive_join",
+    "sql_market_share", "agg_collect_sorted", "f_array_set_ops",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit
-# the current 50-slot window (overflow) — rotated to the tail LAST, so
-# they sit at the very end and are the first candidates to rotate INTO
-# the next round's window. Each is locally oracle-verified via
-# scripts/check_queries.py (or batch-parity-tested where no oracle
-# exists). tests/test_certification_window.py enforces that every
-# out-of-window query is in exactly one of these two lists — a new
-# registration that silently pushed an uncertified query out of the
-# window fails the test.
+# the current 50-slot window. EMPTY as of round 5: the promote-ALL
+# rotation planned in r04 executed at r05 start —
 #
-# ROUND-4 ROTATION (executed this round): CORRECTNESS_r03 landed 49/50
-# hash-green; those 49 moved into _STABLE_CERTIFIED above. The round-4
-# window (= every query in neither list, first 50 of registration
-# order) is: text_inverted_index (r03-red, array output stringified
-# this round) + 48 promoted from the old deferral head + f_array_set_ops
-# (implementation changed this round — array output stringified — so it
-# must certify now, jumping the queue per the changed-this-round rule).
-# agg_collect_sorted (also changed) was already inside the promoted
-# head. stream_click_attribution stays deferred one more round: it has
-# no SQL oracle (stream-stream join), so its slot would only buy a
-# rows-only row — batch-parity proof chain documented at its
-# registration site (streaming/registry entry + COVERAGE.md).
+# * the 50 CORRECTNESS_r04 hash-greens moved into _STABLE_CERTIFIED;
+# * all 34 previously-deferred entries (ten TPC-H completions, the
+#   corpus/asof/BM25/recall-eval ops, j_cross, the int8 pair, the 16
+#   window-overflow analytics entries, and stream_click_attribution's
+#   rows-only slot) rotated INTO the r05 window;
+# * `events_asof_join` + `sim_cosine_topk` left _STABLE_CERTIFIED to
+#   recertify officially after their r04 helper changes (VERDICT r04
+#   "What's wrong" #1);
+# * the 14 round-5 registrations (registry_r05.py) fill the remaining
+#   slots exactly: 34 + 2 + 14 = 50.
 #
-# ROUND-5 ROTATION PLAN (written at r04 start per VERDICT r03 #4, count
-# updated for the r04 additions): the entries below — 18 carried from
-# before r04 plus the 16 registered during r04 (ten TPC-H completions,
-# three corpus-dedup/quota ops, forward as-of, BM25, the LSH
-# recall/precision eval) = 34 — are every query that will still lack an
-# official driver row after r04 certifies. All 34 fit one window —
-# promote ALL of them at round-5 start (move the r04 greens into
-# _STABLE_CERTIFIED first); any round-5 additions join them (16 free
-# slots). End state: every registered query driver-certified by end of
-# round 5.
-_DEFERRED_TO_NEXT_WINDOW = [
-    "stream_click_attribution",   # no SQL oracle (stream-stream join);
-                                  # rows-only slot deferred twice — r05
-                                  # window HAS free slots, promote then
-    # displaced from the r04 window by the retuned ANN trio (window
-    # holds exactly 50): j_cross is judge-verified green (round 2);
-    # the int8 pair shares the verified similarity machinery and is
-    # mini-driver green — all three promote in r05.
-    "j_cross", "emb_quantize_int8", "sim_topk_int8",
-    "f_null_functions",                     # nullif/nvl/nvl2/coalesce
-    "sql_q3_shipping_priority",             # Q3 top-10 revenue
-    "sql_q14_promo_share",                  # Q14 category share
-    "sql_q16_supplier_cnt",                 # Q16 NOT IN -> null-aware anti
-    "sql_q22_dormant_rich",                 # Q22 double decorrelation
-    "sql_parameterized",                    # named-parameter binding
-    "f_try_arithmetic",                     # error-safe try_ functions
-    "win_first_last_ignorenulls",           # IGNORE NULLS navigation
-    "agg_median_split",                     # group-median join-back
-    "win_time_range_frame",                 # INTERVAL range frame
-    "sql_q10_returned_items",               # Q10 returns report
-    "agg_sufficient_stats",                 # exact mergeable moments
-    "agg_listagg",                          # ordered string aggregation
-    "agg_mode_per_group",                   # deterministic per-group mode
-    # Round-4 additions (registry_tpch.py + the corpus/asof/BM25 ops
-    # below): the ten TPC-H shapes that complete all 22 classics.
-    # Registered after the r04 window was frozen, so they defer to r05
-    # by construction (34 deferred total — still one window; the
-    # round-5 promote-ALL plan above holds).
-    "sql_q2_min_cost_supplier",             # Q2 correlated-min match
-    "sql_q6_forecast_revenue",              # Q6 scan-filter-aggregate
-    "sql_q7_nation_volume",                 # Q7 bilateral volume
-    "sql_q9_product_profit",                # Q9 profit by nation/year
-    "sql_q12_late_lines_priority",          # Q12 priority mix
-    "sql_q13_order_distribution",           # Q13 outer-join count dist
-    "sql_q15_top_supplier",                 # Q15 view + scalar max
-    "sql_q18_large_orders",                 # Q18 IN-over-HAVING
-    "sql_q20_excess_suppliers",             # Q20 nested IN + HAVING
-    "sql_q21_waiting_suppliers",            # Q21 EXISTS/NOT-EXISTS pair
-    "text_line_dedup",                      # CCNet cross-doc passage drop
-    "text_self_dedup",                      # intra-doc segment dedup
-    "sample_quality_quota",                 # per-source top-k quality cap
-    "events_asof_forward",                  # forward as-of + tolerance
-    "text_bm25_scores",                     # linear-idf BM25 retrieval
-    "dedup_minhash_recall_eval",            # LSH recall/precision vs exact
-]
+# End state: after the r05 driver run, EVERY registered query has an
+# official driver CORRECTNESS row. Any new registration from here on
+# must either fit a freed window slot (stable promotion) or be
+# appended here with a reason — tests/test_certification_window.py
+# enforces the accounting.
+_DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
 def _rotate_certification_window() -> None:

@@ -299,6 +299,13 @@ def sql_q15_top_supplier(spark, sf):
     # relation (|supplier| rows, not the fact) via a broadcast scalar;
     # DECIMAL sums make the equality tie-exact, so multi-winner ties
     # return identical row sets on both engines.
+    #
+    # Plan note: Catalyst plans the scalar-threshold join as a
+    # BroadcastNestedLoopJoin on a ONE-ROW build side — expected and
+    # optimal here (effectively a map-side filter; the alternative, an
+    # unpartitioned window over revenue, serializes |supplier| rows
+    # into one task at scale). plan_profile's has_nested_loop_join
+    # gate must whitelist Q15; don't "fix" this into a window.
     li = load_table(spark, sf, "lineitem")
     supp = load_table(spark, sf, "supplier")
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
