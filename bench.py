@@ -51,23 +51,30 @@ def main() -> None:
     # not first-call JIT.
     QUERIES["a2_counts"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # min of two runs per query: the first run pays codegen/IO warmup that
-    # a long-running cluster job would amortize; the min is the stable
-    # engine cost and keeps round-over-round comparisons meaningful.
-    # Round-over-round drift audit (r03->r04): agg_pricing_summary's +9%
-    # across r01-r03 was re-measured n=6 — runs settle at ~1.2 s after
-    # two warmups (2.9, 1.6, then 1.2±0.02); the recorded min-of-2 sits
-    # inside the warmup tail, so the drift is measurement noise, not a
-    # plan regression. No action; plan unchanged and audited.
-    timings: dict[str, float] = {}
+    # Median of three timed runs per query (per VERDICT r04 #4: this VM
+    # shows ±25% run-to-run noise, so a single number can't separate a
+    # real regression from scheduler jitter). The first, untimed run
+    # pays codegen/IO warmup that a long-running cluster job would
+    # amortize; the three timed runs then bound the noise — per-query
+    # median goes in `queries`, the per-run totals and per-query spread
+    # (max−min) ride alongside so drift analysis needs no re-run.
+    # (r01–r04 recorded min-of-2; medians of warmed runs sit within the
+    # same band — see the r04 drift audit: runs settle at ~1.2 s after
+    # two warmups for agg_pricing_summary.)
+    RUNS = 3
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        QUERIES[name](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()  # warmup, untimed
+        ts = []
+        for _ in range(RUNS):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            ts.append(time.perf_counter() - t0)
+        runs[name] = ts
+    timings = {n: round(sorted(ts)[len(ts) // 2], 3)
+               for n, ts in runs.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -79,6 +86,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": RUNS,
+        "run_totals": [round(sum(ts[i] for ts in runs.values()), 3)
+                       for i in range(RUNS)],
+        "spread": {n: round(max(ts) - min(ts), 3)
+                   for n, ts in runs.items()},
         "sf": sf_val,
         # ANN quality at bench scale: recall@5 of each approximate
         # variant against the exact brute-force top-5 (sim_cosine_topk).

@@ -177,3 +177,37 @@ def test_pagerank_empty_edges_returns_empty(spark):
     df = spark.createDataFrame([], "src string, dst string")
     out = pagerank_fixed_point(df, iterations=2)
     assert out.columns == ["node", "rank"] and out.count() == 0
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 has C(4,3)=4 triangles; edges given in mixed orientation with
+    # a duplicate and a self-loop, which canonicalization must absorb.
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges += [(0, 1), (2, 2)]  # duplicate (reversed covers it) + loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from yougile_etl_pipeline_spark.operators.graph import triangle_count
+
+    assert triangle_count(df).collect()[0].n_triangles == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    # a path and a 4-cycle have zero triangles
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from yougile_etl_pipeline_spark.operators.graph import triangle_count
+
+    assert triangle_count(df).collect()[0].n_triangles == 0
+
+
+def test_triangle_count_random_vs_bruteforce(spark):
+    from itertools import combinations
+
+    from yougile_etl_pipeline_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    edges = {tuple(sorted(rng.sample(range(12), 2))) for _ in range(40)}
+    expected = sum(1 for a, b, c in combinations(range(12), 3)
+                   if (a, b) in edges and (b, c) in edges
+                   and (a, c) in edges)
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    assert triangle_count(df).collect()[0].n_triangles == expected

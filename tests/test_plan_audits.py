@@ -340,3 +340,65 @@ def test_q2_correlated_min_is_window_over_single_lineitem_scan(spark):
     assert plan.count("lineitem") == 1
     assert "Window" in plan
     assert not plan_profile(df)["has_nested_loop_join"]
+
+
+# ---------------------------------------------------------------------------
+# Bench headline plan budgets (VERDICT r04 #5): every bench query's
+# physical plan is pinned to its known-good shape via plan_profile, so
+# a plan regression (extra shuffle, lost pushdown, join-strategy flip
+# to nested-loop) fails CI deterministically — long before it is
+# distinguishable from this VM's ±25% wall-time noise in BENCH_r{N}.
+# Budgets are (max shuffle exchanges, min scans with pushed filters);
+# nested-loop joins are banned outright for the whole headline set.
+# ---------------------------------------------------------------------------
+
+_HEADLINE_PLAN_BUDGETS = {
+    # name: (max_shuffle_exchanges, min_pushed_filter_scans)
+    "mart_flagship": (2, 6),
+    "agg_pricing_summary": (1, 1),
+    "agg_topk_revenue": (1, 3),
+    "win_rank_topn": (1, 0),
+    "a1_dedup_by_key": (1, 0),
+    "j2_left_fact_child": (0, 1),
+    "dedup_exact": (1, 0),
+    "dedup_minhash_lsh": (4, 2),
+    "text_token_stats": (0, 0),
+    "sim_cosine_topk": (1, 1),
+    "sim_ann_lsh_bucket": (4, 2),
+    "sim_ivf_topk": (1, 1),
+    "mm_frame_sample": (0, 1),
+    "events_hourly_snapshot": (1, 1),
+    "events_sessionize": (1, 0),
+}
+
+
+def test_budgets_cover_every_bench_headline_query():
+    from bench import HEADLINE
+
+    assert set(_HEADLINE_PLAN_BUDGETS) == set(HEADLINE), (
+        "bench.py HEADLINE changed — add/remove plan budgets here")
+
+
+def _budget_ids():
+    return sorted(_HEADLINE_PLAN_BUDGETS)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("name", _budget_ids())
+def test_headline_plan_within_budget(spark, name):
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        plan_profile,
+    )
+
+    max_shuffles, min_pushed = _HEADLINE_PLAN_BUDGETS[name]
+    p = plan_profile(QUERIES[name](spark, SF_SMOKE))
+    assert p["shuffle_exchanges"] <= max_shuffles, (
+        f"{name}: {p['shuffle_exchanges']} shuffle exchanges, budget "
+        f"{max_shuffles} — a new shuffle crept into the plan")
+    assert p["scans_with_pushed_filters"] >= min_pushed, (
+        f"{name}: only {p['scans_with_pushed_filters']} scans with "
+        f"pushed filters, expected >= {min_pushed} — pushdown lost")
+    assert not p["has_nested_loop_join"], (
+        f"{name}: nested-loop join appeared in the plan")

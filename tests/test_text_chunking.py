@@ -166,3 +166,35 @@ def test_bm25_ranks_matching_docs_and_rewards_rarity(spark):
     assert out[1].n_query_terms_present == 2
     # doc 2 and 4: same tf, same length -> identical score
     assert out[2].bm25 == out[4].bm25
+
+
+def test_topk_per_group_prefilter_keeps_null_order_values(spark):
+    """A giant group whose rows are mostly NULL-ordered must survive the
+    percentile prefilter: the exact window sorts NULLs last but still
+    keeps them when fewer than k non-NULL values exist (ADVICE r04)."""
+    from yougile_etl_pipeline_spark.operators.quality import topk_per_group
+
+    rows = ([(i, "big", float(i % 11) if i % 50 == 0 else None)
+             for i in range(3000)]
+            + [(10_000 + i, "small", float(i)) for i in range(3)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, q double").repartition(5)
+    exact = {(r.source, r.doc_id, r.rank)
+             for r in topk_per_group(df, "source", "q", "doc_id",
+                                     100).collect()}
+    fast = {(r.source, r.doc_id, r.rank)
+            for r in topk_per_group(df, "source", "q", "doc_id", 100,
+                                    prefilter=True).collect()}
+    assert fast == exact
+    # the big group has only 60 non-NULL q values; NULL rows must fill
+    # the quota to k on both paths
+    assert len({d for (s, d, _) in exact if s == "big"}) == 100
+
+
+def test_bm25_empty_terms_raises(spark):
+    import pytest
+
+    from yougile_etl_pipeline_spark.operators.text import bm25_scores
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(_docs(spark, [(1, "a b")]), [])
