@@ -91,6 +91,12 @@ def main() -> None:
                        for i in range(RUNS)],
         "spread": {n: round(max(ts) - min(ts), 3)
                    for n, ts in runs.items()},
+        # plan-shape fingerprint per query (shuffles/broadcasts/pushed
+        # scans, plan-only — no execution): ties the wall-clock numbers
+        # to the physical plans, so a cross-round time delta can be
+        # immediately classified as plan change vs VM noise. The same
+        # counters are budget-asserted in tests/test_plan_audits.py.
+        "plans": _plan_fingerprints(spark, sf_dir),
         "sf": sf_val,
         # ANN quality at bench scale: recall@5 of each approximate
         # variant against the exact brute-force top-5 (sim_cosine_topk).
@@ -99,6 +105,22 @@ def main() -> None:
         "recall": _ann_recall(spark, sf_dir),
     }
     print(json.dumps(out))
+
+
+def _plan_fingerprints(spark, sf_dir: str) -> dict[str, str]:
+    """Compact `shuffles/broadcasts/pushed-scans` triple per headline
+    query, e.g. ``"2/5/6"``."""
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        plan_profile,
+    )
+    from yougile_etl_pipeline_spark.registry import QUERIES
+
+    out = {}
+    for name in HEADLINE:
+        p = plan_profile(QUERIES[name](spark, sf_dir))
+        out[name] = (f"{p['shuffle_exchanges']}/{p['broadcast_exchanges']}"
+                     f"/{p['scans_with_pushed_filters']}")
+    return out
 
 
 def _ann_recall(spark, sf_dir: str) -> dict[str, float]:
