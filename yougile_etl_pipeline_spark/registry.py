@@ -843,6 +843,16 @@ _STABLE_CERTIFIED = [
 # must either fit a freed window slot (stable promotion) or be
 # appended here with a reason — tests/test_certification_window.py
 # enforces the accounting.
+#
+# ROUND-6 ROTATION PLAN: move the r05 window's greens into
+# _STABLE_CERTIFIED (that certifies the whole registry), freeing all
+# 50 slots. Staged registrations, built + parity-proven this round but
+# deliberately NOT registered (the r05 window was exactly full):
+# `pq_encode` and `pq_adc_topk` (operators/pq.py — product
+# quantization; their DuckDB oracles already exist and pass
+# bit-identically in tests/test_pq_oracle_parity.py, registration is
+# copy-the-SQL). Keep any further r06 additions ≤ the freed slots so
+# every query stays driver-certified at each round boundary.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
