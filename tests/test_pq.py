@@ -142,3 +142,59 @@ def test_split_rejects_nondivisible_dim(spark):
     widths = {len(r.subvec) for r in out}
     assert widths != {2} or pytest.fail("3-dim split into m=2 "
                                         "cannot yield equal halves")
+
+
+def test_ivfpq_restricts_candidates_and_keeps_quality(spark):
+    from yougile_etl_pipeline_spark.operators.pq import ivfpq_topk
+
+    emb = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    queries = (emb.filter(F.col("vec_id") % 37 == 0).limit(8)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    centroids = emb.filter(F.col("vec_id") < 22)  # ~sqrt(500)
+    books = pq_train(emb, m=8, k=16, iters=2)
+    codes = pq_encode(emb, books, m=8)
+    full = {}
+    for r in pq_adc_topk(codes, queries, books, k=10).collect():
+        full.setdefault(r.query_id, set()).add(r.match_id)
+    probed = {}
+    rows = ivfpq_topk(emb, queries, centroids, books,
+                      k=10, nprobe=4).collect()
+    for r in rows:
+        probed.setdefault(r.query_id, set()).add(r.match_id)
+    # each query got results (set of query ids matches), and the probed
+    # top-10 beats RANDOM list probing decisively: on this isotropic
+    # corpus (worst case for a coarse quantizer — see the LSH sizing
+    # note) random nprobe=4-of-22 would capture ~4/22=0.18 of the full-
+    # ADC top-10; measured overlap is ~0.35. Clustered real corpora
+    # concentrate far harder; the invariant test below pins semantics.
+    assert set(probed) == set(full)
+    overlaps = [len(probed[q] & full[q]) / len(full[q]) for q in full]
+    assert sum(overlaps) / len(overlaps) >= 1.5 * (4 / 22)
+
+
+def test_ivfpq_single_probe_is_subset_of_corpus_list(spark):
+    # with nprobe=1, every match of a query must share the query's
+    # nearest centroid — the defining invariant of list restriction
+    from yougile_etl_pipeline_spark.operators.pq import ivfpq_topk
+    from yougile_etl_pipeline_spark.operators.similarity import ivf_assign
+
+    emb = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    queries = (emb.filter(F.col("vec_id") % 97 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    centroids = emb.filter(F.col("vec_id") < 22)
+    books = pq_train(emb, m=4, k=16, iters=1)
+    out = ivfpq_topk(emb, queries, centroids, books, k=5, nprobe=1)
+    c_of = {r.vec_id: r.centroid_id for r in ivf_assign(
+        emb, centroids, nprobe=1).select("vec_id", "centroid_id")
+        .collect()}
+    q_of = {r.query_id: r.centroid_id for r in ivf_assign(
+        queries,
+        centroids.select(F.col("vec_id").alias("query_id"), "embedding"),
+        id_col="query_id", nprobe=1)
+        .select("query_id", "centroid_id").collect()}
+    for r in out.collect():
+        assert c_of[r.match_id] == q_of[r.query_id]

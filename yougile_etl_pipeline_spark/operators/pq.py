@@ -62,6 +62,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_adc_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -213,3 +214,64 @@ def pq_adc_topk(corpus_codes: DataFrame, queries: DataFrame,
 def _m_of(codebooks: DataFrame) -> int:
     """m = number of subspaces in a codebook table (tiny: m·k rows)."""
     return codebooks.agg(F.countDistinct("sub_id")).collect()[0][0]
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
+               centroids: DataFrame, codebooks: DataFrame, *,
+               k: int = 5, nprobe: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id: str = "query_id") -> DataFrame:
+    """IVF-PQ: the full billion-vector layout — coarse quantizer
+    restricts each query to `nprobe` centroid lists, PQ codes + ADC
+    rank within the probed lists. Per-query work drops from |corpus|
+    code lookups to ~nprobe·|corpus|/|centroids|.
+
+    Distributed shape: corpus list assignment (one row per vector —
+    at scale this is precomputed once and the code table is WRITTEN
+    partitioned by centroid_id, so probing is partition pruning, not
+    a join); query probes are |Q|·nprobe rows broadcast; the
+    candidate restriction is an equi-join on centroid_id; ADC then
+    proceeds exactly as `pq_adc_topk` but over the candidate pairs
+    only. Same determinism contract (DECIMAL sums, id tie-breaks).
+
+    Recall factors multiply: coarse-probe recall (nprobe/|centroids|
+    trade) × ADC shortlist quality — measure both, the bench pattern
+    `sim_ivf_topk`/`pq_adc_topk` established."""
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    m = _m_of(codebooks)
+    c_assign = ivf_assign(corpus, centroids, id_col=id_col,
+                          vec_col=vec_col, nprobe=1) \
+        .select(id_col, "centroid_id")
+    codes = pq_encode(corpus, codebooks, m=m,
+                      id_col=id_col, vec_col=vec_col)
+    # ivf_assign reads its id/vec columns under the caller's names on
+    # BOTH sides — realias the centroid table for the query-side call
+    q_cent = centroids.select(_c(id_col).alias(query_id),
+                              _c(vec_col).alias(vec_col))
+    q_probe = ivf_assign(queries, q_cent, id_col=query_id,
+                         vec_col=vec_col, nprobe=nprobe) \
+        .select(query_id, "centroid_id")
+    cand = (c_assign.join(F.broadcast(q_probe), "centroid_id")
+            .select(query_id, id_col))
+    qsub = pq_split(queries, m, id_col=query_id, vec_col=vec_col)
+    qtab = (qsub.join(F.broadcast(codebooks), "sub_id")
+            .select(query_id, "sub_id", "code",
+                    l2sq("subvec", "cvec").cast("decimal(27,12)")
+                    .alias("qd2")))
+    exploded = codes.join(cand, id_col).select(
+        query_id, id_col,
+        F.posexplode("codes").alias("sub_id", "code"))
+    scored = (exploded.join(F.broadcast(qtab),
+                            [query_id, "sub_id", "code"])
+              .groupBy(query_id, id_col)
+              .agg(F.sum("qd2").alias("__d")))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__d"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, F.col(id_col).alias("match_id"),
+                    F.col("__d").cast("double").alias("adc_dist2"),
+                    "rank"))
