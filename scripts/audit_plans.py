@@ -1,0 +1,77 @@
+"""Registry-wide physical-plan audit (dev tool): plan_profile every
+registered query and flag scale smells — nested-loop joins and
+shuffle-heavy plans — so an accidental cartesian product or a lost
+broadcast anywhere in the registry is visible in one run.
+
+Known-benign flags (r05 audit baseline, re-check on drift):
+
+* BroadcastNestedLoopJoin with a ONE-ROW build side — the broadcast
+  corpus-stats pattern (bm25/tfidf/lm-quality stats, zorder bounds,
+  key-skew totals, decontam threshold, Q15/Q11 scalar thresholds,
+  ivf_kmeans's centroid-count scalar): effectively a map-side constant
+  append, optimal at any scale. `j_cross` is a cartesian product by
+  definition.
+* High shuffle counts on multi-stage-by-design ops: graph_pagerank
+  (unrolled power iterations), dedup_shingle_* (blocked self-join),
+  dedup_minhash_recall_eval (computes the exact truth set AND the LSH
+  path), corpus_clean_pipeline (capstone composition).
+
+Anything OUTSIDE this list deserves a look before it ships.
+
+Usage: python scripts/audit_plans.py  [env: SPARK_GRAFT_SF_DIR]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+KNOWN_NESTED_LOOP = {
+    "text_bm25_scores", "j_cross", "ivf_kmeans_step",
+    "text_tfidf_top_terms", "layout_zorder_profile", "quality_key_skew",
+    "decontam_embedding", "text_lm_quality", "sql_having_total",
+    "sql_q15_top_supplier", "dedup_minhash_recall_eval",
+}
+KNOWN_SHUFFLE_HEAVY = {
+    "graph_pagerank", "dedup_shingle_jaccard", "dedup_shingle_capped",
+    "dedup_minhash_recall_eval", "corpus_clean_pipeline",
+}
+SHUFFLE_BUDGET = 6
+
+
+def main() -> None:
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        plan_profile,
+    )
+    from yougile_etl_pipeline_spark.registry import QUERIES
+    from yougile_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="audit_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    unexpected = []
+    for name, fn in QUERIES.items():
+        try:
+            p = plan_profile(fn(spark, SF))
+        except Exception as e:  # noqa: BLE001 — report, keep auditing
+            unexpected.append((name, "ERROR",
+                               str(e).split("\n")[0][:100]))
+            continue
+        if p["has_nested_loop_join"] and name not in KNOWN_NESTED_LOOP:
+            unexpected.append((name, "nested_loop", p["join_types"]))
+        if (p["shuffle_exchanges"] > SHUFFLE_BUDGET
+                and name not in KNOWN_SHUFFLE_HEAVY):
+            unexpected.append(
+                (name, f"shuffles={p['shuffle_exchanges']}", ""))
+    for row in unexpected:
+        print(row)
+    print(f"audited {len(QUERIES)} queries; "
+          f"unexpected flags: {len(unexpected)}")
+    if unexpected:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
