@@ -198,3 +198,27 @@ def test_ivfpq_single_probe_is_subset_of_corpus_list(spark):
         .select("query_id", "centroid_id").collect()}
     for r in out.collect():
         assert c_of[r.match_id] == q_of[r.query_id]
+
+
+def test_train_with_k_exceeding_corpus_shrinks_codebook(spark):
+    # 3 vectors, k=16: seeds can only produce 3 codes per subspace and
+    # empty codes must not appear after Lloyd rounds
+    corpus = _vecs(spark, [(1, [1.0, 2.0]), (2, [3.0, 4.0]),
+                           (3, [5.0, 6.0])])
+    books = pq_train(corpus, m=2, k=16, iters=2)
+    per_sub = {}
+    for r in books.collect():
+        per_sub.setdefault(r.sub_id, set()).add(r.code)
+    assert set(per_sub) == {0, 1}
+    assert all(len(codes) <= 3 for codes in per_sub.values())
+
+
+def test_adc_k_larger_than_corpus_returns_all(spark):
+    rows = [(i, [float(i), 0.0]) for i in range(3)]
+    corpus = _vecs(spark, rows)
+    books = pq_train(corpus, m=2, k=4, iters=1)
+    codes = pq_encode(corpus, books, m=2)
+    queries = _vecs(spark, [(9, [0.0, 0.0])], id_col="query_id")
+    out = pq_adc_topk(codes, queries, books, k=100).collect()
+    assert len(out) == 3
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]

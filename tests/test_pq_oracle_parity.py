@@ -132,3 +132,76 @@ WHERE rank <= 5
     issues = compare(out.withColumn("rank", F.col("rank").cast("long")),
                      con, sql)
     assert not issues, issues
+
+
+_CSIM = ("list_dot_product({a}, {b}) / "
+         "(sqrt(list_dot_product({a}, {a})) * "
+         "sqrt(list_dot_product({b}, {b})))")
+
+_NPROBE = 3
+
+
+def test_ivfpq_topk_matches_duckdb(spark):
+    # full IVF-PQ differential: cosine coarse assignment (corpus
+    # nprobe=1, queries nprobe=3, centroid-id tie-breaks — the
+    # similarity.ivf_assign contract) + PQ ADC restricted to probed
+    # lists must rank identically on both engines.
+    from yougile_etl_pipeline_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark)
+    queries = (emb.filter(F.col("vec_id") % 97 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    centroids = emb.filter(F.col("vec_id") < 22)
+    books = pq_train(emb, m=M, k=K, iters=1)
+    out = ivfpq_topk(emb, queries, centroids, books,
+                     k=5, nprobe=_NPROBE) \
+        .withColumn("rank", F.col("rank").cast("long"))
+    csim = _CSIM.format(a="vec", b="cent_vec")
+    sql = f"""
+WITH {_PQ_BOOKS_SQL},
+cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+         FROM embeddings WHERE vec_id < 22),
+c_assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT s.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {csim} DESC, c.centroid_id) AS rn
+    FROM src s CROSS JOIN cent c) WHERE rn <= 1),
+qsrc AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS vec
+         FROM embeddings WHERE vec_id % 97 = 0),
+q_probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {csim} DESC, c.centroid_id) AS rn
+    FROM qsrc q CROSS JOIN cent c) WHERE rn <= {_NPROBE}),
+cand AS (
+  SELECT q.query_id, a.vec_id
+  FROM c_assign a JOIN q_probe q USING (centroid_id)),
+qsub AS (
+  SELECT query_id, s.sub_id,
+         vec[s.sub_id * {W} + 1 : s.sub_id * {W} + {W}] AS subvec
+  FROM qsrc, (SELECT CAST(unnest(range(0, {M})) AS INT) AS sub_id) s),
+qtab AS (
+  SELECT query_id, sub_id, code,
+         CAST({_L2SQ.format(a="subvec", b="cvec")} AS DECIMAL(27,12))
+           AS qd2
+  FROM qsub JOIN books USING (sub_id)),
+scored AS (
+  SELECT q.query_id, a.vec_id, SUM(q.qd2) AS d
+  FROM assign1 a
+  JOIN cand c ON a.vec_id = c.vec_id
+  JOIN qtab q ON q.query_id = c.query_id
+            AND a.sub_id = q.sub_id AND a.code = q.code
+  GROUP BY 1, 2)
+SELECT query_id, vec_id AS match_id,
+       CAST(d AS DOUBLE) AS adc_dist2,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d, vec_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+    con = duck_connect(SF_SMOKE)
+    issues = compare(out, con, sql)
+    assert not issues, issues
