@@ -1,0 +1,100 @@
+"""Sequential-recurrence time-series operators in exact integer
+arithmetic — currently exponential smoothing (EWMA).
+
+EWMA is the canonical "can't oracle-pair" operator: s_t = α·x_t +
+(1−α)·s_{t−1} in floats depends on evaluation order and rounding at
+every step, so no cross-engine hash can match. The fixed-point
+formulation makes it exact: with a RATIONAL α = p/q and inputs scaled
+to exact integers, the recurrence
+
+    s_1 = x_1·S
+    s_t = (p·x_t·S + (q−p)·s_{t−1}) div q
+
+is pure int64 arithmetic — bit-deterministic at any partitioning and
+in any engine (same trick as `graph.pagerank_fixed_point` and the
+DECIMAL k-means). The div-q floor each step loses < 1/S of a unit;
+with S = 10⁶ that is noise at smoothing precision, and it is the SAME
+noise everywhere.
+
+Distributed shape: a per-key recurrence is inherently serial *within*
+the key, so the operator shuffles once on the key, sorts each key's
+events into an array (total order: (ts, event_id)), and runs the fold
+as ONE codegen `aggregate` expression per key — no Python, no
+iteration over rows, parallelism = |keys|. State is O(events-per-key)
+in the array; for unbounded single-key streams use the stateful
+streaming path (`streaming/stateful.py`) instead — this operator
+targets bounded per-entity histories (sessions, users, devices),
+where keys are plentiful and rows-per-key bounded.
+
+Staged for round-6 registry certification; the DuckDB oracle (a
+recursive CTE walking rn → rn+1 per key with the same integer
+recurrence) is proven in tests/test_timeseries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ewma_fixed_point"]
+
+
+def ewma_fixed_point(df: DataFrame, key_col: str, order_cols: list[str],
+                     value_col: str, *,
+                     alpha_num: int = 1, alpha_den: int = 4,
+                     value_scale: int = 100,
+                     sub_scale: int = 10**6) -> DataFrame:
+    """Per-key EWMA of `value_col` over the `order_cols` total order.
+
+    `value_col` must be exact at `value_scale` (e.g. 2-decimal money
+    at scale 100): it is converted to integer units via DECIMAL — a
+    value that isn't exact at that scale rounds half-up, once,
+    identically everywhere. α = alpha_num/alpha_den must satisfy
+    0 < num < den (ints).
+
+    Returns one row per input row: key, order cols, and ``ewma`` — the
+    smoothed value as a double (one final IEEE division of the exact
+    int64 state; identical bits in any engine). Overflow bound:
+    |x|·value_scale·sub_scale·alpha_den must fit int64 — values up to
+    ~2·10⁹ units at the defaults.
+    """
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("alpha must satisfy 0 < num < den")
+    p, q = alpha_num, alpha_den
+    v_int = (F.col(value_col)
+             .cast(f"decimal(20,{len(str(value_scale)) - 1})")
+             * value_scale).cast("bigint")
+    ordered = F.array_sort(F.collect_list(F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        v_int.alias("__v"))))
+    # fold: acc = struct(states: array<bigint>, last: bigint). The
+    # first element seeds with x_1·S; each later element applies the
+    # integer recurrence. `div` truncates; all terms are non-negative
+    # for non-negative inputs, and floor==trunc there (for negative
+    # values both engines truncate toward zero identically).
+    S = sub_scale
+    step = (
+        f"(acc, x) -> named_struct("
+        f"'states', concat(acc.states, array("
+        f"  CASE WHEN size(acc.states) = 0 THEN x.__v * {S}L"
+        f"       ELSE ({p}L * x.__v * {S}L"
+        f"             + {q - p}L * acc.last) div {q}L END)), "
+        f"'last', CASE WHEN size(acc.states) = 0 THEN x.__v * {S}L"
+        f"             ELSE ({p}L * x.__v * {S}L"
+        f"                   + {q - p}L * acc.last) div {q}L END)")
+    grouped = df.groupBy(key_col).agg(ordered.alias("__seq"))
+    folded = grouped.select(
+        key_col, "__seq",
+        F.expr(f"aggregate(__seq, "
+               f"named_struct('states', CAST(array() AS ARRAY<BIGINT>), "
+               f"'last', CAST(0 AS BIGINT)), {step}).states")
+        .alias("__states"))
+    pairs = folded.select(
+        key_col,
+        F.explode(F.arrays_zip("__seq", "__states")).alias("z"))
+    return pairs.select(
+        key_col,
+        *[F.col(f"z.__seq.__o{i}").alias(c)
+          for i, c in enumerate(order_cols)],
+        (F.col("z.__states").cast("double")
+         / F.lit(float(value_scale * S))).alias("ewma"))

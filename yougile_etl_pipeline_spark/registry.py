@@ -848,11 +848,14 @@ _STABLE_CERTIFIED = [
 # _STABLE_CERTIFIED (that certifies the whole registry), freeing all
 # 50 slots. Staged registrations, built + parity-proven this round but
 # deliberately NOT registered (the r05 window was exactly full):
-# `pq_encode` and `pq_adc_topk` (operators/pq.py — product
-# quantization; their DuckDB oracles already exist and pass
-# bit-identically in tests/test_pq_oracle_parity.py, registration is
-# copy-the-SQL). Keep any further r06 additions ≤ the freed slots so
-# every query stays driver-certified at each round boundary.
+# `pq_encode`, `pq_adc_topk`, and `ivfpq_topk` (operators/pq.py —
+# product quantization + the IVF-PQ composition; DuckDB oracles proven
+# bit-identical in tests/test_pq_oracle_parity.py) and
+# `events_ewma` (operators/timeseries.py::ewma_fixed_point —
+# exact integer exponential smoothing; recursive-CTE oracle proven in
+# tests/test_timeseries.py). Registration is copy-the-SQL. Keep any
+# further r06 additions ≤ the freed slots so every query stays
+# driver-certified at each round boundary.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
