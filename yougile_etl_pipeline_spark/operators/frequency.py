@@ -93,3 +93,102 @@ def heavy_hitters(df: DataFrame, key: str, k: int) -> DataFrame:
     return (df.join(F.broadcast(candidates), cond, "left_semi")
               .groupBy(key).count().withColumnRenamed("count", "cnt")
               .filter(F.col("cnt") * k > total))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: fixed-size mergeable frequency state.
+#
+# Misra-Gries above answers "which keys are frequent"; a Count-Min
+# sketch answers "how frequent is ANY key" from state whose size is
+# fixed (depth × width counters) regardless of key cardinality — the
+# right shape for incremental 100 TB ingest, where the per-batch
+# frequency state must be mergeable (counter-wise integer addition)
+# and must not grow with the number of distinct URLs/shingles/tokens.
+#
+# Determinism/portability: the row-j hash of key x is
+#   conv(substr(md5(j || ':' || x), 1, 15), 16, 10) % width
+# — the same md5-prefix-to-bigint trick the dedup family uses
+# (dedup.py::simhash note), which DuckDB reproduces bit-identically via
+# CAST('0x' || substr(md5(j || ':' || x), 1, 15) AS BIGINT) % width.
+# Counters are exact integers, so build, merge, AND estimate are all
+# fully oracle-pairable even though the estimate itself is approximate
+# (the approximation is deterministic).
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(key_str, j: int, width: int):
+    """Row-j bucket of a key: md5-derived 60-bit uniform hash mod width.
+
+    15 hex chars = 60 bits, always positive, so Spark's `%` and
+    DuckDB's `%` agree (no negative-modulo divergence).
+    """
+    h = F.md5(F.concat_ws(":", F.lit(str(j)), key_str))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+            % F.lit(width)).alias(f"__b{j}")
+
+
+def count_min_build(df: DataFrame, key: str, *, width: int = 1024,
+                    depth: int = 4) -> DataFrame:
+    """Build a Count-Min sketch of `key`'s frequencies.
+
+    Returns the sketch as a DataFrame ``(depth int, bucket long,
+    cnt long)`` — zero counters omitted, so the sketch is at most
+    ``depth × width`` rows no matter how many distinct keys the input
+    has. The ONLY shuffle carries (depth, bucket) pairs after a
+    map-side partial count: ≤ depth × width rows per map task, never
+    one row per distinct key — that bound is the whole point at scale.
+
+    Standard CMS guarantee: estimates overestimate only, and with
+    width w the expected excess per row is ≤ N/w (Markov: P[excess >
+    eN] ≤ 1/(e·w) per row, taking the min over `depth` independent
+    rows drives the failure probability to (1/(e·w))^depth).
+
+    NULL keys are excluded (a keyed frequency of NULL is not
+    meaningful; coalesce to a sentinel first if you need it counted).
+    Keys are string-rendered before hashing — use int/string keys for
+    oracle portability (float rendering differs across engines).
+    """
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1; "
+                         f"got {width}, {depth}")
+    k = F.col(key).cast("string")
+    buckets = df.filter(k.isNotNull()).select(
+        F.posexplode(F.array(*[_cm_bucket(k, j, width)
+                               for j in range(depth)]))
+        .alias("depth", "bucket"))
+    return (buckets.groupBy("depth", "bucket")
+                   .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def count_min_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the SAME (width, depth, key
+    rendering): counter-wise integer addition, so
+    ``merge(build(X), build(Y)) == build(X ∪ Y)`` EXACTLY (not just
+    approximately) — integer addition is associative/commutative, and
+    the test suite asserts the multiset equality. State stays ≤
+    depth × width rows; merging n batch sketches is a union + one
+    bounded groupBy, never a rescan of the batches."""
+    return (a.unionByName(b).groupBy("depth", "bucket")
+             .agg(F.sum("cnt").alias("cnt")))
+
+
+def count_min_estimate(sketch: DataFrame, keys: DataFrame, key: str, *,
+                       width: int = 1024, depth: int = 4) -> DataFrame:
+    """Point-query the sketch: ``(key, cm_est long)`` for each distinct
+    key in `keys`, where cm_est = min over the `depth` rows of that
+    key's bucket counter (0 when the bucket is empty — a key the build
+    never saw still gets the correct overestimate-of-zero semantics).
+
+    The sketch is ≤ depth × width rows — broadcast it; the probe is
+    then map-side (one hash + lookup per row) + a groupBy(key) over
+    depth rows per key."""
+    k = F.col(key).cast("string")
+    probes = keys.filter(k.isNotNull()).distinct().select(
+        F.col(key),
+        F.posexplode(F.array(*[_cm_bucket(k, j, width)
+                               for j in range(depth)]))
+        .alias("depth", "bucket"))
+    return (probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+                  .groupBy(key)
+                  .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                        .alias("cm_est")))
