@@ -13,7 +13,8 @@ from pyspark.sql.window import Window
 __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
            "sample_by_rates", "key_skew_profile", "train_val_test_split",
            "check_expectations", "quarantine", "scd2_build",
-           "scd2_lookup", "pseudonymize", "topk_per_group"]
+           "scd2_lookup", "pseudonymize", "topk_per_group",
+           "exact_group_median", "mad_outliers"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -324,3 +325,77 @@ def scd2_lookup(fact: DataFrame, dim: DataFrame, keys: list[str],
         & (dimr[to_col].isNull() | (fact[ts_col] < dimr[to_col]))
     return fact.join(dimr, cond, how) \
         .drop(*[f"__dim_{k}" for k in keys])
+
+
+def exact_group_median(df: DataFrame, key_col: str, value_col: str,
+                       out_col: str = "median") -> DataFrame:
+    """EXACT per-key median of `value_col` — `(key_col, out_col)`, one
+    row per key — without `percentile_approx` and without collecting.
+
+    Bit-deterministic and engine-portable by construction: rank each
+    key's non-NULL values (row_number over the value order — ties
+    permute ROWS but the selected middle VALUES are identical for any
+    tie order), keep the middle one (odd n) or two (even n) rows, and
+    average them as SUM/COUNT. IEEE addition of exactly TWO doubles is
+    commutative, so even the float case has no partition-order
+    dependence; the final division is a single IEEE op. NULL values are
+    excluded (so the NULLS FIRST/LAST default divergence between
+    engines can't shift the middle); keys whose values are all NULL
+    produce no row.
+
+    Scale: ONE shuffle on `key_col`; the per-key rank serializes a
+    giant key into one task's sort (same caveat + mitigation family as
+    `topk_per_group`'s prefilter — a percentile_approx pre-cut bounds
+    the exact pass if one key dominates)."""
+    vals = df.select(key_col, value_col).filter(
+        F.col(value_col).isNotNull())
+    w_rank = Window.partitionBy(key_col).orderBy(F.col(value_col))
+    w_all = Window.partitionBy(key_col)
+    ranked = vals.select(
+        key_col, value_col,
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"))
+    mids = ranked.filter(
+        (F.col("__rn") == F.expr("(__n + 1) div 2"))
+        | (F.col("__rn") == F.expr("(__n + 2) div 2")))
+    return (mids.groupBy(key_col)
+                .agg((F.sum(value_col) / F.count(F.lit(1)))
+                     .alias(out_col)))
+
+
+def mad_outliers(df: DataFrame, key_col: str, value_col: str, *,
+                 k: float = 3.0) -> DataFrame:
+    """Robust per-key outlier detection: median/MAD, the
+    mean/stddev-free twin of a z-score filter (one junk measurement
+    can't drag the threshold, which is exactly why quality gates over
+    scraped corpora use it).
+
+    Adds to every non-NULL-value row: ``median`` and ``mad`` (both
+    EXACT, via `exact_group_median`), ``abs_dev`` = |value − median|,
+    ``robust_z`` = (value − median)/mad (NULL when mad = 0 — a
+    constant-valued key has no meaningful deviation scale), and
+    ``is_outlier`` = abs_dev > k·mad AND mad > 0. Every float op is a
+    fixed single IEEE expression over deterministic inputs, so the
+    whole output is oracle-pairable bit-for-bit. Consistency scaling
+    (·1.4826 to estimate σ, or the 0.6745 modified-z form) is left to
+    the caller's k.
+
+    Scale: two exact-median passes (two shuffles on `key_col`) + two
+    key equi-joins that reuse the same hash partitioning; nothing
+    touches the driver."""
+    med = exact_group_median(df, key_col, value_col, "median")
+    base = (df.filter(F.col(value_col).isNotNull())
+              .join(med, key_col)
+              .withColumn("abs_dev",
+                          F.abs(F.col(value_col) - F.col("median"))))
+    mad = exact_group_median(base, key_col, "abs_dev", "mad")
+    out = base.join(mad, key_col)
+    return (out.withColumn(
+                "robust_z",
+                F.when(F.col("mad") > 0,
+                       (F.col(value_col) - F.col("median"))
+                       / F.col("mad")))
+               .withColumn(
+                "is_outlier",
+                (F.col("mad") > 0)
+                & (F.col("abs_dev") > F.lit(float(k)) * F.col("mad"))))
