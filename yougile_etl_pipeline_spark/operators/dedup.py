@@ -34,6 +34,7 @@ from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
 __all__ = [
     "exact_dedup",
     "shingle_jaccard_pairs",
+    "shingle_containment_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash",
@@ -132,6 +133,68 @@ def shingle_jaccard_pairs(
                      / (F.col("sz_a") + F.col("sz_b") - F.col("common"))))
     return j.filter(F.col("jaccard") >= threshold) \
             .select("doc_a", "doc_b", "common", "sz_a", "sz_b", "jaccard")
+
+
+def shingle_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    *, n: int = 3, threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: exact n-gram containment
+    ``C(A→B) = |A∩B| / |A|`` — the sub-document detector Jaccard
+    misses. A quoted paragraph, a syndicated article inside a portal
+    page, a doc re-crawled with a big footer appended: |A∩B|/|A| ≈ 1
+    while Jaccard = |A∩B|/|A∪B| is tiny because |B| dominates the
+    union. Corpus dedup needs both lenses; this is the containment one.
+
+    Same scale shape as `shingle_jaccard_pairs` (same candidate
+    equi-join on (block, shingle), same stop-shingle DF cap bounding
+    the self-join, same single-slot persist of the shingle stream);
+    emits each ``id_a < id_b`` pair once with BOTH directions
+    (``cont_a_in_b``, ``cont_b_in_a`` — exact-int ratios, one IEEE
+    division each) and keeps pairs where EITHER direction ≥
+    `threshold`. Docs with zero (post-cap) shingles have no candidate
+    rows and are never emitted — containment over an empty set is
+    undefined, not 1."""
+    block_cols = block_cols or []
+    ex = _shingled(ensure_parallelism(df), id_col, text_col, n, block_cols)
+    if max_shingle_df is not None:
+        dfreq = (ex.groupBy(*block_cols, "sh")
+                   .agg(F.count(F.lit(1)).alias("__df")))
+        keep = dfreq.filter(F.col("__df") <= max_shingle_df) \
+                    .select(*block_cols, "sh")
+        ex = ex.join(keep, [*block_cols, "sh"])
+    ex = ex.persist()
+    prev = _LAST_SHINGLE_CACHE.pop(0) if _LAST_SHINGLE_CACHE else None
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _LAST_SHINGLE_CACHE.append(ex)
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = ex.select(F.col("doc").alias("doc_a"),
+                  *[F.col(c) for c in block_cols], "sh")
+    b = ex.select(F.col("doc").alias("doc_b"),
+                  *[F.col(c).alias(f"__b_{c}") for c in block_cols], "sh")
+    cond = [a.sh == b.sh] + [F.col(c) == F.col(f"__b_{c}")
+                             for c in block_cols]
+    common = (a.join(b, cond)
+               .filter(F.col("doc_a") < F.col("doc_b"))
+               .groupBy("doc_a", "doc_b")
+               .agg(F.count(F.lit(1)).alias("common")))
+    sz_a = sizes.select(F.col("doc").alias("doc_a"),
+                        F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc").alias("doc_b"),
+                        F.col("sz").alias("sz_b"))
+    c = (common.join(sz_a, "doc_a").join(sz_b, "doc_b")
+         .withColumn("cont_a_in_b",
+                     F.col("common").cast("double") / F.col("sz_a"))
+         .withColumn("cont_b_in_a",
+                     F.col("common").cast("double") / F.col("sz_b")))
+    return (c.filter((F.col("cont_a_in_b") >= threshold)
+                     | (F.col("cont_b_in_a") >= threshold))
+             .select("doc_a", "doc_b", "common", "sz_a", "sz_b",
+                     "cont_a_in_b", "cont_b_in_a"))
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
