@@ -45,6 +45,7 @@ __all__ = [
     "ivf_topk_np",
     "kmeans_update",
     "kmeans_train",
+    "semantic_dedup",
     "embedding_decontaminate",
     "ann_sizing_report",
 ]
@@ -655,6 +656,51 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
                       (dot("va", "vb") / (F.col("na") * F.col("nb")))
                       .alias("cos_sim")))
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def semantic_dedup(df: DataFrame, centroids: DataFrame,
+                   *, threshold: float,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the corpus with a coarse
+    quantizer, then mark near-duplicates WITHIN each cluster only.
+
+    The public-recipe shape (SemDeDup, Abbas et al. 2023): k-means
+    cluster the embeddings, compare pairwise only inside a cluster, keep
+    one representative per near-dup group. Here the cluster assignment
+    is `ivf_assign` (nprobe=1 — same broadcast-centroids struct-max as
+    the ANN path; plug `kmeans_train` output or a deterministic sample
+    as `centroids`), and the keep rule is deterministic and
+    non-iterative: a vector is a duplicate iff SOME lower-id vector in
+    its cluster has cosine ≥ `threshold`; ``dup_of`` is the smallest
+    such id (NULL = kept). For full transitive closure feed the
+    implied pair list to `graph.dedup_clusters` instead — this
+    operator is the one-pass ε-ball filter.
+
+    Output: ``(id_col, centroid_id, dup_of, is_kept)`` — one row per
+    input vector, all scalars, fully oracle-pairable (assignment and
+    cosine are the exact expressions the IVF oracle states).
+
+    Scale: the within-cluster self-join is the quadratic risk. With C
+    centroids and balanced lists, pair volume is N²/C — size C like the
+    SemDeDup paper does (C grows with N; √N makes the pair volume
+    N^1.5, N/100 makes it 100·N). Boundary miss (true dups split by a
+    cluster edge) is the recall trade documented in the paper; raise C
+    and accept it, or run the LSH-bucket `cosine_near_dup_pairs` lens
+    alongside."""
+    assign = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    a = assign.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"), "centroid_id")
+    b = assign.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"), "centroid_id")
+    dups = (a.join(b, "centroid_id")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(cosine("va", "vb") >= threshold)
+             .groupBy("id_b")
+             .agg(F.min("id_a").alias("dup_of")))
+    return (assign.select(id_col, "centroid_id")
+            .join(dups.withColumnRenamed("id_b", id_col), id_col, "left")
+            .withColumn("is_kept", F.col("dup_of").isNull()))
 
 
 def kmeans_update(corpus: DataFrame, centroids: DataFrame,
