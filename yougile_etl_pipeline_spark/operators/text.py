@@ -26,6 +26,7 @@ __all__ = [
     "quality_score",
     "repetition_stats",
     "bm25_scores",
+    "domain_affinity",
     "chunk_documents",
     "line_dedup",
     "self_dedup",
@@ -690,3 +691,55 @@ def lm_quality_score(docs: DataFrame, lm: DataFrame | None = None,
                  / (F.col("n_trigrams").cast("double")
                     * F.col("__total").cast("double")))
                 .alias("lm_score")))
+
+
+def domain_affinity(df: DataFrame, target: DataFrame, *,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Data-selection affinity of every document to a target domain —
+    the DSIR-family shape (Xie et al. 2023: importance resampling on
+    cheap n-gram features), reduced to exact arithmetic so it is
+    bit-portable.
+
+    Features are each document's DISTINCT whitespace tokens. With
+    document frequencies df_target(t) (over the `target` subset — the
+    "what I want more of" sample) and df_raw(t) (over `df`), the score
+    is a ratio of two masses summed over the doc's features:
+
+        affinity = Σ df_target(t)  /  Σ df_raw(t)
+
+    Both masses are exact integer sums (order-independent — no float
+    accumulation), divided ONCE in IEEE double; documents whose
+    vocabulary concentrates in target-typical tokens score toward
+    |target|/|corpus|·k, out-of-domain documents toward 0. This is the
+    sufficient-statistics reduction of DSIR's per-feature
+    log-likelihood ratio (same trick as `agg_sufficient_stats` /
+    `bm25_scores`' linear idf): monotone-aligned for ranking and
+    sampling cutoffs, while staying oracle-pairable — an ln-based
+    product of per-token ratios cannot be.
+
+    Output: ``(id_col, n_feats, tgt_mass, raw_mass, affinity)``, one
+    row per document of `df`.
+
+    Scale: explode distinct tokens (map-only), two token-keyed
+    document-frequency aggregations, one equi-join of the feature
+    stream against each (vocab-sized relations — broadcastable when
+    the vocabulary is bounded; at open-web scale hash tokens into 2²⁰
+    buckets first, exactly DSIR's hashed-feature move, and these joins
+    stay bounded too), then one groupBy(doc). No driver collects."""
+    feats = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    tgt_feats = target.select(
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    raw_df = feats.groupBy("tok").agg(F.count(F.lit(1)).alias("__rdf"))
+    tgt_df = tgt_feats.groupBy("tok").agg(F.count(F.lit(1)).alias("__tdf"))
+    scored = (feats.join(raw_df, "tok")
+                   .join(tgt_df, "tok", "left"))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_feats"),
+                 F.sum(F.coalesce(F.col("__tdf"), F.lit(0)))
+                  .alias("tgt_mass"),
+                 F.sum("__rdf").alias("raw_mass"))
+            .withColumn("affinity",
+                        F.col("tgt_mass") / F.col("raw_mass")))
