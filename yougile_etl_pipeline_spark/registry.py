@@ -853,9 +853,24 @@ _STABLE_CERTIFIED = [
 # bit-identical in tests/test_pq_oracle_parity.py) and
 # `events_ewma` (operators/timeseries.py::ewma_fixed_point —
 # exact integer exponential smoothing; recursive-CTE oracle proven in
-# tests/test_timeseries.py). Registration is copy-the-SQL. Keep any
-# further r06 additions ≤ the freed slots so every query stays
-# driver-certified at each round boundary.
+# tests/test_timeseries.py). Round-5 additions to the staged set, each
+# with its DuckDB oracle proven bit-identical before registration:
+# `sketch_countmin_suppliers` (operators/frequency.py count_min_* —
+# bounded mergeable frequency state; tests/test_countmin.py),
+# `events_mad_outliers` (operators/quality.py exact_group_median /
+# mad_outliers; tests/test_robust_stats.py),
+# `dedup_shingle_containment` (operators/dedup.py
+# shingle_containment_pairs — asymmetric sub-document lens;
+# tests/test_containment.py), `dedup_semantic`
+# (operators/similarity.py semantic_dedup — SemDeDup cluster-then-
+# epsilon-ball; tests/test_semantic_dedup.py), `text_domain_affinity`
+# (operators/text.py domain_affinity — DSIR-shape data selection;
+# tests/test_domain_affinity.py), and `text_bpe_merge_step`
+# (operators/bpe.py — distributed BPE vocabulary induction;
+# tests/test_bpe.py). Registration is copy-the-SQL from each test's
+# _ORACLE. 10 staged ≤ 50 freed slots. Keep any further r06 additions
+# ≤ the freed slots so every query stays driver-certified at each
+# round boundary.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
