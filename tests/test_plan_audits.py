@@ -402,3 +402,96 @@ def test_headline_plan_within_budget(spark, name):
         f"pushed filters, expected >= {min_pushed} — pushdown lost")
     assert not p["has_nested_loop_join"], (
         f"{name}: nested-loop join appeared in the plan")
+
+
+def test_countmin_build_single_bounded_shuffle(spark):
+    """count_min_build: exactly one exchange (the bounded (depth,
+    bucket) aggregate), with a map-side partial HashAggregate before
+    it — the <= depth*width-rows-per-task bound SCALE.md claims."""
+    from yougile_etl_pipeline_spark.operators.frequency import (
+        count_min_build,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    plan = _formatted(spark, count_min_build(li, "l_suppkey",
+                                             width=256, depth=4))
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") - body.count("BroadcastExchange") == 1
+    assert plan.count("HashAggregate") >= 2   # partial + final
+
+
+def test_countmin_estimate_broadcasts_sketch(spark):
+    from yougile_etl_pipeline_spark.operators.frequency import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    sk = count_min_build(li, "l_suppkey", width=256, depth=4)
+    plan = _formatted(spark, count_min_estimate(
+        sk, li.select("l_suppkey"), "l_suppkey", width=256, depth=4))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids_no_nested_loop(spark):
+    """semantic_dedup: centroid assignment is a broadcast join; the
+    within-cluster pair generation is an equi-join on centroid_id —
+    never a cartesian/BNLJ over the corpus."""
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = emb.filter("vec_id < 16")
+    plan = _formatted(spark, semantic_dedup(emb, cents, threshold=0.25))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the broadcasted 16-row centroid cross
+    # join inside ivf_assign (bounded build side, by design); the
+    # corpus-vs-corpus pair join must be a hash join
+    assert ("ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_domain_affinity_partial_aggregates_df_tables(spark):
+    """domain_affinity: both document-frequency aggregations partially
+    combine map-side, and the final per-doc mass aggregation is a hash
+    aggregate — no window, no sort."""
+    from yougile_etl_pipeline_spark.operators.text import domain_affinity
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _formatted(spark, domain_affinity(
+        docs, docs.filter("lang = 'en'")))
+    body = plan.split("\n\n")[0]
+    assert "HashAggregate" in body
+    assert "Window" not in body
+    assert "CartesianProduct" not in body
+
+
+def test_bpe_apply_merge_is_map_only(spark):
+    """apply_merge: the greedy fold is a per-row project over the scan —
+    zero exchanges of any kind."""
+    from yougile_etl_pipeline_spark.operators.bpe import (
+        apply_merge,
+        char_symbols,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+                 .withColumn("syms", char_symbols("word")))
+    plan = _formatted(spark, apply_merge(words, "a", "b"))
+    body = plan.split("\n\n")[0]
+    assert "Exchange" not in body
+
+
+def test_mad_outliers_reuses_key_partitioning(spark):
+    """mad_outliers: every shuffle is on the key column; the join-backs
+    must not introduce a sort-merge join over a fresh global sort of
+    the fact (hash joins reusing the key partitioning are expected)."""
+    from yougile_etl_pipeline_spark.operators.quality import mad_outliers
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    plan = _formatted(spark, mad_outliers(ev, "event_type", "value"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
