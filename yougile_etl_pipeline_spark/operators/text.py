@@ -27,6 +27,7 @@ __all__ = [
     "repetition_stats",
     "bm25_scores",
     "domain_affinity",
+    "collocation_lift",
     "chunk_documents",
     "line_dedup",
     "self_dedup",
@@ -743,3 +744,61 @@ def domain_affinity(df: DataFrame, target: DataFrame, *,
                  F.sum("__rdf").alias("raw_mass"))
             .withColumn("affinity",
                         F.col("tgt_mass") / F.col("raw_mass")))
+
+
+def collocation_lift(df: DataFrame, *, text_col: str = "text",
+                     min_pair_count: int = 5) -> DataFrame:
+    """Corpus collocation mining: adjacent token pairs ranked by LIFT —
+    the ln-free twin of PMI (Church & Hanks' association ratio without
+    the log), so "new york"-style multiword units surface while
+    chance co-occurrences of frequent words score ~1.
+
+        lift(a,b) = p(a,b) / (p(a)·p(b))
+                  = (c_ab / N_pairs) / ((c_a / N_tok) · (c_b / N_tok))
+
+    All counts are exact integers (order-independent sums); the score
+    is ONE fixed float expression over them —
+    ``c_ab·N_tok·N_tok / (N_pairs·c_a·c_b)`` evaluated in double with
+    the numerator/denominator association written identically in the
+    SQL oracle — so output is bit-portable. (PMI = ln(lift): identical
+    ranking, but ln isn't bit-portable across engines — the
+    `bm25_scores` linear-idf trade.)
+
+    Output: ``(tok_a, tok_b, c_ab, c_a, c_b, lift)`` for pairs with
+    ``c_ab >= min_pair_count`` (the support floor that keeps the
+    result corpus-stable and the output bounded).
+
+    Scale: bigram + unigram counting are partial-agg shuffles bounded
+    by vocab²/vocab; the two count joins are vocab-keyed equi-joins
+    (broadcastable for bounded vocabularies); corpus totals are a
+    one-row broadcast via cross join (the `bm25_scores` pattern — the
+    whole plan stays lazy, no driver collect)."""
+    toks = tokens(text_col)
+    starts = F.when(F.size(toks) > 1,
+                    F.sequence(F.lit(1), F.size(toks) - 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    big = (df.select(toks.alias("__t"), F.explode(starts).alias("__i"))
+             .select(F.element_at("__t", F.col("__i")).alias("tok_a"),
+                     F.element_at("__t", F.col("__i") + 1).alias("tok_b")))
+    c_ab = (big.groupBy("tok_a", "tok_b")
+               .agg(F.count(F.lit(1)).alias("c_ab"))
+               .filter(F.col("c_ab") >= min_pair_count))
+    uni = (df.select(F.explode(toks).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    stats = (df.select(toks.alias("__t"))
+               .agg(F.sum(F.size("__t")).alias("__n_tok"),
+                    F.sum(F.greatest(F.size("__t") - 1, F.lit(0)))
+                     .alias("__n_pairs")))
+    scored = (c_ab
+              .join(uni.select(F.col("tok").alias("tok_a"),
+                               F.col("c").alias("c_a")), "tok_a")
+              .join(uni.select(F.col("tok").alias("tok_b"),
+                               F.col("c").alias("c_b")), "tok_b")
+              .crossJoin(F.broadcast(stats)))
+    nt = F.col("__n_tok").cast("double")
+    lift = (F.col("c_ab").cast("double") * nt * nt
+            / (F.col("__n_pairs").cast("double")
+               * F.col("c_a").cast("double")
+               * F.col("c_b").cast("double")))
+    return scored.select("tok_a", "tok_b", "c_ab", "c_a", "c_b",
+                         lift.alias("lift"))
