@@ -166,3 +166,56 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 150                      # no batch-1 re-emit
     assert out.select("k").distinct().count() == 150
+
+
+def test_stream_outer_join_emits_unmatched_after_watermark(spark):
+    """LEFT OUTER stream-stream attribution: matched rows equal the
+    inner join exactly; NULL-purchase rows are precisely the batch
+    no-conversion clicks OLD enough that the final watermark proved no
+    purchase can arrive (clicks newer than watermark - window stay
+    buffered — the documented append-mode boundary)."""
+    from tests.conftest import SF_SMOKE
+    from yougile_etl_pipeline_spark.registry import QUERIES
+    from yougile_etl_pipeline_spark.streaming.joins import (
+        ATTRIBUTION_WINDOW_MS,
+        run_attribution_outer_available_now,
+    )
+
+    stream = run_attribution_outer_available_now(
+        spark, SF_SMOKE, table_name="t_attr_outer_parity")
+
+    matched = stream.filter(F.col("purchase_id").isNotNull()) \
+                    .select("user_id", "click_id", "purchase_id", "gap_ms")
+    batch_inner = QUERIES["events_interval_join"](spark, SF_SMOKE)
+    assert (sorted(map(tuple, matched.collect()))
+            == sorted(map(tuple, batch_inner.collect())))
+
+    # batch truth: clicks with NO qualifying purchase at all
+    events = load_table(spark, SF_SMOKE, "events")
+    clicks = events.filter("event_type = 'click'") \
+                   .select("event_id", "user_id", "ts")
+    purchases = events.filter("event_type = 'purchase'") \
+                      .select(F.col("user_id").alias("p_user"),
+                              F.col("ts").alias("p_ts"))
+    unconverted = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts")
+           + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MS} MILLISECONDS")),
+        "left_anti")
+    # the watermark at stream end: max click event time - 2h (the
+    # watermark delay); clicks evict once watermark passes
+    # c_ts + window, so only sufficiently old clicks emit NULLs
+    max_ts = clicks.agg(F.max("ts")).collect()[0][0]
+    horizon = (F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+               - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MS} MILLISECONDS"))
+    want = {r["event_id"] for r in
+            unconverted.filter(F.col("ts") < horizon).collect()}
+    got = {r["click_id"] for r in
+           stream.filter(F.col("purchase_id").isNull()).collect()}
+    assert got, "no unmatched clicks emitted - watermark never advanced"
+    # every emitted NULL is a true non-conversion, and every old-enough
+    # non-conversion was emitted
+    assert got.issubset({r["event_id"] for r in unconverted.collect()})
+    assert want.issubset(got)
