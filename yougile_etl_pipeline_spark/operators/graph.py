@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "canonical_docs"]
+__all__ = ["connected_components", "canonical_docs",
+           "pagerank_fixed_point", "triangle_count", "label_propagation"]
 
 
 def connected_components(
@@ -268,3 +269,61 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
         canon.alias("e3"),
         (F.col("a") == F.col("e3.lo")) & (F.col("c") == F.col("e3.hi")))
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def label_propagation(edges: DataFrame, *, src: str = "src",
+                      dst: str = "dst", iterations: int = 3,
+                      checkpoint_every: int | None = 8) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), made deterministic: after `iterations` rounds each node
+    carries the community label that flooded to it.
+
+        label₀(v)    = v
+        labelₜ₊₁(v)  = the most frequent label among v's neighbors,
+                       ties broken by the SMALLEST label
+
+    The tie rule replaces the paper's random choice, so a FIXED
+    iteration count is bit-deterministic at any partitioning and
+    SQL-oracle-pairable (the same replace-randomness-with-total-order
+    move as `pagerank_fixed_point` / `connected_components`). Known
+    LPA caveat, inherited: synchronous updates can oscillate on
+    bipartite-ish structures (a star flips center↔leaf labels each
+    round) — pick `iterations` odd/even deliberately or read
+    stabilized regions only; communities (unlike `connected_components`
+    output) are heuristic by nature.
+
+    Input is taken as an UNDIRECTED simple graph: edges are
+    symmetrized, parallel edges collapsed, self-loops dropped — so a
+    neighbor votes once per round regardless of edge multiplicity.
+    Node ids must be numeric (the min-tie-break rides a negated
+    struct-max).
+
+    Per round: one join of the (node-keyed) label table against the
+    symmetrized edge list + one (node, label) count with map-side
+    partials + one struct-max per node — all equi-keyed on node ids,
+    shuffle volume O(E). `checkpoint_every` truncates lineage like the
+    other iterative operators."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    labels = (und.select(F.col("a").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")))
+    for i in range(iterations):
+        nbr = (und.join(labels.withColumnRenamed("node", "b"), "b")
+                  .select(F.col("a").alias("node"), "lbl"))
+        cnt = (nbr.groupBy("node", "lbl")
+                  .agg(F.count(F.lit(1)).alias("__c")))
+        best = cnt.groupBy("node").agg(
+            F.max(F.struct(F.col("__c"),
+                           (-F.col("lbl")).alias("__neg"))).alias("m"))
+        labels = best.select(
+            "node",
+            (-F.col("m.__neg")).cast(dict(cnt.dtypes)["lbl"]).alias("lbl"))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.withColumnRenamed("lbl", "community")
