@@ -865,12 +865,21 @@ _STABLE_CERTIFIED = [
 # (operators/similarity.py semantic_dedup — SemDeDup cluster-then-
 # epsilon-ball; tests/test_semantic_dedup.py), `text_domain_affinity`
 # (operators/text.py domain_affinity — DSIR-shape data selection;
-# tests/test_domain_affinity.py), and `text_bpe_merge_step`
+# tests/test_domain_affinity.py), `text_bpe_merge_step`
 # (operators/bpe.py — distributed BPE vocabulary induction;
-# tests/test_bpe.py). Registration is copy-the-SQL from each test's
-# _ORACLE. 10 staged ≤ 50 freed slots. Keep any further r06 additions
-# ≤ the freed slots so every query stays driver-certified at each
-# round boundary.
+# tests/test_bpe.py), `text_collocations` (operators/text.py
+# collocation_lift — ln-free PMI association mining;
+# tests/test_collocations.py), `graph_label_propagation`
+# (operators/graph.py label_propagation — deterministic sync LPA,
+# 3-round unrolled-CTE oracle; tests/test_label_propagation.py), and
+# `emb_gram_matrix` (operators/linalg.py gram_matrix — exact integer
+# -unit second-moment accumulation; tests/test_linalg.py).
+# `streaming/joins.py::click_attribution_outer` (left-outer stream-
+# stream with watermark eviction) is batch-parity-tested and could
+# register rows-only if slots allow. Registration is copy-the-SQL
+# from each test's _ORACLE. 13 staged ≤ 50 freed slots. Keep any
+# further r06 additions ≤ the freed slots so every query stays
+# driver-certified at each round boundary.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
