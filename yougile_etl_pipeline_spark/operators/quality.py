@@ -14,7 +14,7 @@ __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
            "sample_by_rates", "key_skew_profile", "train_val_test_split",
            "check_expectations", "quarantine", "scd2_build",
            "scd2_lookup", "pseudonymize", "topk_per_group",
-           "exact_group_median", "mad_outliers"]
+           "exact_group_median", "mad_outliers", "distribution_drift"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -399,3 +399,46 @@ def mad_outliers(df: DataFrame, key_col: str, value_col: str, *,
                 "is_outlier",
                 (F.col("mad") > 0)
                 & (F.col("abs_dev") > F.lit(float(k)) * F.col("mad"))))
+
+
+def distribution_drift(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
+    """Per-category distribution drift between two snapshots of a
+    column — the load-over-load monitor that catches a source silently
+    changing shape (an event type vanishing, a language mix shifting)
+    before it poisons downstream samples.
+
+    Output, one row per category present in EITHER snapshot (NULL is a
+    category, handled null-safely end to end): ``(col, c_a, c_b,
+    share_a, share_b, share_delta)`` — exact integer counts, shares as
+    one exact-int division each, ``share_delta = |share_a − share_b|``
+    as a fixed IEEE expression. Everything is oracle-pairable; the
+    PSI/KL-style ln is deliberately absent (not bit-portable — the
+    `bm25_scores` trade), and a per-category |Δshare| ranks drift the
+    same way for a fixed pair of snapshots.
+
+    Scale: two category-keyed counted aggregations (map-side partials,
+    shuffle one row per distinct category), one null-safe full-outer
+    join of the two category tables, totals as one-row broadcasts —
+    the whole plan is lazy. Empty snapshots yield NaN shares (0/0);
+    gate upstream if that matters."""
+    ca = (a.groupBy(col).agg(F.count(F.lit(1)).alias("c_a"))
+           .withColumnRenamed(col, "__va"))
+    cb = (b.groupBy(col).agg(F.count(F.lit(1)).alias("c_b"))
+           .withColumnRenamed(col, "__vb"))
+    na = ca.agg(F.sum("c_a").alias("__n_a"))
+    nb = cb.agg(F.sum("c_b").alias("__n_b"))
+    j = (ca.join(cb, F.col("__va").eqNullSafe(F.col("__vb")),
+                 "full_outer")
+           .crossJoin(F.broadcast(na))
+           .crossJoin(F.broadcast(nb)))
+    share_a = (F.coalesce(F.col("c_a"), F.lit(0)).cast("double")
+               / F.col("__n_a").cast("double"))
+    share_b = (F.coalesce(F.col("c_b"), F.lit(0)).cast("double")
+               / F.col("__n_b").cast("double"))
+    return j.select(
+        F.coalesce(F.col("__va"), F.col("__vb")).alias(col),
+        F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
+        F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
+        share_a.alias("share_a"),
+        share_b.alias("share_b"),
+        F.abs(share_a - share_b).alias("share_delta"))
