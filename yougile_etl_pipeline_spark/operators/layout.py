@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["z_value", "z_value_sql", "zorder_key", "zorder_profile",
+__all__ = ["corpus_manifest", "write_shards", "z_value", "z_value_sql", "zorder_key", "zorder_profile",
            "write_zordered", "write_bucketed", "file_profile",
            "compact_path"]
 
@@ -216,3 +216,63 @@ def compact_path(spark, path: str,
     fsutil.rename(staging, path)
     fsutil.rmtree(backup)
     return rec
+
+
+def corpus_manifest(df: DataFrame, key_col: str,
+                    payload_cols: list[str], *,
+                    n_shards: int = 16) -> DataFrame:
+    """Release manifest for a sharded corpus: per shard, the row count
+    and an ORDER-INDEPENDENT content checksum.
+
+        shard_id  = md5-bucket of `key_col`   (hash_bucket: portable,
+                    growth-stable routing)
+        checksum  = sum over rows of int60(md5(row content)) as
+                    DECIMAL(38,0) -- integer addition is associative/
+                    commutative, so the checksum is identical at ANY
+                    partitioning, engine, or file order (what makes a
+                    distributed corpus checksum possible at all; md5
+                    of the concatenated row content means any single-
+                    bit payload change moves the sum).
+
+    This is the artifact a corpus RELEASE ships next to the shards: a
+    consumer re-runs the same manifest over what they downloaded and
+    diffs -- row-count drift pins truncated shards, checksum drift
+    pins corrupted ones. Fully oracle-pairable (exact ints end to
+    end). One bounded aggregation: the shuffle carries <= n_shards
+    rows after map-side partials.
+
+    Row content = key and payload columns joined with the unit
+    separator chr(31); payload columns are null-coalesced to a
+    sentinel BEFORE concat (concat_ws skips nulls, which would make
+    ('a', NULL, 'b') collide with ('a', 'b', NULL))."""
+    from yougile_etl_pipeline_spark.operators.quality import hash_bucket
+
+    sep = chr(31)
+    parts = [F.col(key_col).cast("string")] + [
+        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+        for c in payload_cols]
+    row_fp = F.conv(
+        F.substring(F.md5(F.concat_ws(sep, *parts)), 1, 15),
+        16, 10).cast("decimal(38,0)")
+    return (df.withColumn("shard_id",
+                          hash_bucket(key_col, n_shards).cast("int"))
+              .groupBy("shard_id")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(row_fp).alias("checksum")))
+
+
+def write_shards(df: DataFrame, path: str, key_col: str,
+                 payload_cols: list[str], *,
+                 n_shards: int = 16) -> DataFrame:
+    """Write the corpus partitioned by manifest shard (one directory
+    per shard_id, routing identical to `corpus_manifest`) and return
+    the manifest computed from the INPUT. The round-trip test
+    re-manifests the written files and asserts equality -- the
+    release-integrity contract. Routing by md5 bucket keeps shard
+    membership stable as the corpus grows (append-only releases)."""
+    from yougile_etl_pipeline_spark.operators.quality import hash_bucket
+
+    (df.withColumn("shard_id", hash_bucket(key_col, n_shards).cast("int"))
+       .repartition(n_shards, F.col("shard_id"))
+       .write.mode("overwrite").partitionBy("shard_id").parquet(path))
+    return corpus_manifest(df, key_col, payload_cols, n_shards=n_shards)
