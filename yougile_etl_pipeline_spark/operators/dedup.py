@@ -35,6 +35,7 @@ __all__ = [
     "exact_dedup",
     "shingle_jaccard_pairs",
     "shingle_containment_pairs",
+    "shingle_blocking_profile",
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash",
@@ -548,3 +549,39 @@ def dedup_incremental_bloom(new_docs: DataFrame, known_fps: DataFrame,
                 .unionByName(fp.filter("NOT __maybe")
                                .withColumn("__k", F.lit(None).cast("int"))))
     return _verdict_select(probed.drop("__maybe"), fp, id_col)
+
+
+def shingle_blocking_profile(df: DataFrame, id_col: str, text_col: str,
+                             *, n: int = 3,
+                             block_cols: list[str] | None = None
+                             ) -> DataFrame:
+    """Blocking cost estimator for the shingle-join dedup family: per
+    block, the EXACT candidate-pair volume the self-join would
+    generate — the number that decides `max_shingle_df` BEFORE a
+    100 TB pass is launched (a shingle with document frequency d
+    contributes d·(d−1)/2 pairs; the profile makes the Σ visible
+    instead of discovering it as a hung stage).
+
+    Output per block: ``n_docs``, ``n_occurrences`` (doc-shingle
+    rows), ``n_distinct_shingles``, ``max_df`` (the hottest shingle),
+    and ``candidate_pairs`` = Σ_sh df·(df−1)/2 — all exact integers
+    from ONE aggregation over the exploded shingle stream plus a
+    per-block roll-up (two bounded shuffles; nothing touches document
+    bodies). Unblocked profiling = one global row (pass no
+    block_cols)."""
+    block_cols = block_cols or []
+    ex = _shingled(ensure_parallelism(df), id_col, text_col, n,
+                   block_cols)
+    per_sh = (ex.groupBy(*block_cols, "sh")
+                .agg(F.count(F.lit(1)).alias("__df")))
+    docs = (ex.groupBy(*block_cols)
+              .agg(F.count_distinct("doc").alias("n_docs"),
+                   F.count(F.lit(1)).alias("n_occurrences")))
+    agg = (per_sh.groupBy(*block_cols)
+           .agg(F.count(F.lit(1)).alias("n_distinct_shingles"),
+                F.max("__df").alias("max_df"),
+                F.sum(F.expr("__df * (__df - 1L) div 2"))
+                 .alias("candidate_pairs")))
+    if block_cols:
+        return docs.join(agg, block_cols)
+    return docs.crossJoin(agg)
