@@ -124,3 +124,99 @@ def test_dedup_roundtrip_and_python_oracle(spark, docs):
     got = {r.doc_id: r.clean_text
            for r in self_dedup(sdf, seg_tokens=W).collect()}
     assert got == expect
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=50),
+                     min_size=1, max_size=60))
+@_slow
+def test_countmin_overestimates_and_merges_exactly(spark, keys):
+    """CMS property: estimate >= exact count for every key, at any key
+    multiset; merge(build(A), build(B)) == build(A ∪ B) exactly."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.operators.frequency import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sk = count_min_build(df, "k", width=32, depth=3)
+    est = {r["k"]: r["cm_est"] for r in
+           count_min_estimate(sk, df, "k", width=32, depth=3).collect()}
+    exact = Counter(keys)
+    assert set(est) == set(exact)
+    assert all(est[k] >= c for k, c in exact.items())
+    half_a = df.filter(F.col("k") % 2 == 0)
+    half_b = df.filter(F.col("k") % 2 != 0)
+    merged = count_min_merge(
+        count_min_build(half_a, "k", width=32, depth=3),
+        count_min_build(half_b, "k", width=32, depth=3))
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, sk.collect())))
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30),
+    min_size=2, max_size=8))
+@_slow
+def test_containment_bounds_and_symmetry_relation(spark, texts):
+    """Containment property: both directions in (0, 1]; common <= both
+    sizes; and Jaccard <= min(containment) for every emitted pair."""
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    rows = shingle_containment_pairs(df, "doc_id", "text", n=2,
+                                     threshold=0.0,
+                                     max_shingle_df=None).collect()
+    for r in rows:
+        assert 0 < r["cont_a_in_b"] <= 1 and 0 < r["cont_b_in_a"] <= 1
+        assert r["common"] <= min(r["sz_a"], r["sz_b"])
+        jac = r["common"] / (r["sz_a"] + r["sz_b"] - r["common"])
+        assert jac <= min(r["cont_a_in_b"], r["cont_b_in_a"]) + 1e-12
+
+
+@given(vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                     min_size=1, max_size=40))
+@_slow
+def test_exact_median_matches_statistics_median(spark, vals):
+    """exact_group_median == statistics.median on any int multiset."""
+    import statistics
+
+    from yougile_etl_pipeline_spark.operators.quality import (
+        exact_group_median,
+    )
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "k string, v double")
+    [r] = exact_group_median(df, "k", "v").collect()
+    assert r["median"] == float(statistics.median(vals))
+
+
+@given(words=st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6),
+    min_size=1, max_size=12, unique=True))
+@_slow
+def test_bpe_merge_preserves_concatenation(spark, words):
+    """Applying any observed merge never changes the string a symbol
+    sequence spells out (merges only glue adjacent symbols)."""
+    from yougile_etl_pipeline_spark.operators.bpe import (
+        apply_merge,
+        best_pair,
+        char_symbols,
+        pair_counts,
+    )
+
+    df = (spark.createDataFrame([(w,) for w in words], "word string")
+          .withColumn("syms", char_symbols("word")))
+    win = best_pair(pair_counts(df))
+    if win is None:
+        return
+    out = apply_merge(df, win[0], win[1]).collect()
+    for r in out:
+        assert "".join(r["syms"]) == r["word"] + "</w>"
