@@ -873,11 +873,21 @@ _STABLE_CERTIFIED = [
 # (operators/graph.py label_propagation — deterministic sync LPA,
 # 3-round unrolled-CTE oracle; tests/test_label_propagation.py), and
 # `emb_gram_matrix` (operators/linalg.py gram_matrix — exact integer
-# -unit second-moment accumulation; tests/test_linalg.py).
+# -unit second-moment accumulation; tests/test_linalg.py),
+# `dedup_simhash_recall_eval` (banding scorecard vs exact bigram
+# Jaccard truth; tests/test_simhash_eval.py),
+# `quality_distribution_drift` (operators/quality.py
+# distribution_drift — null-safe category share drift;
+# tests/test_distribution_drift.py), `corpus_shard_manifest`
+# (operators/layout.py corpus_manifest — order-independent release
+# checksums; checksum must stay stringified at the boundary;
+# tests/test_corpus_manifest.py), and `dedup_blocking_profile`
+# (operators/dedup.py shingle_blocking_profile — exact candidate-pair
+# volume estimator; tests/test_blocking_profile.py).
 # `streaming/joins.py::click_attribution_outer` (left-outer stream-
 # stream with watermark eviction) is batch-parity-tested and could
 # register rows-only if slots allow. Registration is copy-the-SQL
-# from each test's _ORACLE. 13 staged ≤ 50 freed slots. Keep any
+# from each test's _ORACLE. 17 staged ≤ 50 freed slots. Keep any
 # further r06 additions ≤ the freed slots so every query stays
 # driver-certified at each round boundary.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
