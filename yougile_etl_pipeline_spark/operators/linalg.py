@@ -62,10 +62,18 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding", *,
             if not len(pdf):
                 continue
             m = np.stack(pdf[vec_col].values).astype(np.float64)
-            contrib = np.floor(
-                np.einsum("ri,rj->rij", m, m) * scale).astype(np.int64)
-            part = contrib.sum(axis=0)
-            total = part if total is None else total + part
+            # chunk rows: the (rows, d, d) outer-product tensor must be
+            # materialized to floor per row, and a full 10k-row Arrow
+            # batch at d=64 would allocate ~3 GB transients — 512-row
+            # chunks cap it at ~17 MB with identical results (floor and
+            # int64 addition are per-row/associative).
+            for lo in range(0, m.shape[0], 512):
+                chunk = m[lo:lo + 512]
+                contrib = np.floor(
+                    np.einsum("ri,rj->rij", chunk, chunk)
+                    * scale).astype(np.int64)
+                part = contrib.sum(axis=0)
+                total = part if total is None else total + part
         if total is not None:
             iu, ju = np.triu_indices(total.shape[0])
             yield pd.DataFrame({
