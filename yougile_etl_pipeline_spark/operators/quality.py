@@ -14,7 +14,8 @@ __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
            "sample_by_rates", "key_skew_profile", "train_val_test_split",
            "check_expectations", "quarantine", "scd2_build",
            "scd2_lookup", "pseudonymize", "topk_per_group",
-           "exact_group_median", "mad_outliers", "distribution_drift"]
+           "exact_group_median", "mad_outliers", "distribution_drift",
+           "exact_kth_value"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -442,3 +443,96 @@ def distribution_drift(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
         share_a.alias("share_a"),
         share_b.alias("share_b"),
         F.abs(share_a - share_b).alias("share_delta"))
+
+
+def exact_kth_value(df: DataFrame, col: str, k: int, *,
+                    buckets: int = 1024,
+                    collect_cap: int = 100_000) -> float | None:
+    """EXACT k-th smallest non-NULL value of a numeric column (k is
+    1-based) — the global-median/quantile primitive — WITHOUT a global
+    sort and without percentile_approx's error bar.
+
+    A global ``orderBy`` funnels 100 TB through a range-exchange sort
+    just to discard everything but one value; `percentile_approx`
+    trades that for rank error. This is the classic third way,
+    iterative range refinement (distributed selection): each pass
+    histograms the current (lo, hi] candidate range into `buckets`
+    equal-width buckets with ONE map-side-combined scan (shuffle =
+    `buckets` rows), finds the bucket containing the k-th value,
+    recurses into it. The candidate population shrinks ~`buckets`× per
+    pass, so even a trillion rows need 4-5 scans; when the survivors
+    fit `collect_cap`, one bounded collect + an exact in-memory sort
+    finishes (same driver-bounded economics as the k-means centroid
+    collect — and the cap is enforced, never assumed).
+
+    Equal-width bucketing over floats cannot split values closer than
+    the current bucket width — when a pass fails to shrink the
+    candidate set, the loop re-tightens (lo, hi) to the TRUE min/max
+    of the survivors (one cheap aggregate), which either proves all
+    survivors equal (min == max → that value is the answer) or makes
+    the next pass's width smaller than the survivors' spread, so
+    progress is guaranteed. Returns the value (a member of the data,
+    so bit-exact and oracle-pairable via ORDER BY ... OFFSET k-1), or
+    None when the column has fewer than k non-NULL values."""
+    vals = df.select(F.col(col).cast("double").alias("v")) \
+             .filter(F.col("v").isNotNull())
+    total = vals.count()
+    if k < 1 or k > total:
+        return None
+
+    def _bounds(d):
+        r = d.agg(F.min("v"), F.max("v")).collect()[0]
+        return float(r[0]), float(r[1])
+
+    lo, hi = _bounds(vals)
+    need = k  # rank within the current candidate set
+    cur = vals
+    prev_n = None
+    n = total
+    while True:
+        if n <= collect_cap:
+            vs = sorted(r["v"] for r in cur.collect())
+            return vs[need - 1]
+        if (prev_n is not None and n == prev_n) \
+                or (hi - lo) / buckets == 0.0:
+            # the histogram failed to split (survivors closer than the
+            # bucket width, or width underflowed): tighten to the true
+            # data range
+            lo, hi = _bounds(cur)
+            if lo == hi:
+                return lo
+            if (hi - lo) / buckets == 0.0:
+                # spread below float subdivision: survivors within one
+                # ULP neighborhood — bounded distinct values; collect
+                vs = sorted(r["v"] for r in cur.collect())
+                return vs[need - 1]
+        width = (hi - lo) / buckets
+        # bucket of v in [0, buckets): monotone in v even at float
+        # boundary epsilons (clamped both ends), so group ORDER is
+        # always consistent with value order and selection stays exact
+        bkt = F.greatest(F.lit(0), F.least(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+            F.lit(buckets - 1))).cast("int")
+        hist = {r["b"]: r["c"] for r in
+                cur.groupBy(bkt.alias("b"))
+                   .agg(F.count(F.lit(1)).alias("c")).collect()}
+        acc = 0
+        pick = buckets - 1
+        for b in range(buckets):
+            c = hist.get(b, 0)
+            if acc + c >= need:
+                pick = b
+                need -= acc
+                break
+            acc += c
+        # keep rows via the SAME bucket expression (float re-derivation
+        # is identical, so membership is consistent), then narrow the
+        # range to the picked bucket's edges for the next pass
+        cur = cur.filter(F.greatest(F.lit(0), F.least(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+            F.lit(buckets - 1))).cast("int") == pick)
+        prev_n = n
+        n = hist.get(pick, 0)
+        new_lo = lo + pick * width
+        new_hi = hi if pick == buckets - 1 else lo + (pick + 1) * width
+        lo, hi = new_lo, new_hi
