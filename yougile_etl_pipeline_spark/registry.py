@@ -884,10 +884,15 @@ _STABLE_CERTIFIED = [
 # tests/test_corpus_manifest.py), and `dedup_blocking_profile`
 # (operators/dedup.py shingle_blocking_profile — exact candidate-pair
 # volume estimator; tests/test_blocking_profile.py).
+# `agg_exact_median_global` (operators/quality.py exact_kth_value —
+# distributed exact selection via iterative histogram refinement; the
+# engine side computes a scalar and wraps it in a one-row DataFrame,
+# like the kmeans centroid collect; ORDER BY OFFSET oracle proven in
+# tests/test_kth_value.py).
 # `streaming/joins.py::click_attribution_outer` (left-outer stream-
 # stream with watermark eviction) is batch-parity-tested and could
 # register rows-only if slots allow. Registration is copy-the-SQL
-# from each test's _ORACLE. 17 staged ≤ 50 freed slots. Keep any
+# from each test's _ORACLE. 18 staged ≤ 50 freed slots. Keep any
 # further r06 additions ≤ the freed slots so every query stays
 # driver-certified at each round boundary.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
