@@ -1,0 +1,56 @@
+"""Re-run every staged-query oracle-parity test at the DRIVER'S
+certification scale factor (sf0.01) before round-6 registration.
+
+The staged tests prove engine==DuckDB at sf0.001 in normal CI; the
+driver certifies at sf0.01, where bigger data can surface ties,
+overflows, or boundary-type drift the small fixture never hits. This
+wrapper re-executes exactly the parity subset with the fixture dir
+overridden (tests/conftest.py reads SPARK_GRAFT_SMOKE_DIR).
+
+Usage: python scripts/check_staged.py [pytest args...]
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# one parity test per staged round-6 registration (registry.py tail)
+PARITY_TESTS = [
+    "tests/test_pq_oracle_parity.py",                 # pq trio
+    "tests/test_timeseries.py::test_ewma_matches_duckdb_recursive_cte",
+    "tests/test_countmin.py::test_countmin_duckdb_parity",
+    "tests/test_robust_stats.py::test_mad_outliers_duckdb_parity",
+    "tests/test_containment.py::test_containment_duckdb_parity",
+    "tests/test_semantic_dedup.py::test_semantic_dedup_duckdb_parity",
+    "tests/test_domain_affinity.py::test_domain_affinity_duckdb_parity",
+    "tests/test_bpe.py::test_bpe_merge_step_duckdb_parity",
+    "tests/test_collocations.py::test_collocation_lift_duckdb_parity",
+    "tests/test_label_propagation.py::"
+    "test_label_propagation_duckdb_parity",
+    "tests/test_linalg.py::test_gram_matrix_duckdb_parity",
+    "tests/test_simhash_eval.py::test_simhash_eval_duckdb_parity",
+    "tests/test_distribution_drift.py::"
+    "test_distribution_drift_duckdb_parity",
+    "tests/test_corpus_manifest.py::test_corpus_manifest_duckdb_parity",
+    "tests/test_blocking_profile.py::"
+    "test_blocking_profile_duckdb_parity",
+    "tests/test_kth_value.py::test_duckdb_offset_parity",
+]
+
+
+def main() -> int:
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.01")
+    print(f"staged parity sweep at {env['SPARK_GRAFT_SMOKE_DIR']} "
+          f"({len(PARITY_TESTS)} test targets)")
+    return subprocess.call(
+        [sys.executable, "-m", "pytest", "-q", *PARITY_TESTS,
+         *sys.argv[1:]],
+        cwd=REPO, env=env)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

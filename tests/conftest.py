@@ -6,7 +6,14 @@ import pytest
 
 from yougile_etl_pipeline_spark.session import get_spark
 
-SF_SMOKE = "/root/testdata/sf0.001"
+# Overridable so the staged-oracle parity tests can be re-run at the
+# driver's certification SF before registration:
+#   SPARK_GRAFT_SMOKE_DIR=/root/testdata/sf0.01 \
+#     python scripts/check_staged.py
+import os as _os  # noqa: E402
+
+SF_SMOKE = _os.environ.get("SPARK_GRAFT_SMOKE_DIR",
+                           "/root/testdata/sf0.001")
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
