@@ -1,0 +1,764 @@
+"""Round-6 query registrations — STAGED IN ROUND 5, NOT YET WIRED.
+
+Do NOT import this module in round 5: the r05 certification window is
+exactly full, and registering past the driver's 50-slot window would
+leave never-certified queries at the round boundary (the accounting
+tests/test_certification_window.py enforces). At ROUND-6 START, wire
+it with one line next to the other registry imports in registry.py
+(BEFORE `_rotate_certification_window()` at the module tail):
+
+    from yougile_etl_pipeline_spark import registry_r06  # noqa
+
+Every oracle below is the exact SQL proven bit-identical against the
+engine in its staged test (file named per entry) at BOTH sf0.001 and
+the driver's certification scale sf0.01 (`scripts/check_staged.py`,
+18/18 green in round 5). The engine sides are the same operator calls
+the tests exercise. Same determinism contract as registry.py's module
+docstring.
+
+tests/test_registry_r06_staged.py smoke-imports this module in a
+SUBPROCESS (so the round-5 window stays untouched) and verifies every
+entry registers with an oracle and runs green at sf0.001.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.operators.bpe import (
+    apply_merge,
+    best_pair,
+    char_symbols,
+    pair_counts,
+)
+from yougile_etl_pipeline_spark.operators.dedup import (
+    shingle_blocking_profile,
+    shingle_containment_pairs,
+    shingle_jaccard_pairs,
+    simhash_ham_pairs,
+    simhash_portable,
+)
+from yougile_etl_pipeline_spark.operators.frequency import (
+    count_min_build,
+    count_min_estimate,
+)
+from yougile_etl_pipeline_spark.operators.graph import label_propagation
+from yougile_etl_pipeline_spark.operators.layout import corpus_manifest
+from yougile_etl_pipeline_spark.operators.linalg import gram_matrix
+from yougile_etl_pipeline_spark.operators.pq import (
+    ivfpq_topk,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+from yougile_etl_pipeline_spark.operators.quality import (
+    distribution_drift,
+    exact_kth_value,
+    mad_outliers,
+)
+from yougile_etl_pipeline_spark.operators.similarity import semantic_dedup
+from yougile_etl_pipeline_spark.operators.text import (
+    collocation_lift,
+    domain_affinity,
+)
+from yougile_etl_pipeline_spark.operators.timeseries import ewma_fixed_point
+from yougile_etl_pipeline_spark.registry import register
+from yougile_etl_pipeline_spark.registry_ext import (
+    _CSIM,
+    _SIMHASH_BITS,
+    _SIMHASH_SIG,
+    _ivf_assign_sql,
+    _shingles_sql,
+)
+from yougile_etl_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (tests/test_countmin.py)
+# ---------------------------------------------------------------------------
+
+_CM_W, _CM_D = 256, 4
+_CM_HASH = ("CAST(('0x' || substr(md5(d || ':' || CAST(l_suppkey AS VARCHAR)),"
+            f" 1, 15)) AS BIGINT) % {_CM_W}")
+
+
+@register("sketch_countmin_suppliers", f"""
+WITH ds AS (SELECT unnest(range(0, {_CM_D})) AS d),
+b AS (
+  SELECT d AS depth, {_CM_HASH} AS bucket
+  FROM lineitem, ds
+  WHERE l_suppkey IS NOT NULL),
+sketch AS (SELECT depth, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+ks AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey IS NOT NULL),
+probes AS (
+  SELECT l_suppkey, d AS depth, {_CM_HASH} AS bucket
+  FROM ks, ds)
+SELECT p.l_suppkey, MIN(COALESCE(s.cnt, 0)) AS cm_est
+FROM probes p LEFT JOIN sketch s USING (depth, bucket)
+GROUP BY 1
+""")
+def sketch_countmin_suppliers(spark, sf):
+    # Bounded mergeable frequency state: estimate every supplier's
+    # lineitem count from a 256×4 sketch (operators/frequency.py).
+    li = load_table(spark, sf, "lineitem")
+    sk = count_min_build(li, "l_suppkey", width=_CM_W, depth=_CM_D)
+    return count_min_estimate(sk, li.select("l_suppkey"), "l_suppkey",
+                              width=_CM_W, depth=_CM_D)
+
+
+# ---------------------------------------------------------------------------
+# Exact median / MAD robust outliers (tests/test_robust_stats.py)
+# ---------------------------------------------------------------------------
+
+@register("events_mad_outliers", """
+WITH vals AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+r1 AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM vals),
+med AS (
+  SELECT event_type, SUM(value) / COUNT(*) AS median
+  FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+base AS (
+  SELECT v.event_id, v.event_type, v.value, m.median,
+         abs(v.value - m.median) AS abs_dev
+  FROM vals v JOIN med m USING (event_type)),
+r2 AS (
+  SELECT event_type, abs_dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY abs_dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base),
+mad AS (
+  SELECT event_type, SUM(abs_dev) / COUNT(*) AS mad
+  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+SELECT b.event_id, b.event_type, b.value, b.median, d.mad,
+       (b.value - b.median) / d.mad AS robust_z
+FROM base b JOIN mad d USING (event_type)
+WHERE d.mad > 0 AND b.abs_dev > 3.0 * d.mad
+""")
+def events_mad_outliers(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (mad_outliers(ev, "event_type", "value", k=3.0)
+            .filter("is_outlier")
+            .select("event_id", "event_type", "value",
+                    "median", "mad", "robust_z"))
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment (tests/test_containment.py)
+# ---------------------------------------------------------------------------
+
+@register("dedup_shingle_containment", f"""
+WITH ex0 AS (
+  SELECT doc_id AS doc, lang, unnest({_shingles_sql('text', 3)}) AS sh
+  FROM documents
+), dfc AS (
+  SELECT lang, sh, count(*) AS dfreq FROM ex0 GROUP BY 1, 2
+), ex AS (
+  SELECT ex0.doc, ex0.lang, ex0.sh
+  FROM ex0 JOIN dfc USING (lang, sh) WHERE dfreq <= 1000
+), sizes AS (
+  SELECT doc, count(*) AS sz FROM ex GROUP BY doc
+), pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.lang = b.lang AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(common AS DOUBLE) / sa.sz AS cont_a_in_b,
+       CAST(common AS DOUBLE) / sb.sz AS cont_b_in_a
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE CAST(common AS DOUBLE) / sa.sz >= 0.4
+   OR CAST(common AS DOUBLE) / sb.sz >= 0.4
+""")
+def dedup_shingle_containment(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return shingle_containment_pairs(docs, "doc_id", "text",
+                                     threshold=0.4, block_cols=["lang"])
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup (tests/test_semantic_dedup.py)
+# ---------------------------------------------------------------------------
+
+@register("dedup_semantic", f"""
+WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ca AS ({_ivf_assign_sql('src', 'vec_id', 'v')}),
+dups AS (
+  SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
+  FROM ca a JOIN ca b
+    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+  WHERE {_CSIM.format(a='a.v', b='b.v')} >= 0.25
+  GROUP BY 1)
+SELECT c.vec_id, c.centroid_id, d.dup_of, d.dup_of IS NULL AS is_kept
+FROM ca c LEFT JOIN dups d USING (vec_id)
+""")
+def dedup_semantic(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    cents = emb.filter(
+        F.col("vec_id") < int(round(math.sqrt(emb.count()))))
+    return semantic_dedup(emb, cents, threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shape domain affinity (tests/test_domain_affinity.py)
+# ---------------------------------------------------------------------------
+
+@register("text_domain_affinity", """
+WITH feats AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents),
+tfeats AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE lang = 'en'),
+rawdf AS (SELECT tok, count(*) AS rdf FROM feats GROUP BY 1),
+tgtdf AS (SELECT tok, count(*) AS tdf FROM tfeats GROUP BY 1)
+SELECT f.doc_id,
+       count(*) AS n_feats,
+       CAST(SUM(COALESCE(t.tdf, 0)) AS BIGINT) AS tgt_mass,
+       CAST(SUM(r.rdf) AS BIGINT) AS raw_mass,
+       CAST(SUM(COALESCE(t.tdf, 0)) AS DOUBLE) / SUM(r.rdf) AS affinity
+FROM feats f
+JOIN rawdf r USING (tok)
+LEFT JOIN tgtdf t USING (tok)
+GROUP BY 1
+""")
+def text_domain_affinity(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return domain_affinity(docs, docs.filter(F.col("lang") == "en"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge step (tests/test_bpe.py)
+# ---------------------------------------------------------------------------
+
+@register("text_bpe_merge_step", """
+WITH words AS (
+  SELECT tok AS word, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok != '' GROUP BY 1),
+syms AS (
+  SELECT word, cnt,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[i]), '</w>') AS s
+  FROM words),
+pos AS (
+  SELECT word, cnt, CAST(t.i AS INT) AS i, s[t.i] AS l, s[t.i + 1] AS r
+  FROM syms, unnest(range(1, len(s))) AS t(i)),
+pc AS (SELECT l, r, SUM(cnt) AS c FROM pos GROUP BY 1, 2),
+win AS (SELECT l, r FROM pc ORDER BY c DESC, l, r LIMIT 1),
+match AS (
+  SELECT p.word, p.i FROM pos p JOIN win w ON p.l = w.l AND p.r = w.r),
+runs AS (
+  SELECT word, i,
+         i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+  FROM match),
+sel AS (
+  SELECT word, i FROM (
+    SELECT word, i,
+           row_number() OVER (PARTITION BY word, grp ORDER BY i) AS k
+    FROM runs) WHERE k % 2 = 1),
+expanded AS (
+  SELECT s.word, s.cnt, CAST(t.i AS INT) AS i, s.s[t.i] AS sym
+  FROM syms s, unnest(range(1, len(s.s) + 1)) AS t(i)),
+rebuilt AS (
+  SELECT e.word, e.cnt, e.i,
+         CASE WHEN sm.i IS NOT NULL THEN w.l || w.r ELSE e.sym END AS tok
+  FROM expanded e
+  CROSS JOIN win w
+  LEFT JOIN sel sm ON sm.word = e.word AND sm.i = e.i
+  LEFT JOIN sel sp ON sp.word = e.word AND sp.i = e.i - 1
+  WHERE sp.i IS NULL)
+SELECT word, cnt, array_to_string(list(tok ORDER BY i), ' ') AS merged
+FROM rebuilt GROUP BY 1, 2
+""")
+def text_bpe_merge_step(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+             .withColumn("syms", char_symbols("word")))
+    win = best_pair(pair_counts(words, weight_col="cnt"))
+    return (apply_merge(words, win[0], win[1])
+            .select("word", "cnt",
+                    F.array_join("syms", " ").alias("merged")))
+
+
+# ---------------------------------------------------------------------------
+# Collocation lift (tests/test_collocations.py)
+# ---------------------------------------------------------------------------
+
+@register("text_collocations", """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT t[u.i] AS tok_a, t[u.i + 1] AS tok_b
+  FROM toks, unnest(range(1, len(t))) AS u(i)),
+cab AS (
+  SELECT tok_a, tok_b, count(*) AS c_ab
+  FROM big GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+stats AS (
+  SELECT SUM(len(t)) AS n_tok,
+         SUM(greatest(len(t) - 1, 0)) AS n_pairs
+  FROM toks)
+SELECT tok_a, tok_b, c_ab, ua.c AS c_a, ub.c AS c_b,
+       CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)
+         / (CAST(n_pairs AS DOUBLE) * CAST(ua.c AS DOUBLE)
+            * CAST(ub.c AS DOUBLE)) AS lift
+FROM cab
+JOIN uni ua ON tok_a = ua.tok
+JOIN uni ub ON tok_b = ub.tok, stats
+""")
+def text_collocations(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return collocation_lift(docs, min_pair_count=5)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (tests/test_label_propagation.py)
+# ---------------------------------------------------------------------------
+
+def _lpa_round_sql(i: int) -> str:
+    p = f"l{i - 1}"
+    return f"""
+nbr{i} AS (SELECT e.a AS node, l.lbl FROM e JOIN {p} l ON e.b = l.node),
+cnt{i} AS (SELECT node, lbl, count(*) AS c FROM nbr{i} GROUP BY 1, 2),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM cnt{i}) WHERE rn = 1)"""
+
+
+@register("graph_label_propagation", f"""
+WITH d AS (
+  SELECT DISTINCT doc_id % 40 AS x, (doc_id * 7 + 3) % 40 AS y
+  FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40),
+e AS (SELECT x AS a, y AS b FROM d UNION SELECT y, x FROM d),
+l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+{_lpa_round_sql(1)},
+{_lpa_round_sql(2)},
+{_lpa_round_sql(3)}
+SELECT node, lbl AS community FROM l3
+""")
+def graph_label_propagation(spark, sf):
+    # 3 deterministic sync-LPA rounds over the modular adjacency (the
+    # graph_triangle_count certified graph).
+    d = load_table(spark, sf, "documents")
+    edges = d.select((F.col("doc_id") % 40).alias("src"),
+                     ((F.col("doc_id") * 7 + 3) % 40).alias("dst"))
+    return label_propagation(edges, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix (tests/test_linalg.py)
+# ---------------------------------------------------------------------------
+
+@register("emb_gram_matrix", """
+WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+el AS (
+  SELECT vec_id, CAST(t.i - 1 AS INT) AS i, v[t.i] AS x
+  FROM src, unnest(range(1, len(v) + 1)) AS t(i)),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(floor(a.x * b.x * 1000000000) AS BIGINT) AS u
+  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i)
+SELECT i, j, CAST(SUM(u) AS BIGINT) AS g_units
+FROM pairs GROUP BY 1, 2
+""")
+def emb_gram_matrix(spark, sf):
+    return gram_matrix(load_table(spark, sf, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding scorecard (tests/test_simhash_eval.py)
+# ---------------------------------------------------------------------------
+
+@register("dedup_simhash_recall_eval", f"""
+WITH ex0 AS (
+  SELECT doc_id AS doc, unnest({_shingles_sql('text', 2)}) AS sh
+  FROM documents
+), dfc AS (
+  SELECT sh, count(*) AS dfreq FROM ex0 GROUP BY 1
+), exc AS (
+  SELECT ex0.doc, ex0.sh FROM ex0 JOIN dfc USING (sh) WHERE dfreq <= 1000
+), sizes AS (
+  SELECT doc, count(*) AS sz FROM exc GROUP BY doc
+), tp AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+  FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b FROM tp
+  JOIN sizes sa ON doc_a = sa.doc
+  JOIN sizes sb ON doc_b = sb.doc
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+), h AS (
+  SELECT doc, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS hv FROM ex0
+), agg AS (
+  SELECT doc, count(*) AS n, {_SIMHASH_BITS} FROM h GROUP BY doc
+), sig AS (
+  SELECT doc, CAST({_SIMHASH_SIG} AS BIGINT) AS sig FROM agg
+), bk AS (
+  SELECT doc, sig, b.band, (sig >> (b.band * 15)) & 32767 AS bits
+  FROM sig, unnest([0, 1, 2, 3]) AS b(band)
+), cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bits = b.bits
+                     AND a.doc < b.doc
+  WHERE bit_count(xor(a.sig, b.sig)) <= 3
+), j AS (
+  SELECT t.doc_a AS t_a, c.doc_a AS c_a
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT
+  CAST(count_if(t_a IS NOT NULL) AS BIGINT) AS n_true,
+  CAST(count_if(c_a IS NOT NULL) AS BIGINT) AS n_candidates,
+  CAST(count_if(t_a IS NOT NULL AND c_a IS NOT NULL) AS BIGINT) AS n_hits,
+  CAST(count_if(t_a IS NOT NULL AND c_a IS NULL) AS BIGINT) AS n_missed,
+  CAST(count_if(t_a IS NOT NULL AND c_a IS NOT NULL) AS DOUBLE)
+    / CAST(count_if(t_a IS NOT NULL) AS DOUBLE) AS recall,
+  CAST(count_if(t_a IS NOT NULL AND c_a IS NOT NULL) AS DOUBLE)
+    / CAST(count_if(c_a IS NOT NULL) AS DOUBLE) AS precision
+FROM j
+""")
+def dedup_simhash_recall_eval(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    truth = shingle_jaccard_pairs(docs, "doc_id", "text", n=2,
+                                  threshold=0.5, block_cols=None,
+                                  max_shingle_df=1000) \
+        .select("doc_a", "doc_b")
+    cand = simhash_ham_pairs(
+        simhash_portable(docs, "doc_id", "text")) \
+        .select("doc_a", "doc_b")
+    j = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)),
+        ["doc_a", "doc_b"], "full_outer")
+    t_has = F.col("t").isNotNull()
+    c_has = F.col("c").isNotNull()
+    return j.agg(
+        F.count_if(t_has).alias("n_true"),
+        F.count_if(c_has).alias("n_candidates"),
+        F.count_if(t_has & c_has).alias("n_hits"),
+        F.count_if(t_has & ~c_has).alias("n_missed"),
+        (F.count_if(t_has & c_has).cast("double")
+         / F.count_if(t_has).cast("double")).alias("recall"),
+        (F.count_if(t_has & c_has).cast("double")
+         / F.count_if(c_has).cast("double")).alias("precision"))
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (tests/test_distribution_drift.py)
+# ---------------------------------------------------------------------------
+
+_DRIFT_CUT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@register("quality_distribution_drift", f"""
+WITH sa AS (SELECT event_type FROM events WHERE ts < {_DRIFT_CUT}),
+sb AS (SELECT event_type FROM events WHERE ts >= {_DRIFT_CUT}),
+ca AS (SELECT event_type AS va, count(*) AS c_a FROM sa GROUP BY 1),
+cb AS (SELECT event_type AS vb, count(*) AS c_b FROM sb GROUP BY 1),
+na AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a FROM ca),
+nb AS (SELECT CAST(SUM(c_b) AS BIGINT) AS n_b FROM cb)
+SELECT COALESCE(va, vb) AS event_type,
+       COALESCE(c_a, 0) AS c_a,
+       COALESCE(c_b, 0) AS c_b,
+       CAST(COALESCE(c_a, 0) AS DOUBLE) / CAST(n_a AS DOUBLE) AS share_a,
+       CAST(COALESCE(c_b, 0) AS DOUBLE) / CAST(n_b AS DOUBLE) AS share_b,
+       abs(CAST(COALESCE(c_a, 0) AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(COALESCE(c_b, 0) AS DOUBLE) / CAST(n_b AS DOUBLE))
+         AS share_delta
+FROM ca FULL OUTER JOIN cb ON va IS NOT DISTINCT FROM vb, na, nb
+""")
+def quality_distribution_drift(spark, sf):
+    ev = load_table(spark, sf, "events")
+    cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    return distribution_drift(ev.filter(F.col("ts") < cut),
+                              ev.filter(F.col("ts") >= cut),
+                              "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Corpus release manifest (tests/test_corpus_manifest.py)
+# ---------------------------------------------------------------------------
+
+@register("corpus_shard_manifest", """
+SELECT
+  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       % 16 AS INT) AS shard_id,
+  count(*) AS n_rows,
+  CAST(SUM(CAST(('0x' || substr(md5(
+        CAST(doc_id AS VARCHAR) || chr(31)
+        || COALESCE(text, '<NULL>') || chr(31)
+        || COALESCE(lang, '<NULL>')), 1, 15)) AS BIGINT))
+    AS VARCHAR) AS checksum
+FROM documents
+GROUP BY 1
+""")
+def corpus_shard_manifest(spark, sf):
+    # checksum exceeds int64 — stringified at the boundary on BOTH
+    # sides (pandas renders DuckDB HUGEINT as float otherwise).
+    docs = load_table(spark, sf, "documents")
+    return (corpus_manifest(docs, "doc_id", ["text", "lang"],
+                            n_shards=16)
+            .withColumn("checksum", F.col("checksum").cast("string")))
+
+
+# ---------------------------------------------------------------------------
+# Blocking-cost profiler (tests/test_blocking_profile.py)
+# ---------------------------------------------------------------------------
+
+@register("dedup_blocking_profile", f"""
+WITH ex AS (
+  SELECT doc_id AS doc, lang, unnest({_shingles_sql()}) AS sh
+  FROM documents
+), per_sh AS (
+  SELECT lang, sh, count(*) AS d FROM ex GROUP BY 1, 2
+), d AS (
+  SELECT lang, count(DISTINCT doc) AS n_docs,
+         count(*) AS n_occurrences
+  FROM ex GROUP BY 1
+), agg AS (
+  SELECT lang, count(*) AS n_distinct_shingles, max(d) AS max_df,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS candidate_pairs
+  FROM per_sh GROUP BY 1
+)
+SELECT lang, n_docs, n_occurrences, n_distinct_shingles, max_df,
+       candidate_pairs
+FROM d JOIN agg USING (lang)
+""")
+def dedup_blocking_profile(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return shingle_blocking_profile(docs, "doc_id", "text",
+                                    block_cols=["lang"])
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact selection (tests/test_kth_value.py)
+# ---------------------------------------------------------------------------
+
+@register("agg_exact_median_global", """
+WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT count(*) AS c FROM v)
+SELECT x AS median_value FROM v, n
+ORDER BY x OFFSET (SELECT (c + 1) // 2 - 1 FROM n) LIMIT 1
+""")
+def agg_exact_median_global(spark, sf):
+    # exact_kth_value returns a scalar (the bounded driver artifact,
+    # like the k-means centroid collect); wrap it one-row for the
+    # driver compare.
+    li = load_table(spark, sf, "lineitem")
+    n = li.filter(F.col("l_extendedprice").isNotNull()).count()
+    v = exact_kth_value(li, "l_extendedprice", (n + 1) // 2)
+    return spark.createDataFrame([(float(v),)],
+                                 "median_value double")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point EWMA (tests/test_timeseries.py)
+# ---------------------------------------------------------------------------
+
+@register("events_ewma", """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+ew AS (
+  SELECT user_id, event_id, rn, v * 1000000 AS s
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_id, n.rn,
+         (1 * n.v * 1000000 + 3 * ew.s) // 4
+  FROM ew JOIN seq n ON n.user_id = ew.user_id AND n.rn = ew.rn + 1)
+SELECT user_id, event_id,
+       CAST(s AS DOUBLE) / 100000000.0 AS ewma
+FROM ew
+""")
+def events_ewma(spark, sf):
+    ev = load_table(spark, sf, "events") \
+        .select("user_id", "ts", "event_id", "value")
+    return (ewma_fixed_point(ev, "user_id", ["ts", "event_id"], "value")
+            .select("user_id", "event_id", "ewma"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (tests/test_pq_oracle_parity.py)
+# ---------------------------------------------------------------------------
+
+_M, _K, _W = 4, 8, 16  # m subspaces, k codes, dim/m width (64-dim corpus)
+
+_L2SQ = ("list_sum(list_transform(range(1, len({a}) + 1), "
+         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+_PQ_BOOKS_SQL = f"""
+src AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+sub AS (
+  SELECT vec_id, s.sub_id,
+         vec[s.sub_id * {_W} + 1 : s.sub_id * {_W} + {_W}] AS subvec
+  FROM src, (SELECT CAST(unnest(range(0, {_M})) AS INT) AS sub_id) s),
+seeds AS (
+  SELECT sub_id,
+         CAST(row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) - 1
+              AS INT) AS code,
+         subvec AS cvec
+  FROM sub
+  QUALIFY row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) <= {_K}),
+assign0 AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT b.vec_id, b.sub_id, s.code,
+           row_number() OVER (
+             PARTITION BY b.vec_id, b.sub_id
+             ORDER BY {_L2SQ.format(a="b.subvec", b="s.cvec")}, s.code)
+             AS rn
+    FROM sub b JOIN seeds s USING (sub_id)) WHERE rn = 1),
+means AS (
+  SELECT sub.sub_id, code, CAST(t.i - 1 AS INT) AS pos,
+         CAST(SUM(CAST(subvec[t.i] AS DECIMAL(20,9))) AS DOUBLE)
+           / count(*) AS mean_val
+  FROM assign0 JOIN sub USING (vec_id, sub_id),
+       unnest(range(1, len(subvec) + 1)) AS t(i)
+  GROUP BY 1, 2, 3),
+books AS (
+  SELECT sub_id, code, list(mean_val ORDER BY pos) AS cvec
+  FROM means GROUP BY 1, 2),
+assign1 AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT b.vec_id, b.sub_id, s.code,
+           row_number() OVER (
+             PARTITION BY b.vec_id, b.sub_id
+             ORDER BY {_L2SQ.format(a="b.subvec", b="s.cvec")}, s.code)
+             AS rn
+    FROM sub b JOIN books s USING (sub_id)) WHERE rn = 1)
+"""
+
+
+def _emb_double(spark, sf):
+    return (load_table(spark, sf, "embeddings")
+            .select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("embedding")))
+
+
+@register("pq_encode", f"""
+WITH {_PQ_BOOKS_SQL}
+SELECT vec_id,
+       array_to_string(list(code ORDER BY sub_id), ',') AS codes
+FROM assign1 GROUP BY vec_id
+""")
+def pq_encode_q(spark, sf):
+    emb = _emb_double(spark, sf)
+    books = pq_train(emb, m=_M, k=_K, iters=1)
+    codes = pq_encode(emb, books, m=_M)
+    return codes.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",")
+         .alias("codes"))
+
+
+@register("pq_adc_topk", f"""
+WITH {_PQ_BOOKS_SQL},
+qsrc AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS vec
+         FROM embeddings WHERE vec_id % 97 = 0),
+qsub AS (
+  SELECT query_id, s.sub_id,
+         vec[s.sub_id * {_W} + 1 : s.sub_id * {_W} + {_W}] AS subvec
+  FROM qsrc, (SELECT CAST(unnest(range(0, {_M})) AS INT) AS sub_id) s),
+qtab AS (
+  SELECT query_id, sub_id, code,
+         CAST({_L2SQ.format(a="subvec", b="cvec")} AS DECIMAL(27,12))
+           AS qd2
+  FROM qsub JOIN books USING (sub_id)),
+scored AS (
+  SELECT q.query_id, a.vec_id, SUM(q.qd2) AS d
+  FROM assign1 a JOIN qtab q
+    ON a.sub_id = q.sub_id AND a.code = q.code
+  GROUP BY 1, 2)
+SELECT query_id, vec_id AS match_id,
+       CAST(d AS DOUBLE) AS adc_dist2,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d, vec_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""")
+def pq_adc_topk_q(spark, sf):
+    emb = _emb_double(spark, sf)
+    books = pq_train(emb, m=_M, k=_K, iters=1)
+    codes = pq_encode(emb, books, m=_M)
+    queries = (emb.filter(F.col("vec_id") % 97 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return pq_adc_topk(codes, queries, books, k=5) \
+        .withColumn("rank", F.col("rank").cast("long"))
+
+
+_IVFPQ_NPROBE = 3
+
+
+@register("ivfpq_topk", f"""
+WITH {_PQ_BOOKS_SQL},
+cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec
+         FROM embeddings WHERE vec_id < 22),
+c_assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT s.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {_CSIM.format(a="vec", b="cent_vec")}
+                              DESC, c.centroid_id) AS rn
+    FROM src s CROSS JOIN cent c) WHERE rn <= 1),
+qsrc AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS vec
+         FROM embeddings WHERE vec_id % 97 = 0),
+q_probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_CSIM.format(a="vec", b="cent_vec")}
+                              DESC, c.centroid_id) AS rn
+    FROM qsrc q CROSS JOIN cent c) WHERE rn <= {_IVFPQ_NPROBE}),
+cand AS (
+  SELECT q.query_id, a.vec_id
+  FROM c_assign a JOIN q_probe q USING (centroid_id)),
+qsub AS (
+  SELECT query_id, s.sub_id,
+         vec[s.sub_id * {_W} + 1 : s.sub_id * {_W} + {_W}] AS subvec
+  FROM qsrc, (SELECT CAST(unnest(range(0, {_M})) AS INT) AS sub_id) s),
+qtab AS (
+  SELECT query_id, sub_id, code,
+         CAST({_L2SQ.format(a="subvec", b="cvec")} AS DECIMAL(27,12))
+           AS qd2
+  FROM qsub JOIN books USING (sub_id)),
+scored AS (
+  SELECT q.query_id, a.vec_id, SUM(q.qd2) AS d
+  FROM assign1 a
+  JOIN cand c ON a.vec_id = c.vec_id
+  JOIN qtab q ON q.query_id = c.query_id
+            AND a.sub_id = q.sub_id AND a.code = q.code
+  GROUP BY 1, 2)
+SELECT query_id, vec_id AS match_id,
+       CAST(d AS DOUBLE) AS adc_dist2,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d, vec_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""")
+def ivfpq_topk_q(spark, sf):
+    emb = _emb_double(spark, sf)
+    queries = (emb.filter(F.col("vec_id") % 97 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    centroids = emb.filter(F.col("vec_id") < 22)
+    books = pq_train(emb, m=_M, k=_K, iters=1)
+    return ivfpq_topk(emb, queries, centroids, books,
+                      k=5, nprobe=_IVFPQ_NPROBE) \
+        .withColumn("rank", F.col("rank").cast("long"))
