@@ -891,10 +891,15 @@ _STABLE_CERTIFIED = [
 # tests/test_kth_value.py).
 # `streaming/joins.py::click_attribution_outer` (left-outer stream-
 # stream with watermark eviction) is batch-parity-tested and could
-# register rows-only if slots allow. Registration is copy-the-SQL
-# from each test's _ORACLE. 18 staged ≤ 50 freed slots. Keep any
-# further r06 additions ≤ the freed slots so every query stays
-# driver-certified at each round boundary.
+# register rows-only if slots allow. Registration is PRE-WIRED:
+# registry_r06.py already holds all 18 entries with their proven
+# oracles (validated green at sf0.001 AND sf0.01, guarded by
+# tests/test_registry_r06_staged.py) — at round-6 start add
+#     from yougile_etl_pipeline_spark import registry_r06  # noqa
+# next to the registry imports above (line ~632), BEFORE the rotation
+# call below. 18 staged ≤ 50 freed slots. Keep any further r06
+# additions ≤ the freed slots so every query stays driver-certified
+# at each round boundary.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
