@@ -12,7 +12,7 @@ it with one line next to the other registry imports in registry.py
 Every oracle below is the exact SQL proven bit-identical against the
 engine in its staged test (file named per entry) at BOTH sf0.001 and
 the driver's certification scale sf0.01 (`scripts/check_staged.py`,
-18/18 green in round 5). The engine sides are the same operator calls
+19/19 green in round 5). The engine sides are the same operator calls
 the tests exercise. Same determinism contract as registry.py's module
 docstring.
 
@@ -762,3 +762,31 @@ def ivfpq_topk_q(spark, sf):
     return ivfpq_topk(emb, queries, centroids, books,
                       k=5, nprobe=_IVFPQ_NPROBE) \
         .withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window distinct counting (tests/test_rolling_distinct.py)
+# ---------------------------------------------------------------------------
+
+_ROLL_FRAME = ("PARTITION BY event_type ORDER BY ts "
+               "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW")
+
+
+@register("win_rolling_distinct", """
+SELECT event_id, event_type, ts,
+       count(*) OVER w AS n_events_7d,
+       count(DISTINCT user_id) OVER w AS n_users_7d
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+""")
+def win_rolling_distinct(spark, sf):
+    # Spark has no DISTINCT window aggregate: size(collect_set(...))
+    # over the identical event-time RANGE frame — set SIZE is
+    # deterministic under any tie order, making the pairing with
+    # DuckDB's native count(DISTINCT) OVER exact.
+    ev = load_table(spark, sf, "events")
+    return ev.selectExpr(
+        "event_id", "event_type", "ts",
+        f"count(*) OVER ({_ROLL_FRAME}) AS n_events_7d",
+        f"size(collect_set(user_id) OVER ({_ROLL_FRAME})) AS n_users_7d")
