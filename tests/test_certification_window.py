@@ -53,3 +53,29 @@ def test_deferred_queries_are_locally_verifiable():
     missing = [q for q in _DEFERRED_TO_NEXT_WINDOW
                if q not in ORACLES and q not in rows_only_by_design]
     assert not missing
+
+
+def test_window_set_is_import_order_independent():
+    """Entering the engine through registry_ext (the circular tail-
+    import path) must yield the same certification-window SET as the
+    canonical registry-first import — the rotation guards at each
+    registry_* module bottom converge any entry point (regression for
+    the pytest-collection-order pollution found in round 5)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from yougile_etl_pipeline_spark.registry_ext import _shingles_sql\n"
+        "from yougile_etl_pipeline_spark.registry import (QUERIES,\n"
+        "    _STABLE_CERTIFIED, _DEFERRED_TO_NEXT_WINDOW)\n"
+        "acc = set(_STABLE_CERTIFIED) | set(_DEFERRED_TO_NEXT_WINDOW)\n"
+        "assert not [q for q in list(QUERIES)[50:] if q not in acc]\n"
+        "assert not [q for q in list(QUERIES)[:50] if q in acc]\n"
+        "print('ORDER-OK', len(QUERIES))\n" % repo)
+    out = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ORDER-OK" in out.stdout

@@ -790,3 +790,13 @@ def win_rolling_distinct(spark, sf):
         "event_id", "event_type", "ts",
         f"count(*) OVER ({_ROLL_FRAME}) AS n_events_7d",
         f"size(collect_set(user_id) OVER ({_ROLL_FRAME})) AS n_users_7d")
+
+
+# Order-independence guard (same as the other registry_* modules): if
+# this module was the process's entry point into the engine, re-run
+# the rotation so the certification-window SET is import-order
+# -independent.
+from yougile_etl_pipeline_spark import registry as _registry_mod  # noqa: E402
+
+if hasattr(_registry_mod, "_rotate_certification_window"):
+    _registry_mod._rotate_certification_window()
