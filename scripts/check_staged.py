@@ -39,6 +39,7 @@ PARITY_TESTS = [
     "test_blocking_profile_duckdb_parity",
     "tests/test_kth_value.py::test_duckdb_offset_parity",
     "tests/test_rolling_distinct.py::test_rolling_distinct_duckdb_parity",
+    "tests/test_staged_compositions.py",
 ]
 
 

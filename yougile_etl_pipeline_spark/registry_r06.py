@@ -12,7 +12,7 @@ it with one line next to the other registry imports in registry.py
 Every oracle below is the exact SQL proven bit-identical against the
 engine in its staged test (file named per entry) at BOTH sf0.001 and
 the driver's certification scale sf0.01 (`scripts/check_staged.py`,
-19/19 green in round 5). The engine sides are the same operator calls
+21/21 green in round 5). The engine sides are the same operator calls
 the tests exercise. Same determinism contract as registry.py's module
 docstring.
 
@@ -790,6 +790,75 @@ def win_rolling_distinct(spark, sf):
         "event_id", "event_type", "ts",
         f"count(*) OVER ({_ROLL_FRAME}) AS n_events_7d",
         f"size(collect_set(user_id) OVER ({_ROLL_FRAME})) AS n_users_7d")
+# ---------------------------------------------------------------------------
+# Composition queries (tests/test_staged_compositions.py)
+# ---------------------------------------------------------------------------
+
+@register("sample_stratified_exact", """
+SELECT doc_id, lang, pick_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS pick_rank
+  FROM documents)
+WHERE pick_rank <= 20
+""")
+def sample_stratified_exact(spark, sf):
+    # exactly-n-per-stratum deterministic subsample (md5-rank): the
+    # COUNT-guarantee counterpart of the rate-based hash sampler.
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (docs.withColumn("pick_rank",
+                            F.row_number().over(w).cast("long"))
+                .filter(F.col("pick_rank") <= 20)
+                .select("doc_id", "lang", "pick_rank"))
+
+
+@register("events_step_latency", """
+WITH pairs AS (
+  SELECT event_type || '->' || lead(event_type) OVER w AS step,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT step, gap_us FROM pairs WHERE step IS NOT NULL),
+r AS (
+  SELECT step, gap_us,
+         row_number() OVER (PARTITION BY step ORDER BY gap_us) AS rn,
+         count(*) OVER (PARTITION BY step) AS n
+  FROM p),
+med AS (
+  SELECT step, SUM(gap_us) / COUNT(*) AS median_gap_us
+  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+counts AS (SELECT step, count(*) AS n_transitions FROM p GROUP BY 1)
+SELECT c.step, c.n_transitions, m.median_gap_us
+FROM counts c JOIN med m USING (step)
+""")
+def events_step_latency(spark, sf):
+    # funnel latency: exact median inter-event gap per transition —
+    # microsecond-exact lead() pairs composed with exact_group_median.
+    from pyspark.sql.window import Window
+
+    from yougile_etl_pipeline_spark.operators.quality import (
+        exact_group_median,
+    )
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros(F.lead("ts").over(w))
+         - F.unix_micros("ts")).alias("gap_us"))
+        .filter(F.col("next_type").isNotNull())
+        .withColumn("step",
+                    F.concat_ws("->", "event_type", "next_type")))
+    med = exact_group_median(pairs, "step", "gap_us", "median_gap_us")
+    counts = pairs.groupBy("step").agg(
+        F.count(F.lit(1)).alias("n_transitions"))
+    return counts.join(med, "step")
 
 
 # Order-independence guard (same as the other registry_* modules): if
