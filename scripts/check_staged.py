@@ -40,6 +40,7 @@ PARITY_TESTS = [
     "tests/test_kth_value.py::test_duckdb_offset_parity",
     "tests/test_rolling_distinct.py::test_rolling_distinct_duckdb_parity",
     "tests/test_staged_compositions.py",
+    "tests/test_theil_sen.py::test_theil_sen_duckdb_parity",
 ]
 
 

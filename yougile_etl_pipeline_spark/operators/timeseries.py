@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ewma_fixed_point"]
+__all__ = ["ewma_fixed_point", "theil_sen_slope"]
 
 
 def ewma_fixed_point(df: DataFrame, key_col: str, order_cols: list[str],
@@ -98,3 +98,59 @@ def ewma_fixed_point(df: DataFrame, key_col: str, order_cols: list[str],
           for i, c in enumerate(order_cols)],
         (F.col("z.__states").cast("double")
          / F.lit(float(value_scale * S))).alias("ewma"))
+
+
+def theil_sen_slope(df: DataFrame, key_col: str, time_col: str,
+                    value_col: str, *,
+                    max_rows_per_key: int = 1000) -> DataFrame:
+    """Per-key Theil–Sen trend: the MEDIAN of all pairwise slopes
+    (v_j − v_i)/(t_j − t_i), t_i < t_j — the robust regression slope
+    (up to ~29% wild outliers cannot move it, unlike least squares;
+    the classic published estimator for noisy per-entity telemetry).
+
+    Exactness: each slope is ONE IEEE division of exact microsecond/
+    value differences, identical on both engines; the median is the
+    `exact_group_median` selection (middle VALUES under a total value
+    order — tie-order-free), so the result is bit-portable. Duplicate
+    timestamps within a key produce no pair (slope undefined); keys
+    with < 2 distinct-time rows yield no row.
+
+    Scale: pair generation is an equi-join on the key with an
+    inequality residual — O(n²) per key BY DESIGN (that is the
+    estimator; the published scalable variants subsample pairs).
+    `max_rows_per_key` enforces the bound: keys larger than the cap
+    raise rather than silently launching a quadratic stage — pre-
+    aggregate to a coarser grain (daily means) or subsample upstream,
+    and the docstring cap is an enforced contract like the ANN
+    query-collect cap."""
+    from yougile_etl_pipeline_spark.operators.quality import (
+        exact_group_median,
+    )
+
+    sizes = (df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+               .agg(F.max("__n").alias("m")).collect())
+    biggest = sizes[0]["m"] or 0
+    if biggest > max_rows_per_key:
+        raise ValueError(
+            f"largest key has {biggest} rows > max_rows_per_key="
+            f"{max_rows_per_key}: pairwise slopes are quadratic per "
+            f"key — pre-aggregate or subsample, or raise the cap "
+            f"deliberately")
+    t = F.unix_micros(F.col(time_col)).alias("__t")
+    base = df.select(F.col(key_col).alias("__k"), t,
+                     F.col(value_col).cast("double").alias("__v")) \
+             .filter(F.col("__v").isNotNull())
+    a = base.select(F.col("__k"), F.col("__t").alias("__t1"),
+                    F.col("__v").alias("__v1"))
+    b = base.select(F.col("__k").alias("__k2"),
+                    F.col("__t").alias("__t2"),
+                    F.col("__v").alias("__v2"))
+    pairs = (a.join(b, (F.col("__k") == F.col("__k2"))
+                    & (F.col("__t1") < F.col("__t2")))
+              .select(F.col("__k").alias(key_col),
+                      ((F.col("__v2") - F.col("__v1"))
+                       / (F.col("__t2") - F.col("__t1")).cast("double"))
+                      .alias("__slope")))
+    med = exact_group_median(pairs, key_col, "__slope", "sen_slope")
+    n = pairs.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_pairs"))
+    return n.join(med, key_col)

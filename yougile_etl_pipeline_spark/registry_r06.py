@@ -12,7 +12,7 @@ it with one line next to the other registry imports in registry.py
 Every oracle below is the exact SQL proven bit-identical against the
 engine in its staged test (file named per entry) at BOTH sf0.001 and
 the driver's certification scale sf0.01 (`scripts/check_staged.py`,
-21/21 green in round 5). The engine sides are the same operator calls
+22/22 green in round 5). The engine sides are the same operator calls
 the tests exercise. Same determinism contract as registry.py's module
 docstring.
 
@@ -859,6 +859,43 @@ def events_step_latency(spark, sf):
     counts = pairs.groupBy("step").agg(
         F.count(F.lit(1)).alias("n_transitions"))
     return counts.join(med, "step")
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust slope (tests/test_theil_sen.py)
+# ---------------------------------------------------------------------------
+
+@register("events_theil_sen", """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+pairs AS (
+  SELECT a.user_id,
+         (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope
+  FROM base a JOIN base b
+    ON a.user_id = b.user_id AND a.t < b.t),
+r AS (
+  SELECT user_id, slope,
+         row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM pairs),
+med AS (
+  SELECT user_id, SUM(slope) / COUNT(*) AS sen_slope
+  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+cnt AS (SELECT user_id, count(*) AS n_pairs FROM pairs GROUP BY 1)
+SELECT c.user_id, c.n_pairs, m.sen_slope
+FROM cnt c JOIN med m USING (user_id)
+""")
+def events_theil_sen(spark, sf):
+    # robust per-user value trend: median of pairwise slopes (the
+    # enforced max_rows_per_key cap bounds the by-design quadratic).
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    ev = load_table(spark, sf, "events")
+    return theil_sen_slope(ev, "user_id", "ts", "value",
+                           max_rows_per_key=5000)
 
 
 # Order-independence guard (same as the other registry_* modules): if
