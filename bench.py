@@ -128,17 +128,23 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
     from yougile_etl_pipeline_spark.operators.pq import (
         pq_adc_topk, pq_encode, pq_train)
     from yougile_etl_pipeline_spark.operators.quality import (
-        distribution_drift, mad_outliers)
+        distribution_drift, exact_kth_value, mad_outliers)
     from yougile_etl_pipeline_spark.operators.similarity import semantic_dedup
     from yougile_etl_pipeline_spark.operators.text import (
         collocation_lift, domain_affinity)
     from yougile_etl_pipeline_spark.operators.timeseries import (
-        ewma_fixed_point)
+        ewma_fixed_point, theil_sen_slope)
+    from pyspark.sql.window import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from yougile_etl_pipeline_spark.sources.tables import load_table
+
+    # load_table, not raw spark.read.parquet: it normalizes events.ts
+    # (nanos fallback + session-TZ TIMESTAMP, not NTZ) exactly like the
+    # registered queries these baselines will become.
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
     cents = emb.filter(
         F.col("vec_id") < int(round(math.sqrt(emb.count()))))
     cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
@@ -188,6 +194,20 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
         "events_ewma": lambda: ewma_fixed_point(
             ev, "user_id", ["ts", "event_id"], "value"),
         "ivfpq_adc": _pq,
+        "events_theil_sen": lambda: theil_sen_slope(
+            ev, "user_id", "ts", "value", max_rows_per_key=20000),
+        "win_rolling_distinct": lambda: ev.selectExpr(
+            "event_id", "event_type", "ts",
+            "size(collect_set(user_id) OVER (PARTITION BY event_type "
+            "ORDER BY ts RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND "
+            "CURRENT ROW)) AS n_users_7d"),
+        "sample_stratified_exact": lambda: docs.withColumn(
+            "pick_rank", F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.md5(F.col("doc_id").cast("string")),
+                    F.col("doc_id"))).cast("long"))
+            .filter(F.col("pick_rank") <= 20)
+            .select("doc_id", "lang", "pick_rank"),
     }
     timings: dict[str, float] = {}
     for name, fn in cases.items():

@@ -136,7 +136,10 @@ def theil_sen_slope(df: DataFrame, key_col: str, time_col: str,
             f"{max_rows_per_key}: pairwise slopes are quadratic per "
             f"key — pre-aggregate or subsample, or raise the cap "
             f"deliberately")
-    t = F.unix_micros(F.col(time_col)).alias("__t")
+    # cast first: a TIMESTAMP_NTZ column (raw parquet reads) is
+    # rejected by unix_micros; the cast interprets NTZ in the session
+    # TZ (UTC-pinned engine-wide), so the microseconds are stable.
+    t = F.unix_micros(F.col(time_col).cast("timestamp")).alias("__t")
     base = df.select(F.col(key_col).alias("__k"), t,
                      F.col(value_col).cast("double").alias("__v")) \
              .filter(F.col("__v").isNotNull())
