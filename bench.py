@@ -196,11 +196,17 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
         "ivfpq_adc": _pq,
         "events_theil_sen": lambda: theil_sen_slope(
             ev, "user_id", "ts", "value", max_rows_per_key=20000),
-        "win_rolling_distinct": lambda: ev.selectExpr(
-            "event_id", "event_type", "ts",
-            "size(collect_set(user_id) OVER (PARTITION BY event_type "
-            "ORDER BY ts RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND "
-            "CURRENT ROW)) AS n_users_7d"),
+        "events_rolling_users_daily": lambda: (
+            ev.select("event_type", F.to_date("ts").alias("day"),
+                      "user_id").distinct()
+              .select("event_type", "user_id",
+                      F.explode(F.sequence(F.lit(0), F.lit(6)))
+                       .alias("off"), F.col("day"))
+              .select("event_type", "user_id",
+                      F.date_add("day", F.col("off"))
+                       .alias("window_day"))
+              .groupBy("event_type", "window_day")
+              .agg(F.count_distinct("user_id").alias("n_users_7d"))),
         "sample_stratified_exact": lambda: docs.withColumn(
             "pick_rank", F.row_number().over(
                 Window.partitionBy("lang").orderBy(

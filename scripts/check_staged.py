@@ -38,7 +38,7 @@ PARITY_TESTS = [
     "tests/test_blocking_profile.py::"
     "test_blocking_profile_duckdb_parity",
     "tests/test_kth_value.py::test_duckdb_offset_parity",
-    "tests/test_rolling_distinct.py::test_rolling_distinct_duckdb_parity",
+    "tests/test_rolling_distinct.py::test_rolling_users_daily_duckdb_parity",
     "tests/test_staged_compositions.py",
     "tests/test_theil_sen.py::test_theil_sen_duckdb_parity",
 ]

@@ -768,28 +768,49 @@ def ivfpq_topk_q(spark, sf):
 # Trailing-window distinct counting (tests/test_rolling_distinct.py)
 # ---------------------------------------------------------------------------
 
-_ROLL_FRAME = ("PARTITION BY event_type ORDER BY ts "
-               "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW")
-
-
-@register("win_rolling_distinct", """
-SELECT event_id, event_type, ts,
-       count(*) OVER w AS n_events_7d,
-       count(DISTINCT user_id) OVER w AS n_users_7d
-FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY ts
-             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+@register("events_rolling_users_daily", """
+WITH pairs AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+  FROM events),
+exp AS (
+  SELECT event_type, user_id, day + CAST(o.o AS INT) AS window_day
+  FROM pairs, (SELECT unnest(range(0, 7)) AS o) o),
+counts AS (
+  SELECT event_type, window_day,
+         count(DISTINCT user_id) AS n_users_7d
+  FROM exp GROUP BY 1, 2),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS window_day FROM events)
+SELECT c.event_type, CAST(c.window_day AS VARCHAR) AS window_day,
+       c.n_users_7d
+FROM counts c JOIN days USING (window_day)
 """)
-def win_rolling_distinct(spark, sf):
-    # Spark has no DISTINCT window aggregate: size(collect_set(...))
-    # over the identical event-time RANGE frame — set SIZE is
-    # deterministic under any tie order, making the pairing with
-    # DuckDB's native count(DISTINCT) OVER exact.
+def events_rolling_users_daily(spark, sf):
+    # trailing-7-day distinct users per (type, day) via offset
+    # expansion over distinct daily-active pairs — shuffle bounded by
+    # 7·|daily actives|. The per-event RANGE-frame collect_set
+    # formulation measured 22.7 s at sf0.1 (O(n·frame) per partition)
+    # and was rejected; this exact bucketed plan is the 100 TB shape
+    # (equivalence with the naive window definition is pytest-pinned).
     ev = load_table(spark, sf, "events")
-    return ev.selectExpr(
-        "event_id", "event_type", "ts",
-        f"count(*) OVER ({_ROLL_FRAME}) AS n_events_7d",
-        f"size(collect_set(user_id) OVER ({_ROLL_FRAME})) AS n_users_7d")
+    pairs = (ev.select("event_type", F.to_date("ts").alias("day"),
+                       "user_id")
+               .distinct())
+    exp = pairs.select(
+        "event_type", "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        F.col("day"))
+    exp = exp.select("event_type", "user_id",
+                     F.date_add("day", F.col("off")).alias("window_day"))
+    counts = (exp.groupBy("event_type", "window_day")
+                 .agg(F.count_distinct("user_id").alias("n_users_7d")))
+    days = ev.select(F.to_date("ts").alias("window_day")).distinct()
+    return (counts.join(days, "window_day")
+            .select("event_type",
+                    F.date_format("window_day", "yyyy-MM-dd")
+                     .alias("window_day"),
+                    "n_users_7d"))
+
+
 # ---------------------------------------------------------------------------
 # Composition queries (tests/test_staged_compositions.py)
 # ---------------------------------------------------------------------------
