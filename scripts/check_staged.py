@@ -41,6 +41,7 @@ PARITY_TESTS = [
     "tests/test_rolling_distinct.py::test_rolling_users_daily_duckdb_parity",
     "tests/test_staged_compositions.py",
     "tests/test_theil_sen.py::test_theil_sen_duckdb_parity",
+    "tests/test_readability.py::test_readability_duckdb_parity",
 ]
 
 

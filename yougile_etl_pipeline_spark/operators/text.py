@@ -28,6 +28,7 @@ __all__ = [
     "bm25_scores",
     "domain_affinity",
     "collocation_lift",
+    "readability_scores",
     "chunk_documents",
     "line_dedup",
     "self_dedup",
@@ -802,3 +803,40 @@ def collocation_lift(df: DataFrame, *, text_col: str = "text",
                * F.col("c_b").cast("double")))
     return scored.select("tok_a", "tok_b", "c_ab", "c_a", "c_b",
                          lift.alias("lift"))
+
+
+def readability_scores(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Flesch-style readability per document — the classic
+    surface-statistics quality lens (complements the stopword/length
+    `quality_score` and the trigram `lm_quality_score`):
+
+        flesch = 206.835 − 1.015·(words/sentences)
+                         − 84.6·(syllable_groups/words)
+
+    Heuristic inputs, exactly countable on both engines: words =
+    whitespace tokens; sentences = runs of [.!?] (floored at 1 so
+    punctuation-free text scores rather than dividing by zero);
+    syllable groups = maximal vowel runs ``[aeiouy]+`` in the
+    lowercased text — the standard syllable proxy. All three are
+    integer regexp counts (Java∩RE2-safe patterns, the `redact_pii`
+    portability rule); the score is ONE fixed float expression over
+    them, so output is bit-portable. Map-only codegen — no shuffle,
+    no UDF."""
+    t = _c(text_col)
+    words = F.size(tokens(text_col))
+    sentences = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0)))
+    syl = F.size(F.regexp_extract_all(F.lower(t),
+                                      F.lit("[aeiouy]+"), 0))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (words.cast("double")
+                                / sentences.cast("double"))
+              - F.lit(84.6) * (syl.cast("double")
+                               / words.cast("double")))
+    return df.select(F.col(id_col),
+                     words.alias("n_words"),
+                     sentences.alias("n_sentences"),
+                     syl.alias("n_syllable_groups"),
+                     flesch.alias("flesch"))

@@ -12,7 +12,7 @@ it with one line next to the other registry imports in registry.py
 Every oracle below is the exact SQL proven bit-identical against the
 engine in its staged test (file named per entry) at BOTH sf0.001 and
 the driver's certification scale sf0.01 (`scripts/check_staged.py`,
-22/22 green in round 5). The engine sides are the same operator calls
+23/23 green in round 5). The engine sides are the same operator calls
 the tests exercise. Same determinism contract as registry.py's module
 docstring.
 
@@ -917,6 +917,36 @@ def events_theil_sen(spark, sf):
     ev = load_table(spark, sf, "events")
     return theil_sen_slope(ev, "user_id", "ts", "value",
                            max_rows_per_key=5000)
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (tests/test_readability.py)
+# ---------------------------------------------------------------------------
+
+@register("text_readability", """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+       len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         AS n_syllable_groups,
+       206.835
+         - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                    / CAST(greatest(1, len(regexp_extract_all(text,
+                        '[.!?]+'))) AS DOUBLE))
+         - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         AS flesch
+FROM documents
+""")
+def text_readability(spark, sf):
+    # Flesch-style surface readability: integer regexp counts + one
+    # fixed float expression, map-only (operators/text.py).
+    from yougile_etl_pipeline_spark.operators.text import (
+        readability_scores,
+    )
+
+    return readability_scores(load_table(spark, sf, "documents"))
 
 
 # Order-independence guard (same as the other registry_* modules): if
