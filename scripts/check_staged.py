@@ -42,6 +42,7 @@ PARITY_TESTS = [
     "tests/test_staged_compositions.py",
     "tests/test_theil_sen.py::test_theil_sen_duckdb_parity",
     "tests/test_readability.py::test_readability_duckdb_parity",
+    "tests/test_novelty.py::test_novelty_duckdb_parity",
 ]
 
 

@@ -12,7 +12,7 @@ it with one line next to the other registry imports in registry.py
 Every oracle below is the exact SQL proven bit-identical against the
 engine in its staged test (file named per entry) at BOTH sf0.001 and
 the driver's certification scale sf0.01 (`scripts/check_staged.py`,
-23/23 green in round 5). The engine sides are the same operator calls
+24/24 green in round 5). The engine sides are the same operator calls
 the tests exercise. Same determinism contract as registry.py's module
 docstring.
 
@@ -947,6 +947,46 @@ def text_readability(spark, sf):
     )
 
     return readability_scores(load_table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (tests/test_novelty.py)
+# ---------------------------------------------------------------------------
+
+@register("text_ngram_novelty", f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_shingles_sql('text', 3)}) AS sh
+  FROM documents),
+debut AS (SELECT sh, min(doc_id) AS debut_doc FROM ex GROUP BY 1),
+per_doc AS (
+  SELECT e.doc_id,
+         count(*) AS n_shingles,
+         CAST(count_if(d.debut_doc = e.doc_id) AS BIGINT) AS n_novel
+  FROM ex e JOIN debut d USING (sh)
+  GROUP BY 1)
+SELECT doc_id, n_shingles, n_novel,
+       CAST(n_novel AS DOUBLE) / n_shingles AS novelty
+FROM per_doc
+""")
+def text_ngram_novelty(spark, sf):
+    # share of a doc's distinct trigrams debuting at this doc_id in
+    # corpus order - the linear diversity signal (boilerplate-heavy
+    # batches score ~0); one min-aggregation + join-back, never
+    # pairwise.
+    from yougile_etl_pipeline_spark.operators.text import shingles
+
+    docs = load_table(spark, sf, "documents")
+    ex = docs.select(F.col("doc_id"),
+                     F.explode(shingles("text", 3)).alias("sh"))
+    debut = ex.groupBy("sh").agg(F.min("doc_id").alias("debut_doc"))
+    per_doc = (ex.join(debut, "sh")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_shingles"),
+                      F.count_if(F.col("debut_doc") == F.col("doc_id"))
+                       .alias("n_novel")))
+    return per_doc.withColumn(
+        "novelty",
+        F.col("n_novel").cast("double") / F.col("n_shingles"))
 
 
 # Order-independence guard (same as the other registry_* modules): if
