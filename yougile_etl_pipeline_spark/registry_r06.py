@@ -12,7 +12,7 @@ it with one line next to the other registry imports in registry.py
 Every oracle below is the exact SQL proven bit-identical against the
 engine in its staged test (file named per entry) at BOTH sf0.001 and
 the driver's certification scale sf0.01 (`scripts/check_staged.py`,
-24/24 green in round 5). The engine sides are the same operator calls
+25/25 green in round 5). The engine sides are the same operator calls
 the tests exercise. Same determinism contract as registry.py's module
 docstring.
 
@@ -987,6 +987,39 @@ def text_ngram_novelty(spark, sf):
     return per_doc.withColumn(
         "novelty",
         F.col("n_novel").cast("double") / F.col("n_shingles"))
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (oracle-trivial map-side binning)
+# ---------------------------------------------------------------------------
+
+@register("agg_price_histogram", """
+SELECT CAST(least(15, greatest(0,
+         CAST(floor(l_extendedprice / 7500.0) AS INT))) AS INT)
+         AS bucket_id,
+       CAST(least(15, greatest(0,
+         CAST(floor(l_extendedprice / 7500.0) AS INT))) * 7500.0
+         AS DOUBLE) AS bucket_lo,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+         AS total_price
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL
+GROUP BY 1, 2
+""")
+def agg_price_histogram(spark, sf):
+    # fixed-bound equi-width histogram: one map-side binning expression
+    # + a 16-group aggregate (bounds are part of the query contract, so
+    # the plan is one scan — data-derived bounds are exact_kth_value's
+    # territory). DECIMAL sums keep the per-bucket totals exact.
+    li = load_table(spark, sf, "lineitem")         .filter(F.col("l_extendedprice").isNotNull())
+    bkt = F.least(F.lit(15), F.greatest(F.lit(0), F.floor(
+        F.col("l_extendedprice") / 7500.0).cast("int"))).cast("int")
+    return (li.groupBy(bkt.alias("bucket_id"),
+                       (bkt * 7500.0).cast("double").alias("bucket_lo"))
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
+                    .cast("double").alias("total_price")))
 
 
 # Order-independence guard (same as the other registry_* modules): if
