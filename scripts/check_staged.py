@@ -43,6 +43,7 @@ PARITY_TESTS = [
     "tests/test_theil_sen.py::test_theil_sen_duckdb_parity",
     "tests/test_readability.py::test_readability_duckdb_parity",
     "tests/test_novelty.py::test_novelty_duckdb_parity",
+    "tests/test_kcore.py::test_kcore_duckdb_parity",
 ]
 
 

@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "canonical_docs",
-           "pagerank_fixed_point", "triangle_count", "label_propagation"]
+           "pagerank_fixed_point", "triangle_count", "label_propagation",
+           "kcore_peel"]
 
 
 def connected_components(
@@ -327,3 +328,41 @@ def label_propagation(edges: DataFrame, *, src: str = "src",
                 and i + 1 < iterations:
             labels = labels.localCheckpoint(eager=True)
     return labels.withColumnRenamed("lbl", "community")
+
+
+def kcore_peel(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+               k: int = 2, rounds: int = 3) -> DataFrame:
+    """Iterative k-core peeling: repeatedly delete nodes of degree < k
+    (with the edges they carry) for `rounds` synchronous passes; the
+    fixpoint of this process is the classic k-core — the cohesive
+    subgraph community analysis and spam/link-farm pruning use.
+
+    A FIXED round count keeps the operator oracle-pairable (unrolled
+    CTEs, the pagerank/LPA pattern); peeling converges in a handful of
+    rounds on bounded-degeneracy graphs, and callers can test
+    convergence by comparing `rounds` and `rounds+1` outputs
+    (fixpoint ⇔ equal). Output: ``(node, degree)`` of the surviving
+    subgraph AFTER the final peel (degrees measured in that subgraph).
+
+    Input is symmetrized/simplified like `label_propagation`. Per
+    round: one degree count + two semi joins on node ids — O(E)
+    shuffles, lineage truncated per round via localCheckpoint when
+    deep."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"need k >= 1, rounds >= 1; got {k}, {rounds}")
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    for i in range(rounds):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select("a")
+        und = (und.join(keep, "a", "left_semi")
+                  .join(keep.withColumnRenamed("a", "b"), "b",
+                        "left_semi")
+                  .select("a", "b"))
+        if (i + 1) % 8 == 0 and i + 1 < rounds:
+            und = und.localCheckpoint(eager=True)
+    return (und.groupBy(F.col("a").alias("node"))
+               .agg(F.count(F.lit(1)).alias("degree")))

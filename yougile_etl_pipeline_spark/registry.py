@@ -897,7 +897,7 @@ _STABLE_CERTIFIED = [
 # tests/test_registry_r06_staged.py) — at round-6 start add
 #     from yougile_etl_pipeline_spark import registry_r06  # noqa
 # next to the registry imports above (line ~632), BEFORE the rotation
-# call below. 25 staged ≤ 50 freed slots. Keep any further r06
+# call below. 26 staged ≤ 50 freed slots. Keep any further r06
 # additions ≤ the freed slots so every query stays driver-certified
 # at each round boundary.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []

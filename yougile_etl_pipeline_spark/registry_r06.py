@@ -12,7 +12,7 @@ it with one line next to the other registry imports in registry.py
 Every oracle below is the exact SQL proven bit-identical against the
 engine in its staged test (file named per entry) at BOTH sf0.001 and
 the driver's certification scale sf0.01 (`scripts/check_staged.py`,
-25/25 green in round 5). The engine sides are the same operator calls
+26/26 green in round 5). The engine sides are the same operator calls
 the tests exercise. Same determinism contract as registry.py's module
 docstring.
 
@@ -1020,6 +1020,43 @@ def agg_price_histogram(spark, sf):
               .agg(F.count(F.lit(1)).alias("n_rows"),
                    F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
                     .cast("double").alias("total_price")))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (tests/test_kcore.py)
+# ---------------------------------------------------------------------------
+
+def _kcore_round_sql(i: int, k: int) -> str:
+    p = f"e{i - 1}"
+    return f"""
+d{i} AS (SELECT a, count(*) AS c FROM {p} GROUP BY 1),
+k{i} AS (SELECT a FROM d{i} WHERE c >= {k}),
+e{i} AS (
+  SELECT e.a, e.b FROM {p} e
+  JOIN k{i} x ON e.a = x.a
+  JOIN k{i} y ON e.b = y.a)"""
+
+
+@register("graph_kcore", f"""
+WITH d0 AS (
+  SELECT DISTINCT doc_id % 40 AS x, (doc_id * 7 + 3) % 40 AS y
+  FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40),
+e0 AS (SELECT x AS a, y AS b FROM d0 UNION SELECT y, x FROM d0),
+{_kcore_round_sql(1, 2)},
+{_kcore_round_sql(2, 2)},
+{_kcore_round_sql(3, 2)}
+SELECT a AS node, count(*) AS degree FROM e3 GROUP BY 1
+""")
+def graph_kcore(spark, sf):
+    # 3 synchronous degree-2 peels over the modular adjacency - the
+    # cohesive-subgraph / link-farm-pruning primitive, fixed-round for
+    # oracle pairing (operators/graph.py::kcore_peel).
+    from yougile_etl_pipeline_spark.operators.graph import kcore_peel
+
+    d = load_table(spark, sf, "documents")
+    edges = d.select((F.col("doc_id") % 40).alias("src"),
+                     ((F.col("doc_id") * 7 + 3) % 40).alias("dst"))
+    return kcore_peel(edges, k=2, rounds=3)
 
 
 # Order-independence guard (same as the other registry_* modules): if
