@@ -44,6 +44,8 @@ PARITY_TESTS = [
     "tests/test_readability.py::test_readability_duckdb_parity",
     "tests/test_novelty.py::test_novelty_duckdb_parity",
     "tests/test_kcore.py::test_kcore_duckdb_parity",
+    "tests/test_weighted_median.py::test_weighted_median_duckdb_parity",
+    "tests/test_benford.py::test_benford_duckdb_parity",
 ]
 
 

@@ -15,7 +15,7 @@ __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
            "check_expectations", "quarantine", "scd2_build",
            "scd2_lookup", "pseudonymize", "topk_per_group",
            "exact_group_median", "mad_outliers", "distribution_drift",
-           "exact_kth_value"]
+           "exact_kth_value", "weighted_group_median", "benford_profile"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -536,3 +536,95 @@ def exact_kth_value(df: DataFrame, col: str, k: int, *,
         new_lo = lo + pick * width
         new_hi = hi if pick == buckets - 1 else lo + (pick + 1) * width
         lo, hi = new_lo, new_hi
+
+
+def weighted_group_median(df: DataFrame, key_col: str, value_col: str,
+                          weight_col: str,
+                          out_col: str = "wmedian") -> DataFrame:
+    """EXACT per-key weighted (lower) median: the smallest value v
+    with cumulative weight ≥ half the key's total weight — duration-
+    weighted latency medians, quantity-weighted price medians, token-
+    weighted quality cuts.
+
+    Determinism contract: weights must be integer-valued (they are
+    summed as int64 — quantities, counts, token totals); rows with
+    NULL value/weight or weight ≤ 0 are excluded; keys with no
+    surviving rows produce no output row. The lower-median convention
+    (no averaging across the crossing point) keeps the result a MEMBER
+    of the data, so it is bit-exact and oracle-pairable regardless of
+    float formatting — same reasoning as `exact_kth_value`.
+
+    Distributed shape: collapse ties first (groupBy (key, value) sums
+    weights map-side, so the window stage ranks DISTINCT values, not
+    rows), then one cumulative-sum window per key and a first-crossing
+    filter: 2·cumw ≥ totw AND 2·(cumw − w) < totw selects exactly one
+    row per key. ONE shuffle on `key_col` end-to-end (the groupBy and
+    the window share the hash clustering); the giant-key caveat of
+    `exact_group_median` applies to DISTINCT values per key here, a
+    strictly smaller set."""
+    w_int = F.col(weight_col).cast("bigint")
+    grp = (df.filter(F.col(value_col).isNotNull()
+                     & w_int.isNotNull() & (w_int > 0))
+             .groupBy(key_col, value_col)
+             .agg(F.sum(w_int).alias("__w")))
+    w_cum = (Window.partitionBy(key_col).orderBy(F.col(value_col))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(key_col)
+    ranked = grp.select(
+        key_col, value_col, "__w",
+        F.sum("__w").over(w_cum).alias("__cumw"),
+        F.sum("__w").over(w_all).alias("__totw"))
+    return (ranked.filter((2 * F.col("__cumw") >= F.col("__totw"))
+                          & (2 * (F.col("__cumw") - F.col("__w"))
+                             < F.col("__totw")))
+                  .select(key_col, F.col(value_col).alias(out_col)))
+
+
+# Benford expected first-digit shares in ppm: round(log10(1+1/d)·1e6).
+# Precomputed constants so no engine evaluates a log — the comparison
+# stays pure integer arithmetic on both sides of the oracle pair.
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the
+    classic fabricated-/truncated-data smell test for money-like
+    columns (amounts, populations, file sizes).
+
+    Rows with value ≥ 1 contribute their integer part's first digit —
+    `floor` of a double and its BIGINT cast are exact in every engine,
+    and the first character of an int64's decimal rendering is
+    format-stable, so digit extraction is bit-portable without any
+    log10 (values in (0, 1) would need log-based normalization to find
+    the first significant digit; they are excluded by contract and
+    counted in nothing). Output: one row per digit 1–9 (a digit spine,
+    so missing digits report 0, not an absent row) with ``n_values``,
+    ``obs_ppm`` = n·10⁶ div total (integer division), the Benford
+    ``exp_ppm`` constant, and ``dev_ppm`` = obs − exp. All integer
+    columns; an |dev_ppm| threshold is the caller's audit policy.
+
+    Scale: one map-side-combined 9-group aggregation (shuffle carries
+    ≤ 9·partitions rows) + a broadcast join onto the 9-row spine."""
+    digit = F.substring(
+        F.col("v_int").cast("string"), 1, 1).cast("int")
+    obs = (df.filter(F.col(col) >= 1)
+             .select(F.floor(F.col(col)).cast("bigint").alias("v_int"))
+             .groupBy(digit.alias("digit"))
+             .agg(F.count(F.lit(1)).alias("n_values")))
+    spine = (df.sparkSession.range(1, 10)
+               .select(F.col("id").cast("int").alias("digit")))
+    exp_ppm = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _BENFORD_PPM.items()
+                       for x in kv]), F.col("digit")).cast("bigint")
+    joined = (spine.join(F.broadcast(obs), "digit", "left")
+                   .select("digit",
+                           F.coalesce("n_values", F.lit(0)).alias("n_values"),
+                           exp_ppm.alias("exp_ppm")))
+    total = df.filter(F.col(col) >= 1).count()
+    obs_ppm = F.expr(f"n_values * 1000000 div {max(total, 1)}")
+    return (joined.withColumn("obs_ppm", obs_ppm)
+                  .withColumn("dev_ppm",
+                              F.col("obs_ppm") - F.col("exp_ppm"))
+                  .select("digit", "n_values", "obs_ppm", "exp_ppm",
+                          "dev_ppm"))

@@ -1059,6 +1059,84 @@ def graph_kcore(spark, sf):
     return kcore_peel(edges, k=2, rounds=3)
 
 
+# ---------------------------------------------------------------------------
+# Exact weighted median (tests/test_weighted_median.py)
+# ---------------------------------------------------------------------------
+
+@register("agg_weighted_median", """
+WITH grp AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND CAST(l_quantity AS BIGINT) > 0
+  GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+  FROM grp)
+SELECT l_returnflag, v AS wmedian FROM c
+WHERE 2 * cumw >= totw AND 2 * (cumw - w) < totw
+""")
+def agg_weighted_median(spark, sf):
+    # quantity-weighted lower median price per return flag - exact,
+    # a member of the data (no averaging), one shuffle
+    # (operators/quality.py::weighted_group_median).
+    from yougile_etl_pipeline_spark.operators.quality import (
+        weighted_group_median,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    return weighted_group_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (tests/test_benford.py)
+# ---------------------------------------------------------------------------
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {p})" for d, p in
+    [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+     (6, 66947), (7, 57992), (8, 51153), (9, 45757)])
+
+
+@register("quality_benford", f"""
+WITH base AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+obs AS (SELECT digit, count(*) AS n_values FROM base GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM base),
+spine AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+expd AS (SELECT * FROM (VALUES {_BENFORD_VALUES})
+         AS e(digit, exp_ppm))
+SELECT s.digit,
+       COALESCE(o.n_values, 0) AS n_values,
+       COALESCE(o.n_values, 0) * 1000000 // greatest(t.t, 1)
+         AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       COALESCE(o.n_values, 0) * 1000000 // greatest(t.t, 1)
+         - e.exp_ppm AS dev_ppm
+FROM spine s
+LEFT JOIN obs o USING (digit)
+JOIN expd e USING (digit)
+CROSS JOIN tot t
+""")
+def quality_benford(spark, sf):
+    # first-significant-digit audit of order totals vs Benford's law -
+    # pure integer ppm arithmetic, log-free on both engines
+    # (operators/quality.py::benford_profile).
+    from yougile_etl_pipeline_spark.operators.quality import (
+        benford_profile,
+    )
+
+    return benford_profile(load_table(spark, sf, "orders"),
+                           "o_totalprice")
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
