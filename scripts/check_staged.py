@@ -46,6 +46,8 @@ PARITY_TESTS = [
     "tests/test_kcore.py::test_kcore_duckdb_parity",
     "tests/test_weighted_median.py::test_weighted_median_duckdb_parity",
     "tests/test_benford.py::test_benford_duckdb_parity",
+    "tests/test_cusum.py::test_cusum_duckdb_parity",
+    "tests/test_rolling_slope.py::test_rolling_slope_duckdb_parity",
 ]
 
 

@@ -35,8 +35,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["ewma_fixed_point", "theil_sen_slope"]
+__all__ = ["ewma_fixed_point", "theil_sen_slope", "cusum_fixed_point",
+           "rolling_slope"]
 
 
 def ewma_fixed_point(df: DataFrame, key_col: str, order_cols: list[str],
@@ -157,3 +159,129 @@ def theil_sen_slope(df: DataFrame, key_col: str, time_col: str,
     med = exact_group_median(pairs, key_col, "__slope", "sen_slope")
     n = pairs.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_pairs"))
     return n.join(med, key_col)
+
+
+def cusum_fixed_point(df: DataFrame, key_col: str, order_cols: list[str],
+                      value_col: str, *,
+                      drift: float, threshold: float,
+                      value_scale: int = 100) -> DataFrame:
+    """Per-key one-sided CUSUM change-point detection in exact integer
+    arithmetic — the standard sequential drift alarm (Page's test) for
+    per-entity telemetry: the statistic accumulates how far values run
+    ABOVE the allowance `drift` and alarms when it crosses
+    `threshold`, then resets.
+
+    Recurrence (all int64, in `value_scale` units):
+
+        raw_t  = max(0, carry_{t-1} + x_t − k)
+        alarm  = raw_t > h
+        carry  = 0 if alarm else raw_t
+
+    `drift`/`threshold` are given in VALUE units and quantized once,
+    in Python, to k = round(drift·S), h = round(threshold·S) — after
+    that every step is integer max/add/compare, so the output is
+    bit-deterministic at any partitioning and engine (same fixed-point
+    family as `ewma_fixed_point`; the reset-on-alarm keeps the state
+    bounded by h + max|x|·S, far inside int64).
+
+    Distributed shape: identical to `ewma_fixed_point` — one shuffle
+    on the key, per-key total order (order_cols) collected into an
+    array, the recurrence folded as ONE codegen `aggregate`
+    expression; parallelism = |keys|, intended for bounded per-entity
+    histories. Returns one row per input row: key, order cols,
+    ``cusum`` (the raw statistic back in value units, one IEEE
+    division) and ``is_alarm``."""
+    if value_scale <= 0:
+        raise ValueError("value_scale must be positive")
+    k = int(round(drift * value_scale))
+    h = int(round(threshold * value_scale))
+    if h <= 0:
+        raise ValueError("threshold must quantize to a positive level")
+    v_int = (F.col(value_col)
+             .cast(f"decimal(20,{len(str(value_scale)) - 1})")
+             * value_scale).cast("bigint")
+    ordered = F.array_sort(F.collect_list(F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        v_int.alias("__v"))))
+    step = (
+        f"(acc, x) -> named_struct("
+        f"'states', concat(acc.states, array("
+        f"  greatest(0L, acc.carry + x.__v - {k}L))), "
+        f"'carry', CASE WHEN greatest(0L, acc.carry + x.__v - {k}L)"
+        f"               > {h}L THEN 0L"
+        f"          ELSE greatest(0L, acc.carry + x.__v - {k}L) END)")
+    grouped = df.groupBy(key_col).agg(ordered.alias("__seq"))
+    folded = grouped.select(
+        key_col, "__seq",
+        F.expr(f"aggregate(__seq, "
+               f"named_struct('states', CAST(array() AS ARRAY<BIGINT>), "
+               f"'carry', CAST(0 AS BIGINT)), {step}).states")
+        .alias("__states"))
+    pairs = folded.select(
+        key_col,
+        F.explode(F.arrays_zip("__seq", "__states")).alias("z"))
+    return pairs.select(
+        key_col,
+        *[F.col(f"z.__seq.__o{i}").alias(c)
+          for i, c in enumerate(order_cols)],
+        (F.col("z.__states").cast("double")
+         / F.lit(float(value_scale))).alias("cusum"),
+        (F.col("z.__states") > F.lit(h)).alias("is_alarm"))
+
+
+def rolling_slope(df: DataFrame, key_col: str, order_cols: list[str],
+                  value_col: str, *, window_n: int = 20,
+                  value_scale: int = 100) -> DataFrame:
+    """Per-key trailing-window least-squares trend: the OLS slope of
+    the last `window_n` values against their sequence index — the
+    cheap local-trend detector next to `theil_sen_slope`'s robust
+    global one.
+
+    Exactness: x is the per-key row_number (small exact ints), y the
+    `value_scale`-scaled integer value (same DECIMAL quantization as
+    `ewma_fixed_point`), and the four window sums Σx, Σy, Σxy, Σx²
+    are int64 — commutative exact addition, so partition-order-free.
+    The slope is ONE IEEE division of two exact int64 terms
+
+        slope = (n·Σxy − Σx·Σy) / ((n·Σx² − (Σx)²) · S)
+
+    (value units per step), identical bits in every engine; NULL for
+    single-row windows (zero denominator). Overflow bound: with R
+    rows per key and |y| ≤ Y units, n·Σx² ≈ n²·R² and n·Σxy ≈ n·R·Y·n
+    must fit 2⁵³ (exact double conversion) — at n=20, a 10⁸-row key
+    with 10⁶-unit values still fits; for bigger keys re-base x per
+    window upstream.
+
+    Scale: ONE shuffle on the key; both window functions share the
+    (key, order) sort. Returns every input row + ``n_window`` +
+    ``slope``."""
+    if window_n < 2:
+        raise ValueError("window_n must be ≥ 2")
+    v_int = (F.col(value_col)
+             .cast(f"decimal(20,{len(str(value_scale)) - 1})")
+             * value_scale).cast("bigint")
+    order = [F.col(c) for c in order_cols]
+    w_rank = Window.partitionBy(key_col).orderBy(*order)
+    base = df.select(
+        key_col, *order_cols,
+        v_int.alias("__y"),
+        F.row_number().over(w_rank).cast("bigint").alias("__x"))
+    w = (Window.partitionBy(key_col).orderBy("__x")
+         .rowsBetween(-(window_n - 1), Window.currentRow))
+    stats = base.select(
+        key_col, *order_cols,
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum("__x").over(w).alias("__sx"),
+        F.sum("__y").over(w).alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).over(w).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).over(w).alias("__sxx"))
+    num = (F.col("n_window") * F.col("__sxy")
+           - F.col("__sx") * F.col("__sy"))
+    den = (F.col("n_window") * F.col("__sxx")
+           - F.col("__sx") * F.col("__sx"))
+    return stats.select(
+        key_col, *order_cols, "n_window",
+        F.when(den != 0,
+               num.cast("double")
+               / (den * F.lit(value_scale)).cast("double"))
+        .alias("slope"))

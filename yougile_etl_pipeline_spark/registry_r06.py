@@ -1137,6 +1137,92 @@ def quality_benford(spark, sf):
                            "o_totalprice")
 
 
+# ---------------------------------------------------------------------------
+# CUSUM change-point alarms (tests/test_cusum.py)
+# ---------------------------------------------------------------------------
+
+@register("events_cusum_alarms", """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+cs AS (
+  SELECT user_id, event_id, rn,
+         greatest(0, v - 6000) AS raw,
+         CASE WHEN greatest(0, v - 6000) > 30000 THEN 0
+              ELSE greatest(0, v - 6000) END AS carry
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_id, n.rn,
+         greatest(0, cs.carry + n.v - 6000),
+         CASE WHEN greatest(0, cs.carry + n.v - 6000) > 30000 THEN 0
+              ELSE greatest(0, cs.carry + n.v - 6000) END
+  FROM cs JOIN seq n ON n.user_id = cs.user_id AND n.rn = cs.rn + 1)
+SELECT user_id, event_id,
+       CAST(raw AS DOUBLE) / 100.0 AS cusum,
+       raw > 30000 AS is_alarm
+FROM cs
+""")
+def events_cusum_alarms(spark, sf):
+    # Page's one-sided CUSUM with reset, exact int64 recurrence folded
+    # as one codegen aggregate per user - sequential drift alarms
+    # (operators/timeseries.py::cusum_fixed_point).
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        cusum_fixed_point,
+    )
+
+    ev = load_table(spark, sf, "events") \
+        .select("user_id", "ts", "event_id", "value")
+    return (cusum_fixed_point(ev, "user_id", ["ts", "event_id"],
+                              "value", drift=60.0, threshold=300.0)
+            .select("user_id", "event_id", "cusum", "is_alarm"))
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window OLS trend (tests/test_rolling_slope.py)
+# ---------------------------------------------------------------------------
+
+@register("events_rolling_slope", """
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS y,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS x
+  FROM events),
+w AS (
+  SELECT user_id, event_id,
+         count(*) OVER win AS n_window,
+         SUM(x) OVER win AS sx,
+         SUM(y) OVER win AS sy,
+         SUM(x * y) OVER win AS sxy,
+         SUM(x * x) OVER win AS sxx
+  FROM base
+  WINDOW win AS (PARTITION BY user_id ORDER BY x
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, n_window,
+       CASE WHEN n_window * sxx - sx * sx <> 0
+            THEN CAST(n_window * sxy - sx * sy AS DOUBLE)
+                 / CAST((n_window * sxx - sx * sx) * 100 AS DOUBLE)
+       END AS slope
+FROM w
+""")
+def events_rolling_slope(spark, sf):
+    # trailing-10 OLS slope from four exact int64 window sums, one
+    # IEEE division at the end - the local-trend twin of the staged
+    # Theil-Sen (operators/timeseries.py::rolling_slope).
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        rolling_slope,
+    )
+
+    ev = load_table(spark, sf, "events") \
+        .select("user_id", "ts", "event_id", "value")
+    return (rolling_slope(ev, "user_id", ["ts", "event_id"], "value",
+                          window_n=10)
+            .select("user_id", "event_id", "n_window", "slope"))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
