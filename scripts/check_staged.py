@@ -48,6 +48,7 @@ PARITY_TESTS = [
     "tests/test_benford.py::test_benford_duckdb_parity",
     "tests/test_cusum.py::test_cusum_duckdb_parity",
     "tests/test_rolling_slope.py::test_rolling_slope_duckdb_parity",
+    "tests/test_dup_spans.py::test_dup_spans_duckdb_parity",
 ]
 
 

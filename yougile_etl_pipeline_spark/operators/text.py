@@ -38,6 +38,7 @@ __all__ = [
     "tfidf_top_terms",
     "build_vocab",
     "oov_stats",
+    "dup_span_coverage",
     "PII_PATTERNS",
     "fingerprint_exact",
     "fingerprint_shingle_min",
@@ -840,3 +841,59 @@ def readability_scores(df: DataFrame, *, id_col: str = "doc_id",
                      sentences.alias("n_sentences"),
                      syl.alias("n_syllable_groups"),
                      flesch.alias("flesch"))
+
+
+def dup_span_coverage(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 5) -> DataFrame:
+    """Per-document coverage by CROSS-document duplicated word
+    n-grams — the exact-substring dedup signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"):
+    a token position is *covered* when it sits inside an n-gram that
+    also occurs in at least one OTHER document; a high covered
+    fraction marks boilerplate and near-copies that MinHash's
+    whole-doc lens can miss.
+
+    Distinct from `text_ngram_novelty` (debut-ordered distinct
+    trigrams): this is positional — overlapping duplicated grams merge
+    into spans and each token is counted once, so ``coverage`` is the
+    true fraction of removable duplicated text.
+
+    Distributed shape: positional grams carry a 16-byte md5
+    fingerprint, never the gram text, so the frequency shuffle is
+    fingerprint-sized; grams seen in ≥ 2 distinct docs join back
+    (equi-join on the fingerprint); then ONE shuffle on the doc id
+    collects each doc's duplicated start offsets and the span union is
+    pure array math — ``array_distinct(flatten(transform(starts, s →
+    sequence(s, s+n−1))))`` — inside codegen, no (doc, position)
+    distinct shuffle. Every doc gets a row (left join; zero coverage
+    when nothing is duplicated).
+
+    Returns ``(id_col, n_tokens, n_covered, coverage)``."""
+    toks = tokens(text_col)
+    gram = F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__s"), n))
+    ex = (df.select(F.col(id_col),
+                    F.explode(_ngram_starts(toks, n)).alias("__s"),
+                    toks.alias("__toks"))
+            .select(id_col, "__s", F.md5(gram).alias("__fp")))
+    dup = (ex.groupBy("__fp")
+             .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+             .filter(F.col("__nd") >= 2)
+             .select("__fp"))
+    starts = (ex.join(dup, "__fp")
+                .groupBy(id_col)
+                .agg(F.collect_list("__s").alias("__starts")))
+    covered = starts.select(
+        id_col,
+        F.size(F.array_distinct(F.flatten(F.transform(
+            "__starts",
+            lambda s: F.sequence(s, s + (n - 1))))))
+        .cast("bigint").alias("n_covered"))
+    base = df.select(F.col(id_col),
+                     F.size(toks).cast("bigint").alias("n_tokens"))
+    out = base.join(covered, id_col, "left")
+    n_cov = F.coalesce(F.col("n_covered"), F.lit(0).cast("bigint"))
+    return out.select(
+        id_col, "n_tokens",
+        n_cov.alias("n_covered"),
+        (n_cov.cast("double") / F.col("n_tokens").cast("double"))
+        .alias("coverage"))

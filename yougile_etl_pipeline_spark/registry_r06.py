@@ -1223,6 +1223,48 @@ def events_rolling_slope(spark, sf):
             .select("user_id", "event_id", "n_window", "slope"))
 
 
+# ---------------------------------------------------------------------------
+# Cross-doc duplicate n-gram span coverage (tests/test_dup_spans.py)
+# ---------------------------------------------------------------------------
+
+_DUP_N = 5
+
+
+@register("text_dup_span_coverage", f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+ex AS (
+  SELECT doc_id, s,
+         md5(array_to_string(toks[s:s+{_DUP_N - 1}], ' ')) AS fp
+  FROM t, LATERAL (SELECT unnest(range(1,
+           greatest(len(toks) - {_DUP_N} + 1, 0) + 1)) AS s) ls),
+dup AS (SELECT fp FROM ex GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT doc_id, count(DISTINCT p) AS n_covered
+  FROM ex JOIN dup USING (fp),
+       LATERAL (SELECT unnest(range(s, s + {_DUP_N})) AS p) lp
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(COALESCE(cov.n_covered, 0) AS DOUBLE)
+         / CAST(len(t.toks) AS DOUBLE) AS coverage
+FROM t LEFT JOIN cov USING (doc_id)
+""")
+def text_dup_span_coverage(spark, sf):
+    # Lee-et-al exact-substring dedup signal: fraction of each doc's
+    # token positions inside an n-gram shared with ANOTHER doc -
+    # positional span union in codegen array math, fingerprint-sized
+    # shuffles (operators/text.py::dup_span_coverage).
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_coverage,
+    )
+
+    return dup_span_coverage(load_table(spark, sf, "documents"),
+                             n=_DUP_N)
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
