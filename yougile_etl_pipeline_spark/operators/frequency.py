@@ -192,3 +192,65 @@ def count_min_estimate(sketch: DataFrame, keys: DataFrame, key: str, *,
                   .groupBy(key)
                   .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                         .alias("cm_est")))
+
+
+def copurchase_lift(df: DataFrame, basket_col: str, item_col: str, *,
+                    min_pair_count: int = 2,
+                    max_basket_items: int = 1000) -> DataFrame:
+    """Market-basket association mining: item pairs ranked by LIFT
+    over baskets — the transactional twin of
+    ``text.collocation_lift`` (same ln-free PMI trade), for
+    recommendation priors ("parts ordered together") and corpus
+    co-occurrence mining (entities per document).
+
+        lift(a,b) = p(ab) / (p(a)·p(b))
+                  = c_ab · N_baskets / (c_a · c_b)
+
+    where every count is over DISTINCT baskets (multiplicity inside a
+    basket doesn't inflate support). All counts are exact int64; the
+    score is ONE fixed float expression written identically in the
+    SQL oracle, so the output is bit-portable. Pairs are canonical
+    (item_a < item_b) and filtered to ``c_ab ≥ min_pair_count``.
+
+    Scale: the pair stage is a per-basket self-join — quadratic in
+    BASKET SIZE, not corpus size; `max_basket_items` enforces the
+    bound (raise, not silent truncation — the `theil_sen_slope`
+    contract family): a basket over the cap means the caller should
+    pre-cap baskets upstream (top-N items per basket) rather than let
+    one mega-basket emit n²/2 pairs. Everything shuffles on basket or
+    item equi-keys; supports join back item-keyed (broadcastable for
+    bounded catalogs)."""
+    items = df.select(F.col(basket_col).alias("__b"),
+                      F.col(item_col).alias("__i")).distinct()
+    sizes = (items.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+                  .agg(F.max("__n")).collect())
+    biggest = sizes[0][0] or 0
+    if biggest > max_basket_items:
+        raise ValueError(
+            f"largest basket has {biggest} items > max_basket_items="
+            f"{max_basket_items}: the pair stage is quadratic per "
+            f"basket — cap baskets upstream or raise the cap "
+            f"deliberately")
+    a = items.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = items.select(F.col("__b").alias("__b2"),
+                     F.col("__i").alias("item_b"))
+    pairs = (a.join(b, (F.col("__b") == F.col("__b2"))
+                    & (F.col("item_a") < F.col("item_b")))
+              .groupBy("item_a", "item_b")
+              .agg(F.count(F.lit(1)).alias("c_ab"))
+              .filter(F.col("c_ab") >= min_pair_count))
+    support = items.groupBy("__i").agg(F.count(F.lit(1)).alias("c"))
+    totals = items.agg(
+        F.count_distinct("__b").alias("n_baskets"))
+    scored = (pairs
+              .join(support.select(F.col("__i").alias("item_a"),
+                                   F.col("c").alias("c_a")), "item_a")
+              .join(support.select(F.col("__i").alias("item_b"),
+                                   F.col("c").alias("c_b")), "item_b")
+              .crossJoin(F.broadcast(totals)))
+    lift = (F.col("c_ab").cast("double")
+            * F.col("n_baskets").cast("double")
+            / (F.col("c_a").cast("double")
+               * F.col("c_b").cast("double")))
+    return scored.select("item_a", "item_b", "c_ab", "c_a", "c_b",
+                         "n_baskets", lift.alias("lift"))

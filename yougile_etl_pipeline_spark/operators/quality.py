@@ -15,7 +15,8 @@ __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
            "check_expectations", "quarantine", "scd2_build",
            "scd2_lookup", "pseudonymize", "topk_per_group",
            "exact_group_median", "mad_outliers", "distribution_drift",
-           "exact_kth_value", "weighted_group_median", "benford_profile"]
+           "exact_kth_value", "weighted_group_median", "benford_profile",
+           "exact_mode"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -628,3 +629,31 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
                               F.col("obs_ppm") - F.col("exp_ppm"))
                   .select("digit", "n_values", "obs_ppm", "exp_ppm",
                           "dev_ppm"))
+
+
+def exact_mode(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """EXACT per-key mode (most frequent non-NULL value) with a
+    deterministic tie-break: among equally frequent values the
+    LARGEST wins — so the result is a pure function of the data, not
+    of partition order (Spark's built-in ``mode()`` picks an arbitrary
+    tied value, which can never be oracle-paired).
+
+    Implementation is the argmax-by-struct idiom: count (key, value)
+    pairs (map-side combinable), then ``max(struct(count, value))``
+    per key — struct comparison orders by count first, value second,
+    exactly the documented tie-break, and the final max is an
+    order-free aggregate. TWO partial-agg shuffles on key-ish keys,
+    no window sort.
+
+    Returns ``(key_col, mode: value type, mode_count: long)``; keys
+    whose values are all NULL produce no row."""
+    counts = (df.filter(F.col(value_col).isNotNull())
+                .groupBy(key_col, value_col)
+                .agg(F.count(F.lit(1)).alias("__c")))
+    top = (counts.groupBy(key_col)
+                 .agg(F.max(F.struct(F.col("__c"),
+                                     F.col(value_col).alias("__v")))
+                       .alias("__m")))
+    return top.select(key_col,
+                      F.col("__m.__v").alias("mode"),
+                      F.col("__m.__c").alias("mode_count"))

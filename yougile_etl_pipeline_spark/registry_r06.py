@@ -1265,6 +1265,69 @@ def text_dup_span_coverage(spark, sf):
                              n=_DUP_N)
 
 
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase lift (tests/test_copurchase.py)
+# ---------------------------------------------------------------------------
+
+@register("freq_copurchase_lift", """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*) AS c_ab
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 2),
+support AS (SELECT i, count(*) AS c FROM items GROUP BY 1),
+totals AS (SELECT count(DISTINCT b) AS n_baskets FROM items)
+SELECT p.item_a, p.item_b, p.c_ab,
+       sa.c AS c_a, sb.c AS c_b, t.n_baskets,
+       CAST(p.c_ab AS DOUBLE) * CAST(t.n_baskets AS DOUBLE)
+         / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS lift
+FROM pairs p
+JOIN support sa ON sa.i = p.item_a
+JOIN support sb ON sb.i = p.item_b
+CROSS JOIN totals t
+""")
+def freq_copurchase_lift(spark, sf):
+    # parts ordered together ranked by ln-free lift - per-basket
+    # self-join bounded by the enforced basket cap, distinct-basket
+    # supports (operators/frequency.py::copurchase_lift).
+    from yougile_etl_pipeline_spark.operators.frequency import (
+        copurchase_lift,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    return copurchase_lift(li, "l_orderkey", "l_partkey",
+                           min_pair_count=2)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exact mode (tests/test_exact_mode.py)
+# ---------------------------------------------------------------------------
+
+@register("events_mode_type", """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT user_id, event_type, c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type DESC) AS rn
+  FROM counts)
+SELECT user_id, event_type AS mode, c AS mode_count
+FROM ranked WHERE rn = 1
+""")
+def events_mode_type(spark, sf):
+    # per-user most frequent event type with the deterministic
+    # largest-value tie-break - argmax-by-struct, two partial-agg
+    # shuffles, no window sort (operators/quality.py::exact_mode).
+    from yougile_etl_pipeline_spark.operators.quality import exact_mode
+
+    return exact_mode(load_table(spark, sf, "events"),
+                      "user_id", "event_type")
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
