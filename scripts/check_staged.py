@@ -51,6 +51,8 @@ PARITY_TESTS = [
     "tests/test_dup_spans.py::test_dup_spans_duckdb_parity",
     "tests/test_copurchase.py::test_copurchase_duckdb_parity",
     "tests/test_exact_mode.py::test_exact_mode_duckdb_parity",
+    "tests/test_neighbor_jaccard.py::test_neighbor_jaccard_duckdb_parity",
+    "tests/test_rake.py::test_rake_duckdb_parity",
 ]
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "tokens",
@@ -39,6 +40,7 @@ __all__ = [
     "build_vocab",
     "oov_stats",
     "dup_span_coverage",
+    "rake_keyphrases",
     "PII_PATTERNS",
     "fingerprint_exact",
     "fingerprint_shingle_min",
@@ -897,3 +899,70 @@ def dup_span_coverage(df: DataFrame, id_col: str = "doc_id",
         n_cov.alias("n_covered"),
         (n_cov.cast("double") / F.col("n_tokens").cast("double"))
         .alias("coverage"))
+
+
+def rake_keyphrases(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *,
+                    stopwords: list[str] | None = None,
+                    min_count: int = 2) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = summed length of the phrases it
+    appears in — co-occurrence reach; frequency = its occurrence
+    count), and a phrase scores the sum of its words' scores — the
+    unsupervised topical-phrase miner for corpus exploration and
+    dictionary bootstrap.
+
+    Portability: deg and freq are exact int64 counts; the word score
+    is integer ppm (``deg·10⁶ div freq`` — the `benford_profile`
+    trick) and phrase scores are int64 sums of those, so the output
+    carries no engine-dependent float at all. Identical phrase TEXT
+    always has an identical score (word stats are corpus-level), so
+    the final phrase-level grouping is well-defined.
+
+    Distributed shape: one pos-explode; segment ids from a running
+    stopword count (one shuffle on the doc id; the phrase-length
+    window reuses the same clustering); word stats are a vocab-keyed
+    partial agg joined back on the token (broadcastable for bounded
+    vocabularies); phrase assembly is ``string_agg``-ordered inside
+    the doc-keyed aggregation. Empty tokens (double spaces) act as
+    boundaries, like stopwords.
+
+    Returns ``(phrase, n_words, n_occurrences, score_ppm)`` for
+    phrases occurring ≥ `min_count` times."""
+    stops = STOPWORDS if stopwords is None else stopwords
+    toks = tokens(text_col)
+    toked = df.select(F.col(id_col).alias("__id"),
+                      F.posexplode(toks).alias("__pos", "__tok"))
+    is_stop = (F.col("__tok").isin(stops)
+               | (F.col("__tok") == F.lit("")))
+    w_run = (Window.partitionBy("__id").orderBy("__pos")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+    seg = F.sum(is_stop.cast("int")).over(w_run)
+    words = (toked.withColumn("__seg", seg)
+                  .filter(~is_stop)
+                  .select("__id", "__seg", "__pos", "__tok"))
+    w_phrase = Window.partitionBy("__id", "__seg")
+    words = words.withColumn(
+        "__plen", F.count(F.lit(1)).over(w_phrase))
+    wstats = (words.groupBy("__tok")
+                   .agg(F.count(F.lit(1)).alias("__freq"),
+                        F.sum("__plen").alias("__deg"))
+                   .withColumn("__wppm",
+                               F.expr("__deg * 1000000 div __freq")))
+    scored = words.join(wstats.select("__tok", "__wppm"), "__tok")
+    phrases = (scored.groupBy("__id", "__seg")
+               .agg(F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("__pos", "__tok"))),
+                        lambda x: x["__tok"])).alias("phrase"),
+                    F.count(F.lit(1)).alias("__nw"),
+                    F.sum("__wppm").alias("__score")))
+    return (phrases.groupBy("phrase")
+            .agg(F.max("__nw").cast("bigint").alias("n_words"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 # identical phrase text ⇒ identical score by
+                 # construction; max is just the scalar extractor
+                 F.max("__score").alias("score_ppm"))
+            .filter(F.col("n_occurrences") >= min_count))

@@ -1328,6 +1328,100 @@ def events_mode_type(spark, sf):
                       "user_id", "event_type")
 
 
+# ---------------------------------------------------------------------------
+# Neighbor-set Jaccard link prediction (tests/test_neighbor_jaccard.py)
+# ---------------------------------------------------------------------------
+
+@register("graph_link_jaccard", """
+WITH d0 AS (
+  SELECT DISTINCT doc_id % 40 AS x, (doc_id * 7 + 3) % 40 AS y
+  FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40),
+und AS (SELECT x AS a, y AS b FROM d0 UNION SELECT y, x FROM d0),
+deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+wedge AS (
+  SELECT l.a AS node_a, r.b AS node_b
+  FROM und l JOIN und r ON l.b = r.a
+  WHERE l.a < r.b),
+common AS (
+  SELECT node_a, node_b, count(*) AS n_common
+  FROM wedge GROUP BY 1, 2),
+j AS (
+  SELECT c.node_a, c.node_b, c.n_common,
+         da.deg AS deg_a, db.deg AS deg_b
+  FROM common c
+  JOIN deg da ON da.a = c.node_a
+  JOIN deg db ON db.a = c.node_b)
+SELECT node_a, node_b, n_common, deg_a, deg_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(deg_a + deg_b - n_common AS DOUBLE) AS jaccard
+FROM j
+""")
+def graph_link_jaccard(spark, sf):
+    # neighbor-set Jaccard over the modular adjacency (the certified
+    # graph family's fixture): wedge-join candidates, degree join-back,
+    # one IEEE division (operators/graph.py::neighbor_jaccard).
+    from yougile_etl_pipeline_spark.operators.graph import (
+        neighbor_jaccard,
+    )
+
+    d = load_table(spark, sf, "documents")
+    edges = d.select((F.col("doc_id") % 40).alias("src"),
+                     ((F.col("doc_id") * 7 + 3) % 40).alias("dst"))
+    return neighbor_jaccard(edges)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (tests/test_rake.py)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPLIST = "[" + ", ".join(
+    f"'{w}'" for w in
+    ["the", "a", "of", "and", "to", "in", "is", "on", "for",
+     "with"]) + "]"
+
+
+@register("text_rake_keyphrases", f"""
+WITH toked AS (
+  SELECT doc_id AS id, i AS pos, toks[i] AS tok,
+         (list_contains({_RAKE_STOPLIST}, toks[i]) OR toks[i] = '')
+           AS is_stop
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) l),
+segged AS (
+  SELECT id, pos, tok, is_stop,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos) AS seg
+  FROM toked),
+words AS (
+  SELECT id, seg, pos, tok,
+         count(*) OVER (PARTITION BY id, seg) AS plen
+  FROM segged WHERE NOT is_stop),
+wstats AS (
+  SELECT tok,
+         CAST(SUM(plen) * 1000000 // count(*) AS BIGINT) AS wppm
+  FROM words GROUP BY tok),
+phrases AS (
+  SELECT id, seg,
+         string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+         count(*) AS nw, CAST(SUM(ws.wppm) AS BIGINT) AS score
+  FROM words w JOIN wstats ws USING (tok)
+  GROUP BY 1, 2)
+SELECT phrase, CAST(max(nw) AS BIGINT) AS n_words,
+       count(*) AS n_occurrences, max(score) AS score_ppm
+FROM phrases GROUP BY 1 HAVING count(*) >= 2
+""")
+def text_rake_keyphrases(spark, sf):
+    # RAKE: stopword-delimited phrases scored by summed word
+    # degree/frequency in integer ppm - float-free output
+    # (operators/text.py::rake_keyphrases).
+    from yougile_etl_pipeline_spark.operators.text import (
+        rake_keyphrases,
+    )
+
+    return rake_keyphrases(load_table(spark, sf, "documents"))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
