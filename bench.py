@@ -121,19 +121,23 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
     from yougile_etl_pipeline_spark.operators.dedup import (
         shingle_blocking_profile, shingle_containment_pairs)
     from yougile_etl_pipeline_spark.operators.frequency import (
-        count_min_build, count_min_estimate)
-    from yougile_etl_pipeline_spark.operators.graph import label_propagation
+        copurchase_lift, count_min_build, count_min_estimate)
+    from yougile_etl_pipeline_spark.operators.graph import (
+        label_propagation, neighbor_jaccard)
     from yougile_etl_pipeline_spark.operators.layout import corpus_manifest
     from yougile_etl_pipeline_spark.operators.linalg import gram_matrix
     from yougile_etl_pipeline_spark.operators.pq import (
         pq_adc_topk, pq_encode, pq_train)
     from yougile_etl_pipeline_spark.operators.quality import (
-        distribution_drift, exact_kth_value, mad_outliers)
+        benford_profile, distribution_drift, exact_kth_value,
+        exact_mode, mad_outliers, weighted_group_median)
     from yougile_etl_pipeline_spark.operators.similarity import semantic_dedup
     from yougile_etl_pipeline_spark.operators.text import (
-        collocation_lift, domain_affinity)
+        collocation_lift, domain_affinity, dup_span_coverage,
+        rake_keyphrases)
     from yougile_etl_pipeline_spark.operators.timeseries import (
-        ewma_fixed_point, theil_sen_slope)
+        cusum_fixed_point, ewma_fixed_point, rolling_slope,
+        theil_sen_slope)
     from pyspark.sql.window import Window
 
     from yougile_etl_pipeline_spark.sources.tables import load_table
@@ -145,6 +149,7 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
     emb = load_table(spark, sf_dir, "embeddings")
     ev = load_table(spark, sf_dir, "events")
     li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
     cents = emb.filter(
         F.col("vec_id") < int(round(math.sqrt(emb.count()))))
     cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
@@ -214,6 +219,25 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
                     F.col("doc_id"))).cast("long"))
             .filter(F.col("pick_rank") <= 20)
             .select("doc_id", "lang", "pick_rank"),
+        "agg_weighted_median": lambda: weighted_group_median(
+            li, "l_returnflag", "l_extendedprice", "l_quantity"),
+        "quality_benford": lambda: benford_profile(
+            orders, "o_totalprice"),
+        "events_cusum_alarms": lambda: cusum_fixed_point(
+            ev, "user_id", ["ts", "event_id"], "value",
+            drift=60.0, threshold=300.0),
+        "events_rolling_slope": lambda: rolling_slope(
+            ev, "user_id", ["ts", "event_id"], "value", window_n=10),
+        "text_dup_span_coverage": lambda: dup_span_coverage(
+            docs, n=5),
+        "freq_copurchase_lift": lambda: copurchase_lift(
+            li, "l_orderkey", "l_partkey", min_pair_count=2),
+        "events_mode_type": lambda: exact_mode(
+            ev, "user_id", "event_type"),
+        "graph_link_jaccard": lambda: neighbor_jaccard(
+            docs.select((F.col("doc_id") % 40).alias("src"),
+                        ((F.col("doc_id") * 7 + 3) % 40).alias("dst"))),
+        "text_rake_keyphrases": lambda: rake_keyphrases(docs),
     }
     timings: dict[str, float] = {}
     for name, fn in cases.items():

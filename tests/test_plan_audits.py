@@ -495,3 +495,152 @@ def test_mad_outliers_reuses_key_partitioning(spark):
     plan = _formatted(spark, mad_outliers(ev, "event_type", "value"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _shuffles(body: str) -> int:
+    import re
+
+    return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", body))
+
+
+def test_weighted_median_two_bounded_shuffles(spark):
+    """weighted_group_median: a (key, value) partial agg then the key
+    window — exactly two shuffles, both map-side combined, no join."""
+    from yougile_etl_pipeline_spark.operators.quality import (
+        weighted_group_median,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    plan = _formatted(spark, weighted_group_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"))
+    body = plan.split("\n\n")[0]
+    assert _shuffles(body) == 2
+    assert "Join" not in body
+
+
+def test_exact_mode_two_aggs_no_window(spark):
+    """exact_mode: argmax-by-struct is two hash aggregations — never a
+    per-key window sort."""
+    from yougile_etl_pipeline_spark.operators.quality import exact_mode
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    plan = _formatted(spark, exact_mode(li, "l_returnflag",
+                                        "l_linestatus"))
+    body = plan.split("\n\n")[0]
+    assert _shuffles(body) == 2
+    assert "Window" not in body
+    assert "Join" not in body
+
+
+def test_benford_single_shuffle_broadcast_spine(spark):
+    """benford_profile: one 9-group bounded aggregate shuffle; the
+    digit spine joins via broadcast hash, never a sort-merge."""
+    from yougile_etl_pipeline_spark.operators.quality import (
+        benford_profile,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    plan = _formatted(spark, benford_profile(orders, "o_totalprice"))
+    body = plan.split("\n\n")[0]
+    assert _shuffles(body) == 1
+    assert "BroadcastHashJoin" in body
+    assert "SortMergeJoin" not in body
+
+
+def test_cusum_single_key_shuffle_no_window(spark):
+    """cusum_fixed_point: the fold is ONE codegen aggregate expression
+    after one key shuffle — no window operator, no Python."""
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        cusum_fixed_point,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+        .selectExpr("user_id", "event_id", "value",
+                    "cast(ts as timestamp) ts")
+    plan = _formatted(spark, cusum_fixed_point(
+        ev, "user_id", ["ts", "event_id"], "value",
+        drift=60.0, threshold=300.0))
+    body = plan.split("\n\n")[0]
+    assert _shuffles(body) == 1
+    assert "Window" not in body
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_rolling_slope_windows_share_one_exchange(spark):
+    """rolling_slope: the row_number window and the four-sum frame
+    window both cluster on the key — ONE shuffle total."""
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        rolling_slope,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+        .selectExpr("user_id", "event_id", "value",
+                    "cast(ts as timestamp) ts")
+    plan = _formatted(spark, rolling_slope(
+        ev, "user_id", ["ts", "event_id"], "value", window_n=10))
+    body = plan.split("\n\n")[0]
+    assert _shuffles(body) == 1
+    assert body.count("Window") >= 1
+
+
+def test_dup_span_coverage_fingerprint_equijoins(spark):
+    """dup_span_coverage: duplicated-gram detection and join-back ride
+    md5-fingerprint equi-joins; the span union is array math after the
+    doc-keyed agg — no cartesian, no nested loop anywhere."""
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_coverage,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _formatted(spark, dup_span_coverage(docs, n=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    body = plan.split("\n\n")[0]
+    assert _shuffles(body) <= 3
+
+
+def test_rake_no_cartesian_no_nested_loop(spark):
+    """rake_keyphrases: segment windows + vocab-keyed join-back — all
+    equi-joins; no product anywhere."""
+    from yougile_etl_pipeline_spark.operators.text import (
+        rake_keyphrases,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _formatted(spark, rake_keyphrases(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_copurchase_pair_join_is_hash_equijoin(spark):
+    """copurchase_lift: the basket self-join is an equi hash/merge
+    join; the only nested-loop is the 1-row broadcast totals cross
+    join (bounded build side by construction — the documented Q15/
+    collocation_lift pattern)."""
+    from yougile_etl_pipeline_spark.operators.frequency import (
+        copurchase_lift,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    plan = _formatted(spark, copurchase_lift(
+        li, "l_orderkey", "l_partkey", min_pair_count=2))
+    assert "CartesianProduct" not in plan
+    assert ("ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_neighbor_jaccard_wedge_equijoins_only(spark):
+    """neighbor_jaccard: wedge generation and degree join-backs are
+    equi-joins — never an all-pairs product."""
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.operators.graph import (
+        neighbor_jaccard,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    edges = docs.select((F.col("doc_id") % 40).alias("src"),
+                        ((F.col("doc_id") * 7 + 3) % 40).alias("dst"))
+    plan = _formatted(spark, neighbor_jaccard(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -559,10 +559,11 @@ def weighted_group_median(df: DataFrame, key_col: str, value_col: str,
     weights map-side, so the window stage ranks DISTINCT values, not
     rows), then one cumulative-sum window per key and a first-crossing
     filter: 2·cumw ≥ totw AND 2·(cumw − w) < totw selects exactly one
-    row per key. ONE shuffle on `key_col` end-to-end (the groupBy and
-    the window share the hash clustering); the giant-key caveat of
-    `exact_group_median` applies to DISTINCT values per key here, a
-    strictly smaller set."""
+    row per key. TWO shuffles — (key, value) for the partial agg, then
+    key for the window — but the first is a map-side-combining
+    aggregate, so the window stage sorts DISTINCT values per key, a
+    strictly smaller set than `exact_group_median`'s row-level rank
+    (plan-audited in tests/test_plan_audits.py)."""
     w_int = F.col(weight_col).cast("bigint")
     grp = (df.filter(F.col(value_col).isNotNull()
                      & w_int.isNotNull() & (w_int > 0))
