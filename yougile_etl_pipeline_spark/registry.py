@@ -889,15 +889,36 @@ _STABLE_CERTIFIED = [
 # engine side computes a scalar and wraps it in a one-row DataFrame,
 # like the kmeans centroid collect; ORDER BY OFFSET oracle proven in
 # tests/test_kth_value.py).
+# Late-round-5 additions (same contract — oracle proven bit-identical
+# at sf0.001 AND sf0.01 before staging): `agg_weighted_median`
+# (operators/quality.py::weighted_group_median — exact lower weighted
+# median; tests/test_weighted_median.py), `quality_benford`
+# (quality.py::benford_profile — log-free first-digit audit;
+# tests/test_benford.py), `events_cusum_alarms`
+# (timeseries.py::cusum_fixed_point — Page's CUSUM with reset, the
+# EWMA fold pattern; tests/test_cusum.py), `events_rolling_slope`
+# (timeseries.py::rolling_slope — int64 window-sum OLS trend;
+# tests/test_rolling_slope.py), `text_dup_span_coverage`
+# (text.py::dup_span_coverage — Lee-et-al positional duplicate-n-gram
+# coverage; tests/test_dup_spans.py), `freq_copurchase_lift`
+# (frequency.py::copurchase_lift — basket pair mining with the
+# enforced basket cap; tests/test_copurchase.py), `events_mode_type`
+# (quality.py::exact_mode — deterministic argmax-by-struct mode;
+# tests/test_exact_mode.py), `graph_link_jaccard`
+# (graph.py::neighbor_jaccard — wedge-join neighbor-set Jaccard;
+# tests/test_neighbor_jaccard.py), and `text_rake_keyphrases`
+# (text.py::rake_keyphrases — integer-ppm RAKE phrase mining;
+# tests/test_rake.py).
 # `streaming/joins.py::click_attribution_outer` (left-outer stream-
 # stream with watermark eviction) is batch-parity-tested and could
 # register rows-only if slots allow. Registration is PRE-WIRED:
-# registry_r06.py already holds all 18 entries with their proven
+# registry_r06.py already holds ALL staged entries with their proven
 # oracles (validated green at sf0.001 AND sf0.01, guarded by
 # tests/test_registry_r06_staged.py) — at round-6 start add
 #     from yougile_etl_pipeline_spark import registry_r06  # noqa
 # next to the registry imports above (line ~632), BEFORE the rotation
-# call below. 26 staged ≤ 50 freed slots. Keep any further r06
+# call below. 35 staged ≤ 50 freed slots (the count is pinned by
+# tests/test_registry_r06_staged.py::_EXPECTED). Keep any further r06
 # additions ≤ the freed slots so every query stays driver-certified
 # at each round boundary.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
