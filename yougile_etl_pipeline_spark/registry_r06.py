@@ -1422,6 +1422,29 @@ def text_rake_keyphrases(spark, sf):
     return rake_keyphrases(load_table(spark, sf, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# Stateful streaming EWMA (tests/test_stream_ewma.py)
+# ---------------------------------------------------------------------------
+
+@register("stream_ewma_values")  # stateful streaming → rows-only;
+def stream_ewma_values(spark, sf):
+    # No DuckDB oracle CAN exist for the streaming run itself
+    # (applyInPandasWithState micro-batch machinery), so the driver
+    # records a rows-only row — but the proof chain is two links,
+    # both green before staging:
+    #   1. tests/test_stream_ewma.py asserts the streaming output rows
+    #      LITERALLY EQUAL the batch ewma_fixed_point rows (sorted
+    #      row-set equality, exact doubles);
+    #   2. events_ewma (the batch op) is oracle-paired against the
+    #      DuckDB recursive CTE (tests/test_timeseries.py) and stages
+    #      for certification in the same window.
+    from yougile_etl_pipeline_spark.streaming.stateful import (
+        run_ewma_available_now,
+    )
+
+    return run_ewma_available_now(spark, sf)
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order

@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["sessionize_stateful", "SESSION_SCHEMA"]
+__all__ = ["sessionize_stateful", "SESSION_SCHEMA",
+           "ewma_stateful", "run_ewma_available_now", "EWMA_SCHEMA"]
 
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
@@ -193,6 +194,104 @@ def run_running_totals_available_now(spark, sf_dir: str,
     q = (running_totals_stream(read_events_stream(spark, sf_dir))
          .writeStream.format("memory").queryName(table_name)
          .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming EWMA (integer recurrence, parity with the batch op)
+# ---------------------------------------------------------------------------
+
+EWMA_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ewma", T.DoubleType()),
+])
+
+_EWMA_STATE_SCHEMA = T.StructType([
+    T.StructField("s", T.LongType()),
+    T.StructField("has", T.BooleanType()),
+])
+
+
+def _tdiv(a: int, q: int) -> int:
+    """Truncate-toward-zero integer division — Spark SQL `div`
+    semantics (Python's // floors, which differs for negatives)."""
+    return a // q if a >= 0 else -((-a) // q)
+
+
+def ewma_stateful(events: DataFrame, *,
+                  alpha_num: int = 1, alpha_den: int = 4,
+                  value_scale: int = 100,
+                  sub_scale: int = 10 ** 6) -> DataFrame:
+    """Streaming twin of `operators.timeseries.ewma_fixed_point`: the
+    SAME int64 recurrence (s₁ = x₁·S; sₜ = (p·xₜ·S + (q−p)·sₜ₋₁) div q)
+    run as per-user `applyInPandasWithState`, carrying one int64 of
+    state per user across micro-batches — O(active users) state, the
+    unbounded-stream path the batch op's docstring points to.
+
+    Ordering contract: rows are sorted by (ts, event_id) WITHIN each
+    micro-batch (micro-batches preserve no order); cross-batch order
+    is the stream's arrival order, which availableNow file streams
+    replay deterministically. On identical input order the emitted
+    values are BIT-IDENTICAL to the batch operator — asserted by
+    tests/test_stream_ewma.py's literal row-set equality, which chains
+    to the batch op's DuckDB recursive-CTE oracle
+    (tests/test_timeseries.py) for a transitive correctness proof.
+
+    Emits one row per input event: (user_id, event_id, ewma)."""
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("alpha must satisfy 0 < num < den")
+    p, q, S = alpha_num, alpha_den, sub_scale
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        pdf = pd.concat(list(pdfs))
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["ms", "event_id"])
+        s, has = state.get if state.exists else (0, False)
+        out = []
+        for eid, v in zip(pdf["event_id"], pdf["v_int"]):
+            v = int(v)
+            s = (v * S if not has
+                 else _tdiv(p * v * S + (q - p) * s, q))
+            has = True
+            out.append((user_id, int(eid),
+                        float(s) / float(value_scale * S)))
+        state.update((s, has))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "ewma"])
+
+    from pyspark.sql import functions as F
+
+    v_int = (F.col("value")
+             .cast(f"decimal(20,{len(str(value_scale)) - 1})")
+             * value_scale).cast("bigint")
+    base = events.select("user_id", F.unix_millis("ts").alias("ms"),
+                         "event_id", v_int.alias("v_int"))
+    return base.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_ewma_available_now(spark, sf_dir: str,
+                           table_name: str = "stream_ewma") -> DataFrame:
+    """Drain the events stream once through the stateful EWMA into a
+    memory sink; returns the per-event smoothed values."""
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        read_events_stream,
+    )
+
+    q = (ewma_stateful(read_events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append")
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
