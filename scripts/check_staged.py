@@ -53,6 +53,7 @@ PARITY_TESTS = [
     "tests/test_exact_mode.py::test_exact_mode_duckdb_parity",
     "tests/test_neighbor_jaccard.py::test_neighbor_jaccard_duckdb_parity",
     "tests/test_rake.py::test_rake_duckdb_parity",
+    "tests/test_group_quantiles.py::test_group_quantiles_duckdb_parity",
     # rows-only staged entry: batch-parity chain, not a SQL oracle
     "tests/test_stream_ewma.py::test_stream_matches_batch_bit_for_bit",
 ]

@@ -16,7 +16,7 @@ __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
            "scd2_lookup", "pseudonymize", "topk_per_group",
            "exact_group_median", "mad_outliers", "distribution_drift",
            "exact_kth_value", "weighted_group_median", "benford_profile",
-           "exact_mode"]
+           "exact_mode", "exact_group_quantiles"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -658,3 +658,45 @@ def exact_mode(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     return top.select(key_col,
                       F.col("__m.__v").alias("mode"),
                       F.col("__m.__c").alias("mode_count"))
+
+
+def exact_group_quantiles(df: DataFrame, key_col: str, value_col: str,
+                          q_ppm: list[int] | None = None) -> DataFrame:
+    """EXACT per-key quantiles at arbitrary probability levels — the
+    multi-point generalization of `exact_group_median`, for SLO/SLA
+    reporting (p50/p95/p99 latencies) where `percentile_approx`'s
+    rank error is not acceptable.
+
+    Levels are given in ppm (integers — 250000 = p25), and the type-1
+    (lower) empirical quantile is returned: the value at rank
+    ``ceil(q·n)`` of the key's non-NULL values. Like the weighted
+    median, the answer is a MEMBER of the data — no interpolation, no
+    float averaging — so it is bit-portable and tie-order-free (ties
+    permute ROWS, the selected rank's VALUE is invariant).
+
+    Distributed shape: ONE shuffle on the key for the rank window;
+    the per-row level fan-out is a map-side ``explode`` of the ppm
+    literal array (no join, no second shuffle), then a rank-match
+    filter ``rn == (n·q + 999999) div 10⁶`` — pure integer ceil.
+    Giant-key caveat as `exact_group_median`. Returns
+    ``(key_col, q_ppm, quantile)``, |levels| rows per key."""
+    if q_ppm is None:
+        q_ppm = [250_000, 500_000, 750_000]
+    if not q_ppm or any(not (0 < q <= 1_000_000) for q in q_ppm):
+        raise ValueError("q_ppm levels must be ints in (0, 1000000]")
+    vals = df.select(key_col, value_col).filter(
+        F.col(value_col).isNotNull())
+    w_rank = Window.partitionBy(key_col).orderBy(F.col(value_col))
+    w_all = Window.partitionBy(key_col)
+    ranked = vals.select(
+        key_col, value_col,
+        F.row_number().over(w_rank).cast("bigint").alias("__rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("__n"))
+    fanned = ranked.select(
+        key_col, value_col, "__rn", "__n",
+        F.explode(F.array(*[F.lit(q).cast("bigint")
+                            for q in sorted(q_ppm)])).alias("q_ppm"))
+    target = F.expr("(__n * q_ppm + 999999) div 1000000")
+    return (fanned.filter(F.col("__rn") == target)
+                  .select(key_col, "q_ppm",
+                          F.col(value_col).alias("quantile")))

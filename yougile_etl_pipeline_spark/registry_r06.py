@@ -1423,6 +1423,41 @@ def text_rake_keyphrases(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Exact per-group quantiles (tests/test_group_quantiles.py)
+# ---------------------------------------------------------------------------
+
+@register("agg_exact_quantiles", """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_extendedprice) AS BIGINT)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+           AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+fanned AS (
+  SELECT l_returnflag, v, rn, n, q.q_ppm
+  FROM ranked,
+       (VALUES (CAST(250000 AS BIGINT)), (500000), (950000))
+         AS q(q_ppm))
+SELECT l_returnflag, q_ppm, v AS quantile
+FROM fanned
+WHERE rn = (n * q_ppm + 999999) // 1000000
+""")
+def agg_exact_quantiles(spark, sf):
+    # exact type-1 p25/p50/p95 per return flag - data-member answers,
+    # one key shuffle, map-side level fan-out
+    # (operators/quality.py::exact_group_quantiles).
+    from yougile_etl_pipeline_spark.operators.quality import (
+        exact_group_quantiles,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    return exact_group_quantiles(li, "l_returnflag", "l_extendedprice",
+                                 q_ppm=[250_000, 500_000, 950_000])
+
+
+# ---------------------------------------------------------------------------
 # Stateful streaming EWMA (tests/test_stream_ewma.py)
 # ---------------------------------------------------------------------------
 
