@@ -129,8 +129,9 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
     from yougile_etl_pipeline_spark.operators.pq import (
         pq_adc_topk, pq_encode, pq_train)
     from yougile_etl_pipeline_spark.operators.quality import (
-        benford_profile, distribution_drift, exact_kth_value,
-        exact_mode, mad_outliers, weighted_group_median)
+        benford_profile, distribution_drift, exact_group_quantiles,
+        exact_kth_value, exact_mode, mad_outliers,
+        weighted_group_median)
     from yougile_etl_pipeline_spark.operators.similarity import semantic_dedup
     from yougile_etl_pipeline_spark.operators.text import (
         collocation_lift, domain_affinity, dup_span_coverage,
@@ -238,6 +239,9 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
             docs.select((F.col("doc_id") % 40).alias("src"),
                         ((F.col("doc_id") * 7 + 3) % 40).alias("dst"))),
         "text_rake_keyphrases": lambda: rake_keyphrases(docs),
+        "agg_exact_quantiles": lambda: exact_group_quantiles(
+            li, "l_returnflag", "l_extendedprice",
+            q_ppm=[250_000, 500_000, 950_000]),
     }
     timings: dict[str, float] = {}
     for name, fn in cases.items():

@@ -644,3 +644,20 @@ def test_neighbor_jaccard_wedge_equijoins_only(spark):
     plan = _formatted(spark, neighbor_jaccard(edges))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_group_quantiles_single_shuffle_map_fanout(spark):
+    """exact_group_quantiles: one key shuffle for the rank window; the
+    level fan-out is a map-side explode — no join, no extra
+    exchange."""
+    from yougile_etl_pipeline_spark.operators.quality import (
+        exact_group_quantiles,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    plan = _formatted(spark, exact_group_quantiles(
+        li, "l_returnflag", "l_extendedprice"))
+    body = plan.split("\n\n")[0]
+    assert _shuffles(body) == 1
+    assert "Join" not in body
+    assert "Generate" in body  # the explode fan-out
