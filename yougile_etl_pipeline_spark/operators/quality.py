@@ -16,7 +16,7 @@ __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
            "scd2_lookup", "pseudonymize", "topk_per_group",
            "exact_group_median", "mad_outliers", "distribution_drift",
            "exact_kth_value", "weighted_group_median", "benford_profile",
-           "exact_mode", "exact_group_quantiles"]
+           "exact_mode", "exact_group_quantiles", "winsorize_by_group"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -700,3 +700,44 @@ def exact_group_quantiles(df: DataFrame, key_col: str, value_col: str,
     return (fanned.filter(F.col("__rn") == target)
                   .select(key_col, "q_ppm",
                           F.col(value_col).alias("quantile")))
+
+
+def winsorize_by_group(df: DataFrame, key_col: str, value_col: str, *,
+                       lo_ppm: int = 50_000, hi_ppm: int = 950_000,
+                       out_col: str = "winsorized") -> DataFrame:
+    """Per-key winsorization: clip `value_col` into the key's exact
+    [lo, hi] quantile band — the standard heavy-tail taming step
+    before means/regressions on scraped metrics (a z-score can't do
+    this robustly; `mad_outliers` DROPS rows, this KEEPS them at the
+    boundary).
+
+    The cut points are EXACT type-1 quantiles (`exact_group_quantiles`
+    — data members, bit-portable); clipping is
+    ``greatest(lo, least(hi, v))``, two IEEE comparisons with no
+    arithmetic, so the clipped value is literally one of (lo, v, hi).
+    Rows with NULL values pass through with NULL output and false
+    flags.
+
+    Scale: the quantile pass is the one key-window shuffle; the cut
+    table is |keys|·2 rows and BROADCASTS back. Returns every input
+    row + ``q_lo``/``q_hi``/``{out_col}``/``was_clipped``."""
+    if not (0 < lo_ppm <= hi_ppm <= 1_000_000):
+        raise ValueError("need 0 < lo_ppm <= hi_ppm <= 1000000")
+    qs = exact_group_quantiles(df, key_col, value_col,
+                               q_ppm=sorted({lo_ppm, hi_ppm}))
+    cuts = (qs.groupBy(key_col)
+              .agg(F.min(F.when(F.col("q_ppm") == lo_ppm,
+                                F.col("quantile"))).alias("q_lo"),
+                   F.min(F.when(F.col("q_ppm") == hi_ppm,
+                                F.col("quantile"))).alias("q_hi")))
+    out = df.join(F.broadcast(cuts), key_col, "left")
+    # least/greatest SKIP nulls (both engines), so an unguarded clip
+    # would turn a NULL value into q_hi — gate on non-null explicitly
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.greatest(F.col("q_lo"),
+                   F.least(F.col("q_hi"), F.col(value_col))))
+    return (out.withColumn(out_col, clipped)
+               .withColumn("was_clipped",
+                           F.col(value_col).isNotNull()
+                           & (clipped != F.col(value_col))))

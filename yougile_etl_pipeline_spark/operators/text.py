@@ -41,6 +41,7 @@ __all__ = [
     "oov_stats",
     "dup_span_coverage",
     "rake_keyphrases",
+    "hashed_term_features",
     "PII_PATTERNS",
     "fingerprint_exact",
     "fingerprint_shingle_min",
@@ -966,3 +967,34 @@ def rake_keyphrases(df: DataFrame, id_col: str = "doc_id",
                  # construction; max is just the scalar extractor
                  F.max("__score").alias("score_ppm"))
             .filter(F.col("n_occurrences") >= min_count))
+
+
+def hashed_term_features(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", *,
+                         dims: int = 64) -> DataFrame:
+    """Feature-hashing (hashing-trick) term vectorizer: sparse
+    per-document term-frequency counts folded into a FIXED `dims`
+    bucket space — the vocabulary-free featurization for streaming
+    classifiers and dedup prefilters (no vocab build, no OOV concept,
+    memory bounded by construction).
+
+    Bucket = int64 of the md5 prefix mod dims — the engine-portable
+    `hash_bucket` trick, identical in the SQL oracle (Spark's
+    murmur-based ``hash()`` is NOT portable). Collisions are the
+    accepted trade of the method and deterministic here. Output is
+    the SPARSE triple form ``(id_col, bucket, tf)`` — only touched
+    buckets appear — which joins/aggregates naturally at scale;
+    densify per consumer, never in the engine.
+
+    Scale: explode + ONE (doc, bucket) partial-agg shuffle whose
+    width is capped at dims rows per doc, regardless of document
+    length or vocabulary growth."""
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+    toks = tokens(text_col)
+    ex = (df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+            .filter(F.col("__tok") != ""))
+    bucket = (F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10)
+              .cast("long") % dims)
+    return (ex.groupBy(id_col, bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("tf")))

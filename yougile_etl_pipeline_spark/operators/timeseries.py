@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["ewma_fixed_point", "theil_sen_slope", "cusum_fixed_point",
-           "rolling_slope"]
+           "rolling_slope", "seasonal_baseline"]
 
 
 def ewma_fixed_point(df: DataFrame, key_col: str, order_cols: list[str],
@@ -285,3 +285,43 @@ def rolling_slope(df: DataFrame, key_col: str, order_cols: list[str],
                num.cast("double")
                / (den * F.lit(value_scale)).cast("double"))
         .alias("slope"))
+
+
+def seasonal_baseline(df: DataFrame, ts_col: str, value_col: str, *,
+                      group_cols: list[str] | None = None,
+                      out_prefix: str = "baseline") -> DataFrame:
+    """Hour-of-week seasonal profile + per-row residual — the
+    first-line anomaly lens for periodic operational telemetry (a
+    Tuesday-3am dip is only anomalous vs Tuesday-3am history, not vs
+    the weekly mean).
+
+    The baseline is the mean of `value_col` over every historical row
+    sharing the same (group, day-of-week, hour) slot; exactness comes
+    from the DECIMAL-sum/count form — the sum is exact at any
+    partition order, and mean + residual are two fixed IEEE ops, so
+    the output is bit-portable. Slots with a single row get residual
+    0 by construction (their mean is themselves).
+
+    Scale: the profile is a bounded aggregate — |groups|·7·24 rows —
+    so the join-back BROADCASTS for any realistic group count; the
+    fact is scanned twice (profile + join), or persist the profile to
+    amortize across days. Day-of-week/hour come from the session-TZ
+    timestamp (engine-wide UTC pin), matching the SQL oracle's
+    dayofweek/hour. Returns every input row plus ``{prefix}_mean``
+    and ``{prefix}_residual``."""
+    groups = group_cols or []
+    dow = F.dayofweek(F.col(ts_col).cast("timestamp"))
+    hod = F.hour(F.col(ts_col).cast("timestamp"))
+    keyed = df.withColumn("__dow", dow).withColumn("__hod", hod)
+    prof = (keyed.filter(F.col(value_col).isNotNull())
+            .groupBy(*groups, "__dow", "__hod")
+            .agg((F.sum(F.col(value_col).cast("decimal(24,6)"))
+                  .cast("double")
+                  / F.count(F.lit(1)).cast("double"))
+                 .alias(f"{out_prefix}_mean")))
+    out = keyed.join(F.broadcast(prof), [*groups, "__dow", "__hod"],
+                     "left")
+    return (out.withColumn(
+                f"{out_prefix}_residual",
+                F.col(value_col) - F.col(f"{out_prefix}_mean"))
+               .drop("__dow", "__hod"))
