@@ -16,7 +16,8 @@ __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
            "scd2_lookup", "pseudonymize", "topk_per_group",
            "exact_group_median", "mad_outliers", "distribution_drift",
            "exact_kth_value", "weighted_group_median", "benford_profile",
-           "exact_mode", "exact_group_quantiles", "winsorize_by_group"]
+           "exact_mode", "exact_group_quantiles", "winsorize_by_group",
+           "rfm_scores"]
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -741,3 +742,72 @@ def winsorize_by_group(df: DataFrame, key_col: str, value_col: str, *,
                .withColumn("was_clipped",
                            F.col(value_col).isNotNull()
                            & (clipped != F.col(value_col))))
+
+
+def rfm_scores(df: DataFrame, key_col: str, ts_col: str,
+               amount_col: str, *,
+               cut_ppm: tuple[int, ...] = (200_000, 400_000,
+                                           600_000, 800_000)) -> DataFrame:
+    """Classic RFM customer segmentation — recency / frequency /
+    monetary quintile scores (1–5 each) — the warehouse-marting
+    staple, built scale-right:
+
+    Scores come from QUANTILE-BAND assignment, not a global
+    ``ntile()`` window: a windowless ntile funnels every entity
+    through ONE task's sort, while here the four cut values per
+    metric come from `exact_group_quantiles` (type-1, data-member,
+    bit-portable) and broadcast back — the per-entity score is then a
+    map-side count of cuts strictly below the value. Ties at a cut
+    belong to the LOWER band (strict <), a documented determinism
+    choice where ntile's tie split is positional and partition-lucky.
+
+        r_score = 5 − |{c ∈ cuts(recency): c < recency}|  (recent→5)
+        f_score = 1 + |{c ∈ cuts(freq):    c < freq}|     (often →5)
+        m_score = 1 + |{c ∈ cuts(total):   c < total}|    (big   →5)
+
+    Recency is whole days vs the corpus max event date (exact int
+    datediff); frequency an int64 count; monetary a DECIMAL-exact sum
+    cast to double once. Scale: one key shuffle to the entity grain,
+    then three single-key quantile passes over |entities| rows (the
+    AGGREGATE grain — orders of magnitude below the fact table) and
+    one broadcast join-back. Returns one row per entity:
+    ``(key, recency_days, frequency, monetary, r_score, f_score,
+    m_score, rfm)`` with ``rfm`` = 100·r + 10·f + m."""
+    base = (df.filter(F.col(ts_col).isNotNull())
+              .groupBy(key_col)
+              .agg(F.max(F.to_date(F.col(ts_col).cast("timestamp")))
+                    .alias("__last"),
+                   F.count(F.lit(1)).cast("bigint").alias("frequency"),
+                   F.sum(F.col(amount_col).cast("decimal(24,6)"))
+                    .cast("double").alias("monetary")))
+    ref = base.agg(F.max("__last").alias("__ref"))
+    base = (base.crossJoin(F.broadcast(ref))
+                .withColumn("recency_days",
+                            F.datediff(F.col("__ref"), F.col("__last"))
+                             .cast("bigint"))
+                .drop("__last", "__ref"))
+    tagged = base.withColumn("__one", F.lit(1))
+
+    def _cuts(col: str, alias: str):
+        q = exact_group_quantiles(tagged, "__one", col,
+                                  q_ppm=list(cut_ppm))
+        return q.groupBy("__one").agg(
+            F.collect_list(F.col("quantile")).alias(alias))
+
+    cuts = (_cuts("recency_days", "__rc")
+            .join(_cuts("frequency", "__fc"), "__one")
+            .join(_cuts("monetary", "__mc"), "__one"))
+    out = tagged.join(F.broadcast(cuts), "__one")
+
+    def _below(arr: str, col: str):
+        return F.size(F.filter(F.col(arr),
+                               lambda c: c < F.col(col))).cast("int")
+
+    return (out.withColumn("r_score", 5 - _below("__rc", "recency_days"))
+               .withColumn("f_score", 1 + _below("__fc", "frequency"))
+               .withColumn("m_score", 1 + _below("__mc", "monetary"))
+               .withColumn("rfm",
+                           (F.col("r_score") * 100 + F.col("f_score") * 10
+                            + F.col("m_score")).cast("int"))
+               .select(key_col, "recency_days", "frequency", "monetary",
+                       "r_score", "f_score", "m_score", "rfm"))
