@@ -130,15 +130,15 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
         pq_adc_topk, pq_encode, pq_train)
     from yougile_etl_pipeline_spark.operators.quality import (
         benford_profile, distribution_drift, exact_group_quantiles,
-        exact_kth_value, exact_mode, mad_outliers,
-        weighted_group_median)
+        exact_kth_value, exact_mode, mad_outliers, rfm_scores,
+        weighted_group_median, winsorize_by_group)
     from yougile_etl_pipeline_spark.operators.similarity import semantic_dedup
     from yougile_etl_pipeline_spark.operators.text import (
         collocation_lift, domain_affinity, dup_span_coverage,
-        rake_keyphrases)
+        hashed_term_features, rake_keyphrases)
     from yougile_etl_pipeline_spark.operators.timeseries import (
         cusum_fixed_point, ewma_fixed_point, rolling_slope,
-        theil_sen_slope)
+        seasonal_baseline, theil_sen_slope)
     from pyspark.sql.window import Window
 
     from yougile_etl_pipeline_spark.sources.tables import load_table
@@ -242,6 +242,17 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
         "agg_exact_quantiles": lambda: exact_group_quantiles(
             li, "l_returnflag", "l_extendedprice",
             q_ppm=[250_000, 500_000, 950_000]),
+        "events_seasonal_baseline": lambda: seasonal_baseline(
+            ev.select("event_id", "event_type", "ts", "value"),
+            "ts", "value", group_cols=["event_type"]),
+        "quality_winsorize": lambda: winsorize_by_group(
+            li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                      "l_extendedprice"),
+            "l_returnflag", "l_extendedprice"),
+        "text_hashed_features": lambda: hashed_term_features(
+            docs, dims=64),
+        "mart_rfm_scores": lambda: rfm_scores(
+            orders, "o_custkey", "o_orderdate", "o_totalprice"),
     }
     timings: dict[str, float] = {}
     for name, fn in cases.items():

@@ -54,6 +54,11 @@ PARITY_TESTS = [
     "tests/test_neighbor_jaccard.py::test_neighbor_jaccard_duckdb_parity",
     "tests/test_rake.py::test_rake_duckdb_parity",
     "tests/test_group_quantiles.py::test_group_quantiles_duckdb_parity",
+    "tests/test_seasonal_baseline.py::"
+    "test_seasonal_baseline_duckdb_parity",
+    "tests/test_winsorize.py::test_winsorize_duckdb_parity",
+    "tests/test_hashed_features.py::test_hashed_features_duckdb_parity",
+    "tests/test_rfm.py::test_rfm_duckdb_parity",
     # rows-only staged entry: batch-parity chain, not a SQL oracle
     "tests/test_stream_ewma.py::test_stream_matches_batch_bit_for_bit",
 ]

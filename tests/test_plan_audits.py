@@ -661,3 +661,50 @@ def test_group_quantiles_single_shuffle_map_fanout(spark):
     assert _shuffles(body) == 1
     assert "Join" not in body
     assert "Generate" in body  # the explode fan-out
+
+
+def test_seasonal_baseline_broadcasts_bounded_profile(spark):
+    """seasonal_baseline: the |groups|·168-row profile joins back via
+    broadcast hash — never a sort-merge over the fact."""
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        seasonal_baseline,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+        .selectExpr("event_id", "event_type", "value",
+                    "cast(ts as timestamp) ts")
+    plan = _formatted(spark, seasonal_baseline(
+        ev, "ts", "value", group_cols=["event_type"]))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorize_broadcasts_cut_table(spark):
+    """winsorize_by_group: the |keys|·2-value cut table joins back via
+    broadcast; the only window is the quantile rank pass."""
+    from yougile_etl_pipeline_spark.operators.quality import (
+        winsorize_by_group,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet") \
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice")
+    plan = _formatted(spark, winsorize_by_group(
+        li, "l_returnflag", "l_extendedprice"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hashed_features_single_bounded_shuffle(spark):
+    """hashed_term_features: explode + ONE (doc, bucket) partial-agg
+    shuffle — width capped at dims rows per doc."""
+    from yougile_etl_pipeline_spark.operators.text import (
+        hashed_term_features,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _formatted(spark, hashed_term_features(docs, dims=64))
+    body = plan.split("\n\n")[0]
+    assert _shuffles(body) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -1458,6 +1458,172 @@ def agg_exact_quantiles(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Hour-of-week seasonal baseline (tests/test_seasonal_baseline.py)
+# ---------------------------------------------------------------------------
+
+@register("events_seasonal_baseline", """
+WITH keyed AS (
+  SELECT event_id, event_type, value,
+         dayofweek(ts) + 1 AS dow, hour(ts) AS hod
+  FROM events),
+prof AS (
+  SELECT event_type, dow, hod,
+         CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS baseline_mean
+  FROM keyed WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3)
+SELECT k.event_id, k.event_type, k.value, p.baseline_mean,
+       k.value - p.baseline_mean AS baseline_residual
+FROM keyed k
+LEFT JOIN prof p USING (event_type, dow, hod)
+""")
+def events_seasonal_baseline(spark, sf):
+    # hour-of-week slot means + residuals - the periodic-telemetry
+    # anomaly lens; bounded profile broadcasts back (Spark dayofweek
+    # = DuckDB dayofweek + 1)
+    # (operators/timeseries.py::seasonal_baseline).
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        seasonal_baseline,
+    )
+
+    ev = load_table(spark, sf, "events") \
+        .select("event_id", "event_type", "ts", "value")
+    return (seasonal_baseline(ev, "ts", "value",
+                              group_cols=["event_type"])
+            .select("event_id", "event_type", "value",
+                    "baseline_mean", "baseline_residual"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group winsorization (tests/test_winsorize.py)
+# ---------------------------------------------------------------------------
+
+@register("quality_winsorize", """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_extendedprice) AS BIGINT)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+           AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+cuts AS (
+  SELECT l_returnflag,
+         MIN(CASE WHEN rn = (n * 50000 + 999999) // 1000000
+                  THEN v END) AS q_lo,
+         MIN(CASE WHEN rn = (n * 950000 + 999999) // 1000000
+                  THEN v END) AS q_hi
+  FROM ranked GROUP BY 1)
+SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,
+       li.l_extendedprice, c.q_lo, c.q_hi,
+       CASE WHEN li.l_extendedprice IS NOT NULL
+            THEN greatest(c.q_lo, least(c.q_hi, li.l_extendedprice))
+       END AS winsorized,
+       li.l_extendedprice IS NOT NULL
+         AND greatest(c.q_lo, least(c.q_hi, li.l_extendedprice))
+             <> li.l_extendedprice AS was_clipped
+FROM lineitem li
+LEFT JOIN cuts c USING (l_returnflag)
+""")
+def quality_winsorize(spark, sf):
+    # clip prices into each flag's exact [p5, p95] band - keeps rows,
+    # exact data-member cut points, broadcast join-back
+    # (operators/quality.py::winsorize_by_group).
+    from yougile_etl_pipeline_spark.operators.quality import (
+        winsorize_by_group,
+    )
+
+    li = load_table(spark, sf, "lineitem") \
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice")
+    return winsorize_by_group(li, "l_returnflag", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick term features (tests/test_hashed_features.py)
+# ---------------------------------------------------------------------------
+
+_FH_DIMS = 64
+
+
+@register("text_hashed_features", f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents)
+SELECT doc_id,
+       CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_FH_DIMS}
+         AS bucket,
+       count(*) AS tf
+FROM ex WHERE tok <> ''
+GROUP BY 1, 2
+""")
+def text_hashed_features(spark, sf):
+    # vocabulary-free sparse term features folded into 64 md5 buckets
+    # - the hashing trick; shuffle capped at dims rows per doc
+    # (operators/text.py::hashed_term_features).
+    from yougile_etl_pipeline_spark.operators.text import (
+        hashed_term_features,
+    )
+
+    return hashed_term_features(load_table(spark, sf, "documents"),
+                                dims=_FH_DIMS)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (tests/test_rfm.py)
+# ---------------------------------------------------------------------------
+
+def _rfm_cut_sql(metric: str, ppm: int) -> str:
+    return (f"(SELECT v FROM (SELECT {metric} AS v, "
+            f"row_number() OVER (ORDER BY {metric}) AS rn, "
+            f"CAST(count(*) OVER () AS BIGINT) AS n FROM b2) "
+            f"WHERE rn = (n * {ppm} + 999999) // 1000000)")
+
+
+def _rfm_score_sql(metric: str, invert: bool) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_rfm_cut_sql(metric, p)} < {metric} "
+        f"THEN 1 ELSE 0 END)"
+        for p in (200000, 400000, 600000, 800000))
+    return f"5 - ({terms})" if invert else f"1 + ({terms})"
+
+
+@register("mart_rfm_scores", f"""
+WITH base AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+           AS monetary
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1),
+ref AS (SELECT max(last_d) AS ref_d FROM base),
+b2 AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_d, ref_d) AS BIGINT)
+           AS recency_days,
+         frequency, monetary
+  FROM base CROSS JOIN ref)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST({_rfm_score_sql('recency_days', True)} AS INT) AS r_score,
+       CAST({_rfm_score_sql('frequency', False)} AS INT) AS f_score,
+       CAST({_rfm_score_sql('monetary', False)} AS INT) AS m_score,
+       CAST(({_rfm_score_sql('recency_days', True)}) * 100
+            + ({_rfm_score_sql('frequency', False)}) * 10
+            + ({_rfm_score_sql('monetary', False)}) AS INT) AS rfm
+FROM b2
+""")
+def mart_rfm_scores(spark, sf):
+    # recency/frequency/monetary quintile-band scoring - exact
+    # quantile cuts broadcast back, no global ntile single-task sort
+    # (operators/quality.py::rfm_scores).
+    from yougile_etl_pipeline_spark.operators.quality import rfm_scores
+
+    return rfm_scores(load_table(spark, sf, "orders"),
+                      "o_custkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
 # Stateful streaming EWMA (tests/test_stream_ewma.py)
 # ---------------------------------------------------------------------------
 
