@@ -908,7 +908,20 @@ _STABLE_CERTIFIED = [
 # (graph.py::neighbor_jaccard — wedge-join neighbor-set Jaccard;
 # tests/test_neighbor_jaccard.py), and `text_rake_keyphrases`
 # (text.py::rake_keyphrases — integer-ppm RAKE phrase mining;
-# tests/test_rake.py).
+# tests/test_rake.py). Further: `agg_exact_quantiles`
+# (quality.py::exact_group_quantiles — exact type-1 per-group
+# quantiles at ppm levels; tests/test_group_quantiles.py),
+# `stream_ewma_values` (streaming/stateful.py::ewma_stateful —
+# rows-only, bit-exact batch parity chained to events_ewma's oracle;
+# tests/test_stream_ewma.py), `events_seasonal_baseline`
+# (timeseries.py::seasonal_baseline — hour-of-week slot means +
+# residuals; tests/test_seasonal_baseline.py), `quality_winsorize`
+# (quality.py::winsorize_by_group — clip into exact [p5, p95] bands;
+# tests/test_winsorize.py), `text_hashed_features`
+# (text.py::hashed_term_features — hashing-trick sparse term
+# features; tests/test_hashed_features.py), and `mart_rfm_scores`
+# (quality.py::rfm_scores — RFM quintile-band segmentation without a
+# global ntile; tests/test_rfm.py).
 # `streaming/joins.py::click_attribution_outer` (left-outer stream-
 # stream with watermark eviction) is batch-parity-tested and could
 # register rows-only if slots allow. Registration is PRE-WIRED:
@@ -917,7 +930,7 @@ _STABLE_CERTIFIED = [
 # tests/test_registry_r06_staged.py) — at round-6 start add
 #     from yougile_etl_pipeline_spark import registry_r06  # noqa
 # next to the registry imports above (line ~632), BEFORE the rotation
-# call below. 35 staged ≤ 50 freed slots (the count is pinned by
+# call below. 41 staged ≤ 50 freed slots (the count is pinned by
 # tests/test_registry_r06_staged.py::_EXPECTED). Keep any further r06
 # additions ≤ the freed slots so every query stays driver-certified
 # at each round boundary.
