@@ -59,6 +59,8 @@ PARITY_TESTS = [
     "tests/test_winsorize.py::test_winsorize_duckdb_parity",
     "tests/test_hashed_features.py::test_hashed_features_duckdb_parity",
     "tests/test_rfm.py::test_rfm_duckdb_parity",
+    "tests/test_cohort_ltv.py::test_cohort_ltv_duckdb_parity",
+    "tests/test_top_paths.py::test_top_paths_duckdb_parity",
     # rows-only staged entry: batch-parity chain, not a SQL oracle
     "tests/test_stream_ewma.py::test_stream_matches_batch_bit_for_bit",
 ]

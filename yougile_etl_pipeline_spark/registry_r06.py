@@ -1624,6 +1624,105 @@ def mart_rfm_scores(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Cohort lifetime-value curve (tests/test_cohort_ltv.py)
+# ---------------------------------------------------------------------------
+
+@register("mart_cohort_ltv", """
+WITH o AS (
+  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         o_totalprice
+  FROM orders WHERE o_orderdate IS NOT NULL),
+first AS (SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY 1),
+j AS (
+  SELECT f.cohort_month,
+         CAST(datediff('month', f.cohort_month, o.m) AS BIGINT)
+           AS age_months,
+         o.o_totalprice
+  FROM o JOIN first f USING (o_custkey)),
+per AS (
+  SELECT cohort_month, age_months,
+         SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS rev,
+         count(*) AS n_orders
+  FROM j GROUP BY 1, 2)
+SELECT CAST(cohort_month AS VARCHAR) AS cohort_month, age_months,
+       n_orders,
+       CAST(SUM(rev) OVER (PARTITION BY cohort_month ORDER BY age_months
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         AS cum_revenue
+FROM per
+""")
+def mart_cohort_ltv(spark, sf):
+    # cohort LTV curve: customer-grain cohort tag, (cohort, age)
+    # DECIMAL-exact revenue, cumulative window over months (frame is
+    # months per cohort - tiny); oracle pinned by
+    # tests/test_cohort_ltv.py.
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf, "orders") \
+        .filter(F.col("o_orderdate").isNotNull())
+    first = (o.groupBy("o_custkey")
+             .agg(F.min(F.trunc(F.col("o_orderdate").cast("timestamp")
+                                 .cast("date"), "month"))
+                  .alias("cohort_month")))
+    j = o.join(first, "o_custkey")
+    age = (F.months_between(
+        F.trunc(F.col("o_orderdate").cast("timestamp").cast("date"),
+                "month"),
+        F.col("cohort_month"))).cast("bigint")
+    per = (j.withColumn("age_months", age)
+            .groupBy("cohort_month", "age_months")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+                  .alias("__rev"),
+                 F.count(F.lit(1)).alias("n_orders")))
+    w = (Window.partitionBy("cohort_month").orderBy("age_months")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per.select(
+        F.col("cohort_month").cast("string").alias("cohort_month"),
+        "age_months", "n_orders",
+        F.sum("__rev").over(w).cast("double").alias("cum_revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Behavioral path mining (tests/test_top_paths.py)
+# ---------------------------------------------------------------------------
+
+@register("events_top_paths", """
+WITH t AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+FROM t WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 25
+""")
+def events_top_paths(spark, sf):
+    # top-25 user event-type trigram paths: two leads share ONE
+    # user-keyed window shuffle; counting is bounded by
+    # |event_types|^3; lexicographic tie-break makes the limit
+    # deterministic; oracle pinned by tests/test_top_paths.py.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events") \
+        .select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"))
+         .filter(F.col("e3").isNotNull()))
+    return (t.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+             .groupBy("path")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.col("n").desc(), F.col("path"))
+             .limit(25))
+
+
+# ---------------------------------------------------------------------------
 # Stateful streaming EWMA (tests/test_stream_ewma.py)
 # ---------------------------------------------------------------------------
 
