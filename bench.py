@@ -253,6 +253,44 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
             docs, dims=64),
         "mart_rfm_scores": lambda: rfm_scores(
             orders, "o_custkey", "o_orderdate", "o_totalprice"),
+        "mart_cohort_ltv": lambda: (lambda o, first: (
+            o.join(first, "o_custkey")
+             .withColumn("age_months", F.months_between(
+                 F.trunc(F.col("o_orderdate").cast("timestamp")
+                          .cast("date"), "month"),
+                 F.col("cohort_month")).cast("bigint"))
+             .groupBy("cohort_month", "age_months")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+                   .alias("__rev"),
+                  F.count(F.lit(1)).alias("n_orders"))
+             .select(F.col("cohort_month").cast("string")
+                      .alias("cohort_month"),
+                     "age_months", "n_orders",
+                     F.sum("__rev").over(
+                         Window.partitionBy("cohort_month")
+                               .orderBy("age_months")
+                               .rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow))
+                      .cast("double").alias("cum_revenue"))))(
+            orders.filter(F.col("o_orderdate").isNotNull()),
+            orders.filter(F.col("o_orderdate").isNotNull())
+                  .groupBy("o_custkey")
+                  .agg(F.min(F.trunc(
+                      F.col("o_orderdate").cast("timestamp")
+                       .cast("date"), "month")).alias("cohort_month"))),
+        "events_top_paths": lambda: (
+            ev.select("user_id",
+                      F.col("event_type").alias("e1"),
+                      F.lead("event_type", 1).over(
+                          Window.partitionBy("user_id")
+                                .orderBy("ts", "event_id")).alias("e2"),
+                      F.lead("event_type", 2).over(
+                          Window.partitionBy("user_id")
+                                .orderBy("ts", "event_id")).alias("e3"))
+              .filter(F.col("e3").isNotNull())
+              .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+              .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.col("n").desc(), F.col("path")).limit(25)),
     }
     timings: dict[str, float] = {}
     for name, fn in cases.items():

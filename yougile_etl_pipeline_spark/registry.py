@@ -921,7 +921,10 @@ _STABLE_CERTIFIED = [
 # (text.py::hashed_term_features — hashing-trick sparse term
 # features; tests/test_hashed_features.py), and `mart_rfm_scores`
 # (quality.py::rfm_scores — RFM quintile-band segmentation without a
-# global ntile; tests/test_rfm.py).
+# global ntile; tests/test_rfm.py), `mart_cohort_ltv` (cohort
+# lifetime-value curve, DECIMAL-exact cumulative revenue;
+# tests/test_cohort_ltv.py), and `events_top_paths` (deterministic
+# top-25 event-type trigram paths; tests/test_top_paths.py).
 # `streaming/joins.py::click_attribution_outer` (left-outer stream-
 # stream with watermark eviction) is batch-parity-tested and could
 # register rows-only if slots allow. Registration is PRE-WIRED:
@@ -930,7 +933,7 @@ _STABLE_CERTIFIED = [
 # tests/test_registry_r06_staged.py) — at round-6 start add
 #     from yougile_etl_pipeline_spark import registry_r06  # noqa
 # next to the registry imports above (line ~632), BEFORE the rotation
-# call below. 41 staged ≤ 50 freed slots (the count is pinned by
+# call below. 43 staged ≤ 50 freed slots (the count is pinned by
 # tests/test_registry_r06_staged.py::_EXPECTED). Keep any further r06
 # additions ≤ the freed slots so every query stays driver-certified
 # at each round boundary.
