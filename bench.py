@@ -278,6 +278,15 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
                   .agg(F.min(F.trunc(
                       F.col("o_orderdate").cast("timestamp")
                        .cast("date"), "month")).alias("cohort_month"))),
+        "events_dwell_time": lambda: (
+            ev.withColumn("__gap_us",
+                          F.unix_micros(F.lead("ts", 1).over(
+                              Window.partitionBy("user_id")
+                                    .orderBy("ts", "event_id")))
+                          - F.unix_micros(F.col("ts")))
+              .groupBy("user_id", "event_type")
+              .agg(F.sum("__gap_us").alias("dwell_us"),
+                   F.count("__gap_us").alias("n_intervals"))),
         "events_top_paths": lambda: (
             ev.select("user_id",
                       F.col("event_type").alias("e1"),

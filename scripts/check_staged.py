@@ -61,6 +61,8 @@ PARITY_TESTS = [
     "tests/test_rfm.py::test_rfm_duckdb_parity",
     "tests/test_cohort_ltv.py::test_cohort_ltv_duckdb_parity",
     "tests/test_top_paths.py::test_top_paths_duckdb_parity",
+    "tests/test_dwell_time.py::test_dwell_duckdb_parity",
+    "tests/test_lang_confusion.py::test_lang_confusion_duckdb_parity",
     # rows-only staged entry: batch-parity chain, not a SQL oracle
     "tests/test_stream_ewma.py::test_stream_matches_batch_bit_for_bit",
 ]

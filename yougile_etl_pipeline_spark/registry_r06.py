@@ -65,11 +65,14 @@ from yougile_etl_pipeline_spark.operators.text import (
 )
 from yougile_etl_pipeline_spark.operators.timeseries import ewma_fixed_point
 from yougile_etl_pipeline_spark.registry import register
+from yougile_etl_pipeline_spark.operators import text as _TXM
 from yougile_etl_pipeline_spark.registry_ext import (
     _CSIM,
+    _LANG_CASE,
     _SIMHASH_BITS,
     _SIMHASH_SIG,
     _ivf_assign_sql,
+    _marker_count_sql,
     _shingles_sql,
 )
 from yougile_etl_pipeline_spark.sources.tables import load_table
@@ -1720,6 +1723,66 @@ def events_top_paths(spark, sf):
              .agg(F.count(F.lit(1)).alias("n"))
              .orderBy(F.col("n").desc(), F.col("path"))
              .limit(25))
+
+
+# ---------------------------------------------------------------------------
+# Per-state dwell time (tests/test_dwell_time.py)
+# ---------------------------------------------------------------------------
+
+@register("events_dwell_time", """
+WITH g AS (
+  SELECT user_id, event_type,
+         epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_type,
+       CAST(SUM(gap_us) AS BIGINT) AS dwell_us,
+       count(gap_us) AS n_intervals
+FROM g GROUP BY 1, 2
+""")
+def events_dwell_time(spark, sf):
+    # time-in-state: gap to the next event attributed to the current
+    # event's type; exact microsecond int64 diffs, one user-keyed
+    # window shuffle; oracle pinned by tests/test_dwell_time.py.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events") \
+        .select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros(F.lead("ts", 1).over(w))
+           - F.unix_micros(F.col("ts")))
+    return (ev.withColumn("__gap_us", gap)
+              .groupBy("user_id", "event_type")
+              .agg(F.sum("__gap_us").alias("dwell_us"),
+                   F.count("__gap_us").alias("n_intervals")))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (tests/test_lang_confusion.py)
+# ---------------------------------------------------------------------------
+
+@register("text_lang_confusion", f"""
+WITH pred AS (
+  SELECT lang, CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
+  FROM (
+    SELECT lang,
+      {", ".join(f"{_marker_count_sql(m)} AS score_{lang}"
+                 for lang, m in _TXM.LANG_MARKERS.items())},
+      greatest({", ".join(f"{_marker_count_sql(m)}"
+                          for m in _TXM.LANG_MARKERS.values())}) AS best
+    FROM documents
+  ))
+SELECT lang, lang_pred, count(*) AS n
+FROM pred GROUP BY 1, 2
+""")
+def text_lang_confusion(spark, sf):
+    # declared lang vs the certified marker predictor, counted - the
+    # label-QA matrix; reuses text_lang_id's oracle fragments so the
+    # two cannot drift (tests/test_lang_confusion.py).
+    docs = load_table(spark, sf, "documents")
+    return (_TXM.language_id(docs)
+            .groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")))
 
 
 # ---------------------------------------------------------------------------
