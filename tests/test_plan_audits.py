@@ -613,10 +613,12 @@ def test_rake_no_cartesian_no_nested_loop(spark):
 
 
 def test_copurchase_pair_join_is_hash_equijoin(spark):
-    """copurchase_lift: the basket self-join is an equi hash/merge
-    join; the only nested-loop is the 1-row broadcast totals cross
-    join (bounded build side by construction — the documented Q15/
-    collocation_lift pattern)."""
+    """copurchase_lift: pair generation is a codegen array transform
+    over per-basket sorted arrays (a Generate, NOT a basket
+    self-join); support join-backs are hash equi-joins; the only
+    nested-loop is the 1-row broadcast totals cross join (bounded
+    build side by construction — the documented Q15/collocation_lift
+    pattern)."""
     from yougile_etl_pipeline_spark.operators.frequency import (
         copurchase_lift,
     )
@@ -625,6 +627,7 @@ def test_copurchase_pair_join_is_hash_equijoin(spark):
     plan = _formatted(spark, copurchase_lift(
         li, "l_orderkey", "l_partkey", min_pair_count=2))
     assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the array-explode pair stage
     assert ("ShuffledHashJoin" in plan or "SortMergeJoin" in plan
             or "BroadcastHashJoin" in plan)
 
