@@ -103,15 +103,17 @@ def main() -> None:
         # Wall time without a recall number is half a benchmark — a fast
         # ANN that misses its neighbors is just a fast wrong answer.
         "recall": _ann_recall(spark, sf_dir),
-        # staged-for-next-round operators (registry.py tail plan):
-        # single warmed run each, so the round that registers them
-        # inherits a perf baseline instead of a first measurement.
-        "staged": _staged_timings(spark, sf_dir),
     }
+    # staged-for-next-round operators (registry.py tail plan): single
+    # warmed run each + a plan fingerprint, so the round that
+    # registers them inherits perf AND plan baselines instead of a
+    # first measurement.
+    out["staged"], out["staged_plans"] = _staged_timings(spark, sf_dir)
     print(json.dumps(out))
 
 
-def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
+def _staged_timings(
+        spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     import math
 
     from pyspark.sql import functions as F
@@ -301,13 +303,25 @@ def _staged_timings(spark, sf_dir: str) -> dict[str, float]:
               .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
               .orderBy(F.col("n").desc(), F.col("path")).limit(25)),
     }
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        plan_profile,
+    )
+
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name, fn in cases.items():
         fn().write.format("noop").mode("overwrite").save()  # warmup
         t0 = time.perf_counter()
         fn().write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-    return timings
+        # same shuffles/broadcasts/pushed-scans fingerprint as the
+        # headline `plans` block, so the round that registers these
+        # inherits a PLAN baseline too, not just a wall time
+        p = plan_profile(fn())
+        plans[name] = (f"{p['shuffle_exchanges']}"
+                       f"/{p['broadcast_exchanges']}"
+                       f"/{p['scans_with_pushed_filters']}")
+    return timings, plans
 
 
 def _plan_fingerprints(spark, sf_dir: str) -> dict[str, str]:
