@@ -110,3 +110,83 @@ def test_rolling_slope_matches_numpy_lstsq(spark, vals, n):
             continue
         want = (len(xs) * (xs * ys).sum() - xs.sum() * ys.sum()) / denom
         assert math.isclose(out[i], want, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=12),
+    min_size=1, max_size=8))
+@_slow
+def test_dup_span_coverage_matches_python_oracle(spark, docs):
+    """covered = union of positions inside n-grams shared with at
+    least one OTHER document (n=3)."""
+    texts = [" ".join(toks) for toks in docs]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_coverage,
+    )
+
+    got = {r["doc_id"]: (r["n_tokens"], r["n_covered"])
+           for r in dup_span_coverage(d, n=3).collect()}
+
+    # python oracle on the same split(' ') tokens (empty text -> [''])
+    tok_lists = [t.split(" ") for t in texts]
+    gram_docs: dict[tuple, set] = {}
+    for i, toks in enumerate(tok_lists):
+        for s_ in range(len(toks) - 2):
+            gram_docs.setdefault(tuple(toks[s_:s_ + 3]), set()).add(i)
+    for i, toks in enumerate(tok_lists):
+        covered = set()
+        for s_ in range(len(toks) - 2):
+            g = tuple(toks[s_:s_ + 3])
+            if len(gram_docs[g]) >= 2:
+                covered |= {s_, s_ + 1, s_ + 2}
+        assert got[i] == (len(toks), len(covered))
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["x", "y", "z", "the", "a"]),
+             min_size=1, max_size=10),
+    min_size=1, max_size=6))
+@_slow
+def test_rake_scores_match_python_oracle(spark, docs):
+    from yougile_etl_pipeline_spark.operators.text import (
+        STOPWORDS,
+        rake_keyphrases,
+    )
+
+    texts = [" ".join(toks) for toks in docs]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = {r["phrase"]: (r["n_words"], r["n_occurrences"],
+                         r["score_ppm"])
+           for r in rake_keyphrases(d, min_count=1).collect()}
+
+    # python oracle
+    stops = set(STOPWORDS) | {""}
+    phrases = []
+    for t in texts:
+        run = []
+        for tok in t.split(" ") + ["the"]:  # sentinel flushes the run
+            if tok in stops:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for ph in phrases:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    wppm = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    want: dict = {}
+    for ph in phrases:
+        key = " ".join(ph)
+        score = sum(wppm[w] for w in ph)
+        n, occ, _ = want.get(key, (len(ph), 0, score))
+        want[key] = (len(ph), occ + 1, score)
+    assert got == want
