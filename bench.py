@@ -298,7 +298,8 @@ def _staged_timings(
                       F.lead("event_type", 2).over(
                           Window.partitionBy("user_id")
                                 .orderBy("ts", "event_id")).alias("e3"))
-              .filter(F.col("e3").isNotNull())
+              .filter(F.col("e1").isNotNull() & F.col("e2").isNotNull()
+                      & F.col("e3").isNotNull())
               .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
               .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
               .orderBy(F.col("n").desc(), F.col("path")).limit(25)),
@@ -310,14 +311,19 @@ def _staged_timings(
     timings: dict[str, float] = {}
     plans: dict[str, str] = {}
     for name, fn in cases.items():
-        fn().write.format("noop").mode("overwrite").save()  # warmup
+        # build the DataFrame ONCE per case: a per-use fn() would
+        # re-run any construction-time work three times (and some
+        # cases legitimately pay a collect at build, e.g. the kmeans
+        # centroid count)
+        df = fn()
+        df.write.format("noop").mode("overwrite").save()  # warmup
         t0 = time.perf_counter()
-        fn().write.format("noop").mode("overwrite").save()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         # same shuffles/broadcasts/pushed-scans fingerprint as the
         # headline `plans` block, so the round that registers these
         # inherits a PLAN baseline too, not just a wall time
-        p = plan_profile(fn())
+        p = plan_profile(df)
         plans[name] = (f"{p['shuffle_exchanges']}"
                        f"/{p['broadcast_exchanges']}"
                        f"/{p['scans_with_pushed_filters']}")

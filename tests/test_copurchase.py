@@ -53,10 +53,14 @@ def test_canonical_orientation(spark):
     assert r.item_a < r.item_b
 
 
-def test_basket_cap_enforced(spark):
+def test_basket_cap_enforced_at_execution(spark):
+    # the cap guard is LAZY (in-plan assert_true): building the frame
+    # is free, the violation raises when an action runs it
     d = _baskets(spark, [(1, f"i{k}") for k in range(30)])
-    with pytest.raises(ValueError):
-        copurchase_lift(d, "basket", "item", max_basket_items=10)
+    df = copurchase_lift(d, "basket", "item", max_basket_items=10,
+                         min_pair_count=1)
+    with pytest.raises(Exception, match="max_basket_items"):
+        df.count()
 
 
 _ORACLE = """

@@ -533,8 +533,10 @@ def test_exact_mode_two_aggs_no_window(spark):
 
 
 def test_benford_single_shuffle_broadcast_spine(spark):
-    """benford_profile: one 9-group bounded aggregate shuffle; the
-    digit spine joins via broadcast hash, never a sort-merge."""
+    """benford_profile: two BOUNDED aggregate shuffles (the 9-group
+    digit counts and the 1-row lazy total — kept in-plan so nothing
+    executes at construction time); the digit spine joins via
+    broadcast hash, never a sort-merge."""
     from yougile_etl_pipeline_spark.operators.quality import (
         benford_profile,
     )
@@ -542,7 +544,7 @@ def test_benford_single_shuffle_broadcast_spine(spark):
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
     plan = _formatted(spark, benford_profile(orders, "o_totalprice"))
     body = plan.split("\n\n")[0]
-    assert _shuffles(body) == 1
+    assert _shuffles(body) <= 2
     assert "BroadcastHashJoin" in body
     assert "SortMergeJoin" not in body
 

@@ -34,7 +34,13 @@ from tests.oracle_compare import compare, duck_connect
 spark = get_spark(app_name="r06-smoke", master="local[4]")
 spark.sparkContext.setLogLevel("ERROR")
 con = duck_connect("/root/testdata/sf0.001")
-for name in ("corpus_shard_manifest", "quality_distribution_drift"):
+# two operator-backed entries as registry-wiring smoke + EVERY entry
+# whose engine side is INLINED in registry_r06 (the parity tests
+# prove their own local copies, so the registry copies must be
+# oracle-executed here or transcription drift would ship uncaught)
+for name in ("corpus_shard_manifest", "quality_distribution_drift",
+             "mart_cohort_ltv", "events_top_paths",
+             "events_dwell_time", "text_lang_confusion"):
     issues = compare(QUERIES[name](spark, "/root/testdata/sf0.001"),
                      con, ORACLES[name])
     assert not issues, f"{name}: {issues}"

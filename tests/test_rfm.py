@@ -47,9 +47,14 @@ def test_single_customer_all_mid_band(spark):
 
 
 def _cut_sql(metric: str, ppm: int) -> str:
+    # rank over NON-NULL metric rows only — exact_group_quantiles
+    # excludes NULLs, and an all-NULL-amount entity must not shift
+    # the cut ranks (DuckDB would otherwise rank it NULLS LAST and
+    # count it in n)
     return (f"(SELECT v FROM (SELECT {metric} AS v, "
             f"row_number() OVER (ORDER BY {metric}) AS rn, "
-            f"CAST(count(*) OVER () AS BIGINT) AS n FROM b2) "
+            f"CAST(count(*) OVER () AS BIGINT) AS n FROM b2 "
+            f"WHERE {metric} IS NOT NULL) "
             f"WHERE rn = (n * {ppm} + 999999) // 1000000)")
 
 
@@ -97,3 +102,20 @@ def test_rfm_duckdb_parity(spark):
     assert not issues, issues
     # scores must span bands on real data
     assert got.select("r_score").distinct().count() >= 4
+
+
+def test_all_null_amount_entity_scores_bottom_band(spark):
+    # an entity whose every amount is NULL: monetary is NULL, its
+    # m_score falls to band 1 (no cut is < NULL), and — the latent
+    # oracle trap — it must NOT shift the other entities' cut ranks
+    rows = [(1, "2024-01-10", None), (2, "2024-01-11", 50.0),
+            (3, "2024-01-12", 70.0), (4, "2024-01-13", 90.0)]
+    out = {r["cust"]: r for r in rfm_scores(
+        _orders(spark, rows), "cust", "ts", "amt").collect()}
+    assert out[1]["monetary"] is None and out[1]["m_score"] == 1
+    # cuts over {50, 70, 90} only (n=3 → ranks 1,2,2,3 → cuts
+    # [50,70,70,90]); 90 beats three cuts but TIES the p80 cut
+    # (strict <, lower band), so band 4 — and crucially not shifted
+    # by the NULL entity (including it would move the p80 rank)
+    assert out[4]["m_score"] == 4
+    assert out[2]["m_score"] == 1  # 50 ties the lowest cut

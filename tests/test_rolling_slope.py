@@ -81,11 +81,11 @@ WITH base AS (
   FROM events),
 w AS (
   SELECT user_id, event_id,
-         count(*) OVER win AS n_window,
-         SUM(x) OVER win AS sx,
+         count(y) OVER win AS n_window,
+         SUM(CASE WHEN y IS NOT NULL THEN x END) OVER win AS sx,
          SUM(y) OVER win AS sy,
          SUM(x * y) OVER win AS sxy,
-         SUM(x * x) OVER win AS sxx
+         SUM(CASE WHEN y IS NOT NULL THEN x * x END) OVER win AS sxx
   FROM base
   WINDOW win AS (PARTITION BY user_id ORDER BY x
                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
@@ -107,3 +107,15 @@ def test_rolling_slope_duckdb_parity(spark):
     con = duck_connect(SF_SMOKE)
     issues = compare(out, con, _ORACLE)
     assert not issues, issues
+
+
+def test_null_values_excluded_from_all_window_terms(spark):
+    # y = [10, NULL, 30] with window 3: the regression at row 3 must
+    # use ONLY points (x=1, 10) and (x=3, 30) -> slope (30-10)/(3-1)
+    d = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, 30.0)],
+        "user_id long, event_id long, value double")
+    out = {r.event_id: (r.n_window, r.slope) for r in rolling_slope(
+        d, "user_id", ["event_id"], "value", window_n=3).collect()}
+    assert out[3] == (2, 10.0)
+    assert out[2] == (1, None)  # only one defined point in window

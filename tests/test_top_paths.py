@@ -25,7 +25,8 @@ def top_paths(events, k: int = 25):
             F.col("event_type").alias("e1"),
             F.lead("event_type", 1).over(w).alias("e2"),
             F.lead("event_type", 2).over(w).alias("e3"))
-         .filter(F.col("e3").isNotNull()))
+         .filter(F.col("e1").isNotNull() & F.col("e2").isNotNull()
+                 & F.col("e3").isNotNull()))
     return (t.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
              .groupBy("path")
              .agg(F.count(F.lit(1)).alias("n"))
@@ -41,7 +42,7 @@ WITH t AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
-FROM t WHERE e3 IS NOT NULL
+FROM t WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
 GROUP BY 1
 ORDER BY n DESC, path
 LIMIT 25

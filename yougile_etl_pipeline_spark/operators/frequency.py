@@ -219,9 +219,11 @@ def copurchase_lift(df: DataFrame, basket_col: str, item_col: str, *,
     38% faster than the equi-self-join form at sf0.1, bit-identical
     output). Pair volume is still quadratic in BASKET SIZE, with
     `max_basket_items` ENFORCED (raise, not silent truncation — the
-    `theil_sen_slope` contract family): a basket over the cap means
-    the caller should pre-cap baskets upstream (top-N items per
-    basket) rather than let one mega-basket emit n²/2 pairs. Support
+    `theil_sen_slope` contract family, but lazily: the violation
+    raises at EXECUTION time via an in-plan assert_true, so the cap
+    costs no extra job): a basket over the cap means the caller
+    should pre-cap baskets upstream (top-N items per basket) rather
+    than let one mega-basket emit n²/2 pairs. Support
     join-backs are item-keyed equi-joins (broadcastable for bounded
     catalogs); the 1-row totals cross join is the documented
     broadcast-stats pattern."""
@@ -229,13 +231,21 @@ def copurchase_lift(df: DataFrame, basket_col: str, item_col: str, *,
                       F.col(item_col).alias("__i")).distinct()
     per = items.groupBy("__b").agg(
         F.array_sort(F.collect_set("__i")).alias("__arr"))
-    biggest = per.agg(F.max(F.size("__arr"))).collect()[0][0] or 0
-    if biggest > max_basket_items:
-        raise ValueError(
-            f"largest basket has {biggest} items > max_basket_items="
-            f"{max_basket_items}: the pair stage is quadratic per "
-            f"basket — cap baskets upstream or raise the cap "
-            f"deliberately")
+    # cap enforced LAZILY inside the single plan: an eager probe
+    # (agg + collect at construction) would execute the heaviest
+    # shuffle twice per invocation. assert_true raises at execution
+    # time the moment any basket exceeds the cap — same
+    # raise-not-truncate contract, one job. (The guard lives in a
+    # filter, which column pruning cannot remove.)
+    guard = F.assert_true(
+        F.size("__arr") <= F.lit(max_basket_items),
+        F.concat(
+            F.lit("basket "), F.col("__b").cast("string"),
+            F.lit(f" has more than max_basket_items="
+                  f"{max_basket_items} items: the pair stage is "
+                  f"quadratic per basket — cap baskets upstream or "
+                  f"raise the cap deliberately")))
+    per = per.filter(guard.isNull())
     pairs = (per.select(F.explode(F.expr(
                  "flatten(transform(__arr, (x, ix) -> "
                  "transform(slice(__arr, ix + 2, size(__arr)), "

@@ -620,12 +620,19 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
     exp_ppm = F.element_at(
         F.create_map(*[F.lit(x) for kv in _BENFORD_PPM.items()
                        for x in kv]), F.col("digit")).cast("bigint")
+    # the total rides the plan as a 1-row broadcast (the oracle's
+    # CROSS JOIN tot) — an eager .count() here would run a full scan
+    # at CONSTRUCTION time and again per action, and would even fire
+    # during plan-only profiling
+    totals = (df.filter(F.col(col) >= 1)
+                .agg(F.count(F.lit(1)).alias("__total")))
     joined = (spine.join(F.broadcast(obs), "digit", "left")
+                   .crossJoin(F.broadcast(totals))
                    .select("digit",
                            F.coalesce("n_values", F.lit(0)).alias("n_values"),
-                           exp_ppm.alias("exp_ppm")))
-    total = df.filter(F.col(col) >= 1).count()
-    obs_ppm = F.expr(f"n_values * 1000000 div {max(total, 1)}")
+                           exp_ppm.alias("exp_ppm"),
+                           F.col("__total")))
+    obs_ppm = F.expr("n_values * 1000000 div greatest(__total, 1L)")
     return (joined.withColumn("obs_ppm", obs_ppm)
                   .withColumn("dev_ppm",
                               F.col("obs_ppm") - F.col("exp_ppm"))
@@ -752,14 +759,13 @@ def rfm_scores(df: DataFrame, key_col: str, ts_col: str,
     monetary quintile scores (1–5 each) — the warehouse-marting
     staple, built scale-right:
 
-    Scores come from QUANTILE-BAND assignment, not a global
-    ``ntile()`` window: a windowless ntile funnels every entity
-    through ONE task's sort, while here the four cut values per
-    metric come from `exact_group_quantiles` (type-1, data-member,
-    bit-portable) and broadcast back — the per-entity score is then a
-    map-side count of cuts strictly below the value. Ties at a cut
-    belong to the LOWER band (strict <), a documented determinism
-    choice where ntile's tie split is positional and partition-lucky.
+    Scores come from QUANTILE-BAND assignment with a deterministic
+    tie rule: the cut values per metric come from
+    `exact_group_quantiles` (type-1, data-member, bit-portable) and
+    broadcast back — the per-entity score is then a map-side count of
+    cuts strictly below the value. Ties at a cut belong to the LOWER
+    band (strict <), a documented determinism choice where ntile's
+    tie split is positional and partition-lucky.
 
         r_score = 5 − |{c ∈ cuts(recency): c < recency}|  (recent→5)
         f_score = 1 + |{c ∈ cuts(freq):    c < freq}|     (often →5)
@@ -767,12 +773,18 @@ def rfm_scores(df: DataFrame, key_col: str, ts_col: str,
 
     Recency is whole days vs the corpus max event date (exact int
     datediff); frequency an int64 count; monetary a DECIMAL-exact sum
-    cast to double once. Scale: one key shuffle to the entity grain,
-    then three single-key quantile passes over |entities| rows (the
-    AGGREGATE grain — orders of magnitude below the fact table) and
-    one broadcast join-back. Returns one row per entity:
-    ``(key, recency_days, frequency, monetary, r_score, f_score,
-    m_score, rfm)`` with ``rfm`` = 100·r + 10·f + m."""
+    cast to double once (recency/frequency re-enter the quantile pass
+    as doubles — exact below 2⁵³). Scale: one key shuffle to the
+    entity grain, then ONE quantile pass over the melted
+    (metric, value) long form — partitioned by metric, so the three
+    rank windows run as three PARALLEL tasks over |entities| rows
+    each (the aggregate grain, orders of magnitude below the fact
+    table; the per-metric window is still one task — the same
+    giant-group caveat as `exact_group_median`, honest and bounded) —
+    and one broadcast join-back of the 1-row cut table. Returns one
+    row per entity: ``(key, recency_days, frequency, monetary,
+    r_score, f_score, m_score, rfm)`` with ``rfm`` = 100·r + 10·f +
+    m."""
     base = (df.filter(F.col(ts_col).isNotNull())
               .groupBy(key_col)
               .agg(F.max(F.to_date(F.col(ts_col).cast("timestamp")))
@@ -781,23 +793,35 @@ def rfm_scores(df: DataFrame, key_col: str, ts_col: str,
                    F.sum(F.col(amount_col).cast("decimal(24,6)"))
                     .cast("double").alias("monetary")))
     ref = base.agg(F.max("__last").alias("__ref"))
-    base = (base.crossJoin(F.broadcast(ref))
-                .withColumn("recency_days",
-                            F.datediff(F.col("__ref"), F.col("__last"))
-                             .cast("bigint"))
-                .drop("__last", "__ref"))
-    tagged = base.withColumn("__one", F.lit(1))
+    tagged = (base.crossJoin(F.broadcast(ref))
+              .withColumn("recency_days",
+                          F.datediff(F.col("__ref"), F.col("__last"))
+                           .cast("bigint"))
+              .drop("__last", "__ref"))
 
-    def _cuts(col: str, alias: str):
-        q = exact_group_quantiles(tagged, "__one", col,
-                                  q_ppm=list(cut_ppm))
-        return q.groupBy("__one").agg(
-            F.collect_list(F.col("quantile")).alias(alias))
+    def _metric(tag: str, col: str):
+        return tagged.select(F.lit(tag).alias("__m"),
+                             F.col(col).cast("double").alias("__v"))
 
-    cuts = (_cuts("recency_days", "__rc")
-            .join(_cuts("frequency", "__fc"), "__one")
-            .join(_cuts("monetary", "__mc"), "__one"))
-    out = tagged.join(F.broadcast(cuts), "__one")
+    melted = (_metric("r", "recency_days")
+              .unionByName(_metric("f", "frequency"))
+              .unionByName(_metric("m", "monetary")))
+    q = exact_group_quantiles(melted, "__m", "__v",
+                              q_ppm=list(cut_ppm))
+
+    def _arr(tag: str):
+        # per-metric cut list in q_ppm order; collect_list drops the
+        # other metrics' NULL-when rows, array_sort orders the
+        # (q_ppm, quantile) structs by level
+        return F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("__m") == tag,
+                       F.struct("q_ppm", "quantile")))),
+            lambda s: s["quantile"])
+
+    cuts = q.agg(_arr("r").alias("__rc"), _arr("f").alias("__fc"),
+                 _arr("m").alias("__mc"))
+    out = tagged.crossJoin(F.broadcast(cuts))
 
     def _below(arr: str, col: str):
         return F.size(F.filter(F.col(arr),

@@ -268,13 +268,19 @@ def rolling_slope(df: DataFrame, key_col: str, order_cols: list[str],
         F.row_number().over(w_rank).cast("bigint").alias("__x"))
     w = (Window.partitionBy(key_col).orderBy("__x")
          .rowsBetween(-(window_n - 1), Window.currentRow))
+    # every window term must see the SAME point set: rows whose value
+    # quantizes to NULL are excluded from n, Σx, and Σx² explicitly
+    # (Σy and Σxy skip them via NULL propagation already) — otherwise
+    # a NULL in the window mixes an n-row count with (n−1)-row sums
+    # and the slope matches no regression at all
+    x_nn = F.when(F.col("__y").isNotNull(), F.col("__x"))
     stats = base.select(
         key_col, *order_cols,
-        F.count(F.lit(1)).over(w).alias("n_window"),
-        F.sum("__x").over(w).alias("__sx"),
+        F.count("__y").over(w).alias("n_window"),
+        F.sum(x_nn).over(w).alias("__sx"),
         F.sum("__y").over(w).alias("__sy"),
         F.sum(F.col("__x") * F.col("__y")).over(w).alias("__sxy"),
-        F.sum(F.col("__x") * F.col("__x")).over(w).alias("__sxx"))
+        F.sum(x_nn * x_nn).over(w).alias("__sxx"))
     num = (F.col("n_window") * F.col("__sxy")
            - F.col("__sx") * F.col("__sy"))
     den = (F.col("n_window") * F.col("__sxx")

@@ -1196,11 +1196,11 @@ WITH base AS (
   FROM events),
 w AS (
   SELECT user_id, event_id,
-         count(*) OVER win AS n_window,
-         SUM(x) OVER win AS sx,
+         count(y) OVER win AS n_window,
+         SUM(CASE WHEN y IS NOT NULL THEN x END) OVER win AS sx,
          SUM(y) OVER win AS sy,
          SUM(x * y) OVER win AS sxy,
-         SUM(x * x) OVER win AS sxx
+         SUM(CASE WHEN y IS NOT NULL THEN x * x END) OVER win AS sxx
   FROM base
   WINDOW win AS (PARTITION BY user_id ORDER BY x
                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
@@ -1577,9 +1577,14 @@ def text_hashed_features(spark, sf):
 # ---------------------------------------------------------------------------
 
 def _rfm_cut_sql(metric: str, ppm: int) -> str:
+    # rank over NON-NULL metric rows only — exact_group_quantiles
+    # excludes NULLs, and an all-NULL-amount entity must not shift
+    # the cut ranks (DuckDB would otherwise rank it NULLS LAST and
+    # count it in n)
     return (f"(SELECT v FROM (SELECT {metric} AS v, "
             f"row_number() OVER (ORDER BY {metric}) AS rn, "
-            f"CAST(count(*) OVER () AS BIGINT) AS n FROM b2) "
+            f"CAST(count(*) OVER () AS BIGINT) AS n FROM b2 "
+            f"WHERE {metric} IS NOT NULL) "
             f"WHERE rn = (n * {ppm} + 999999) // 1000000)")
 
 
@@ -1697,7 +1702,7 @@ WITH t AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
-FROM t WHERE e3 IS NOT NULL
+FROM t WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
 GROUP BY 1
 ORDER BY n DESC, path
 LIMIT 25
@@ -1707,6 +1712,10 @@ def events_top_paths(spark, sf):
     # user-keyed window shuffle; counting is bounded by
     # |event_types|^3; lexicographic tie-break makes the limit
     # deterministic; oracle pinned by tests/test_top_paths.py.
+    # Trigrams containing a NULL event_type are dropped on BOTH
+    # sides explicitly: concat_ws SKIPS nulls while SQL || propagates
+    # them, so an unguarded NULL would emit a bigram masquerading as
+    # a trigram on the Spark side only.
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf, "events") \
@@ -1717,7 +1726,8 @@ def events_top_paths(spark, sf):
             F.col("event_type").alias("e1"),
             F.lead("event_type", 1).over(w).alias("e2"),
             F.lead("event_type", 2).over(w).alias("e3"))
-         .filter(F.col("e3").isNotNull()))
+         .filter(F.col("e1").isNotNull() & F.col("e2").isNotNull()
+                 & F.col("e3").isNotNull()))
     return (t.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
              .groupBy("path")
              .agg(F.count(F.lit(1)).alias("n"))

@@ -270,7 +270,12 @@ def ewma_stateful(events: DataFrame, *,
     v_int = (F.col("value")
              .cast(f"decimal(20,{len(str(value_scale)) - 1})")
              * value_scale).cast("bigint")
-    base = events.select("user_id", F.unix_millis("ts").alias("ms"),
+    # unix_micros, not unix_millis: events.ts carries microsecond
+    # precision, and a millisecond key could order two same-ms events
+    # differently from the batch op's full-precision (ts, event_id)
+    # sort — the recurrence is order-sensitive, so that would break
+    # the bit-parity chain this entry's correctness rests on.
+    base = events.select("user_id", F.unix_micros("ts").alias("ms"),
                          "event_id", v_int.alias("v_int"))
     return base.groupBy("user_id").applyInPandasWithState(
         fn,
