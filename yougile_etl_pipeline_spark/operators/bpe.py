@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pair_counts", "best_pair", "apply_merge", "bpe_train",
-           "char_symbols"]
+           "char_symbols", "bpe_encode"]
 
 
 def char_symbols(word_col, *, end_marker: str = "</w>"):
@@ -142,3 +142,36 @@ def bpe_train(df: DataFrame, n_merges: int, *, syms_col: str = "syms",
         if (it + 1) % checkpoint_every == 0:
             df = df.localCheckpoint(eager=True)
     return df, merges
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple], *,
+               word_col: str = "word",
+               out_col: str = "tokens") -> DataFrame:
+    """Apply a TRAINED merge table (the `bpe_train` artifact) to new
+    text — the encode half of the tokenizer: every word starts as
+    char symbols + end marker and each merge rewrites it via the same
+    greedy left-to-right `apply_merge` fold the trainer used, so
+    encoding is exactly reproducible from the artifact.
+
+    The merge list is a driver-side constant (tokenizer vocabularies
+    are bounded — 32k–100k merges — and ship with the model, the
+    kmeans-centroid-collect economics); each merge compiles to ONE
+    map-only codegen fold, no shuffle anywhere, so encoding
+    parallelizes embarrassingly at any corpus size. Cost is
+    O(merges · word_len) per word — the classic slow-path trade of
+    reference BPE encoders; production encoders memoize per distinct
+    word, which composes here by encoding `df.distinct()` on the word
+    column and joining back (the caller's choice of grain).
+
+    Returns the input plus ``out_col`` (array<string> subword tokens)
+    and ``n_tokens``."""
+    out = df.withColumn(out_col, char_symbols(word_col))
+    for i, m in enumerate(merges):
+        left, right = m[0], m[1]
+        out = apply_merge(out, left, right, syms_col=out_col)
+        # deep merge tables nest one fold per merge in the expression
+        # tree; truncate lineage periodically like bpe_train does
+        # (codegen/analysis limits, not correctness)
+        if (i + 1) % 16 == 0 and i + 1 < len(merges):
+            out = out.localCheckpoint(eager=False)
+    return out.withColumn("n_tokens", F.size(F.col(out_col)))
