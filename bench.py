@@ -137,7 +137,7 @@ def _staged_timings(
     from yougile_etl_pipeline_spark.operators.similarity import semantic_dedup
     from yougile_etl_pipeline_spark.operators.text import (
         collocation_lift, domain_affinity, dup_span_coverage,
-        hashed_term_features, rake_keyphrases)
+        dup_span_removal, hashed_term_features, rake_keyphrases)
     from yougile_etl_pipeline_spark.operators.timeseries import (
         cusum_fixed_point, ewma_fixed_point, rolling_slope,
         seasonal_baseline, theil_sen_slope)
@@ -233,6 +233,7 @@ def _staged_timings(
             ev, "user_id", ["ts", "event_id"], "value", window_n=10),
         "text_dup_span_coverage": lambda: dup_span_coverage(
             docs, n=5),
+        "text_dup_span_removal": lambda: dup_span_removal(docs, n=5),
         "freq_copurchase_lift": lambda: copurchase_lift(
             li, "l_orderkey", "l_partkey", min_pair_count=2),
         "events_mode_type": lambda: exact_mode(

@@ -49,6 +49,7 @@ PARITY_TESTS = [
     "tests/test_cusum.py::test_cusum_duckdb_parity",
     "tests/test_rolling_slope.py::test_rolling_slope_duckdb_parity",
     "tests/test_dup_spans.py::test_dup_spans_duckdb_parity",
+    "tests/test_dup_removal.py::test_dup_removal_duckdb_parity",
     "tests/test_copurchase.py::test_copurchase_duckdb_parity",
     "tests/test_exact_mode.py::test_exact_mode_duckdb_parity",
     "tests/test_neighbor_jaccard.py::test_neighbor_jaccard_duckdb_parity",

@@ -713,3 +713,19 @@ def test_hashed_features_single_bounded_shuffle(spark):
     body = plan.split("\n\n")[0]
     assert _shuffles(body) == 1
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_dup_span_removal_fingerprint_equijoins(spark):
+    """dup_span_removal: same fingerprint-keyed shape as the coverage
+    op — debut agg + equi-join-back + one doc shuffle; the rebuild is
+    per-row array math. No cartesian, no nested loop."""
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_removal,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _formatted(spark, dup_span_removal(docs, n=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    body = plan.split("\n\n")[0]
+    assert _shuffles(body) <= 3

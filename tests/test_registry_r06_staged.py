@@ -14,7 +14,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_EXPECTED = 45
+_EXPECTED = 46
 
 _SUBPROC = """
 import sys

@@ -40,6 +40,7 @@ __all__ = [
     "build_vocab",
     "oov_stats",
     "dup_span_coverage",
+    "dup_span_removal",
     "rake_keyphrases",
     "hashed_term_features",
     "PII_PATTERNS",
@@ -1007,3 +1008,61 @@ def hashed_term_features(df: DataFrame, id_col: str = "doc_id",
               .cast("long") % dims)
     return (ex.groupBy(id_col, bucket.alias("bucket"))
               .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 5) -> DataFrame:
+    """The actionable form of `dup_span_coverage`: REMOVE every token
+    position covered by an n-gram that debuted in an EARLIER document
+    (min id owns the span; later occurrences are the duplicates) —
+    Lee et al. 2022's exact-substring deduplication as an executable
+    rewrite, not just a score.
+
+    Keep/drop rule, fully deterministic: a position is dropped iff
+    some n-gram window over it also occurs in a document with a
+    smaller id. The debut document always keeps its text; a gram
+    repeated only WITHIN one document is untouched (`self_dedup` is
+    the intra-doc lens). Rebuilt text joins the surviving tokens with
+    single spaces.
+
+    Distributed shape: same fingerprint-keyed debut aggregation and
+    join-back as `dup_span_coverage` (16-byte md5 shuffles, equi-join
+    back, ONE doc-keyed shuffle to assemble each doc's removable
+    spans); the rebuild is per-row array math — the covered-position
+    membership test is ``array_contains`` per token, O(tokens ·
+    covered) per doc, fine at document scale and swappable for a
+    sort-merge zip if pathological documents demand it. Returns
+    ``(id_col, n_tokens, n_removed, clean_text)`` for EVERY input
+    doc."""
+    toks = tokens(text_col)
+    gram = F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__s"), n))
+    ex = (df.select(F.col(id_col),
+                    F.explode(_ngram_starts(toks, n)).alias("__s"),
+                    toks.alias("__toks"))
+            .select(id_col, "__s", F.md5(gram).alias("__fp")))
+    debut = ex.groupBy("__fp").agg(F.min(F.col(id_col)).alias("__debut"))
+    removable = (ex.join(debut, "__fp")
+                   .filter(F.col("__debut") < F.col(id_col))
+                   .groupBy(id_col)
+                   .agg(F.collect_list("__s").alias("__starts")))
+    covered = removable.select(
+        id_col,
+        F.array_distinct(F.flatten(F.transform(
+            "__starts",
+            lambda s: F.sequence(s, s + (n - 1))))).alias("__cov"))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    out = (base.join(covered, id_col, "left")
+               .withColumn("__cov",
+                           F.coalesce(F.col("__cov"),
+                                      F.array().cast("array<int>"))))
+    kept = F.filter(
+        F.transform(F.col("__toks"),
+                    lambda x, i: F.struct(x.alias("t"),
+                                          (i + 1).alias("p"))),
+        lambda s: ~F.array_contains(F.col("__cov"), s["p"]))
+    return out.select(
+        id_col,
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size("__cov").cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+         .alias("clean_text"))

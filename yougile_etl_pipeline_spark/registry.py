@@ -928,7 +928,9 @@ _STABLE_CERTIFIED = [
 # `events_dwell_time` (time-in-state from exact microsecond gaps;
 # tests/test_dwell_time.py) and `text_lang_confusion` (declared-vs-
 # predicted language QA matrix reusing text_lang_id's oracle
-# fragments; tests/test_lang_confusion.py).
+# fragments; tests/test_lang_confusion.py), and `text_dup_span_removal`
+# (executable Lee-et-al exact-substring dedup — duplicated spans
+# deleted, debut doc keeps; tests/test_dup_removal.py).
 # `streaming/joins.py::click_attribution_outer` (left-outer stream-
 # stream with watermark eviction) is batch-parity-tested and could
 # register rows-only if slots allow. Registration is PRE-WIRED:
@@ -937,7 +939,7 @@ _STABLE_CERTIFIED = [
 # tests/test_registry_r06_staged.py) — at round-6 start add
 #     from yougile_etl_pipeline_spark import registry_r06  # noqa
 # next to the registry imports above (line ~632), BEFORE the rotation
-# call below. 45 staged ≤ 50 freed slots (the count is pinned by
+# call below. 46 staged ≤ 50 freed slots (the count is pinned by
 # tests/test_registry_r06_staged.py::_EXPECTED). Keep any further r06
 # additions ≤ the freed slots so every query stays driver-certified
 # at each round boundary.

@@ -1632,6 +1632,55 @@ def mart_rfm_scores(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Cross-doc duplicate-span REMOVAL (tests/test_dup_removal.py)
+# ---------------------------------------------------------------------------
+
+_DSR_N = 5
+
+
+@register("text_dup_span_removal", f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+ex AS (
+  SELECT doc_id, s,
+         md5(array_to_string(toks[s:s+{_DSR_N - 1}], ' ')) AS fp
+  FROM t, LATERAL (SELECT unnest(range(1,
+           greatest(len(toks) - {_DSR_N} + 1, 0) + 1)) AS s) ls),
+debut AS (SELECT fp, min(doc_id) AS d0 FROM ex GROUP BY 1),
+cov AS (
+  SELECT doc_id, list_distinct(flatten(list(pr))) AS cov
+  FROM (
+    SELECT e.doc_id,
+           list_transform(range(e.s, e.s + {_DSR_N}), x -> x) AS pr
+    FROM ex e JOIN debut d USING (fp)
+    WHERE d.d0 < e.doc_id)
+  GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(cov.cov), 0) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(
+         list_filter(
+           list_transform(range(1, len(t.toks) + 1),
+                          i -> CASE WHEN cov.cov IS NULL
+                                      OR NOT list_contains(cov.cov, i)
+                                    THEN t.toks[i] END),
+           x -> x IS NOT NULL), ' '), '') AS clean_text
+FROM t LEFT JOIN cov USING (doc_id)
+""")
+def text_dup_span_removal(spark, sf):
+    # Lee-et-al exact-substring dedup as an executable rewrite: spans
+    # duplicated from an earlier doc are DELETED, debut doc keeps its
+    # text (operators/text.py::dup_span_removal). NB DuckDB
+    # array_to_string([]) is NULL, hence the oracle's COALESCE.
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_removal,
+    )
+
+    return dup_span_removal(load_table(spark, sf, "documents"),
+                            n=_DSR_N)
+
+
+# ---------------------------------------------------------------------------
 # Cohort lifetime-value curve (tests/test_cohort_ltv.py)
 # ---------------------------------------------------------------------------
 
