@@ -1,62 +1,78 @@
-"""Guards for the pre-wired round-6 registration module.
+"""Guards for the round-6 registration module — WIRED at r06 start.
 
-Two invariants: (1) round 5 must NOT import registry_r06 (the window
-is exactly full — an accidental import would strand never-certified
-registrations at the round boundary); (2) the module must actually
-work when wired — verified in a SUBPROCESS so this test session's
-registry stays untouched."""
+Round-5 state (preserved in git history): registry_r06 was staged,
+deliberately unimported, and these guards enforced non-import plus a
+subprocess smoke. The r06 rotation executed the plan: registry.py now
+imports registry_r06, its 46 entries sit inside the driver's 50-slot
+certification window (with the 4 held-out recertification slots —
+see _STABLE_CERTIFIED's r05 note). The guards now enforce the WIRED
+invariants:
+
+1. the import is live (the staged module cannot silently fall out);
+2. every r06 entry is inside ``list(QUERIES)[:50]`` (registered but
+   never-certified is the failure mode the window accounting exists
+   to prevent);
+3. every r06 entry carries an oracle except the declared rows-only
+   streaming entry;
+4. the entries whose engine side is INLINED in registry_r06 (their
+   parity tests prove local copies) are oracle-executed from the
+   REGISTRY copies, so transcription drift cannot ship.
+"""
 
 from __future__ import annotations
 
-import os
-import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.conftest import SF_SMOKE
+from tests.oracle_compare import compare, duck_connect
 
 _EXPECTED = 46
 
-_SUBPROC = """
-import sys
-sys.path.insert(0, %r)
-from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
-before = set(QUERIES)
-import yougile_etl_pipeline_spark.registry_r06  # noqa: F401
-new = [k for k in QUERIES if k not in before]
-assert len(new) == %d, f"expected %d new entries, got {len(new)}: {new}"
 # declared rows-only entries (streaming machinery — no SQL-expressible
 # oracle BY DESIGN; each carries a documented batch-parity proof chain)
 ROWS_ONLY = {"stream_ewma_values"}
-missing = [k for k in new if k not in ORACLES and k not in ROWS_ONLY]
-assert not missing, f"entries without oracles: {missing}"
-from yougile_etl_pipeline_spark.session import get_spark
-from tests.oracle_compare import compare, duck_connect
-spark = get_spark(app_name="r06-smoke", master="local[4]")
-spark.sparkContext.setLogLevel("ERROR")
-con = duck_connect("/root/testdata/sf0.001")
-# two operator-backed entries as registry-wiring smoke + EVERY entry
-# whose engine side is INLINED in registry_r06 (the parity tests
-# prove their own local copies, so the registry copies must be
-# oracle-executed here or transcription drift would ship uncaught)
-for name in ("corpus_shard_manifest", "quality_distribution_drift",
-             "mart_cohort_ltv", "events_top_paths",
-             "events_dwell_time", "text_lang_confusion"):
-    issues = compare(QUERIES[name](spark, "/root/testdata/sf0.001"),
-                     con, ORACLES[name])
-    assert not issues, f"{name}: {issues}"
-print("R06-SMOKE-OK")
-"""
+
+# entries whose engine side lives inline in registry_r06.py rather
+# than an operator module — the registry copies must be executed
+# against their oracles here (the per-op parity tests exercise their
+# own local copies, so drift between the two would otherwise ship)
+_INLINED = (
+    "corpus_shard_manifest", "quality_distribution_drift",
+    "mart_cohort_ltv", "events_top_paths",
+    "events_dwell_time", "text_lang_confusion",
+)
 
 
-def test_round5_does_not_import_r06():
-    # the import chain must not pull registry_r06 until round 6 wires it
+def test_registry_imports_r06():
     import yougile_etl_pipeline_spark.registry  # noqa: F401
-    assert "yougile_etl_pipeline_spark.registry_r06" not in sys.modules
+
+    assert "yougile_etl_pipeline_spark.registry_r06" in sys.modules, (
+        "the r06 rotation import fell out of registry.py — the 46 "
+        "round-6 entries would silently deregister")
 
 
-def test_r06_module_registers_and_runs_in_subprocess():
-    out = subprocess.run(
-        [sys.executable, "-c", _SUBPROC % (REPO, _EXPECTED, _EXPECTED)],
-        cwd=REPO, capture_output=True, text=True, timeout=600)
-    assert out.returncode == 0, out.stderr[-3000:]
-    assert "R06-SMOKE-OK" in out.stdout
+def test_r06_entries_registered_inside_window():
+    from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
+    from yougile_etl_pipeline_spark.registry_r06 import R06_ENTRIES
+
+    assert len(R06_ENTRIES) == _EXPECTED
+    window = set(list(QUERIES)[:50])
+    missing = [n for n in R06_ENTRIES if n not in QUERIES]
+    assert not missing, f"r06 entries not registered: {missing}"
+    out = [n for n in R06_ENTRIES if n not in window]
+    assert not out, (
+        f"r06 entries pushed outside the 50-slot certification "
+        f"window: {out}")
+    no_oracle = [n for n in R06_ENTRIES
+                 if n not in ORACLES and n not in ROWS_ONLY]
+    assert not no_oracle, f"entries without oracles: {no_oracle}"
+
+
+def test_inlined_registry_entries_match_oracles(spark):
+    from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
+
+    con = duck_connect(SF_SMOKE)
+    for name in _INLINED:
+        issues = compare(QUERIES[name](spark, SF_SMOKE),
+                         con, ORACLES[name])
+        assert not issues, f"{name}: {issues}"

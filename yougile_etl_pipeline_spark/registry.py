@@ -630,6 +630,14 @@ from yougile_etl_pipeline_spark import registry_ext  # noqa: E402,F401
 from yougile_etl_pipeline_spark import registry_analytics  # noqa: E402,F401
 from yougile_etl_pipeline_spark import registry_tpch  # noqa: E402,F401
 from yougile_etl_pipeline_spark import registry_r05  # noqa: E402,F401
+# registry_r06 (the wired round-6 registrations) is imported at the
+# BOTTOM of registry_ext.py, not here: registry_r06 consumes
+# registry_ext's shared oracle-SQL fragments (_CSIM, _LANG_CASE, ...),
+# and an import from this position breaks the registry_ext-first
+# circular entry path (ext would still be partially initialized when
+# r06 asks for its fragments). At ext's bottom the fragments exist on
+# every entry path, and each module-tail rotation guard converges the
+# certification-window SET regardless of entry point.
 
 
 @register("set_except_all", """
@@ -766,9 +774,10 @@ _STABLE_CERTIFIED = [
     "text_fingerprints", "dedup_exact",
     "mm_binary_metadata", "mm_decode_features", "events_hourly_snapshot",
     "events_json_flatten", "events_sessionize",
-    # r01+r02 driver-checked ROWS-ONLY (err='no_oracle', rows>0 both
-    # rounds): stream-stream join, no SQL-expressible oracle by design.
-    "stream_tumbling_counts",
+    # r06 note: `stream_tumbling_counts` (r01+r02 rows-only green) is
+    # deliberately NOT listed — its last driver row was r02, and
+    # VERDICT r05 "What's missing" #3 asked for a fresh rows-only row;
+    # the r06 window has a free slot for it (46 staged + 4 = 50).
     # r03 driver HASH-green (hash_match=True in CORRECTNESS_r03), code
     # untouched since — the full r03 window minus text_inverted_index
     # (red in r03: raw-array output; fixed this round, kept in the
@@ -821,6 +830,34 @@ _STABLE_CERTIFIED = [
     "events_session_native", "events_time_rollup", "sql_lateral_topk",
     "sql_recursive_spine", "j_salted_skew", "sql_disjunctive_join",
     "sql_market_share", "agg_collect_sorted", "f_array_set_ops",
+    # r05 driver HASH-green (CORRECTNESS_r05: 50/50 — 49 hash-matched
+    # + stream_click_attribution rows-only by design), code untouched
+    # since — the full r05 window promotes EXCEPT: f_null_functions,
+    # f_bitwise_functions, f_hash_functions (held out to recertify in
+    # the r06 window — 46 staged registrations leave 4 free slots and
+    # the window must hold exactly 50 non-stable entries; these three
+    # are the cheapest greens to re-run, and may be swapped for new
+    # registrations later this round) and stream_tumbling_counts'
+    # sibling note above.
+    "text_line_dedup", "text_bm25_scores", "text_self_dedup",
+    "sample_quality_quota", "dedup_minhash_recall_eval",
+    "sim_cosine_topk", "events_asof_join", "events_asof_forward",
+    "stream_click_attribution", "emb_quantize_int8", "sim_topk_int8",
+    "sql_q3_shipping_priority", "sql_q14_promo_share",
+    "sql_q16_supplier_cnt", "sql_q22_dormant_rich", "sql_parameterized",
+    "f_try_arithmetic", "win_first_last_ignorenulls", "agg_median_split",
+    "win_time_range_frame", "sql_q10_returned_items",
+    "agg_sufficient_stats", "agg_listagg", "agg_mode_per_group",
+    "sql_q2_min_cost_supplier", "sql_q6_forecast_revenue",
+    "sql_q7_nation_volume", "sql_q9_product_profit",
+    "sql_q12_late_lines_priority", "sql_q13_order_distribution",
+    "sql_q15_top_supplier", "sql_q18_large_orders",
+    "sql_q20_excess_suppliers", "sql_q21_waiting_suppliers",
+    "f_string_pad_translate", "f_datetime_truncs", "agg_minby_maxby",
+    "agg_corr_exact", "agg_weighted_avg", "win_moving_avg",
+    "win_event_gaps", "win_pct_change_daily", "events_bigram_transitions",
+    "text_ngram_topk", "dedup_normalized_exact", "graph_triangle_count",
+    "j_cross",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit
@@ -844,10 +881,12 @@ _STABLE_CERTIFIED = [
 # appended here with a reason — tests/test_certification_window.py
 # enforces the accounting.
 #
-# ROUND-6 ROTATION PLAN: move the r05 window's greens into
-# _STABLE_CERTIFIED (that certifies the whole registry), freeing all
-# 50 slots. Staged registrations, built + parity-proven this round but
-# deliberately NOT registered (the r05 window was exactly full):
+# ROUND-6 ROTATION — EXECUTED at r06 start: the r05 greens moved into
+# _STABLE_CERTIFIED above (minus the four held-out recertifications
+# noted there), registry_r06 is imported next to the registry imports,
+# and its 46 staged entries + the 4 held-out slots fill the window to
+# exactly 50. Staged registrations, built + parity-proven in round 5
+# (the r05 window was exactly full):
 # `pq_encode`, `pq_adc_topk`, and `ivfpq_topk` (operators/pq.py —
 # product quantization + the IVF-PQ composition; DuckDB oracles proven
 # bit-identical in tests/test_pq_oracle_parity.py) and
@@ -933,16 +972,12 @@ _STABLE_CERTIFIED = [
 # deleted, debut doc keeps; tests/test_dup_removal.py).
 # `streaming/joins.py::click_attribution_outer` (left-outer stream-
 # stream with watermark eviction) is batch-parity-tested and could
-# register rows-only if slots allow. Registration is PRE-WIRED:
-# registry_r06.py already holds ALL staged entries with their proven
-# oracles (validated green at sf0.001 AND sf0.01, guarded by
-# tests/test_registry_r06_staged.py) — at round-6 start add
-#     from yougile_etl_pipeline_spark import registry_r06  # noqa
-# next to the registry imports above (line ~632), BEFORE the rotation
-# call below. 46 staged ≤ 50 freed slots (the count is pinned by
-# tests/test_registry_r06_staged.py::_EXPECTED). Keep any further r06
-# additions ≤ the freed slots so every query stays driver-certified
-# at each round boundary.
+# register rows-only if slots allow. The pre-wired registration in
+# registry_r06.py (oracles validated green at sf0.001 AND sf0.01,
+# guarded by tests/test_registry_r06_staged.py) went live with the
+# r06-start import above. Keep any further r06 additions ≤ the free
+# window slots so every query stays driver-certified at each round
+# boundary.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 

@@ -2480,6 +2480,15 @@ def join_incremental_delta(spark, sf):
         .select("o_orderkey", "o_custkey", "l_suppkey", "l_quantity")
 
 
+# Round-6 registrations import HERE (not in registry.py): they consume
+# this module's oracle-SQL fragments (_CSIM, _LANG_CASE, ...), which
+# are only guaranteed to exist at this point on EVERY entry path —
+# including the registry_ext-first circular path, where registry.py
+# executes inside our line-35 import while this module is still
+# partially initialized. registry_r06's own tail guard re-rotates if
+# needed.
+from yougile_etl_pipeline_spark import registry_r06  # noqa: E402,F401
+
 # Order-independence guard: if THIS module was the process's entry
 # point into the engine (e.g. `from ...registry_ext import <helper>`
 # before anything imported registry), the circular tail-import path

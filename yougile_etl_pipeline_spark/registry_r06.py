@@ -1875,3 +1875,27 @@ from yougile_etl_pipeline_spark import registry as _registry_mod  # noqa: E402
 
 if hasattr(_registry_mod, "_rotate_certification_window"):
     _registry_mod._rotate_certification_window()
+
+
+# Manifest of this module's registrations — the wired-state guard
+# (tests/test_registry_r06_staged.py) asserts each name is registered
+# and inside the driver's 50-slot certification window.
+R06_ENTRIES: list[str] = [
+    "sketch_countmin_suppliers", "events_mad_outliers",
+    "dedup_shingle_containment", "dedup_semantic", "text_domain_affinity",
+    "text_bpe_merge_step", "text_collocations", "graph_label_propagation",
+    "emb_gram_matrix", "dedup_simhash_recall_eval",
+    "quality_distribution_drift", "corpus_shard_manifest",
+    "dedup_blocking_profile", "agg_exact_median_global", "events_ewma",
+    "pq_encode", "pq_adc_topk", "ivfpq_topk", "events_rolling_users_daily",
+    "sample_stratified_exact", "events_step_latency", "events_theil_sen",
+    "text_readability", "text_ngram_novelty", "agg_price_histogram",
+    "graph_kcore", "agg_weighted_median", "quality_benford",
+    "events_cusum_alarms", "events_rolling_slope",
+    "text_dup_span_coverage", "freq_copurchase_lift", "events_mode_type",
+    "graph_link_jaccard", "text_rake_keyphrases", "agg_exact_quantiles",
+    "events_seasonal_baseline", "quality_winsorize",
+    "text_hashed_features", "mart_rfm_scores", "text_dup_span_removal",
+    "mart_cohort_ltv", "events_top_paths", "events_dwell_time",
+    "text_lang_confusion", "stream_ewma_values",
+]
