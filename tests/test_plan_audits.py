@@ -369,7 +369,20 @@ _HEADLINE_PLAN_BUDGETS = {
     "mm_frame_sample": (0, 1),
     "events_hourly_snapshot": (1, 1),
     "events_sessionize": (1, 0),
+    # r06 graduates (VERDICT r05 #3): the heaviest queries certified at
+    # the r06 rotation, promoted into HEADLINE with pinned budgets.
+    "text_dup_span_removal": (2, 1),
+    "text_dup_span_coverage": (3, 1),
+    "text_collocations": (4, 0),
+    "sketch_countmin_suppliers": (2, 2),
 }
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# a ONE-ROW broadcast side (corpus-totals cross join, the bm25_scores
+# pattern — `operators/text.py::collocation_lift` docstring). A 1-row
+# BNLJ is a constant-attach, not a quadratic join; anything else
+# appearing here needs the same documented justification.
+_BNLJ_OK = {"text_collocations"}
 
 
 def test_budgets_cover_every_bench_headline_query():
@@ -400,8 +413,9 @@ def test_headline_plan_within_budget(spark, name):
     assert p["scans_with_pushed_filters"] >= min_pushed, (
         f"{name}: only {p['scans_with_pushed_filters']} scans with "
         f"pushed filters, expected >= {min_pushed} — pushdown lost")
-    assert not p["has_nested_loop_join"], (
-        f"{name}: nested-loop join appeared in the plan")
+    if name not in _BNLJ_OK:
+        assert not p["has_nested_loop_join"], (
+            f"{name}: nested-loop join appeared in the plan")
 
 
 def test_countmin_build_single_bounded_shuffle(spark):

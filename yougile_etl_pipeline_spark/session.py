@@ -48,6 +48,34 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def _ensure_driver_memory() -> None:
+    """Size the local-mode JVM heap BEFORE the gateway launches.
+
+    ``spark.driver.memory`` set through the session builder is silently
+    ignored in PySpark local mode — the JVM is already running by the
+    time builder configs apply — so without this, every local session
+    runs in the 1 GiB default heap regardless of machine size (found
+    the hard way: a banded self-join that certifies fine at sf0.01
+    OOM-killed the whole JVM at sf0.1). The only pre-launch channel is
+    ``PYSPARK_SUBMIT_ARGS``; we prepend ``--driver-memory`` unless the
+    caller already set one. Harmless once a JVM exists (the env var is
+    only read at gateway launch), and a real cluster ignores it in
+    favor of spark-submit's own sizing.
+
+    Size via ``SPARK_GRAFT_DRIVER_MEM``. Default 8g, chosen by
+    measurement at sf0.1, not by machine size: 32g made bench totals
+    NOISIER and slower (26→53 s spikes on random queries — large-heap
+    G1 growth/collection stalls), while 8g reproduces the 1g-era
+    per-query times with 8× the headroom that the OOM needed. The
+    heap is a GC arena for one JVM running 32 executor threads, not a
+    data cache — parquet reads lean on the OS page cache, which wants
+    the memory LEFT to the kernel."""
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    cur = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+    if "--driver-memory" not in cur:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} {cur}"
+
+
 def get_spark(
     app_name: str = "yougile-etl-pipeline-spark",
     master: str | None = None,
@@ -59,6 +87,7 @@ def get_spark(
     On a real cluster, pass ``master=None`` and set the master via
     spark-submit; the semantic configs still apply.
     """
+    _ensure_driver_memory()
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
