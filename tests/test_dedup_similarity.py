@@ -410,3 +410,35 @@ def test_brute_force_np_enforces_query_collect_cap(spark, monkeypatch):
     monkeypatch.setattr(S, "_MAX_COLLECTED_QUERIES", 3)
     with pytest.raises(ValueError, match="collects the query side"):
         S.brute_force_topk_np(df, df, k=2)
+
+
+def test_minhash_bucket_cap_kills_mega_cluster(spark):
+    """VERDICT r05 advisory #1: a duplicate cluster of c identical docs
+    emits O(c²) candidate pairs through the band self-join unless the
+    per-(band, key) bucket cap drops its (hot) buckets. The cap must
+    remove the mega-cluster's quadratic pair list while leaving small
+    genuine near-dup pairs untouched."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    mega = [(i, base + " boilerplate footer", "en") for i in range(1000)]
+    # distinct near-dup pair well away from the mega-cluster ids
+    small = [(5001, base.replace("green", "dark"), "en"),
+             (5002, base.replace("green", "dark") + " extra", "en")]
+    docs = spark.createDataFrame(mega + small,
+                                 "doc_id long, text string, lang string")
+
+    capped = minhash_lsh_pairs(docs, "doc_id", "text",
+                               max_bucket_size=100)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # the 1000-copy cluster's 499,500 pairs are gone...
+    assert not any(a < 1000 and b < 1000 for a, b in got), (
+        "mega-cluster pairs survived the bucket cap")
+    # ...but the small near-dup pair still surfaces
+    assert (5001, 5002) in got
+
+    # default (None) preserves the quadratic behavior the certified
+    # query documents — spot-check on a 50-copy cluster (50·49/2)
+    smalln = spark.createDataFrame(mega[:50],
+                                   "doc_id long, text string, lang string")
+    n = minhash_lsh_pairs(smalln, "doc_id", "text").count()
+    assert n == 50 * 49 // 2

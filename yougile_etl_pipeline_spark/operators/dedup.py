@@ -248,11 +248,35 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str,
     *, n_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on ≥1 band of the MinHash
     signature. ``n_hashes`` must divide into ``bands`` equal rows; the
     band key is md5 of the concatenated band slice. Output: distinct
-    (doc_a < doc_b) pairs with the number of agreeing bands."""
+    (doc_a < doc_b) pairs with the number of agreeing bands.
+
+    **Mega-cluster bucket cap** (``max_bucket_size``): the upstream
+    shingle paths bound hot *shingles*, but a duplicate *cluster* of c
+    near-identical docs (boilerplate pages, mirrored sites) still
+    lands its whole membership in the same (band, key) buckets and
+    emits O(c²) pairs — invisible at test scale, a job-killer when one
+    page has a million copies. With the cap set, buckets holding more
+    than ``max_bucket_size`` docs are dropped BEFORE the self-join
+    (one extra map-side-combined aggregate + an equi-join — the
+    ``max_shingle_df`` pattern), so the pair output is bounded by
+    #buckets · cap². ``n_bands`` then counts agreements over KEPT
+    buckets only.
+
+    Contract for what the cap drops: members of a hot bucket agree on
+    that band's full signature slice, i.e. they are near-certain
+    duplicates OF EACH OTHER — exactly the pairs that are redundant
+    under the intended compositions. Either (a) run
+    ``exact_dedup``/``normalized_exact`` FIRST so literal mega-clusters
+    collapse to one survivor before LSH, or (b) treat a dropped bucket
+    as its own duplicate cluster directly (its (band, key) IS a
+    cluster id) instead of materializing its quadratic pair list for
+    ``connected_components`` to rediscover. The default (None)
+    preserves the exact certified `dedup_minhash_lsh` output."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
     sig = minhash_signature(df, id_col, text_col,
@@ -268,6 +292,12 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc", F.explode(band_keys).alias("bk")) \
                  .select("doc", F.col("bk.band").alias("band"),
                          F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        keep = (buckets.groupBy("band", "key")
+                       .agg(F.count(F.lit(1)).alias("__bsz"))
+                       .filter(F.col("__bsz") <= max_bucket_size)
+                       .select("band", "key"))
+        buckets = buckets.join(keep, ["band", "key"])
     a = buckets.select(F.col("doc").alias("doc_a"), "band", "key")
     b = buckets.select(F.col("doc").alias("doc_b"), "band", "key")
     return (a.join(b, ["band", "key"])
