@@ -1,8 +1,11 @@
-"""ABC revenue classification — ROUND-7 BANK: operator + oracle
-proven here, deliberately NOT in registry_r06 (46/50 slots used;
-r06 headroom reserved for recertifications). Classic warehouse
-Pareto banding: parts ranked by revenue, A = first 80% of cumulative
-revenue, B = next 15%, C = tail."""
+"""ABC revenue classification (operators/quality.py::abc_analysis).
+
+Classic warehouse Pareto banding: parts ranked by revenue, A = first
+80% of cumulative revenue, B = next 15%, C = tail. Originally proven
+here as a round-7 bank entry with an honestly-flagged unpartitioned
+ranking window; reworked per VERDICT r05 #6 into bucket-partitioned
+ranking (approx-cut buckets + per-bucket offsets) with bit-identical
+output, and registered at round 6."""
 
 from __future__ import annotations
 
@@ -14,42 +17,11 @@ from tests.oracle_compare import compare, duck_connect
 from yougile_etl_pipeline_spark.sources.tables import load_table
 
 
-def abc_analysis(lineitem, *, a_ppm: int = 800_000,
-                 b_ppm: int = 950_000):
-    """Pareto/ABC classification of parts by revenue share.
+from yougile_etl_pipeline_spark.operators.quality import abc_analysis as _abc
 
-    Exactness: revenue sums are DECIMAL (order-free); the cumulative
-    share test is pure integer-free DECIMAL comparison — band A iff
-    cumrev·10⁶ ≤ total·a_ppm evaluated in DECIMAL (no division at
-    all), ties broken by (revenue DESC, partkey) so the running order
-    is total. Scale: one part-keyed partial agg, then ONE ranking
-    window whose input is the PART dimension grain (not the fact),
-    plus a 1-row broadcast total. The unpartitioned window is a
-    single-task sort of |parts| rows — honest caveat, same family
-    as the RFM cut pass; for catalogs beyond one task's memory,
-    pre-bucket by a coarse revenue range (exact_kth_value cuts)
-    and rank within buckets with per-bucket offsets."""
-    rev = (lineitem.groupBy("l_partkey")
-           .agg(F.sum(F.col("l_extendedprice").cast("decimal(24,6)"))
-                .alias("__rev")))
-    w = (Window.orderBy(F.col("__rev").desc(), F.col("l_partkey"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    tot = rev.agg(F.sum("__rev").alias("__tot"))
-    ranked = (rev.crossJoin(F.broadcast(tot))
-              .withColumn("__cum", F.sum("__rev").over(w))
-              .withColumn("rank", F.row_number().over(
-                  Window.orderBy(F.col("__rev").desc(),
-                                 F.col("l_partkey"))).cast("bigint")))
-    band = (F.when(F.col("__cum") * 1_000_000
-                   <= F.col("__tot") * a_ppm, "A")
-            .when(F.col("__cum") * 1_000_000
-                  <= F.col("__tot") * b_ppm, "B")
-            .otherwise("C"))
-    return ranked.select(
-        "l_partkey", "rank",
-        F.col("__rev").cast("double").alias("revenue"),
-        F.col("__cum").cast("double").alias("cum_revenue"),
-        band.alias("abc_band"))
+
+def abc_analysis(lineitem, **kw):
+    return _abc(lineitem, "l_partkey", "l_extendedprice", **kw)
 
 
 _ORACLE = """
@@ -105,3 +77,31 @@ def test_abc_duckdb_parity(spark):
     bands = {r["abc_band"] for r in
              got.select("abc_band").distinct().collect()}
     assert bands == {"A", "B", "C"}
+
+
+def test_abc_ranking_is_bucket_partitioned(spark):
+    """The VERDICT r05 #6 contract: no full-catalog single-task sort.
+    The main ranking window must run partitioned by the revenue-range
+    bucket; the only single-partition exchanges allowed are the 1-row
+    stat aggregate and the <= `buckets`-row offset window."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    plan = abc_analysis(li)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+             .fromString("formatted"))
+    assert "hashpartitioning(__bid" in plan, (
+        "bucket-partitioned ranking window lost — the part catalog "
+        "is being ranked in one task again")
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange SinglePartition") <= 2, body
+
+
+def test_abc_many_buckets_parity(spark):
+    # stitching must be exact for any bucket count, including more
+    # buckets than distinct revenues
+    rows = [(k, 1, float(v)) for k, v in
+            ((1, 50), (2, 30), (3, 15), (4, 5))]
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_linenumber int, l_extendedprice double")
+    got = {r["l_partkey"]: (r["rank"], r["abc_band"])
+           for r in abc_analysis(li, buckets=16).collect()}
+    assert got == {1: (1, "A"), 2: (2, "A"), 3: (3, "B"), 4: (4, "C")}

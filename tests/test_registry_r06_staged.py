@@ -4,8 +4,9 @@ Round-5 state (preserved in git history): registry_r06 was staged,
 deliberately unimported, and these guards enforced non-import plus a
 subprocess smoke. The r06 rotation executed the plan: registry.py now
 imports registry_r06, its 46 entries sit inside the driver's 50-slot
-certification window (with the 4 held-out recertification slots —
-see _STABLE_CERTIFIED's r05 note). The guards now enforce the WIRED
+certification window (with the held-out recertification slots —
+see _STABLE_CERTIFIED's r05 note; `mart_abc_parts` joined mid-round
+after its VERDICT #6 rework, taking one of them). The guards now enforce the WIRED
 invariants:
 
 1. the import is live (the staged module cannot silently fall out);
@@ -26,7 +27,7 @@ import sys
 from tests.conftest import SF_SMOKE
 from tests.oracle_compare import compare, duck_connect
 
-_EXPECTED = 46
+_EXPECTED = 47
 
 # declared rows-only entries (streaming machinery — no SQL-expressible
 # oracle BY DESIGN; each carries a documented batch-parity proof chain)

@@ -833,12 +833,14 @@ _STABLE_CERTIFIED = [
     # r05 driver HASH-green (CORRECTNESS_r05: 50/50 — 49 hash-matched
     # + stream_click_attribution rows-only by design), code untouched
     # since — the full r05 window promotes EXCEPT: f_null_functions,
-    # f_bitwise_functions, f_hash_functions (held out to recertify in
-    # the r06 window — 46 staged registrations leave 4 free slots and
-    # the window must hold exactly 50 non-stable entries; these three
-    # are the cheapest greens to re-run, and may be swapped for new
-    # registrations later this round) and stream_tumbling_counts'
-    # sibling note above.
+    # f_bitwise_functions (held out to recertify in the r06 window —
+    # the staged registrations leave free slots and the window must
+    # hold exactly 50 non-stable entries; these are the cheapest
+    # greens to re-run) and stream_tumbling_counts' sibling note
+    # above. f_hash_functions was initially held out too, then
+    # promoted here when `mart_abc_parts` (the VERDICT #6 rework)
+    # registered mid-round and took its slot.
+    "f_hash_functions",
     "text_line_dedup", "text_bm25_scores", "text_self_dedup",
     "sample_quality_quota", "dedup_minhash_recall_eval",
     "sim_cosine_topk", "events_asof_join", "events_asof_forward",

@@ -1867,6 +1867,42 @@ def stream_ewma_values(spark, sf):
     return run_ewma_available_now(spark, sf)
 
 
+# ---------------------------------------------------------------------------
+# ABC revenue classification (tests/test_abc_analysis.py) — registered
+# mid-round-6 into the slot freed by promoting f_hash_functions to
+# stable, AFTER the VERDICT r05 #6 rework: the part-catalog ranking is
+# bucket-partitioned (approx-cut buckets + per-bucket offsets), output
+# bit-identical to the single global window the oracle ranks with.
+# ---------------------------------------------------------------------------
+
+@register("mart_abc_parts", """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS r
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT SUM(r) AS t FROM rev),
+ranked AS (
+  SELECT l_partkey, r, t,
+         SUM(r) OVER (ORDER BY r DESC, l_partkey
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(row_number() OVER (ORDER BY r DESC, l_partkey)
+              AS BIGINT) AS rank
+  FROM rev CROSS JOIN tot)
+SELECT l_partkey, rank,
+       CAST(r AS DOUBLE) AS revenue,
+       CAST(cum AS DOUBLE) AS cum_revenue,
+       CASE WHEN cum * 1000000 <= t * 800000 THEN 'A'
+            WHEN cum * 1000000 <= t * 950000 THEN 'B'
+            ELSE 'C' END AS abc_band
+FROM ranked
+""")
+def mart_abc_parts(spark, sf):
+    from yougile_etl_pipeline_spark.operators.quality import abc_analysis
+
+    return abc_analysis(load_table(spark, sf, "lineitem"),
+                        "l_partkey", "l_extendedprice")
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -1897,5 +1933,5 @@ R06_ENTRIES: list[str] = [
     "events_seasonal_baseline", "quality_winsorize",
     "text_hashed_features", "mart_rfm_scores", "text_dup_span_removal",
     "mart_cohort_ltv", "events_top_paths", "events_dwell_time",
-    "text_lang_confusion", "stream_ewma_values",
+    "text_lang_confusion", "stream_ewma_values", "mart_abc_parts",
 ]
