@@ -884,11 +884,12 @@ _STABLE_CERTIFIED = [
 # enforces the accounting.
 #
 # ROUND-6 ROTATION — EXECUTED at r06 start: the r05 greens moved into
-# _STABLE_CERTIFIED above (minus the four held-out recertifications
-# noted there), registry_r06 is imported next to the registry imports,
-# and its 46 staged entries + the 4 held-out slots fill the window to
-# exactly 50. Staged registrations, built + parity-proven in round 5
-# (the r05 window was exactly full):
+# _STABLE_CERTIFIED above (minus the held-out recertifications noted
+# there), registry_r06 went live via the import at registry_ext's
+# bottom (see the note at the import block above), and its staged
+# entries + the held-out slots fill the window to exactly 50. Staged
+# registrations, built + parity-proven in round 5 (the r05 window was
+# exactly full):
 # `pq_encode`, `pq_adc_topk`, and `ivfpq_topk` (operators/pq.py —
 # product quantization + the IVF-PQ composition; DuckDB oracles proven
 # bit-identical in tests/test_pq_oracle_parity.py) and
