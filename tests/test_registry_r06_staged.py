@@ -41,6 +41,10 @@ _INLINED = (
     "corpus_shard_manifest", "quality_distribution_drift",
     "mart_cohort_ltv", "events_top_paths",
     "events_dwell_time", "text_lang_confusion",
+    # inline engine side diverged from tests/test_novelty.py's local
+    # copy at the round-6 pre-certification rework (doc-grain join) —
+    # the registry copy must keep proving itself here
+    "text_ngram_novelty",
 )
 
 

@@ -615,6 +615,32 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+def shingle_stream(df: DataFrame, id_col: str, text_col: str,
+                   n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) word n-gram stream — the CODEGEN
+    formulation (explode a position sequence + GetArrayItem +
+    concat_ws), NOT `shingles`'s interpreted `transform` lambda, which
+    measured ~55% of total query time in the minhash path (see
+    `dedup.minhash_signature`'s plan note, where this shape originates).
+
+    Duplicates are NOT removed: consumers that are duplicate-
+    insensitive (min-debut, distinct-count aggregates) get the same
+    answer as over the distinct set while the stream itself stays
+    whole-stage-codegen; callers that need per-doc distinct shingles
+    should aggregate, not re-introduce the per-row lambda. Emits no
+    rows for docs shorter than n tokens (matching `shingles`' empty
+    array)."""
+    toks = F.split(F.col(text_col), " ")
+    n_pos = F.size(toks) - (n - 1)
+    offsets = F.when(n_pos > 0, F.sequence(F.lit(0), n_pos - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+    return (df.select(F.col(id_col), toks.alias("__t"),
+                      F.explode(offsets).alias("__i"))
+              .select(id_col, F.concat_ws(
+                  " ", *[F.col("__t")[F.col("__i") + j]
+                         for j in range(n)]).alias("sh")))
+
+
 def fingerprint_shingle_min(col: Column | str, n: int = 3) -> Column:
     """Rolling-hash-style fingerprint: lexicographic min of the md5s of the
     document's n-gram shingles (a 1-permutation MinHash). Robust to
