@@ -1,0 +1,204 @@
+"""Pure-Python WAV/BMP codecs (operators/media_codec.py) + the Spark
+decode operators over them (operators/multimodal.py) — the round-6
+retirement of the tree's decode stub, staged for r07 registration as
+`mm_wav_stats` / `mm_bmp_stats`.
+
+Proof structure: payloads are BUILT from a closed-form integer signal,
+pushed through the real container layout (RIFF chunk walk; BMP
+bottom-up rows + 4-byte padding), DECODED back, and the recovered
+statistics must equal what DuckDB computes directly from the signal
+formula — encode → container → decode proven end-to-end with a
+hash-exact oracle and zero binary fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_compare import compare, duck_connect
+from yougile_etl_pipeline_spark.operators.media_codec import (
+    bmp_decode,
+    bmp_encode,
+    default_media_decoder,
+    wav_decode,
+    wav_encode,
+)
+from yougile_etl_pipeline_spark.operators.multimodal import (
+    bmp_stats,
+    decode_media,
+    synth_bmp_payloads,
+    synth_wav_payloads,
+    wav_stats,
+)
+from yougile_etl_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# codec units (no Spark)
+# ---------------------------------------------------------------------------
+
+def test_wav_round_trip_exact():
+    s = np.array([0, 100, -32768, 32767, -1], dtype=np.int16)
+    d = wav_decode(wav_encode(s, 44100))
+    assert d == {"channels": 1, "sample_rate": 44100,
+                 "bits_per_sample": 16, "n_frames": 5,
+                 "sum_sq": int((s.astype(np.int64) ** 2).sum()),
+                 "s_min": -32768, "s_max": 32767}
+
+
+def test_wav_stereo_frames():
+    s = np.arange(8, dtype=np.int16)          # 4 stereo frames
+    d = wav_decode(wav_encode(s, 8000, channels=2))
+    assert (d["channels"], d["n_frames"]) == (2, 4)
+
+
+def test_wav_tolerates_extra_chunks():
+    s = np.array([3, -3], dtype=np.int16)
+    raw = bytearray(wav_encode(s, 8000))
+    # splice a LIST chunk between fmt and data (offset 36 = end of fmt)
+    extra = b"LIST" + (7).to_bytes(4, "little") + b"INFOabc" + b"\x00"
+    raw[36:36] = extra
+    raw[4:8] = (len(raw) - 8).to_bytes(4, "little")
+    assert wav_decode(bytes(raw))["sum_sq"] == 18
+
+
+def test_wav_strict_on_malformed():
+    s = np.array([1], dtype=np.int16)
+    good = wav_encode(s, 8000)
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFX" + good[4:])         # bad magic
+    with pytest.raises(ValueError):
+        wav_decode(good[:-1])                  # truncated
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3                            # IEEE-float encoding
+    with pytest.raises(ValueError):
+        wav_decode(bytes(bad_fmt))
+
+
+def test_bmp_round_trip_padding_and_flip():
+    # w=3 -> 9 row bytes -> 3 pad bytes per row: padding must not
+    # leak into stats, bottom-up storage must be undone
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    d = bmp_decode(bmp_encode(px))
+    assert d == {"width": 3, "height": 2, "bits_per_pixel": 24,
+                 "px_sum": int(px.sum()), "px_min": 0, "px_max": 17}
+
+
+def test_bmp_top_down_variant():
+    px = np.full((2, 2, 3), 9, dtype=np.uint8)
+    raw = bytearray(bmp_encode(px))
+    # flip the height sign -> top-down file; rows are uniform so the
+    # stats must not change
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    raw[22:26] = (-h).to_bytes(4, "little", signed=True)
+    assert bmp_decode(bytes(raw))["px_sum"] == 9 * 12
+
+
+def test_bmp_strict_on_malformed():
+    px = np.zeros((1, 1, 3), dtype=np.uint8)
+    good = bmp_encode(px)
+    with pytest.raises(ValueError):
+        bmp_decode(b"XX" + good[2:])
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 8                            # 8-bpp palette BMP
+    with pytest.raises(ValueError):
+        bmp_decode(bytes(bad_bpp))
+
+
+def test_default_decoder_dispatch_and_honest_gate():
+    wav = wav_encode(np.array([2, 2], dtype=np.int16), 8000)
+    assert default_media_decoder(wav, "audio")[3] == 8.0   # sum_sq
+    bmp = bmp_encode(np.ones((1, 2, 3), dtype=np.uint8))
+    assert default_media_decoder(bmp, "image")[:2] == [2.0, 1.0]
+    with pytest.raises(NotImplementedError):
+        default_media_decoder(b"\xff\xd8\xff\xe0JFIF....", "image/jpeg")
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def test_decode_media_default_decodes_wav_payloads(spark):
+    wav = wav_encode(np.array([5, -5], dtype=np.int16), 16000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), "audio")],
+        "media_id long, payload binary, media_type string")
+    row = decode_media(df).collect()[0]
+    assert row["feature"] == [2.0, 16000.0, 1.0, 50.0]
+
+
+# Closed-form oracles for the synthetic corpora. The engine side
+# decodes BYTES it built through the real container layout; the oracle
+# never sees a byte — it evaluates the signal formula. Equality proves
+# the codec, not just the plumbing.
+WAV_ORACLE = """
+SELECT event_id AS media_id,
+  CAST(1 AS INTEGER) AS channels,
+  CAST(8000 + (event_id % 8) * 1000 AS INTEGER) AS sample_rate,
+  CAST(50 + event_id % 100 AS BIGINT) AS n_frames,
+  CAST(list_sum(list_transform(range(0, CAST(50 + event_id % 100 AS BIGINT)),
+       i -> ((event_id*31 + i*17) % 65536 - 32768)
+          * ((event_id*31 + i*17) % 65536 - 32768))) AS BIGINT) AS sum_sq,
+  CAST(list_min(list_transform(range(0, CAST(50 + event_id % 100 AS BIGINT)),
+       i -> (event_id*31 + i*17) % 65536 - 32768)) AS INTEGER) AS s_min,
+  CAST(list_max(list_transform(range(0, CAST(50 + event_id % 100 AS BIGINT)),
+       i -> (event_id*31 + i*17) % 65536 - 32768)) AS INTEGER) AS s_max
+FROM events
+"""
+
+BMP_ORACLE = """
+SELECT p_partkey AS media_id,
+  CAST(4 + p_partkey % 5 AS INTEGER) AS width,
+  CAST(3 + p_partkey % 4 AS INTEGER) AS height,
+  CAST(list_sum(list_transform(
+       range(0, CAST((3 + p_partkey % 4) * (4 + p_partkey % 5) * 3
+                     AS BIGINT)),
+       i -> (p_partkey
+             + 7 * (i // ((4 + p_partkey % 5) * 3))
+             + 3 * ((i % ((4 + p_partkey % 5) * 3)) // 3)
+             + (i % 3)) % 256)) AS BIGINT) AS px_sum,
+  CAST(list_min(list_transform(
+       range(0, CAST((3 + p_partkey % 4) * (4 + p_partkey % 5) * 3
+                     AS BIGINT)),
+       i -> (p_partkey
+             + 7 * (i // ((4 + p_partkey % 5) * 3))
+             + 3 * ((i % ((4 + p_partkey % 5) * 3)) // 3)
+             + (i % 3)) % 256)) AS INTEGER) AS px_min,
+  CAST(list_max(list_transform(
+       range(0, CAST((3 + p_partkey % 4) * (4 + p_partkey % 5) * 3
+                     AS BIGINT)),
+       i -> (p_partkey
+             + 7 * (i // ((4 + p_partkey % 5) * 3))
+             + 3 * ((i % ((4 + p_partkey % 5) * 3)) // 3)
+             + (i % 3)) % 256)) AS INTEGER) AS px_max
+FROM part
+"""
+
+
+def test_wav_stats_duckdb_parity(spark):
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id")
+    got = wav_stats(synth_wav_payloads(ev, "event_id"))
+    con = duck_connect(SF_SMOKE)
+    issues = compare(got, con, WAV_ORACLE)
+    assert not issues, issues
+
+
+def test_bmp_stats_duckdb_parity(spark):
+    parts = load_table(spark, SF_SMOKE, "part").select("p_partkey")
+    got = bmp_stats(synth_bmp_payloads(parts, "p_partkey"))
+    con = duck_connect(SF_SMOKE)
+    issues = compare(got, con, BMP_ORACLE)
+    assert not issues, issues
+
+
+def test_media_stats_plan_is_map_only(spark):
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        plan_profile,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id")
+    p = plan_profile(wav_stats(synth_wav_payloads(ev, "event_id")))
+    assert p["shuffle_exchanges"] == 0, (
+        "synth+decode must stay a single map-only mapInPandas chain")

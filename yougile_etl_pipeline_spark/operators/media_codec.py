@@ -1,0 +1,217 @@
+"""Pure-Python media codecs: RIFF/WAVE PCM and BMP (24-bit).
+
+These retire the tree's one stub (`multimodal.decode_media`'s
+codec-less ``NotImplementedError``) for the formats that are pure
+container parsing — a WAV or BMP payload is a documented byte layout,
+no compression, so a real decoder needs nothing beyond ``struct``.
+Compressed formats (JPEG, MP3, H.264, ...) genuinely need codec
+libraries this environment doesn't ship and still raise.
+
+Both decoders are strict: they validate magic bytes, chunk sizes, and
+supported encodings (PCM16 mono/stereo WAV; uncompressed 24-bpp BMP)
+and raise ``ValueError`` on malformed input rather than guessing —
+at 100 TB a silently-misparsed payload poisons downstream features.
+
+The encoders exist so the decode path is PROVABLE without binary
+fixtures: build a payload from a known integer signal, decode it, and
+the recovered statistics must equal the closed-form answer a SQL
+oracle computes directly from the signal formula (see
+``tests/test_media_codec.py`` and the `mm_wav_stats` /
+`mm_bmp_stats` staged queries). Everything is exact integer
+arithmetic — no floats anywhere in the codec, so cross-engine parity
+is bit-trivial.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "bmp_decode",
+    "bmp_encode",
+    "default_media_decoder",
+    "wav_decode",
+    "wav_encode",
+]
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE PCM16
+# ---------------------------------------------------------------------------
+
+def wav_encode(samples: np.ndarray, sample_rate: int,
+               channels: int = 1) -> bytes:
+    """Canonical RIFF/WAVE container around PCM16 samples.
+
+    `samples` is int16, interleaved when stereo (frame-major). Layout:
+    RIFF header, ``fmt `` chunk (PCM, 16-bit), ``data`` chunk."""
+    s = np.asarray(samples, dtype="<i2")
+    if channels not in (1, 2):
+        raise ValueError(f"channels must be 1 or 2, got {channels}")
+    if s.size % channels:
+        raise ValueError("sample count not divisible by channel count")
+    data = s.tobytes()
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      byte_rate, block_align, 16)
+    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    return out
+
+
+def wav_decode(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM16 payload into exact integer statistics.
+
+    Walks the chunk list (tolerating extra chunks like LIST/INFO in
+    the wild), requires a PCM ``fmt `` chunk with 16-bit samples, and
+    returns::
+
+        {channels, sample_rate, bits_per_sample, n_frames,
+         sum_sq, s_min, s_max}
+
+    ``sum_sq`` is the exact int64 sum of squared samples across all
+    channels (the loudness/energy primitive — RMS is sqrt(sum_sq/n),
+    left to the caller so the decoder stays float-free); ``s_min`` /
+    ``s_max`` the exact sample extremes (0 frames → sum_sq 0 and
+    None extremes)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    if riff_size + 8 != len(payload):
+        raise ValueError(
+            f"RIFF size {riff_size} inconsistent with payload "
+            f"{len(payload)}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        csz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + csz]
+        if len(body) != csz:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)          # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    (audio_fmt, channels, sample_rate, _byte_rate,
+     block_align, bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported encoding (fmt={audio_fmt}, bits={bits}); "
+            "only PCM16 decodes without codec libraries")
+    if block_align != channels * 2:
+        raise ValueError("block align inconsistent with PCM16")
+    if len(data) % block_align:
+        raise ValueError("data chunk not frame-aligned")
+    s = np.frombuffer(data, dtype="<i2")
+    return {
+        "channels": int(channels),
+        "sample_rate": int(sample_rate),
+        "bits_per_sample": int(bits),
+        "n_frames": len(s) // channels,
+        "sum_sq": int((s.astype(np.int64) ** 2).sum()),
+        "s_min": int(s.min()) if s.size else None,
+        "s_max": int(s.max()) if s.size else None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24-bpp, bottom-up, 4-byte row padding)
+# ---------------------------------------------------------------------------
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """Canonical Windows BMP (BITMAPINFOHEADER, 24 bpp, BI_RGB).
+
+    `pixels` is (height, width, 3) uint8 in LOGICAL order: row 0 =
+    top, channels (B, G, R) as BMP stores them. The encoder writes the
+    spec's bottom-up row order with rows padded to 4 bytes — exactly
+    the layout quirks a decoder must undo."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3) uint8")
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    rows = [px[r].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)]
+    img = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(img), 2835, 2835, 0, 0)
+    off = 14 + len(info)
+    head = struct.pack("<2sIHHI", b"BM", off + len(img), 0, 0, off)
+    return head + info + img
+
+
+def bmp_decode(payload: bytes) -> dict:
+    """Parse an uncompressed 24-bpp BMP into exact integer statistics.
+
+    Handles the format's two layout quirks — bottom-up row order
+    (negative-height top-down files too) and 4-byte row padding, which
+    must be EXCLUDED from statistics — and returns::
+
+        {width, height, bits_per_pixel, px_sum, px_min, px_max}
+
+    ``px_sum`` is the exact integer sum over every channel byte of
+    every pixel (padding excluded); min/max likewise."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _magic, fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if fsize != len(payload):
+        raise ValueError(f"BMP size field {fsize} != payload {len(payload)}")
+    hsize, w, h_raw, planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if hsize < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP encoding (bpp={bpp}, compression={comp}); "
+            "only uncompressed 24-bpp decodes without codec libraries")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if off + stride * h > len(payload):
+        raise ValueError("pixel array truncated")
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, :row_bytes]      # drop padding
+    if not top_down:
+        rows = rows[::-1]                             # undo bottom-up
+    return {
+        "width": int(w),
+        "height": int(h),
+        "bits_per_pixel": int(bpp),
+        "px_sum": int(rows.astype(np.int64).sum()),
+        "px_min": int(rows.min()) if rows.size else None,
+        "px_max": int(rows.max()) if rows.size else None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# decode_media default decoder
+# ---------------------------------------------------------------------------
+
+def default_media_decoder(payload: bytes, media_type: str) -> list[float]:
+    """Magic-byte-dispatched decoder for `multimodal.decode_media`:
+    WAV → [n_frames, sample_rate, channels, sum_sq], BMP → [width,
+    height, 3·w·h, px_sum]. Formats that need real codec libraries
+    still raise ``NotImplementedError`` — honestly gated, not faked."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        d = wav_decode(payload)
+        return [float(d["n_frames"]), float(d["sample_rate"]),
+                float(d["channels"]), float(d["sum_sq"])]
+    if payload[:2] == b"BM":
+        d = bmp_decode(payload)
+        return [float(d["width"]), float(d["height"]),
+                float(3 * d["width"] * d["height"]), float(d["px_sum"])]
+    raise NotImplementedError(
+        f"no pure-Python decoder for media_type={media_type!r} "
+        f"(magic={payload[:4]!r}); compressed formats need codec "
+        "libraries not present in this environment")
