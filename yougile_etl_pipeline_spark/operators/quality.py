@@ -916,3 +916,89 @@ def abc_analysis(df: DataFrame, key_col: str, amount_col: str, *,
         F.col("__rev").cast("double").alias("revenue"),
         cum.cast("double").alias("cum_revenue"),
         band.alias("abc_band"))
+
+
+def gini_by_group(df: DataFrame, group_col: str,
+                  value_col: str) -> DataFrame:
+    """Exact per-group Gini coefficient — the inequality/concentration
+    metric (revenue concentration, token-budget skew, label balance).
+
+    Sample formula over ascending-sorted values x₁..xₙ:
+    G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ). Both Σ terms are exact
+    DECIMAL (rank · value products included — int64 ranks never leave
+    exact range), so the single closing division is the only float
+    op, written identically in the SQL oracle → bit parity. The rank
+    assignment among TIED values is arbitrary, but Σ i·xᵢ over a tie
+    block is permutation-invariant, so the result is deterministic
+    anyway. NULL values are excluded; groups with n·Σx = 0 (all-zero
+    values) return NULL.
+
+    Scale: one group-partitioned ranking window over the value column
+    — per-group single task, the same bounded-group caveat as
+    `exact_group_median` (for catalog-scale single groups, pre-bucket
+    with the `abc_analysis` offset-stitch pattern). Output:
+    ``(group, n, total, gini)``."""
+    vals = (df.filter(F.col(value_col).isNotNull())
+              .select(F.col(group_col).alias("grp"),
+                      F.col(value_col).cast("decimal(24,6)").alias("x")))
+    w = Window.partitionBy("grp").orderBy("x")
+    ranked = vals.withColumn("__i", F.row_number().over(w).cast("bigint"))
+    agg = (ranked.groupBy("grp")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                      F.sum("x").alias("__s"),
+                      F.sum(F.col("__i") * F.col("x")).alias("__s1")))
+    num = F.lit(2) * F.col("__s1") - (F.col("n") + 1) * F.col("__s")
+    den = F.col("n") * F.col("__s")
+    return agg.select(
+        F.col("grp").alias(group_col), "n",
+        F.col("__s").cast("double").alias("total"),
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+         .alias("gini"))
+
+
+def ks_by_group(df: DataFrame, group_col: str,
+                value_col: str) -> DataFrame:
+    """Exact Kolmogorov–Smirnov distance of each group's value
+    distribution from the POOLED distribution — the drift/outlier-
+    cohort screen (which event type, source, or shard no longer looks
+    like the corpus).
+
+    D_g = max over observed points x of |F_g(x) − F(x)|, evaluated on
+    the full pooled point grid, which is exactly the sup over ℝ since
+    both CDFs only jump at observed values. Relational build: distinct
+    pooled values with total counts (one aggregate), per-(group,
+    value) counts (one aggregate), grid = groups × pooled points
+    (crossJoin — |G|·|X| rows by construction), then ONE window pass
+    partitioned by group computes both running counts; the division
+    into CDF space and the |·| are written identically in the SQL
+    oracle (exact int counts → IEEE ops in the same order → bit
+    parity).
+
+    Scale: the grid is the honest cost — |groups| · |distinct values|
+    rows, one group per task in the window (bounded-group caveat; a
+    value-bucketed offset stitch à la `abc_analysis` lifts it if a
+    single group's grid outgrows a task). NULL values excluded.
+    Output: ``(group, n_group, n_total, ks_d)``."""
+    vals = (df.filter(F.col(value_col).isNotNull())
+              .select(F.col(group_col).alias("grp"),
+                      F.col(value_col).alias("v")))
+    points = vals.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt_all"))
+    gcnt = vals.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt_g"))
+    groups = vals.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_group"))
+    total = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    grid = (groups.crossJoin(F.broadcast(total))
+                  .crossJoin(points)
+                  .join(gcnt, ["grp", "v"], "left")
+                  .withColumn("__cg", F.coalesce("__cnt_g", F.lit(0))))
+    w = (Window.partitionBy("grp").orderBy("v")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = (grid.withColumn("__cum_g", F.sum("__cg").over(w))
+               .withColumn("__cum_all", F.sum("__cnt_all").over(w)))
+    d = F.abs(F.col("__cum_g").cast("double") / F.col("n_group")
+              - F.col("__cum_all").cast("double") / F.col("n_total"))
+    return (cdf.groupBy(F.col("grp").alias(group_col),
+                        "n_group", "n_total")
+               .agg(F.max(d).alias("ks_d")))
