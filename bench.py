@@ -117,7 +117,42 @@ def main() -> None:
     # per-round perf/plan record (r07 staging bank cases will ride a
     # new `staged` block as they accrue).
     out["r06"], out["r06_plans"] = _r06_timings(spark, sf_dir)
+    # r07 staging bank: same single-warmed-run + fingerprint treatment,
+    # so nothing registers untimed at the next rotation (the staging
+    # contract's own lesson — the 22.7 s rolling-distinct catch).
+    out["staged"], out["staged_plans"] = _staged_timings(spark, sf_dir)
     print(json.dumps(out))
+
+
+def _staged_timings(
+        spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    """Wall time + plan fingerprint for every round-7 BANK entry,
+    driven off registry_r07's own registrations. Importing the bank
+    module registers its entries IN THIS PROCESS ONLY — they insert
+    after the live window's 50 entries and the module's tail guard
+    re-rotates, so the certified window set bench measures is
+    untouched (the driver's correctness process never imports the
+    bank; tests/test_registry_r07_staged.py proves non-import on the
+    canonical path)."""
+    from yougile_etl_pipeline_spark import registry_r07
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        plan_profile,
+    )
+    from yougile_etl_pipeline_spark.registry import QUERIES
+
+    timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
+    for name in registry_r07.R07_ENTRIES:
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warmup
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        p = plan_profile(df)
+        plans[name] = (f"{p['shuffle_exchanges']}"
+                       f"/{p['broadcast_exchanges']}"
+                       f"/{p['scans_with_pushed_filters']}")
+    return timings, plans
 
 
 def _r06_timings(

@@ -22,7 +22,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # one parity test per staged round-6 registration (registry.py tail)
 PARITY_TESTS = [
+    # mart_abc_parts registered mid-round-6 after its rework; its test
+    # stays in the sweep as the cheapest full-depth regression of the
+    # bucket-stitch pattern the bank entries reuse.
     "tests/test_abc_analysis.py::test_abc_duckdb_parity",
+    "tests/test_media_codec.py::test_wav_stats_duckdb_parity",
+    "tests/test_media_codec.py::test_bmp_stats_duckdb_parity",
+    "tests/test_gini_ks.py::test_gini_duckdb_parity",
+    "tests/test_gini_ks.py::test_ks_duckdb_parity",
 ]
 
 

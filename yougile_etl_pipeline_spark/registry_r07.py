@@ -1,0 +1,190 @@
+"""Round-7 query registrations — STAGED IN ROUND 6, NOT YET WIRED.
+
+Do NOT import this module in round 6: the r06 certification window is
+exactly full (47 round-6 registrations + 3 recertification fillers),
+and registering past the driver's 50-slot window would leave
+never-certified queries at the round boundary
+(tests/test_certification_window.py enforces the accounting). At
+ROUND-7 START, wire it with one line at the bottom of registry_ext.py
+next to the registry_r06 import (NOT in registry.py — these entries
+reuse registry_ext SQL-fragment conventions and the ext-bottom
+position is the one that survives every circular entry path; see the
+note above that import):
+
+    from yougile_etl_pipeline_spark import registry_r07  # noqa
+
+Every oracle below is the exact SQL proven bit-identical against the
+engine in its staged test (file named per entry) at BOTH sf0.001 and
+the driver's certification scale sf0.01 (`scripts/check_staged.py`).
+The engine sides are the same operator calls the tests exercise. Same
+determinism contract as registry.py's module docstring; one new rule
+learned staging these (SCALE.md §Determinism): wide-decimal→double
+casts in oracles go through VARCHAR because DuckDB's direct cast
+double-rounds past 2^53.
+
+tests/test_registry_r07_staged.py smoke-imports this module in a
+SUBPROCESS (so the round-6 window stays untouched) and verifies every
+entry registers with an oracle and runs green at sf0.001.
+"""
+
+from __future__ import annotations
+
+from yougile_etl_pipeline_spark.registry import register
+from yougile_etl_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Real-codec media statistics (tests/test_media_codec.py) — the
+# encode → container → decode proof: the engine decodes BYTES it built
+# through the real RIFF/BMP layouts, the oracle evaluates the
+# closed-form signal the payloads were synthesized from. Equality
+# proves the codec, not just the plumbing.
+# ---------------------------------------------------------------------------
+
+@register("mm_wav_stats", """
+SELECT event_id AS media_id,
+  CAST(1 AS INTEGER) AS channels,
+  CAST(8000 + (event_id % 8) * 1000 AS INTEGER) AS sample_rate,
+  CAST(50 + event_id % 100 AS BIGINT) AS n_frames,
+  CAST(list_sum(list_transform(range(0, CAST(50 + event_id % 100 AS BIGINT)),
+       i -> ((event_id*31 + i*17) % 65536 - 32768)
+          * ((event_id*31 + i*17) % 65536 - 32768))) AS BIGINT) AS sum_sq,
+  CAST(list_min(list_transform(range(0, CAST(50 + event_id % 100 AS BIGINT)),
+       i -> (event_id*31 + i*17) % 65536 - 32768)) AS INTEGER) AS s_min,
+  CAST(list_max(list_transform(range(0, CAST(50 + event_id % 100 AS BIGINT)),
+       i -> (event_id*31 + i*17) % 65536 - 32768)) AS INTEGER) AS s_max
+FROM events
+""")
+def mm_wav_stats(spark, sf):
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        synth_wav_payloads,
+        wav_stats,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return wav_stats(synth_wav_payloads(ev, "event_id"))
+
+
+@register("mm_bmp_stats", """
+SELECT p_partkey AS media_id,
+  CAST(4 + p_partkey % 5 AS INTEGER) AS width,
+  CAST(3 + p_partkey % 4 AS INTEGER) AS height,
+  CAST(list_sum(list_transform(
+       range(0, CAST((3 + p_partkey % 4) * (4 + p_partkey % 5) * 3
+                     AS BIGINT)),
+       i -> (p_partkey
+             + 7 * (i // ((4 + p_partkey % 5) * 3))
+             + 3 * ((i % ((4 + p_partkey % 5) * 3)) // 3)
+             + (i % 3)) % 256)) AS BIGINT) AS px_sum,
+  CAST(list_min(list_transform(
+       range(0, CAST((3 + p_partkey % 4) * (4 + p_partkey % 5) * 3
+                     AS BIGINT)),
+       i -> (p_partkey
+             + 7 * (i // ((4 + p_partkey % 5) * 3))
+             + 3 * ((i % ((4 + p_partkey % 5) * 3)) // 3)
+             + (i % 3)) % 256)) AS INTEGER) AS px_min,
+  CAST(list_max(list_transform(
+       range(0, CAST((3 + p_partkey % 4) * (4 + p_partkey % 5) * 3
+                     AS BIGINT)),
+       i -> (p_partkey
+             + 7 * (i // ((4 + p_partkey % 5) * 3))
+             + 3 * ((i % ((4 + p_partkey % 5) * 3)) // 3)
+             + (i % 3)) % 256)) AS INTEGER) AS px_max
+FROM part
+""")
+def mm_bmp_stats(spark, sf):
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        bmp_stats,
+        synth_bmp_payloads,
+    )
+
+    parts = load_table(spark, sf, "part").select("p_partkey")
+    return bmp_stats(synth_bmp_payloads(parts, "p_partkey"))
+
+
+# ---------------------------------------------------------------------------
+# Concentration + drift analytics (tests/test_gini_ks.py)
+# ---------------------------------------------------------------------------
+
+@register("quality_gini", """
+WITH vals AS (
+  SELECT o_orderpriority AS grp,
+         CAST(o_totalprice AS DECIMAL(24,6)) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL),
+ranked AS (
+  SELECT grp, x,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY x)
+              AS BIGINT) AS i
+  FROM vals),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         SUM(x) AS s, SUM(i * x) AS s1
+  FROM ranked GROUP BY 1)
+SELECT grp AS o_orderpriority, n,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE) AS total,
+       CASE WHEN n * s <> 0
+            THEN CAST(CAST(2 * s1 - (n + 1) * s AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n * s AS VARCHAR) AS DOUBLE)
+       END AS gini
+FROM agg
+""")
+def quality_gini(spark, sf):
+    from yougile_etl_pipeline_spark.operators.quality import gini_by_group
+
+    return gini_by_group(load_table(spark, sf, "orders"),
+                         "o_orderpriority", "o_totalprice")
+
+
+@register("events_ks_global", """
+WITH vals AS (
+  SELECT event_type AS grp, value AS v
+  FROM events WHERE value IS NOT NULL),
+points AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt_all FROM vals GROUP BY 1),
+gcnt AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt_g
+  FROM vals GROUP BY 1, 2),
+groups AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_group FROM vals GROUP BY 1),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM vals),
+grid AS (
+  SELECT g.grp, g.n_group, t.n_total, p.v, p.cnt_all,
+         COALESCE(c.cnt_g, 0) AS cg
+  FROM groups g CROSS JOIN total t CROSS JOIN points p
+  LEFT JOIN gcnt c ON c.grp = g.grp AND c.v = p.v),
+cdf AS (
+  SELECT grp, n_group, n_total,
+         SUM(cg) OVER (PARTITION BY grp ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum_g,
+         SUM(cnt_all) OVER (PARTITION BY grp ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum_all
+  FROM grid)
+SELECT grp AS event_type, n_group, n_total,
+       MAX(ABS(CAST(cum_g AS DOUBLE) / n_group
+               - CAST(cum_all AS DOUBLE) / n_total)) AS ks_d
+FROM cdf GROUP BY 1, 2, 3
+""")
+def events_ks_global(spark, sf):
+    from yougile_etl_pipeline_spark.operators.quality import ks_by_group
+
+    return ks_by_group(load_table(spark, sf, "events"),
+                       "event_type", "value")
+
+
+# Order-independence guard (same as the other registry_* modules): if
+# this module was the process's entry point into the engine, re-run
+# the rotation so the certification-window SET is import-order
+# -independent.
+from yougile_etl_pipeline_spark import registry as _registry_mod  # noqa: E402
+
+if hasattr(_registry_mod, "_rotate_certification_window"):
+    _registry_mod._rotate_certification_window()
+
+
+# Manifest of this module's registrations — pinned by
+# tests/test_registry_r07_staged.py and consumed by bench.py's
+# `staged` block so every bank entry carries a wall time + plan
+# fingerprint before it ever certifies.
+R07_ENTRIES: list[str] = [
+    "mm_wav_stats", "mm_bmp_stats", "quality_gini", "events_ks_global",
+]
