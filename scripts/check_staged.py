@@ -30,6 +30,8 @@ PARITY_TESTS = [
     "tests/test_media_codec.py::test_bmp_stats_duckdb_parity",
     "tests/test_gini_ks.py::test_gini_duckdb_parity",
     "tests/test_gini_ks.py::test_ks_duckdb_parity",
+    "tests/test_code_fertility.py::test_code_profile_duckdb_parity",
+    "tests/test_code_fertility.py::test_fertility_duckdb_parity",
 ]
 
 

@@ -44,8 +44,11 @@ __all__ = [
     "rake_keyphrases",
     "hashed_term_features",
     "PII_PATTERNS",
+    "bpe_fertility_by_lang",
+    "code_prose_profile",
     "fingerprint_exact",
     "fingerprint_shingle_min",
+    "shingle_stream",
     "shingles",
     "char_trigrams",
     "train_char_lm",
@@ -1092,3 +1095,75 @@ def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
         F.size("__cov").cast("bigint").alias("n_removed"),
         F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
          .alias("clean_text"))
+
+
+def code_prose_profile(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       code_ppm_threshold: int = 20_000) -> DataFrame:
+    """Code-vs-prose surface profile — the corpus-routing filter that
+    decides whether a document goes through the code or natural-
+    language cleaning path (symbol-dense text breaks prose heuristics
+    like stopword ratios and sentence splitting).
+
+    Pure integer counts over character classes (all codegen, map-only):
+    symbol chars (non-alphanumeric, non-space) and code-punctuation
+    chars (``{}();=<>[]``), each as a length difference after
+    `regexp_replace` deletion — identical RE2-safe character classes in
+    the SQL oracle. Densities are integer ppm via truncating division
+    (both operands non-negative, so Spark's toward-zero `div` and
+    DuckDB's flooring ``//`` agree), and the code flag is an integer
+    compare — no floats anywhere. Empty docs profile as 0/not-code."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    counts = df.select(
+        F.col(id_col),
+        n_chars.cast("int").alias("n_chars"),
+        (n_chars - F.length(F.regexp_replace(t, "[^A-Za-z0-9 ]", "")))
+        .cast("int").alias("n_symbols"),
+        (n_chars - F.length(F.regexp_replace(t, "[{}();=<>\\[\\]]", "")))
+        .cast("int").alias("n_code_punct"))
+    # `div` (not `/` + floor): integer division stays in int64 — the
+    # float quotient can round UP to an integer and floor() one past
+    # the true value. Operands non-negative, so Spark's toward-zero
+    # div == DuckDB's flooring //.
+    sym_ppm = F.when(
+        F.col("n_chars") > 0,
+        F.expr("div(CAST(n_symbols AS BIGINT) * 1000000, n_chars)")) \
+        .otherwise(F.lit(0)).cast("bigint")
+    code_ppm = F.when(
+        F.col("n_chars") > 0,
+        F.expr("div(CAST(n_code_punct AS BIGINT) * 1000000, n_chars)")) \
+        .otherwise(F.lit(0)).cast("bigint")
+    return counts.select(
+        id_col, "n_chars", "n_symbols", "n_code_punct",
+        sym_ppm.alias("symbol_ppm"),
+        code_ppm.alias("code_punct_ppm"),
+        (sym_ppm >= code_ppm_threshold).alias("is_code_like"))
+
+
+def bpe_fertility_by_lang(df: DataFrame, lang_col: str = "lang",
+                          text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens emitted per
+    whitespace word, the standard "how expensive is this language for
+    the tokenizer" diagnostic that drives sampling-mix corrections.
+
+    One map-side token count pass (reuses `token_stats`' codegen
+    column expressions) + one language-grain aggregate of exact int64
+    sums; fertility is the single closing double division, written
+    identically in the oracle. Docs with zero whitespace tokens still
+    count toward ``n_docs`` but add nothing to either sum."""
+    toks = tokens(text_col)
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        F.size(toks).cast("bigint").alias("__n_tok"),
+        F.size(bpe_ish_tokens(text_col)).cast("bigint").alias("__n_bpe"))
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__n_tok").alias("total_tokens"),
+        F.sum("__n_bpe").alias("total_bpe_tokens"))
+    return agg.select(
+        "lang", "n_docs", "total_tokens", "total_bpe_tokens",
+        F.when(F.col("total_tokens") > 0,
+               F.col("total_bpe_tokens").cast("double")
+               / F.col("total_tokens").cast("double"))
+         .alias("fertility"))

@@ -171,6 +171,66 @@ def events_ks_global(spark, sf):
                        "event_type", "value")
 
 
+# ---------------------------------------------------------------------------
+# Corpus routing + tokenizer economics (tests/test_code_fertility.py)
+# ---------------------------------------------------------------------------
+
+@register("text_code_profile", """
+WITH counts AS (
+  SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(length(text) - length(regexp_replace(
+              text, '[^A-Za-z0-9 ]', '', 'g')) AS INTEGER) AS n_symbols,
+         CAST(length(text) - length(regexp_replace(
+              text, '[{}();=<>\\[\\]]', '', 'g')) AS INTEGER)
+           AS n_code_punct
+  FROM documents)
+SELECT doc_id, n_chars, n_symbols, n_code_punct,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_symbols AS BIGINT) * 1000000 // n_chars
+            ELSE 0 END AS symbol_ppm,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_code_punct AS BIGINT) * 1000000 // n_chars
+            ELSE 0 END AS code_punct_ppm,
+       (CASE WHEN n_chars > 0
+             THEN CAST(n_symbols AS BIGINT) * 1000000 // n_chars
+             ELSE 0 END) >= 20000 AS is_code_like
+FROM counts
+""")
+def text_code_profile(spark, sf):
+    from yougile_etl_pipeline_spark.operators.text import code_prose_profile
+
+    return code_prose_profile(load_table(spark, sf, "documents"))
+
+
+@register("text_bpe_fertility", """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(regexp_extract_all(
+              text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
+  FROM documents),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         SUM(n_tok) AS total_tokens, SUM(n_bpe) AS total_bpe_tokens
+  FROM per_doc GROUP BY 1)
+SELECT lang, n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(total_bpe_tokens AS BIGINT) AS total_bpe_tokens,
+       CASE WHEN total_tokens > 0
+            THEN CAST(total_bpe_tokens AS DOUBLE)
+                 / CAST(total_tokens AS DOUBLE)
+       END AS fertility
+FROM agg
+""")
+def text_bpe_fertility(spark, sf):
+    from yougile_etl_pipeline_spark.operators.text import (
+        bpe_fertility_by_lang,
+    )
+
+    return bpe_fertility_by_lang(load_table(spark, sf, "documents"))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -187,4 +247,5 @@ if hasattr(_registry_mod, "_rotate_certification_window"):
 # fingerprint before it ever certifies.
 R07_ENTRIES: list[str] = [
     "mm_wav_stats", "mm_bmp_stats", "quality_gini", "events_ks_global",
+    "text_code_profile", "text_bpe_fertility",
 ]
