@@ -32,6 +32,7 @@ PARITY_TESTS = [
     "tests/test_gini_ks.py::test_ks_duckdb_parity",
     "tests/test_code_fertility.py::test_code_profile_duckdb_parity",
     "tests/test_code_fertility.py::test_fertility_duckdb_parity",
+    "tests/test_bfs_layers.py::test_bfs_duckdb_parity",
 ]
 
 

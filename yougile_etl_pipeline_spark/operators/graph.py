@@ -416,3 +416,50 @@ def neighbor_jaccard(edges: DataFrame, *, src: str = "src",
         "node_a", "node_b", "n_common", "deg_a", "deg_b",
         (F.col("n_common").cast("double") / union_sz.cast("double"))
         .alias("jaccard"))
+
+
+def bfs_layers(edges: DataFrame, seeds: DataFrame, *,
+               src: str = "src", dst: str = "dst",
+               node_col: str = "node", rounds: int = 3,
+               checkpoint_every: int | None = 8) -> DataFrame:
+    """Breadth-first layers from a seed set: each reachable node gets
+    the number of hops to its NEAREST seed (layer 0 = the seeds),
+    explored for a FIXED number of synchronous rounds — the
+    neighborhood-expansion primitive (crawl frontier, influence
+    radius, trust propagation from a whitelist).
+
+    The fixed round count keeps the operator oracle-pairable via
+    unrolled CTEs, the same move as `kcore_peel` / `pagerank_fixed_
+    point`; nodes farther than `rounds` hops are absent from the
+    output (callers detect the fixpoint by comparing `rounds` and
+    `rounds+1` outputs). BFS layer assignment has no tie to break —
+    the layer is min-hop distance, deterministic under any
+    partitioning and edge order.
+
+    Input is symmetrized/simplified like the other graph ops. Per
+    round: one equi-join of the frontier against the edge list + one
+    distinct + one anti-join against the assigned set — shuffle volume
+    O(E) per round, `checkpoint_every` truncates lineage. Seeds not
+    present in the edge list still appear at layer 0 (a seed is at
+    distance 0 from itself regardless of degree)."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    assigned = (seeds.select(F.col(node_col).alias("node")).distinct()
+                .withColumn("layer", F.lit(0)))
+    frontier = assigned.select("node")
+    for r in range(1, rounds + 1):
+        reached = (und.join(frontier.withColumnRenamed("node", "a"), "a")
+                      .select(F.col("b").alias("node")).distinct())
+        new = (reached.join(assigned.select("node"), "node", "left_anti")
+                      .withColumn("layer", F.lit(r)))
+        assigned = assigned.unionByName(new)
+        frontier = new.select("node")
+        if checkpoint_every and r % checkpoint_every == 0 and r < rounds:
+            assigned = assigned.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    return assigned

@@ -231,6 +231,48 @@ def text_bpe_fertility(spark, sf):
     return bpe_fertility_by_lang(load_table(spark, sf, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# BFS layers (tests/test_bfs_layers.py) — same modular graph as the
+# other iterative graph entries, seeds = multiples of 10
+# ---------------------------------------------------------------------------
+
+@register("graph_bfs_layers", """
+WITH d0 AS (
+  SELECT DISTINCT doc_id % 40 AS x, (doc_id * 7 + 3) % 40 AS y
+  FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40),
+e0 AS (SELECT x AS a, y AS b FROM d0 UNION SELECT y, x FROM d0),
+l0 AS (SELECT DISTINCT doc_id % 40 AS node FROM documents
+       WHERE (doc_id % 40) % 10 = 0),
+l1 AS (
+  SELECT DISTINCT e0.b AS node FROM e0 JOIN l0 ON e0.a = l0.node
+  WHERE e0.b NOT IN (SELECT node FROM l0)),
+l2 AS (
+  SELECT DISTINCT e0.b AS node FROM e0 JOIN l1 ON e0.a = l1.node
+  WHERE e0.b NOT IN (SELECT node FROM l0)
+    AND e0.b NOT IN (SELECT node FROM l1)),
+l3 AS (
+  SELECT DISTINCT e0.b AS node FROM e0 JOIN l2 ON e0.a = l2.node
+  WHERE e0.b NOT IN (SELECT node FROM l0)
+    AND e0.b NOT IN (SELECT node FROM l1)
+    AND e0.b NOT IN (SELECT node FROM l2))
+SELECT node, 0 AS layer FROM l0
+UNION ALL SELECT node, 1 FROM l1
+UNION ALL SELECT node, 2 FROM l2
+UNION ALL SELECT node, 3 FROM l3
+""")
+def graph_bfs_layers(spark, sf):
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.operators.graph import bfs_layers
+
+    d = load_table(spark, sf, "documents")
+    edges = d.select((F.col("doc_id") % 40).alias("src"),
+                     ((F.col("doc_id") * 7 + 3) % 40).alias("dst"))
+    seeds = d.select((F.col("doc_id") % 40).alias("node")) \
+             .filter(F.col("node") % 10 == 0)
+    return bfs_layers(edges, seeds, rounds=3)
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -247,5 +289,5 @@ if hasattr(_registry_mod, "_rotate_certification_window"):
 # fingerprint before it ever certifies.
 R07_ENTRIES: list[str] = [
     "mm_wav_stats", "mm_bmp_stats", "quality_gini", "events_ks_global",
-    "text_code_profile", "text_bpe_fertility",
+    "text_code_profile", "text_bpe_fertility", "graph_bfs_layers",
 ]
