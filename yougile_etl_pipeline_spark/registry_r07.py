@@ -273,6 +273,24 @@ def graph_bfs_layers(spark, sf):
     return bfs_layers(edges, seeds, rounds=3)
 
 
+# ---------------------------------------------------------------------------
+# Streaming exact dedup (tests/test_stream_dedup.py) — oracle-paired,
+# not rows-only: the key projection of dropDuplicatesWithinWatermark
+# under an availableNow drain is deterministic (see the operator
+# docstring for why the full surviving rows are not).
+# ---------------------------------------------------------------------------
+
+@register("stream_dedup_keys",
+          "SELECT DISTINCT user_id, event_type FROM events")
+def stream_dedup_keys(spark, sf):
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        run_dedup_keys_available_now,
+    )
+
+    return run_dedup_keys_available_now(
+        spark, sf, table_name="stream_dedup_reg")
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -290,4 +308,5 @@ if hasattr(_registry_mod, "_rotate_certification_window"):
 R07_ENTRIES: list[str] = [
     "mm_wav_stats", "mm_bmp_stats", "quality_gini", "events_ks_global",
     "text_code_profile", "text_bpe_fertility", "graph_bfs_layers",
+    "stream_dedup_keys",
 ]

@@ -219,3 +219,41 @@ def stream_quarantine(spark: SparkSession, sf_dir: str,
             return 0
 
     return _count(good_path), _count(bad_path)
+
+
+def dedup_keys_stream(events: DataFrame,
+                      keys: list[str] | None = None,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first arrival per key survives, state
+    bounded by the event-time watermark (`dropDuplicatesWithinWatermark`
+    — the ingestion-time twin of the batch `dedup_exact` family, the
+    op that keeps a training-data firehose free of replayed records
+    without unbounded state).
+
+    Output is PROJECTED TO THE KEYS: which full row survives a
+    duplicate group depends on arrival order (nondeterministic under
+    repartitioning), but the surviving KEY SET does not — so the
+    projection is exactly the deterministic part, equal to batch
+    ``SELECT DISTINCT keys`` whenever every duplicate pair lands
+    within one watermark of each other. Under an availableNow drain of
+    a static snapshot (one micro-batch, nothing evicted mid-batch)
+    that holds unconditionally, which is what makes the registered
+    query oracle-pairable rather than rows-only."""
+    keys = keys or ["user_id", "event_type"]
+    return (events.withWatermark("ts", watermark)
+                  .dropDuplicatesWithinWatermark(keys)
+                  .select(*keys))
+
+
+def run_dedup_keys_available_now(spark, sf_dir: str,
+                                 table_name: str = "stream_dedup") \
+        -> DataFrame:
+    """Drain the events stream once through the streaming dedup into a
+    memory sink; returns the surviving key set."""
+    q = (dedup_keys_stream(read_events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
