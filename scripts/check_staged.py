@@ -34,6 +34,7 @@ PARITY_TESTS = [
     "tests/test_code_fertility.py::test_fertility_duckdb_parity",
     "tests/test_bfs_layers.py::test_bfs_duckdb_parity",
     "tests/test_stream_dedup.py::test_stream_dedup_duckdb_parity",
+    "tests/test_media_codec.py::test_decode_media_mixed_duckdb_parity",
 ]
 
 

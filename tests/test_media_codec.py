@@ -202,3 +202,74 @@ def test_media_stats_plan_is_map_only(spark):
     p = plan_profile(wav_stats(synth_wav_payloads(ev, "event_id")))
     assert p["shuffle_exchanges"] == 0, (
         "synth+decode must stay a single map-only mapInPandas chain")
+
+
+# ---------------------------------------------------------------------------
+# decode_media itself over a MIXED corpus — certifies the default
+# magic-dispatched decoder (the stub retirement), not just the typed
+# stats operators. Features are integral doubles, so the array crosses
+# the oracle boundary as a comma-joined BIGINT string (array outputs
+# stringify at the query boundary; float formatting differs between
+# engines, exact integers do not).
+# ---------------------------------------------------------------------------
+
+MIXED_ORACLE = """
+SELECT event_id AS media_id,
+  CAST(50 + event_id % 100 AS BIGINT) || ',' ||
+  CAST(8000 + (event_id % 8) * 1000 AS BIGINT) || ',1,' ||
+  CAST(CAST(list_sum(list_transform(
+       range(0, CAST(50 + event_id % 100 AS BIGINT)),
+       i -> ((event_id*31 + i*17) % 65536 - 32768)
+          * ((event_id*31 + i*17) % 65536 - 32768))) AS BIGINT)
+       AS VARCHAR) AS feature_csv,
+  CAST(44 + 2 * (50 + event_id % 100) AS BIGINT) AS n_bytes
+FROM events
+UNION ALL
+SELECT 10000000 + p_partkey AS media_id,
+  CAST(4 + p_partkey % 5 AS BIGINT) || ',' ||
+  CAST(3 + p_partkey % 4 AS BIGINT) || ',' ||
+  CAST(3 * (4 + p_partkey % 5) * (3 + p_partkey % 4) AS BIGINT)
+    || ',' ||
+  CAST(CAST(list_sum(list_transform(
+       range(0, CAST((3 + p_partkey % 4) * (4 + p_partkey % 5) * 3
+                     AS BIGINT)),
+       i -> (10000000 + p_partkey
+             + 7 * (i // ((4 + p_partkey % 5) * 3))
+             + 3 * ((i % ((4 + p_partkey % 5) * 3)) // 3)
+             + (i % 3)) % 256)) AS BIGINT) AS VARCHAR) AS feature_csv,
+  CAST(54 + (3 * (4 + p_partkey % 5)
+             + (4 - (3 * (4 + p_partkey % 5)) % 4) % 4)
+           * (3 + p_partkey % 4) AS BIGINT) AS n_bytes
+FROM part
+"""
+# ^ the BMP branch synthesizes from the OFFSET id (10**7 + p_partkey),
+# so the pixel-byte formula must too (10**7 % 256 = 128 shifts every
+# byte); width/height/stride are unaffected because 10**7 is a
+# multiple of both 4 and 5.
+
+
+def _mixed_media_features(spark, sf):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    parts = load_table(spark, sf, "part").select("p_partkey")
+    wav = synth_wav_payloads(ev, "event_id") \
+        .withColumn("media_type", F.lit("audio"))
+    bmp = synth_bmp_payloads(
+        parts.select((F.col("p_partkey") + 10_000_000)
+                     .alias("media_id")), "media_id") \
+        .withColumn("media_type", F.lit("image"))
+    feats = decode_media(wav.unionByName(bmp))
+    return feats.select(
+        "media_id",
+        F.concat_ws(",", F.transform(
+            "feature", lambda x: x.cast("bigint").cast("string")))
+         .alias("feature_csv"),
+        "n_bytes")
+
+
+def test_decode_media_mixed_duckdb_parity(spark):
+    got = _mixed_media_features(spark, SF_SMOKE)
+    con = duck_connect(SF_SMOKE)
+    issues = compare(got, con, MIXED_ORACLE)
+    assert not issues, issues

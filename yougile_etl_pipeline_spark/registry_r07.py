@@ -291,6 +291,70 @@ def stream_dedup_keys(spark, sf):
         spark, sf, table_name="stream_dedup_reg")
 
 
+# ---------------------------------------------------------------------------
+# decode_media itself over a MIXED corpus (tests/test_media_codec.py::
+# test_decode_media_mixed_duckdb_parity) — certifies the default
+# magic-dispatched decoder, i.e. the stub retirement, end-to-end.
+# Features are integral doubles crossing the boundary as a
+# comma-joined BIGINT string (float formatting differs between
+# engines; exact integers do not).
+# ---------------------------------------------------------------------------
+
+@register("mm_media_features", """
+SELECT event_id AS media_id,
+  CAST(50 + event_id % 100 AS BIGINT) || ',' ||
+  CAST(8000 + (event_id % 8) * 1000 AS BIGINT) || ',1,' ||
+  CAST(CAST(list_sum(list_transform(
+       range(0, CAST(50 + event_id % 100 AS BIGINT)),
+       i -> ((event_id*31 + i*17) % 65536 - 32768)
+          * ((event_id*31 + i*17) % 65536 - 32768))) AS BIGINT)
+       AS VARCHAR) AS feature_csv,
+  CAST(44 + 2 * (50 + event_id % 100) AS BIGINT) AS n_bytes
+FROM events
+UNION ALL
+SELECT 10000000 + p_partkey AS media_id,
+  CAST(4 + p_partkey % 5 AS BIGINT) || ',' ||
+  CAST(3 + p_partkey % 4 AS BIGINT) || ',' ||
+  CAST(3 * (4 + p_partkey % 5) * (3 + p_partkey % 4) AS BIGINT)
+    || ',' ||
+  CAST(CAST(list_sum(list_transform(
+       range(0, CAST((3 + p_partkey % 4) * (4 + p_partkey % 5) * 3
+                     AS BIGINT)),
+       i -> (10000000 + p_partkey
+             + 7 * (i // ((4 + p_partkey % 5) * 3))
+             + 3 * ((i % ((4 + p_partkey % 5) * 3)) // 3)
+             + (i % 3)) % 256)) AS BIGINT) AS VARCHAR) AS feature_csv,
+  CAST(54 + (3 * (4 + p_partkey % 5)
+             + (4 - (3 * (4 + p_partkey % 5)) % 4) % 4)
+           * (3 + p_partkey % 4) AS BIGINT) AS n_bytes
+FROM part
+""")
+def mm_media_features(spark, sf):
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        decode_media,
+        synth_bmp_payloads,
+        synth_wav_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    parts = load_table(spark, sf, "part").select("p_partkey")
+    wav = synth_wav_payloads(ev, "event_id") \
+        .withColumn("media_type", F.lit("audio"))
+    bmp = synth_bmp_payloads(
+        parts.select((F.col("p_partkey") + 10_000_000)
+                     .alias("media_id")), "media_id") \
+        .withColumn("media_type", F.lit("image"))
+    feats = decode_media(wav.unionByName(bmp))
+    return feats.select(
+        "media_id",
+        F.concat_ws(",", F.transform(
+            "feature", lambda x: x.cast("bigint").cast("string")))
+         .alias("feature_csv"),
+        "n_bytes")
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -308,5 +372,5 @@ if hasattr(_registry_mod, "_rotate_certification_window"):
 R07_ENTRIES: list[str] = [
     "mm_wav_stats", "mm_bmp_stats", "quality_gini", "events_ks_global",
     "text_code_profile", "text_bpe_fertility", "graph_bfs_layers",
-    "stream_dedup_keys",
+    "stream_dedup_keys", "mm_media_features",
 ]
