@@ -89,9 +89,18 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # The r01–r05 headline set, BEFORE the four r06 graduates joined:
+    # BASELINE.md's 20.562 s and every BENCH_r{N} "value" through r05
+    # measure THESE 15 queries, so the like-for-like series continues
+    # in `value_15q_baseline_comparable` while `value` grows with the
+    # headline set (4 heavy r06 graduates ≈ +14 s that would otherwise
+    # read as a 2.5× regression).
+    R01_SET = HEADLINE[:15]
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
+        "value_15q_baseline_comparable": round(
+            sum(timings[n] for n in R01_SET), 3),
         "unit": "sec",
         "queries": timings,
         "runs": RUNS,

@@ -35,11 +35,16 @@ def test_stream_matches_batch_counts(spark):
     assert streamed.filter(F.col("window_start").isNull()).count() == 0
 
 
-def test_decode_media_stub_requires_decoder(spark):
+def test_decode_media_default_gates_unsupported_payloads(spark):
+    # Round-6 contract change: decode_media's default decoder REALLY
+    # decodes WAV/BMP (tests/test_media_codec.py) and raises
+    # per-payload for formats that need absent codec libraries — a
+    # utf-8 text payload is neither container, so the honest gate
+    # still fires, now from inside the decoder at execution time.
     docs = load_table(spark, SF_SMOKE, "documents").limit(1)
     media = attach_binary_payload(docs, "text", "doc_id")
-    with pytest.raises(NotImplementedError):
-        decode_media(media)            # no codec libs in this environment
+    with pytest.raises(Exception, match="NotImplementedError|no pure-Python decoder"):
+        decode_media(media).collect()
 
 
 def test_fake_feature_extract_deterministic(spark):
