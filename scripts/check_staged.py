@@ -35,6 +35,8 @@ PARITY_TESTS = [
     "tests/test_bfs_layers.py::test_bfs_duckdb_parity",
     "tests/test_stream_dedup.py::test_stream_dedup_duckdb_parity",
     "tests/test_media_codec.py::test_decode_media_mixed_duckdb_parity",
+    "tests/test_map_functions.py::test_map_functions_duckdb_parity",
+    "tests/test_seasonal_anomalies.py::test_seasonal_anomalies_duckdb_parity",
 ]
 
 

@@ -16,7 +16,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_EXPECTED = 9
+_EXPECTED = 11
 
 _SUBPROC = """
 import sys

@@ -355,6 +355,127 @@ def mm_media_features(spark, sf):
         "n_bytes")
 
 
+# ---------------------------------------------------------------------------
+# Map-typed column functions (tests/test_map_functions.py) — the one
+# function family the registered surface didn't touch. The engine
+# routes every output THROUGH map operations; the oracle computes the
+# same values from plain column arithmetic (maps are engine-internal,
+# semantics are what's checked).
+# ---------------------------------------------------------------------------
+
+@register("f_map_functions", """
+SELECT event_id,
+  CASE WHEN event_id % 2 = 0 AND user_id % 2 = 0 THEN 'eid,uid'
+       WHEN event_id % 2 = 0 THEN 'eid'
+       WHEN user_id % 2 = 0 THEN 'uid'
+       ELSE '' END AS even_keys_csv,
+  CAST(event_id + user_id AS BIGINT) AS vals_sum,
+  CAST(user_id AS BIGINT) AS uid_lookup,
+  CAST(event_id * 2 AS BIGINT) AS eid_doubled,
+  CAST(3 AS INTEGER) AS merged_size,
+  'eid=' || CAST(event_id AS BIGINT) || ';uid=' ||
+    CAST(user_id AS BIGINT) AS entries_csv
+FROM events
+""")
+def f_map_functions(spark, sf):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id")
+    m = F.create_map(
+        F.lit("eid"), F.col("event_id").cast("bigint"),
+        F.lit("uid"), F.col("user_id").cast("bigint"))
+    even = F.map_filter(m, lambda k, v: v % 2 == 0)
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    merged = F.map_concat(m, F.create_map(F.lit("extra"),
+                                          F.lit(7).cast("bigint")))
+    entries = F.transform(
+        F.sort_array(F.map_entries(m)),
+        lambda e: F.concat(e["key"], F.lit("="),
+                           e["value"].cast("string")))
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.sort_array(F.map_keys(even)))
+         .alias("even_keys_csv"),
+        F.aggregate(F.map_values(m), F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v).alias("vals_sum"),
+        F.element_at(m, "uid").alias("uid_lookup"),
+        F.element_at(doubled, "eid").alias("eid_doubled"),
+        F.size(merged).alias("merged_size"),
+        F.concat_ws(";", entries).alias("entries_csv"))
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly flags (tests/test_seasonal_anomalies.py) — the
+# certified halves composed: seasonal_baseline residuals scored by
+# per-type median/MAD. A value is anomalous only vs its own
+# hour-of-week slot history.
+# ---------------------------------------------------------------------------
+
+@register("events_seasonal_anomalies", """
+WITH keyed AS (
+  SELECT event_id, event_type, value,
+         dayofweek(ts) + 1 AS dow, hour(ts) AS hod
+  FROM events),
+prof AS (
+  SELECT event_type, dow, hod,
+         CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS baseline_mean
+  FROM keyed WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3),
+resid AS (
+  SELECT k.event_id, k.event_type, k.value, p.baseline_mean,
+         k.value - p.baseline_mean AS baseline_residual
+  FROM keyed k
+  JOIN prof p USING (event_type, dow, hod)
+  WHERE k.value IS NOT NULL),
+r1 AS (
+  SELECT event_type, baseline_residual,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY baseline_residual) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM resid),
+med AS (
+  SELECT event_type, SUM(baseline_residual) / COUNT(*) AS median
+  FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+base AS (
+  SELECT v.event_id, v.event_type, v.value, v.baseline_mean,
+         v.baseline_residual, m.median,
+         abs(v.baseline_residual - m.median) AS abs_dev
+  FROM resid v JOIN med m USING (event_type)),
+r2 AS (
+  SELECT event_type, abs_dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs_dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base),
+mad AS (
+  SELECT event_type, SUM(abs_dev) / COUNT(*) AS mad
+  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+SELECT b.event_id, b.event_type, b.value, b.baseline_mean,
+       b.baseline_residual, b.median, d.mad,
+       (b.baseline_residual - b.median) / d.mad AS robust_z
+FROM base b JOIN mad d USING (event_type)
+WHERE d.mad > 0 AND b.abs_dev > 3.0 * d.mad
+""")
+def events_seasonal_anomalies(spark, sf):
+    from yougile_etl_pipeline_spark.operators.quality import mad_outliers
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        seasonal_baseline,
+    )
+
+    ev = load_table(spark, sf, "events") \
+        .select("event_id", "event_type", "ts", "value")
+    resid = (seasonal_baseline(ev, "ts", "value",
+                               group_cols=["event_type"])
+             .select("event_id", "event_type", "value",
+                     "baseline_mean", "baseline_residual"))
+    return (mad_outliers(resid, "event_type", "baseline_residual",
+                         k=3.0)
+            .filter("is_outlier")
+            .select("event_id", "event_type", "value", "baseline_mean",
+                    "baseline_residual", "median", "mad", "robust_z"))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -372,5 +493,6 @@ if hasattr(_registry_mod, "_rotate_certification_window"):
 R07_ENTRIES: list[str] = [
     "mm_wav_stats", "mm_bmp_stats", "quality_gini", "events_ks_global",
     "text_code_profile", "text_bpe_fertility", "graph_bfs_layers",
-    "stream_dedup_keys", "mm_media_features",
+    "stream_dedup_keys", "mm_media_features", "f_map_functions",
+    "events_seasonal_anomalies",
 ]
