@@ -37,6 +37,7 @@ PARITY_TESTS = [
     "tests/test_media_codec.py::test_decode_media_mixed_duckdb_parity",
     "tests/test_map_functions.py::test_map_functions_duckdb_parity",
     "tests/test_seasonal_anomalies.py::test_seasonal_anomalies_duckdb_parity",
+    "tests/test_pareto_coverage.py::test_pareto_coverage_duckdb_parity",
 ]
 
 

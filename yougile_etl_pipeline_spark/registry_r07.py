@@ -476,6 +476,51 @@ def events_seasonal_anomalies(spark, sf):
                     "baseline_residual", "median", "mad", "robust_z"))
 
 
+# ---------------------------------------------------------------------------
+# Pareto coverage at top-k cuts (tests/test_pareto_coverage.py) — the
+# "what share of revenue do the top k parts carry" readout over the
+# bucket-stitched abc_analysis ranking; wide-decimal → double goes
+# through VARCHAR in the oracle per the SCALE.md round-6 gotcha.
+# ---------------------------------------------------------------------------
+
+@register("mart_pareto_coverage", """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS r
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT SUM(r) AS t FROM rev),
+ranked AS (
+  SELECT l_partkey, r, t,
+         SUM(r) OVER (ORDER BY r DESC, l_partkey
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(row_number() OVER (ORDER BY r DESC, l_partkey)
+              AS BIGINT) AS rank
+  FROM rev CROSS JOIN tot)
+SELECT rank AS k,
+       CAST(CAST(r AS VARCHAR) AS DOUBLE) AS revenue_at_k,
+       CAST(CAST(cum AS VARCHAR) AS DOUBLE) AS cum_revenue,
+       CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(t AS VARCHAR) AS DOUBLE) AS coverage_share
+FROM ranked WHERE rank IN (10, 100, 1000)
+""")
+def mart_pareto_coverage(spark, sf):
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.operators.quality import abc_analysis
+
+    li = load_table(spark, sf, "lineitem")
+    tot = li.agg(F.sum(F.col("l_extendedprice").cast("decimal(24,6)"))
+                  .cast("double").alias("__tot"))
+    abc = abc_analysis(li, "l_partkey", "l_extendedprice")
+    return (abc.filter(F.col("rank").isin(10, 100, 1000))
+               .crossJoin(F.broadcast(tot))
+               .select(F.col("rank").alias("k"),
+                       F.col("revenue").alias("revenue_at_k"),
+                       "cum_revenue",
+                       (F.col("cum_revenue") / F.col("__tot"))
+                        .alias("coverage_share")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -494,5 +539,5 @@ R07_ENTRIES: list[str] = [
     "mm_wav_stats", "mm_bmp_stats", "quality_gini", "events_ks_global",
     "text_code_profile", "text_bpe_fertility", "graph_bfs_layers",
     "stream_dedup_keys", "mm_media_features", "f_map_functions",
-    "events_seasonal_anomalies",
+    "events_seasonal_anomalies", "mart_pareto_coverage",
 ]
