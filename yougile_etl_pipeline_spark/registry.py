@@ -981,6 +981,31 @@ _STABLE_CERTIFIED = [
 # r06-start import above. Keep any further r06 additions ≤ the free
 # window slots so every query stays driver-certified at each round
 # boundary.
+# ROUND-7 ROTATION PLAN (execute at r07 start, mirroring the r06
+# rotation this file records above):
+# 1. Move the 50 r06-window greens from CORRECTNESS_r06 into
+#    _STABLE_CERTIFIED (preserve relative order; note any red rows
+#    instead of promoting them).
+# 2. Wire the bank: add
+#        from yougile_etl_pipeline_spark import registry_r07  # noqa
+#    at the BOTTOM of registry_ext.py next to the registry_r06 import
+#    (NOT here — the ext-bottom position is the one that survives the
+#    registry_ext-first circular entry path; see the note at the
+#    import block above).
+# 3. registry_r07.py holds 12 entries (R07_ENTRIES manifest; count
+#    pinned by tests/test_registry_r07_staged.py::_EXPECTED), each
+#    oracle-proven at sf0.001 AND sf0.01 — 12 staged + 38 free slots
+#    means the window needs 38 fillers: hold out the cheapest r05/r06
+#    stable greens for recertification (the f_* scalar entries and
+#    other sub-second queries are the natural picks) and swap them
+#    back to stable as genuinely new registrations land mid-round.
+# 4. Flip tests/test_registry_r07_staged.py to the wired-state guards
+#    (the r06 file's history shows both shapes) and re-point
+#    scripts/check_staged.py + bench.py's `staged` block at the new
+#    r08 bank as it accrues.
+# 5. Re-run: pytest (expect ~768 passed / 1 skipped at r06 end),
+#    scripts/check_queries.py (new window at sf0.01), and the full
+#    registry sweep before the first commit.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
