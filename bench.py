@@ -123,27 +123,33 @@ def main() -> None:
     }
     # round-6 registrations beyond HEADLINE: single warmed run each +
     # a plan fingerprint — the full newly-certified surface keeps a
-    # per-round perf/plan record (r07 staging bank cases will ride a
-    # new `staged` block as they accrue).
+    # per-round perf/plan record.
     out["r06"], out["r06_plans"] = _r06_timings(spark, sf_dir)
-    # r07 staging bank: same single-warmed-run + fingerprint treatment,
+    # round-7 registrations (the registry_r07 bank, live since the r07
+    # rotation): same treatment.
+    out["r07"], out["r07_plans"] = _r07_timings(spark, sf_dir)
+    # r08 staging bank: same single-warmed-run + fingerprint treatment,
     # so nothing registers untimed at the next rotation (the staging
     # contract's own lesson — the 22.7 s rolling-distinct catch).
     out["staged"], out["staged_plans"] = _staged_timings(spark, sf_dir)
     print(json.dumps(out))
 
 
-def _staged_timings(
-        spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
-    """Wall time + plan fingerprint for every round-7 BANK entry,
-    driven off registry_r07's own registrations. Importing the bank
-    module registers its entries IN THIS PROCESS ONLY — they insert
-    after the live window's 50 entries and the module's tail guard
-    re-rotates, so the certified window set bench measures is
-    untouched (the driver's correctness process never imports the
-    bank; tests/test_registry_r07_staged.py proves non-import on the
-    canonical path)."""
-    from yougile_etl_pipeline_spark import registry_r07
+# Streaming entries manage their own execution (the availableNow drain
+# runs at DataFrame-build time); a noop-sink write of the returned
+# memory-table scan does not measure them faithfully, so every timing
+# block skips them (ADVICE r06: the r06 block's skip set must apply to
+# the bank blocks too).
+_STREAMING_SKIP = {"stream_ewma_values", "stream_tumbling_counts",
+                   "stream_dedup_keys", "stream_click_attribution"}
+
+
+def _manifest_timings(
+        spark, sf_dir: str, names,
+        skip=frozenset()) -> tuple[dict[str, float], dict[str, str]]:
+    """Single warmed run + plan fingerprint for each named registered
+    query — QUERIES is the single source of truth, so transcription
+    drift between bench and registry is impossible."""
     from yougile_etl_pipeline_spark.operators.diagnostics import (
         plan_profile,
     )
@@ -151,7 +157,11 @@ def _staged_timings(
 
     timings: dict[str, float] = {}
     plans: dict[str, str] = {}
-    for name in registry_r07.R07_ENTRIES:
+    for name in names:
+        if name in skip or name in _STREAMING_SKIP:
+            continue
+        # build ONCE per case: some queries legitimately pay bounded
+        # construction-time work (e.g. a centroid-count probe)
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warmup
         t0 = time.perf_counter()
@@ -162,6 +172,31 @@ def _staged_timings(
                        f"/{p['broadcast_exchanges']}"
                        f"/{p['scans_with_pushed_filters']}")
     return timings, plans
+
+
+def _r07_timings(
+        spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    """Per-round perf/plan record for the round-7 registrations (live
+    in the registry since the r07 rotation)."""
+    from yougile_etl_pipeline_spark.registry_r07 import R07_ENTRIES
+
+    return _manifest_timings(spark, sf_dir, R07_ENTRIES,
+                             skip=set(HEADLINE))
+
+
+def _staged_timings(
+        spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    """Wall time + plan fingerprint for every round-8 BANK entry,
+    driven off registry_r08's own registrations. Importing the bank
+    module registers its entries IN THIS PROCESS ONLY — they insert
+    after the live window's 50 entries and the module's tail guard
+    re-rotates, so the certified window set bench measures is
+    untouched (the driver's correctness process never imports the
+    bank; tests/test_registry_r08_staged.py proves non-import on the
+    canonical path)."""
+    from yougile_etl_pipeline_spark import registry_r08
+
+    return _manifest_timings(spark, sf_dir, registry_r08.R08_ENTRIES)
 
 
 def _r06_timings(
@@ -176,30 +211,10 @@ def _r06_timings(
     Covers VERDICT r05 #5: every r06 registration gets a recorded
     sf-dir wall time each round, not just the ones someone hand-added.
     """
-    from yougile_etl_pipeline_spark.operators.diagnostics import (
-        plan_profile,
-    )
-    from yougile_etl_pipeline_spark.registry import QUERIES
     from yougile_etl_pipeline_spark.registry_r06 import R06_ENTRIES
 
-    skip = set(HEADLINE) | {"stream_ewma_values"}
-    timings: dict[str, float] = {}
-    plans: dict[str, str] = {}
-    for name in R06_ENTRIES:
-        if name in skip:
-            continue
-        # build ONCE per case: some queries legitimately pay bounded
-        # construction-time work (e.g. a centroid-count probe)
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warmup
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        p = plan_profile(df)
-        plans[name] = (f"{p['shuffle_exchanges']}"
-                       f"/{p['broadcast_exchanges']}"
-                       f"/{p['scans_with_pushed_filters']}")
-    return timings, plans
+    return _manifest_timings(spark, sf_dir, R06_ENTRIES,
+                             skip=set(HEADLINE))
 
 
 def _plan_fingerprints(spark, sf_dir: str) -> dict[str, str]:

@@ -1,55 +1,66 @@
-"""Guards for the pre-wired round-7 registration module.
+"""Guards for the round-7 registration module — WIRED at r07 start.
 
-Same contract the r06 bank ran under in round 5 (see that file's
-round-5 version in git history): (1) round 6 must NOT import
-registry_r07 — the r06 window is exactly full, and an accidental
-import would strand never-certified registrations at the round
-boundary; (2) the module must actually work when wired — verified in
-a SUBPROCESS so this test session's registry stays untouched, with
-every entry oracle-executed at sf0.001 from its REGISTRY copy."""
+Round-6 state (preserved in git history): registry_r07 was staged,
+deliberately unimported, and these guards enforced non-import plus a
+subprocess smoke. The r07 rotation executed the plan at the registry
+tail: registry_ext.py now imports registry_r07 at its bottom, the 12
+bank entries sit inside the driver's 50-slot certification window
+next to the recertification fillers held out of _STABLE_CERTIFIED.
+The guards now enforce the WIRED invariants (same shape as
+tests/test_registry_r06_staged.py):
+
+1. the import is live (the bank cannot silently fall out);
+2. every r07 entry is inside ``list(QUERIES)[:50]`` (registered but
+   never-certified is the failure mode the window accounting exists
+   to prevent);
+3. every r07 entry carries an oracle — the bank has NO rows-only
+   entries (stream_dedup_keys ships the deterministic-projection
+   hash-exact oracle);
+4. every entry is oracle-executed from its REGISTRY copy at SF_SMOKE,
+   so transcription drift between the bank module and the per-op
+   parity tests cannot ship.
+"""
 
 from __future__ import annotations
 
-import os
-import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.conftest import SF_SMOKE
+from tests.oracle_compare import compare, duck_connect
 
 _EXPECTED = 12
 
-_SUBPROC = """
-import sys
-sys.path.insert(0, %r)
-from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
-before = set(QUERIES)
-import yougile_etl_pipeline_spark.registry_r07 as r07
-new = [k for k in QUERIES if k not in before]
-assert len(new) == %d, f"expected %d new entries, got {len(new)}: {new}"
-assert set(new) == set(r07.R07_ENTRIES), (new, r07.R07_ENTRIES)
-missing = [k for k in new if k not in ORACLES]
-assert not missing, f"entries without oracles: {missing}"
-from yougile_etl_pipeline_spark.session import get_spark
-from tests.oracle_compare import compare, duck_connect
-spark = get_spark(app_name="r07-smoke", master="local[4]")
-spark.sparkContext.setLogLevel("ERROR")
-con = duck_connect("/root/testdata/sf0.001")
-for name in new:
-    issues = compare(QUERIES[name](spark, "/root/testdata/sf0.001"),
-                     con, ORACLES[name])
-    assert not issues, f"{name}: {issues}"
-print("R07-SMOKE-OK")
-"""
 
-
-def test_round6_does_not_import_r07():
+def test_registry_imports_r07():
     import yougile_etl_pipeline_spark.registry  # noqa: F401
-    assert "yougile_etl_pipeline_spark.registry_r07" not in sys.modules
+
+    assert "yougile_etl_pipeline_spark.registry_r07" in sys.modules, (
+        "the r07 rotation import fell out of registry_ext.py — the 12 "
+        "round-7 bank entries would silently deregister")
 
 
-def test_r07_module_registers_and_runs_in_subprocess():
-    out = subprocess.run(
-        [sys.executable, "-c", _SUBPROC % (REPO, _EXPECTED, _EXPECTED)],
-        cwd=REPO, capture_output=True, text=True, timeout=600)
-    assert out.returncode == 0, out.stderr[-3000:]
-    assert "R07-SMOKE-OK" in out.stdout
+def test_r07_entries_registered_inside_window():
+    from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
+    from yougile_etl_pipeline_spark.registry_r07 import R07_ENTRIES
+
+    assert len(R07_ENTRIES) == _EXPECTED
+    window = set(list(QUERIES)[:50])
+    missing = [n for n in R07_ENTRIES if n not in QUERIES]
+    assert not missing, f"r07 entries not registered: {missing}"
+    out = [n for n in R07_ENTRIES if n not in window]
+    assert not out, (
+        f"r07 entries pushed outside the 50-slot certification "
+        f"window: {out}")
+    no_oracle = [n for n in R07_ENTRIES if n not in ORACLES]
+    assert no_oracle == [], f"entries without oracles: {no_oracle}"
+
+
+def test_r07_registry_entries_match_oracles(spark):
+    from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
+    from yougile_etl_pipeline_spark.registry_r07 import R07_ENTRIES
+
+    con = duck_connect(SF_SMOKE)
+    for name in R07_ENTRIES:
+        issues = compare(QUERIES[name](spark, SF_SMOKE),
+                         con, ORACLES[name])
+        assert not issues, f"{name}: {issues}"

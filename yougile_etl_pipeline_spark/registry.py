@@ -760,14 +760,21 @@ _STABLE_CERTIFIED = [
     # grew the collect-cap guard), and although defaults preserve the
     # old path bit-for-bit, VERDICT r04 asked for an official
     # recertification to retire the caveat. Both sit in the r05 window.
-    "mart_flagship", "p2_projection", "p3_rename", "p4_conform",
-    "p5_member_filter", "p6_nullsafe_neq", "p7_null_predicates",
-    "p8_drop_cols", "p9_literal_append", "j1_left_broadcast_dim",
-    "j2_left_fact_child", "j_inner", "j_semi", "j_anti",
+    # r07 note: 34 long-stable cheap entries are HELD OUT of this list
+    # (not un-certified — recertifying) to fill the r07 window next to
+    # the 12 registry_r07 bank entries: the p2–p9 projection family,
+    # j_inner/j_semi/j_anti/j_full_outer, the f_* scalar families
+    # (f1/f2_f3/f4/f5/f6, string/math/date/array/regexp/case/hash/try/
+    # pad/trunc, array_set_ops, na_fill_drop) and the four set-op
+    # recerts. Each is sub-second at sf0.1 with multi-round green
+    # history — the natural recertification picks per the rotation
+    # plan. As genuinely new registrations land mid-round they swap
+    # back into this list one-for-one.
+    "mart_flagship", "j1_left_broadcast_dim",
+    "j2_left_fact_child",
     "r1_explode_tokens_pos", "r2_explode_keep_empty", "u1_union_by_name",
-    "set_intersect", "f1_coalesce", "f2_f3_strip_split",
-    "f4_parse_ddmmyyyy", "f5_epoch_ms_roundtrip", "f6_empty_to_null_cast",
-    "a1_dedup_full", "a1_dedup_by_key", "a2_counts", "d1_orphan_audit",
+    "set_intersect",
+    "a1_dedup_full", "a1_dedup_by_key", "d1_orphan_audit",
     "agg_pricing_summary", "agg_topk_revenue", "agg_rollup",
     "win_rank_topn", "win_running_total", "sort_limit_topk",
     "text_token_stats", "text_lang_id", "text_quality_score",
@@ -799,13 +806,10 @@ _STABLE_CERTIFIED = [
     "dedup_embedding_cosine_w6", "dedup_embedding_cosine",
     "mm_frame_sample", "text_zscore_by_lang", "agg_pivot_status",
     "agg_cube", "agg_count_distinct", "agg_percentiles",
-    "f_string_functions", "f_math_functions", "f_date_arithmetic",
-    "win_lead_lag_ntile", "win_range_frame", "f_array_functions",
+    "win_lead_lag_ntile", "win_range_frame",
     "sample_deterministic", "quality_profile", "sql_api_top_nations",
     "sketch_approx_distinct", "sketch_approx_quantiles",
-    "events_interval_join", "agg_regional_volume", "set_except_all",
-    "set_except_dup_left", "set_intersect_all", "f_regexp_extract",
-    "j_full_outer", "set_union_distinct", "f_case_bands",
+    "events_interval_join", "agg_regional_volume",
     # r04 driver HASH-green (CORRECTNESS_r04: 50/50, rows + schema +
     # hash), code untouched since — the full r04 window promotes,
     # including the three array-output queries stringified in r04
@@ -824,12 +828,12 @@ _STABLE_CERTIFIED = [
     "quality_pseudonymize", "graph_pagerank", "dim_scd2_lookup",
     "events_variant_extract", "join_incremental_delta",
     "r_unpivot_metrics", "agg_grouping_sets", "win_dist_functions",
-    "p_na_fill_drop", "sketch_incremental_merge", "sql_scalar_subquery",
+    "sketch_incremental_merge", "sql_scalar_subquery",
     "sql_exists_agg", "sql_in_subquery", "agg_having",
     "freq_heavy_hitters", "sql_correlated_scalar", "sql_having_total",
     "events_session_native", "events_time_rollup", "sql_lateral_topk",
     "sql_recursive_spine", "j_salted_skew", "sql_disjunctive_join",
-    "sql_market_share", "agg_collect_sorted", "f_array_set_ops",
+    "sql_market_share", "agg_collect_sorted",
     # r05 driver HASH-green (CORRECTNESS_r05: 50/50 — 49 hash-matched
     # + stream_click_attribution rows-only by design), code untouched
     # since — the full r05 window promotes EXCEPT: f_null_functions,
@@ -839,15 +843,15 @@ _STABLE_CERTIFIED = [
     # greens to re-run) and stream_tumbling_counts' sibling note
     # above. f_hash_functions was initially held out too, then
     # promoted here when `mart_abc_parts` (the VERDICT #6 rework)
-    # registered mid-round and took its slot.
-    "f_hash_functions",
+    # registered mid-round and took its slot. (r07: f_hash_functions
+    # moved to the held-out recert set with its f_* siblings.)
     "text_line_dedup", "text_bm25_scores", "text_self_dedup",
     "sample_quality_quota", "dedup_minhash_recall_eval",
     "sim_cosine_topk", "events_asof_join", "events_asof_forward",
     "stream_click_attribution", "emb_quantize_int8", "sim_topk_int8",
     "sql_q3_shipping_priority", "sql_q14_promo_share",
     "sql_q16_supplier_cnt", "sql_q22_dormant_rich", "sql_parameterized",
-    "f_try_arithmetic", "win_first_last_ignorenulls", "agg_median_split",
+    "win_first_last_ignorenulls", "agg_median_split",
     "win_time_range_frame", "sql_q10_returned_items",
     "agg_sufficient_stats", "agg_listagg", "agg_mode_per_group",
     "sql_q2_min_cost_supplier", "sql_q6_forecast_revenue",
@@ -855,11 +859,37 @@ _STABLE_CERTIFIED = [
     "sql_q12_late_lines_priority", "sql_q13_order_distribution",
     "sql_q15_top_supplier", "sql_q18_large_orders",
     "sql_q20_excess_suppliers", "sql_q21_waiting_suppliers",
-    "f_string_pad_translate", "f_datetime_truncs", "agg_minby_maxby",
+    "agg_minby_maxby",
     "agg_corr_exact", "agg_weighted_avg", "win_moving_avg",
     "win_event_gaps", "win_pct_change_daily", "events_bigram_transitions",
     "text_ngram_topk", "dedup_normalized_exact", "graph_triangle_count",
     "j_cross",
+    # r06 driver HASH-green (CORRECTNESS_r06: 48/50 hash-matched; the
+    # two rows-only streaming rows stay in the window to receive their
+    # hash-exact oracles this round — VERDICT r06 #2), code untouched
+    # since — the r06 window promotes EXCEPT: `graph_kcore` and
+    # `text_dup_span_removal`, deliberately kept in the r07 window
+    # because VERDICT r06 #3/#4 schedule implementation changes to
+    # both (iterative-plan checkpoint cadence; sorted-positions span
+    # rebuild) and changed implementations recertify officially.
+    "sketch_countmin_suppliers", "events_mad_outliers",
+    "dedup_shingle_containment", "dedup_semantic", "text_domain_affinity",
+    "text_bpe_merge_step", "text_collocations", "graph_label_propagation",
+    "emb_gram_matrix", "dedup_simhash_recall_eval",
+    "quality_distribution_drift", "corpus_shard_manifest",
+    "dedup_blocking_profile", "agg_exact_median_global", "events_ewma",
+    "pq_encode", "pq_adc_topk", "ivfpq_topk", "events_rolling_users_daily",
+    "sample_stratified_exact", "events_step_latency", "events_theil_sen",
+    "text_readability", "text_ngram_novelty", "agg_price_histogram",
+    "agg_weighted_median", "quality_benford",
+    "events_cusum_alarms", "events_rolling_slope",
+    "text_dup_span_coverage", "freq_copurchase_lift", "events_mode_type",
+    "graph_link_jaccard", "text_rake_keyphrases", "agg_exact_quantiles",
+    "events_seasonal_baseline", "quality_winsorize",
+    "text_hashed_features", "mart_rfm_scores",
+    "mart_cohort_ltv", "events_top_paths", "events_dwell_time",
+    "text_lang_confusion", "mart_abc_parts",
+    "f_null_functions", "f_bitwise_functions",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit
@@ -981,8 +1011,14 @@ _STABLE_CERTIFIED = [
 # r06-start import above. Keep any further r06 additions ≤ the free
 # window slots so every query stays driver-certified at each round
 # boundary.
-# ROUND-7 ROTATION PLAN (execute at r07 start, mirroring the r06
-# rotation this file records above):
+# ROUND-7 ROTATION PLAN — EXECUTED at r07 start exactly as written:
+# the 46 promotions + 34 held-out recerts are recorded inline in
+# _STABLE_CERTIFIED above; registry_r07 went live via the
+# registry_ext-bottom import; the staged guard flipped to wired-state;
+# check_staged.py/bench.py repointed at the (initially empty) r08
+# bank. Window: 12 bank + stream_tumbling_counts + stream_ewma_values
+# + graph_kcore + text_dup_span_removal + 34 recerts = 50. Original
+# plan kept below for the audit trail:
 # 1. Move the 50 r06-window greens from CORRECTNESS_r06 into
 #    _STABLE_CERTIFIED (preserve relative order; note any red rows
 #    instead of promoting them).

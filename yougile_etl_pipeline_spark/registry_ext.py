@@ -2489,6 +2489,11 @@ def join_incremental_delta(spark, sf):
 # needed.
 from yougile_etl_pipeline_spark import registry_r06  # noqa: E402,F401
 
+# Round-7 rotation (r07 start): the 12-entry bank staged in round 6
+# goes live here, in the same ext-bottom position and for the same
+# circular-entry-path reason as the r06 import above.
+from yougile_etl_pipeline_spark import registry_r07  # noqa: E402,F401
+
 # Order-independence guard: if THIS module was the process's entry
 # point into the engine (e.g. `from ...registry_ext import <helper>`
 # before anything imported registry), the circular tail-import path
