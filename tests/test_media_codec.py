@@ -107,6 +107,28 @@ def test_bmp_strict_on_malformed():
         bmp_decode(bytes(bad_bpp))
 
 
+def test_wav_zero_frames_contract():
+    d = wav_decode(wav_encode(np.array([], dtype=np.int16), 8000))
+    assert (d["n_frames"], d["sum_sq"]) == (0, 0)
+    assert d["s_min"] is None and d["s_max"] is None
+
+
+def test_bmp_negative_width_is_strict():
+    # A negative width used to flip the stride negative, pass the
+    # truncation check vacuously, and die later inside np.frombuffer
+    # with an unrelated message — now a strict ValueError up front.
+    good = bytearray(bmp_encode(np.zeros((2, 2, 3), dtype=np.uint8)))
+    good[18:22] = (-2).to_bytes(4, "little", signed=True)
+    with pytest.raises(ValueError, match="invalid BMP width"):
+        bmp_decode(bytes(good))
+
+
+def test_bmp_zero_area_contract():
+    d = bmp_decode(bmp_encode(np.zeros((0, 3, 3), dtype=np.uint8)))
+    assert (d["height"], d["px_sum"]) == (0, 0)
+    assert d["px_min"] is None and d["px_max"] is None
+
+
 def test_default_decoder_dispatch_and_honest_gate():
     wav = wav_encode(np.array([2, 2], dtype=np.int16), 8000)
     assert default_media_decoder(wav, "audio")[3] == 8.0   # sum_sq
@@ -175,6 +197,33 @@ SELECT p_partkey AS media_id,
              + (i % 3)) % 256)) AS INTEGER) AS px_max
 FROM part
 """
+
+
+def test_media_stats_survive_degenerate_payloads(spark):
+    # One legal empty file must not kill the whole job: wav_decode /
+    # bmp_decode document None extremes for 0-frame / zero-area
+    # payloads, so the stats operators build min/max with pandas
+    # nullable Int32 (plain np.int32 would TypeError inside
+    # mapInPandas on the None).
+    wav_empty = wav_encode(np.array([], dtype=np.int16), 8000)
+    wav_full = wav_encode(np.array([7, -7], dtype=np.int16), 8000)
+    wdf = spark.createDataFrame(
+        [(1, bytearray(wav_empty)), (2, bytearray(wav_full))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in wav_stats(wdf).collect()}
+    assert rows[1]["n_frames"] == 0
+    assert rows[1]["s_min"] is None and rows[1]["s_max"] is None
+    assert (rows[2]["s_min"], rows[2]["s_max"]) == (-7, 7)
+
+    bmp_empty = bmp_encode(np.zeros((0, 2, 3), dtype=np.uint8))
+    bmp_full = bmp_encode(np.full((1, 1, 3), 9, dtype=np.uint8))
+    bdf = spark.createDataFrame(
+        [(1, bytearray(bmp_empty)), (2, bytearray(bmp_full))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in bmp_stats(bdf).collect()}
+    assert rows[1]["px_sum"] == 0
+    assert rows[1]["px_min"] is None and rows[1]["px_max"] is None
+    assert (rows[2]["px_min"], rows[2]["px_max"]) == (9, 9)
 
 
 def test_wav_stats_duckdb_parity(spark):

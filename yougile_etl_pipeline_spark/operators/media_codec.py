@@ -173,6 +173,11 @@ def bmp_decode(payload: bytes) -> dict:
         raise ValueError(
             f"unsupported BMP encoding (bpp={bpp}, compression={comp}); "
             "only uncompressed 24-bpp decodes without codec libraries")
+    if w < 0:
+        # A negative width would flip the stride negative, letting the
+        # truncation check below pass vacuously and the failure surface
+        # later inside np.frombuffer with an unrelated message.
+        raise ValueError(f"invalid BMP width {w}")
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
     row_bytes = w * 3

@@ -207,8 +207,11 @@ def wav_stats(df: DataFrame, id_col: str = "media_id",
                     [r["sample_rate"] for r in rows], "int32"),
                 "n_frames": np.array([r["n_frames"] for r in rows], "int64"),
                 "sum_sq": np.array([r["sum_sq"] for r in rows], "int64"),
-                "s_min": np.array([r["s_min"] for r in rows], "int32"),
-                "s_max": np.array([r["s_max"] for r in rows], "int32"),
+                # Nullable Int32: wav_decode documents s_min/s_max=None
+                # for legal 0-frame payloads — plain np.int32 would
+                # TypeError on one empty file and kill the whole job.
+                "s_min": pd.array([r["s_min"] for r in rows], dtype="Int32"),
+                "s_max": pd.array([r["s_max"] for r in rows], dtype="Int32"),
             })
 
     return df.mapInPandas(run, WAV_STATS_SCHEMA)
@@ -232,8 +235,10 @@ def bmp_stats(df: DataFrame, id_col: str = "media_id",
                 "width": np.array([r["width"] for r in rows], "int32"),
                 "height": np.array([r["height"] for r in rows], "int32"),
                 "px_sum": np.array([r["px_sum"] for r in rows], "int64"),
-                "px_min": np.array([r["px_min"] for r in rows], "int32"),
-                "px_max": np.array([r["px_max"] for r in rows], "int32"),
+                # Nullable Int32: bmp_decode yields None extremes for a
+                # legal zero-area image (see wav_stats note above).
+                "px_min": pd.array([r["px_min"] for r in rows], dtype="Int32"),
+                "px_max": pd.array([r["px_max"] for r in rows], dtype="Int32"),
             })
 
     return df.mapInPandas(run, BMP_STATS_SCHEMA)
