@@ -25,7 +25,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WINDOW = 50
-ROWS_ONLY_BY_DESIGN = {"stream_tumbling_counts", "stream_click_attribution"}
+# stream_click_attribution is the one remaining rows-only entry: its
+# outer-join NULL emission depends on watermark eviction timing across
+# micro-batches, which an availableNow drain does not pin (documented
+# at the registry entry; batch-parity test chains it to the oracle-
+# green events_interval_join). tumbling/ewma/dedup all carry
+# hash-exact deterministic-projection oracles since r07.
+ROWS_ONLY_BY_DESIGN = {"stream_click_attribution"}
 
 
 def main() -> None:

@@ -1100,11 +1100,36 @@ def events_funnel(spark, sf):
          & (first("click") < first("purchase"))).alias("converted"))
 
 
-@register("stream_tumbling_counts")  # Structured Streaming → rows-only check
+@register("stream_tumbling_counts", """
+WITH mx AS (SELECT epoch_ms(max(ts)) AS m FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type,
+         count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, n_events, total_value
+FROM agg, mx
+WHERE epoch_ms(ws + INTERVAL 1 HOUR) <= m - 7200000
+""")
 def stream_tumbling_counts(spark, sf):
+    # Hash-exact oracle via the deterministic-projection pattern
+    # (r06 VERDICT #2, the stream_dedup_keys template): under an
+    # availableNow drain of a static snapshot the append-mode emission
+    # set IS deterministic — the final watermark lands at
+    # max(event_time)-2h, so exactly the tumbling windows with
+    # window_end <= max_ts_ms - 7 200 000 flush, with counts/sums over
+    # ALL their events (nothing was evicted mid-drain; event_id is
+    # unique so the in-stream dedup passes every row). The oracle
+    # computes that same set in closed form; window_start crosses the
+    # boundary as a formatted string (timestamp canon varies by
+    # session TZ, strings do not).
     from yougile_etl_pipeline_spark.streaming.snapshot import run_available_now
 
-    return run_available_now(spark, sf)
+    return run_available_now(spark, sf).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("window_start"),
+        "event_type", "n_events", "total_value")
 
 
 @register("stream_click_attribution")  # stream-stream join → rows-only;

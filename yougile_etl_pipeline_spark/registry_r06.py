@@ -1855,18 +1855,34 @@ def text_lang_confusion(spark, sf):
 # Stateful streaming EWMA (tests/test_stream_ewma.py)
 # ---------------------------------------------------------------------------
 
-@register("stream_ewma_values")  # stateful streaming → rows-only;
+@register("stream_ewma_values", """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+ew AS (
+  SELECT user_id, event_id, rn, v * 1000000 AS s
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_id, n.rn,
+         (1 * n.v * 1000000 + 3 * ew.s) // 4
+  FROM ew JOIN seq n ON n.user_id = ew.user_id AND n.rn = ew.rn + 1)
+SELECT user_id, event_id,
+       CAST(s AS DOUBLE) / 100000000.0 AS ewma
+FROM ew
+""")
 def stream_ewma_values(spark, sf):
-    # No DuckDB oracle CAN exist for the streaming run itself
-    # (applyInPandasWithState micro-batch machinery), so the driver
-    # records a rows-only row — but the proof chain is two links,
-    # both green before staging:
-    #   1. tests/test_stream_ewma.py asserts the streaming output rows
-    #      LITERALLY EQUAL the batch ewma_fixed_point rows (sorted
-    #      row-set equality, exact doubles);
-    #   2. events_ewma (the batch op) is oracle-paired against the
-    #      DuckDB recursive CTE (tests/test_timeseries.py) and stages
-    #      for certification in the same window.
+    # Hash-exact since r07 (was rows-only through r06): the streaming
+    # EWMA's emitted (user_id, event_id, ewma) rows ARE deterministic
+    # under an availableNow drain — rows are (ts, event_id)-sorted
+    # within each micro-batch, the int64 state carries across batches,
+    # and a static-snapshot file source replays in one deterministic
+    # batch — so the entry pairs directly with the batch op's
+    # recursive-CTE oracle (same SQL as `events_ewma`; sharing it is
+    # the point: the streaming twin must equal the batch op bit-wise,
+    # which tests/test_stream_ewma.py also asserts literally).
     from yougile_etl_pipeline_spark.streaming.stateful import (
         run_ewma_available_now,
     )
