@@ -418,6 +418,37 @@ def test_headline_plan_within_budget(spark, name):
             f"{name}: nested-loop join appeared in the plan")
 
 
+# Iterative-graph plan-size budgets (VERDICT r06 #1): before the r07
+# checkpoint fix, kcore_peel re-referenced each round's `und` three
+# times, growing the UNEXECUTED plan tree ~5× per round — graph_kcore
+# fingerprinted 250 shuffles / 124 broadcasts / 250 scans at only 3
+# rounds (bfs 96/60/96). With `checkpoint_every=2` lineage truncates
+# mid-loop, so the registered depths must stay O(rounds)-sized. The
+# budgets are deliberately loose doubles of the measured post-fix
+# shapes (3/2/0, 2/3/2, 3/1/2) — they exist to catch the exponential
+# regrowth class, not plan jitter.
+_ITERATIVE_PLAN_BUDGETS = {
+    # name: max shuffle exchanges in the final (post-checkpoint) plan
+    "graph_kcore": 8,
+    "graph_bfs_layers": 8,
+    "graph_label_propagation": 8,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_ITERATIVE_PLAN_BUDGETS))
+def test_iterative_graph_plan_stays_truncated(spark, name):
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        plan_profile,
+    )
+
+    p = plan_profile(QUERIES[name](spark, SF_SMOKE))
+    budget = _ITERATIVE_PLAN_BUDGETS[name]
+    assert p["shuffle_exchanges"] <= budget, (
+        f"{name}: {p['shuffle_exchanges']} shuffle exchanges in the "
+        f"final plan (budget {budget}) — iterative lineage is growing "
+        f"again; check checkpoint_every in operators/graph.py")
+
+
 def test_countmin_build_single_bounded_shuffle(spark):
     """count_min_build: exactly one exchange (the bounded (depth,
     bucket) aggregate), with a map-side partial HashAggregate before

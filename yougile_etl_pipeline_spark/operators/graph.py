@@ -274,7 +274,7 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
 
 def label_propagation(edges: DataFrame, *, src: str = "src",
                       dst: str = "dst", iterations: int = 3,
-                      checkpoint_every: int | None = 8) -> DataFrame:
+                      checkpoint_every: int | None = 2) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007), made deterministic: after `iterations` rounds each node
     carries the community label that flooded to it.
@@ -331,7 +331,8 @@ def label_propagation(edges: DataFrame, *, src: str = "src",
 
 
 def kcore_peel(edges: DataFrame, *, src: str = "src", dst: str = "dst",
-               k: int = 2, rounds: int = 3) -> DataFrame:
+               k: int = 2, rounds: int = 3,
+               checkpoint_every: int | None = 2) -> DataFrame:
     """Iterative k-core peeling: repeatedly delete nodes of degree < k
     (with the edges they carry) for `rounds` synchronous passes; the
     fixpoint of this process is the classic k-core — the cohesive
@@ -346,8 +347,14 @@ def kcore_peel(edges: DataFrame, *, src: str = "src", dst: str = "dst",
 
     Input is symmetrized/simplified like `label_propagation`. Per
     round: one degree count + two semi joins on node ids — O(E)
-    shuffles, lineage truncated per round via localCheckpoint when
-    deep."""
+    shuffles. Each round references `und` THREE times (degree agg +
+    two semi joins), so the unexecuted plan tree grows ~5× per round
+    — the worst lineage shape of the iterative family (r06 VERDICT:
+    250-shuffle fingerprints at only 3 rounds). `checkpoint_every=2`
+    truncates with localCheckpoint so plan size stays O(rounds);
+    runtime exchange reuse masks the growth at small SF, but at 100×
+    the exponential tree is optimizer-time and recovery-lineage risk,
+    hence the aggressive default."""
     if k < 1 or rounds < 1:
         raise ValueError(f"need k >= 1, rounds >= 1; got {k}, {rounds}")
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -362,7 +369,8 @@ def kcore_peel(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                   .join(keep.withColumnRenamed("a", "b"), "b",
                         "left_semi")
                   .select("a", "b"))
-        if (i + 1) % 8 == 0 and i + 1 < rounds:
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < rounds:
             und = und.localCheckpoint(eager=True)
     return (und.groupBy(F.col("a").alias("node"))
                .agg(F.count(F.lit(1)).alias("degree")))
@@ -421,7 +429,7 @@ def neighbor_jaccard(edges: DataFrame, *, src: str = "src",
 def bfs_layers(edges: DataFrame, seeds: DataFrame, *,
                src: str = "src", dst: str = "dst",
                node_col: str = "node", rounds: int = 3,
-               checkpoint_every: int | None = 8) -> DataFrame:
+               checkpoint_every: int | None = 2) -> DataFrame:
     """Breadth-first layers from a seed set: each reachable node gets
     the number of hops to its NEAREST seed (layer 0 = the seeds),
     explored for a FIXED number of synchronous rounds — the
