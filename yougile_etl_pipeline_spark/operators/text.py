@@ -1057,12 +1057,14 @@ def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
     Distributed shape: same fingerprint-keyed debut aggregation and
     join-back as `dup_span_coverage` (16-byte md5 shuffles, equi-join
     back, ONE doc-keyed shuffle to assemble each doc's removable
-    spans); the rebuild is per-row array math — the covered-position
-    membership test is ``array_contains`` per token, O(tokens ·
-    covered) per doc, fine at document scale and swappable for a
-    sort-merge zip if pathological documents demand it. Returns
-    ``(id_col, n_tokens, n_removed, clean_text)`` for EVERY input
-    doc."""
+    spans); the rebuild is per-row array math on the SORTED covered
+    set — kept positions are the complement, materialized as the gap
+    sequences between consecutive covered positions (sort + one
+    linear zip + one element_at gather), O(tokens + covered·log
+    covered) per doc. The r06 shape tested ``array_contains`` per
+    token — O(tokens · covered), quadratic on pathological documents
+    (VERDICT r06 #2); output is bit-identical. Returns ``(id_col,
+    n_tokens, n_removed, clean_text)`` for EVERY input doc."""
     toks = tokens(text_col)
     gram = F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__s"), n))
     ex = (df.select(F.col(id_col),
@@ -1084,16 +1086,25 @@ def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
                .withColumn("__cov",
                            F.coalesce(F.col("__cov"),
                                       F.array().cast("array<int>"))))
-    kept = F.filter(
-        F.transform(F.col("__toks"),
-                    lambda x, i: F.struct(x.alias("t"),
-                                          (i + 1).alias("p"))),
-        lambda s: ~F.array_contains(F.col("__cov"), s["p"]))
+    # Sorted-gaps complement: with the covered positions sorted and
+    # fenced by sentinels 0 and n_tokens+1, the kept positions are
+    # exactly the integers strictly inside each consecutive pair —
+    # flatten those gap sequences and gather the tokens by position.
+    bounds = F.concat(F.array(F.lit(0)),
+                      F.array_sort("__cov"),
+                      F.array(F.size("__toks") + 1))
+    gaps = F.zip_with(
+        F.slice(bounds, F.lit(1), F.size(bounds) - 1),
+        F.slice(bounds, F.lit(2), F.size(bounds) - 1),
+        lambda a, b: F.when(b - a >= 2, F.sequence(a + 1, b - 1))
+                      .otherwise(F.array().cast("array<int>")))
+    kept_pos = F.flatten(gaps)
     return out.select(
         id_col,
         F.size("__toks").cast("bigint").alias("n_tokens"),
         F.size("__cov").cast("bigint").alias("n_removed"),
-        F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+        F.concat_ws(" ", F.transform(
+            kept_pos, lambda p: F.element_at(F.col("__toks"), p)))
          .alias("clean_text"))
 
 
