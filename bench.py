@@ -141,7 +141,9 @@ def main() -> None:
 # block skips them (ADVICE r06: the r06 block's skip set must apply to
 # the bank blocks too).
 _STREAMING_SKIP = {"stream_ewma_values", "stream_tumbling_counts",
-                   "stream_dedup_keys", "stream_click_attribution"}
+                   "stream_dedup_keys", "stream_click_attribution",
+                   "stream_topk_state", "stream_segment_rollup",
+                   "stream_sessions_final"}
 
 
 def _manifest_timings(

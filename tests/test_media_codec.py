@@ -249,8 +249,14 @@ def test_media_stats_plan_is_map_only(spark):
 
     ev = load_table(spark, SF_SMOKE, "events").select("event_id")
     p = plan_profile(wav_stats(synth_wav_payloads(ev, "event_id")))
-    assert p["shuffle_exchanges"] == 0, (
-        "synth+decode must stay a single map-only mapInPandas chain")
+    # r07: the synth generators spread the (tiny) id column across
+    # cores via ensure_parallelism before the compute-fanning Python
+    # stage — at most ONE round-robin exchange of ids, and a no-op at
+    # real scale where the scan already has enough splits. The decode
+    # chain itself must add no further shuffle.
+    assert p["shuffle_exchanges"] <= 1, (
+        "synth+decode grew beyond the single parallelism-guard "
+        "exchange — the codec chain itself must stay map-only")
 
 
 # ---------------------------------------------------------------------------

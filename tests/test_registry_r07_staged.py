@@ -28,7 +28,7 @@ import sys
 from tests.conftest import SF_SMOKE
 from tests.oracle_compare import compare, duck_connect
 
-_EXPECTED = 12
+_EXPECTED = 18   # 12 staged in the r06 bank + 6 r07 mid-round
 
 
 def test_registry_imports_r07():

@@ -1,0 +1,87 @@
+"""Round-7 streaming additions: stateful top-k, stream-static segment
+rollup, and watermark-evicted session emission — all three registered
+with HASH-EXACT oracles (no rows-only entries in the r07 additions).
+
+Determinism arguments under test:
+* `stream_topk_state`: total order (value DESC, event_id ASC) makes
+  the per-key top-k unique; an availableNow drain of a static
+  snapshot is one micro-batch, so append mode emits exactly one
+  ranked list per key — equal to the batch row_number window.
+* `stream_segment_rollup`: complete output mode re-emits the full
+  (bounded) aggregate, deterministic at ANY micro-batch slicing.
+* `stream_sessions_final`: append mode flushes exactly the sessions
+  with end (last event + gap) <= final watermark (max ts − 2 h) —
+  the deterministic-projection pattern from stream_dedup_keys /
+  stream_tumbling_counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_compare import compare, duck_connect
+
+
+@pytest.mark.parametrize("name", ["stream_topk_state",
+                                  "stream_segment_rollup",
+                                  "stream_sessions_final"])
+def test_stream_r07_registry_parity(spark, name):
+    from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
+
+    con = duck_connect(SF_SMOKE)
+    issues = compare(QUERIES[name](spark, SF_SMOKE), con, ORACLES[name])
+    assert not issues, f"{name}: {issues}"
+
+
+def test_topk_state_is_bounded_and_total_ordered(spark):
+    """State carries at most k pairs per key and the emitted ranking
+    equals the batch window even with duplicate values (tie-break on
+    event_id)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from yougile_etl_pipeline_spark.streaming.stateful import (
+        run_topk_available_now,
+    )
+
+    got = run_topk_available_now(spark, SF_SMOKE, k=3,
+                                 table_name="t_topk_unit")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id")
+    want = (ev.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 3)
+              .select("event_type", F.col("rank").cast("int"),
+                      "event_id", "value"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # bounded output: exactly k rows per key (enough data per type)
+    per_key = {r["event_type"]: r["n"] for r in
+               got.groupBy("event_type").agg(
+                   F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 3 for n in per_key.values()), per_key
+
+
+def test_sessions_final_is_subset_of_batch_sessions(spark):
+    """Every emitted session must exist in the batch session set (the
+    eviction cutoff only FILTERS, never alters a session's extent)."""
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        run_sessions_available_now,
+    )
+
+    streamed = run_sessions_available_now(spark, SF_SMOKE,
+                                          table_name="t_sess_unit")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    batch = (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select("user_id",
+                       F.col("session_window.start").alias("session_start"),
+                       F.col("session_window.end").alias("session_end"),
+                       "n_events"))
+    s = set(map(tuple, streamed.collect()))
+    b = set(map(tuple, batch.collect()))
+    assert s <= b
+    assert len(s) > 0

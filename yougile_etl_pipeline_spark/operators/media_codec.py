@@ -31,9 +31,13 @@ import numpy as np
 __all__ = [
     "bmp_decode",
     "bmp_encode",
+    "bmp_encode_rle8",
+    "bmp_rle8_decode",
     "default_media_decoder",
+    "pcm_resample_zoh",
     "wav_decode",
     "wav_encode",
+    "wav_samples",
 ]
 
 
@@ -64,21 +68,10 @@ def wav_encode(samples: np.ndarray, sample_rate: int,
     return out
 
 
-def wav_decode(payload: bytes) -> dict:
-    """Parse a RIFF/WAVE PCM16 payload into exact integer statistics.
-
-    Walks the chunk list (tolerating extra chunks like LIST/INFO in
-    the wild), requires a PCM ``fmt `` chunk with 16-bit samples, and
-    returns::
-
-        {channels, sample_rate, bits_per_sample, n_frames,
-         sum_sq, s_min, s_max}
-
-    ``sum_sq`` is the exact int64 sum of squared samples across all
-    channels (the loudness/energy primitive — RMS is sqrt(sum_sq/n),
-    left to the caller so the decoder stays float-free); ``s_min`` /
-    ``s_max`` the exact sample extremes (0 frames → sum_sq 0 and
-    None extremes)."""
+def _wav_parse(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Shared RIFF chunk walk: validate the container and return
+    (channels, sample_rate, samples) — the strictness contract
+    documented on `wav_decode`."""
     if len(payload) < 12 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -111,7 +104,34 @@ def wav_decode(payload: bytes) -> dict:
         raise ValueError("block align inconsistent with PCM16")
     if len(data) % block_align:
         raise ValueError("data chunk not frame-aligned")
-    s = np.frombuffer(data, dtype="<i2")
+    return int(channels), int(sample_rate), np.frombuffer(data, dtype="<i2")
+
+
+def wav_samples(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM16 payload to its raw samples:
+    ``(channels, sample_rate, int16 array)`` — interleaved
+    frame-major when stereo. Same strict validation as `wav_decode`
+    (which is this walk + statistics)."""
+    return _wav_parse(payload)
+
+
+def wav_decode(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM16 payload into exact integer statistics.
+
+    Walks the chunk list (tolerating extra chunks like LIST/INFO in
+    the wild), requires a PCM ``fmt `` chunk with 16-bit samples, and
+    returns::
+
+        {channels, sample_rate, bits_per_sample, n_frames,
+         sum_sq, s_min, s_max}
+
+    ``sum_sq`` is the exact int64 sum of squared samples across all
+    channels (the loudness/energy primitive — RMS is sqrt(sum_sq/n),
+    left to the caller so the decoder stays float-free); ``s_min`` /
+    ``s_max`` the exact sample extremes (0 frames → sum_sq 0 and
+    None extremes)."""
+    channels, sample_rate, s = _wav_parse(payload)
+    bits = 16
     return {
         "channels": int(channels),
         "sample_rate": int(sample_rate),
@@ -197,6 +217,158 @@ def bmp_decode(payload: bytes) -> dict:
         "px_min": int(rows.min()) if rows.size else None,
         "px_max": int(rows.max()) if rows.size else None,
     }
+
+
+# ---------------------------------------------------------------------------
+# BMP BI_RLE8 (8-bpp palette, run-length encoded) — a REAL compressed
+# format that decodes with nothing beyond the spec: runs are
+# (count, index) byte pairs plus EOL/EOB/absolute-mode escapes, so the
+# "compressed formats need codec libraries" gate genuinely does not
+# apply to it. Round-6 retired the decode stub for the two
+# container-only formats; this extends the honest-decode surface to
+# its first compression scheme (r07).
+# ---------------------------------------------------------------------------
+
+def bmp_encode_rle8(pixels: np.ndarray) -> bytes:
+    """Canonical 8-bpp palette BMP with BI_RLE8 compression.
+
+    `pixels` is (height, width) uint8 palette INDICES in logical
+    order (row 0 = top); the palette written is the 256-entry
+    grayscale identity (index i → (i, i, i)), so index statistics and
+    gray statistics coincide. Rows are run-length encoded bottom-up
+    per the spec: maximal runs as (count ≤ 255, index) pairs, EOL
+    (00 00) after every row, EOB (00 01) at the end."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("pixels must be (h, w) uint8 palette indices")
+    h, w = px.shape
+    body = bytearray()
+    for r in range(h - 1, -1, -1):          # bottom-up storage
+        row = px[r]
+        c = 0
+        while c < w:
+            run = 1
+            while (c + run < w and run < 255
+                   and row[c + run] == row[c]):
+                run += 1
+            body += bytes((run, int(row[c])))
+            c += run
+        body += b"\x00\x00"                 # EOL
+    body += b"\x00\x01"                     # EOB
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                       len(body), 2835, 2835, 256, 0)
+    off = 14 + len(info) + len(palette)
+    head = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return head + info + palette + body
+
+
+def bmp_rle8_decode(payload: bytes) -> dict:
+    """Parse a BI_RLE8 8-bpp palette BMP into exact integer statistics
+    over the palette INDICES (the encoder's palette is the grayscale
+    identity, so these equal gray statistics for its output).
+
+    Implements the spec's escape codes: encoded runs, EOL (00 00),
+    EOB (00 01), and absolute mode (00 n≥3: n literal indices padded
+    to a word boundary). Delta (00 02) repositions the cursor with
+    undefined gap pixels — strictly rejected rather than guessed.
+    Returns ``{width, height, bits_per_pixel, px_sum, px_min,
+    px_max}`` (None extremes for zero-area, like `bmp_decode`)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _magic, fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if fsize != len(payload):
+        raise ValueError(f"BMP size field {fsize} != payload {len(payload)}")
+    hsize, w, h_raw, planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if hsize < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 8 or comp != 1:
+        raise ValueError(
+            f"not a BI_RLE8 BMP (bpp={bpp}, compression={comp})")
+    if w < 0:
+        raise ValueError(f"invalid BMP width {w}")
+    if h_raw < 0:
+        raise ValueError("top-down BI_RLE8 BMPs are invalid per spec")
+    h = h_raw
+    # decode into per-row counters — statistics only, so no pixel
+    # buffer is materialized; RLE runs fold in O(1) per run
+    pos = off
+    x = y = 0                               # y counts rows from bottom
+    n_px = 0
+    px_sum = 0
+    px_min: int | None = None
+    px_max: int | None = None
+
+    def fold(idx: int, count: int) -> None:
+        nonlocal n_px, px_sum, px_min, px_max
+        n_px += count
+        px_sum += idx * count
+        px_min = idx if px_min is None else min(px_min, idx)
+        px_max = idx if px_max is None else max(px_max, idx)
+
+    ended = False
+    while pos + 2 <= len(payload) and not ended:
+        b0, b1 = payload[pos], payload[pos + 1]
+        pos += 2
+        if b0 > 0:                          # encoded run
+            if x + b0 > w or y >= h:
+                raise ValueError("RLE run overflows row")
+            fold(b1, b0)
+            x += b0
+        elif b1 == 0:                       # EOL
+            x, y = 0, y + 1
+        elif b1 == 1:                       # EOB
+            ended = True
+        elif b1 == 2:                       # delta — undefined gaps
+            raise ValueError("RLE8 delta escape not supported (leaves "
+                             "undefined pixels)")
+        else:                               # absolute mode: b1 literals
+            if x + b1 > w or y >= h:
+                raise ValueError("RLE absolute run overflows row")
+            lit = payload[pos:pos + b1]
+            if len(lit) != b1:
+                raise ValueError("truncated absolute run")
+            for v in lit:
+                fold(v, 1)
+            x += b1
+            pos += b1 + (b1 & 1)            # word-aligned
+    if not ended:
+        raise ValueError("missing RLE8 end-of-bitmap marker")
+    if n_px != w * h:
+        raise ValueError(
+            f"RLE8 stream decoded {n_px} pixels for a {w}x{h} bitmap")
+    return {
+        "width": int(w),
+        "height": int(h),
+        "bits_per_pixel": int(bpp),
+        "px_sum": int(px_sum),
+        "px_min": px_min,
+        "px_max": px_max,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Integer PCM resampling
+# ---------------------------------------------------------------------------
+
+def pcm_resample_zoh(samples: np.ndarray, up: int, down: int) -> np.ndarray:
+    """Zero-order-hold (sample-and-hold) resampling by the rational
+    ratio ``up/down``: ``out[j] = in[(j·down) div up]`` with
+    ``n_out = ceil(n·up/down)`` — pure integer index math, so the
+    result is bit-deterministic and closed-form expressible in SQL
+    (the property the media family's oracles are built on; a
+    windowed-sinc resampler would be float-ordering-dependent and
+    unpairable). Mono PCM16 in, PCM16 out."""
+    if up < 1 or down < 1:
+        raise ValueError(f"need up, down >= 1; got {up}, {down}")
+    s = np.asarray(samples, dtype=np.int16)
+    n = s.size
+    n_out = (n * up + down - 1) // down
+    if n_out == 0:
+        return np.empty(0, dtype=np.int16)
+    j = np.arange(n_out, dtype=np.int64)
+    return s[(j * down) // up]
 
 
 # ---------------------------------------------------------------------------

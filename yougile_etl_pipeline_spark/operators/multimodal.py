@@ -29,11 +29,14 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_binary_payload",
     "binary_metadata",
+    "bmp_rle8_stats",
     "bmp_stats",
     "decode_media",
     "fake_feature_extract",
     "synth_bmp_payloads",
+    "synth_bmp_rle8_payloads",
     "synth_wav_payloads",
+    "wav_resample_stats",
     "wav_stats",
 ]
 
@@ -274,7 +277,12 @@ def synth_wav_payloads(df: DataFrame, id_col: str) -> DataFrame:
 
     schema = T.StructType([T.StructField("media_id", T.LongType()),
                            T.StructField("payload", T.BinaryType())])
-    return df.mapInPandas(run, schema)
+    # synth + codec work is compute-fanning Python: spread the (tiny)
+    # id column across cores before the mapInPandas stage — a no-op at
+    # real scale where the scan already has many splits
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
 
 
 def synth_bmp_payloads(df: DataFrame, id_col: str) -> DataFrame:
@@ -308,4 +316,156 @@ def synth_bmp_payloads(df: DataFrame, id_col: str) -> DataFrame:
 
     schema = T.StructType([T.StructField("media_id", T.LongType()),
                            T.StructField("payload", T.BinaryType())])
-    return df.mapInPandas(run, schema)
+    # synth + codec work is compute-fanning Python: spread the (tiny)
+    # id column across cores before the mapInPandas stage — a no-op at
+    # real scale where the scan already has many splits
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: audio resampling + RLE8-compressed image decode
+# ---------------------------------------------------------------------------
+
+WAV_RESAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_in", T.LongType()),
+    T.StructField("n_out", T.LongType()),
+    T.StructField("rate_out_num", T.LongType()),
+    T.StructField("sum_out", T.LongType()),
+    T.StructField("sum_sq_out", T.LongType()),
+    T.StructField("r_min", T.IntegerType()),
+    T.StructField("r_max", T.IntegerType()),
+])
+
+
+def wav_resample_stats(df: DataFrame, up: int, down: int,
+                       id_col: str = "media_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """Decode RIFF/WAVE PCM16 mono, resample by the rational ratio
+    ``up/down`` with zero-order hold (`media_codec.pcm_resample_zoh`
+    — pure integer index math, the property that keeps the op
+    oracle-pairable), and emit exact integer statistics of the
+    RESAMPLED signal. ``rate_out_num`` is ``sample_rate · up`` (the
+    exact output rate is rate_out_num / down — kept rational so no
+    precision is lost when down ∤ rate·up). One streaming mapInPandas
+    pass, map-only; nullable extremes for 0-frame inputs, like
+    `wav_stats`."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        pcm_resample_zoh,
+        wav_samples,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for payload in pdf[payload_col]:
+                channels, rate, s = wav_samples(payload)
+                if channels != 1:
+                    raise ValueError("wav_resample_stats is mono-only")
+                r = pcm_resample_zoh(s, up, down)
+                r64 = r.astype(np.int64)
+                outs.append({
+                    "n_in": int(s.size),
+                    "n_out": int(r.size),
+                    "rate_out_num": rate * up,
+                    "sum_out": int(r64.sum()),
+                    "sum_sq_out": int((r64 ** 2).sum()),
+                    "r_min": int(r.min()) if r.size else None,
+                    "r_max": int(r.max()) if r.size else None,
+                })
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "n_in": np.array([o["n_in"] for o in outs], "int64"),
+                "n_out": np.array([o["n_out"] for o in outs], "int64"),
+                "rate_out_num": np.array(
+                    [o["rate_out_num"] for o in outs], "int64"),
+                "sum_out": np.array([o["sum_out"] for o in outs], "int64"),
+                "sum_sq_out": np.array(
+                    [o["sum_sq_out"] for o in outs], "int64"),
+                "r_min": pd.array([o["r_min"] for o in outs],
+                                  dtype="Int32"),
+                "r_max": pd.array([o["r_max"] for o in outs],
+                                  dtype="Int32"),
+            })
+
+    return df.mapInPandas(run, WAV_RESAMPLE_SCHEMA)
+
+
+def bmp_rle8_stats(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Exact integer image statistics from BI_RLE8-compressed 8-bpp
+    palette BMPs — the engine's first REAL compressed-format decode
+    (`media_codec.bmp_rle8_decode`: run/absolute/EOL/EOB escapes, no
+    codec library needed). Statistics are over palette indices (the
+    synth corpus writes the grayscale identity palette, so index ==
+    gray). Map-only streaming pass; the decoder folds runs in O(1)
+    per run, so a pathological flat image costs O(w) not O(w·h)."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        bmp_rle8_decode,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [bmp_rle8_decode(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "width": np.array([r["width"] for r in rows], "int32"),
+                "height": np.array([r["height"] for r in rows], "int32"),
+                "px_sum": np.array([r["px_sum"] for r in rows], "int64"),
+                "px_min": pd.array([r["px_min"] for r in rows],
+                                   dtype="Int32"),
+                "px_max": pd.array([r["px_max"] for r in rows],
+                                   dtype="Int32"),
+            })
+
+    return df.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+def synth_bmp_rle8_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic RLE8 BMP corpus: per id::
+
+        w           = 6 + id % 7
+        h           = 2 + id % 5
+        run_len     = 1 + id % 4
+        pixel(r,c)  = (id + 5*r + c div run_len) % 23   (logical
+                      top-down palette indices)
+
+    Horizontal runs of `run_len` equal indices make the RLE encoding
+    non-trivial (multi-pixel encoded runs, not just literal pairs),
+    and the closed-form index formula lets a SQL oracle compute the
+    decoded statistics without seeing a byte — same proof pattern as
+    `synth_wav_payloads`."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        bmp_encode_rle8,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                w = int(6 + mid % 7)
+                h = int(2 + mid % 5)
+                rl = int(1 + mid % 4)
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                px = ((mid + 5 * r + c // rl) % 23).astype(np.uint8)
+                payloads.append(bmp_encode_rle8(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    # synth + codec work is compute-fanning Python: spread the (tiny)
+    # id column across cores before the mapInPandas stage — a no-op at
+    # real scale where the scan already has many splits
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)

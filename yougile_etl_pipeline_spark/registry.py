@@ -890,6 +890,16 @@ _STABLE_CERTIFIED = [
     "mart_cohort_ltv", "events_top_paths", "events_dwell_time",
     "text_lang_confusion", "mart_abc_parts",
     "f_null_functions", "f_bitwise_functions",
+    # r07 mid-round swap (the mart_abc_parts precedent): six held-out
+    # recertification fillers — all multi-round driver-green scalar/
+    # relational entries, code untouched for 2+ rounds — promote back
+    # to stable, freeing window slots for the six genuinely new r07
+    # registrations at the bottom of registry_r07.py (mm_wav_resample,
+    # mm_bmp_rle8, stream_topk_state, stream_segment_rollup,
+    # stream_sessions_final, corpus_release_manifest), each
+    # oracle-proven at sf0.001 AND sf0.01 before registration.
+    "f_string_functions", "f_math_functions", "f_date_arithmetic",
+    "f_array_functions", "f_try_arithmetic", "f_regexp_extract",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -521,6 +521,249 @@ def mart_pareto_coverage(spark, sf):
                         .alias("coverage_share")))
 
 
+# ---------------------------------------------------------------------------
+# Round-7 MID-ROUND registrations (the mart_abc_parts precedent from
+# r06): built, oracle-proven at sf0.001 AND sf0.01, and registered
+# directly into freed filler slots so they certify THIS round. Six
+# entries: the media family's first compressed format (RLE8) and
+# first DSP op (integer resampling), three new streaming shapes
+# (stateful top-k, stream-static enrichment rollup, watermark-evicted
+# session emission), and the corpus-release capstone chaining
+# dedup → decontam → gate → quota → manifest.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+
+@register("mm_wav_resample", """
+WITH p AS (
+  SELECT event_id, 50 + event_id % 100 AS n,
+         8000 + (event_id % 8) * 1000 AS rate
+  FROM events),
+r AS (
+  SELECT event_id, n, rate,
+         list_transform(range(0, CAST((3*n + 1) // 2 AS BIGINT)),
+           j -> (event_id*31 + ((2*j) // 3) * 17) % 65536 - 32768) AS v
+  FROM p)
+SELECT event_id AS media_id,
+  CAST(n AS BIGINT) AS n_in,
+  CAST((3*n + 1) // 2 AS BIGINT) AS n_out,
+  CAST(rate * 3 AS BIGINT) AS rate_out_num,
+  CAST(list_sum(v) AS BIGINT) AS sum_out,
+  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS sum_sq_out,
+  CAST(list_min(v) AS INTEGER) AS r_min,
+  CAST(list_max(v) AS INTEGER) AS r_max
+FROM r
+""")
+def mm_wav_resample(spark, sf):
+    # Integer zero-order-hold resampling (up 3 / down 2) through the
+    # REAL codec path: synth payloads → RIFF container → chunk-walk
+    # decode → index-math resample (media_codec.pcm_resample_zoh).
+    # The oracle evaluates out[j] = s[(2j) div 3] on the closed-form
+    # signal — encoder, container, decoder and resampler all proven
+    # in one hash (tests/test_media_r07.py).
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        synth_wav_payloads,
+        wav_resample_stats,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return wav_resample_stats(synth_wav_payloads(ev, "event_id"), 3, 2)
+
+
+@register("mm_bmp_rle8", """
+WITH p AS (
+  SELECT p_partkey AS id, 6 + p_partkey % 7 AS w,
+         2 + p_partkey % 5 AS h, 1 + p_partkey % 4 AS rl
+  FROM part),
+v AS (
+  SELECT id, w, h,
+         list_transform(range(0, CAST(w*h AS BIGINT)),
+           i -> (id + 5 * (i // w) + (i % w) // rl) % 23) AS px
+  FROM p)
+SELECT id AS media_id,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  CAST(list_sum(px) AS BIGINT) AS px_sum,
+  CAST(list_min(px) AS INTEGER) AS px_min,
+  CAST(list_max(px) AS INTEGER) AS px_max
+FROM v
+""")
+def mm_bmp_rle8(spark, sf):
+    # The engine's first COMPRESSED-format decode: BI_RLE8 8-bpp BMPs
+    # (run/absolute/EOL/EOB escapes — pure spec parsing, no codec
+    # library), run-length encoded by the paired encoder from a
+    # closed-form index image with non-trivial horizontal runs. The
+    # oracle computes the decoded statistics from the pixel formula
+    # without seeing a byte (tests/test_media_r07.py).
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        bmp_rle8_stats,
+        synth_bmp_rle8_payloads,
+    )
+
+    pt = load_table(spark, sf, "part").select("p_partkey")
+    return bmp_rle8_stats(synth_bmp_rle8_payloads(pt, "p_partkey"))
+
+
+@register("stream_topk_state", """
+SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events) WHERE rank <= 5
+""")
+def stream_topk_state(spark, sf):
+    # Stateful streaming top-k (streaming/stateful.py::topk_stateful):
+    # O(k) state per key, total-order tie-break, hash-exact against
+    # the batch row_number window under the availableNow single-drain
+    # determinism argument (tests/test_stream_r07.py).
+    from yougile_etl_pipeline_spark.streaming.stateful import (
+        run_topk_available_now,
+    )
+
+    return run_topk_available_now(spark, sf, k=5,
+                                  table_name="stream_topk_reg")
+
+
+@register("stream_segment_rollup", """
+WITH dim AS (SELECT c_custkey % 100 AS user_id,
+                    min(c_mktsegment) AS segment
+             FROM customer GROUP BY 1)
+SELECT coalesce(segment, 'UNKNOWN') AS segment,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+GROUP BY 1
+""")
+def stream_segment_rollup(spark, sf):
+    # Stream-static enrichment + complete-mode rollup
+    # (streaming/snapshot.py::segment_counts_stream): the bounded
+    # user→segment dim is broadcast so the stream never shuffles for
+    # the join; complete mode makes the tiny aggregate deterministic
+    # at any micro-batch slicing (tests/test_stream_r07.py).
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        run_segments_available_now,
+    )
+
+    return run_segments_available_now(spark, sf,
+                                      table_name="stream_segments_reg")
+
+
+@register("stream_sessions_final", """
+WITH mx AS (SELECT epoch_ms(max(ts)) AS m FROM events),
+x AS (
+  SELECT user_id, ts,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ms
+  FROM events),
+y AS (SELECT *, CASE WHEN prev_ms IS NULL
+                       OR epoch_ms(ts) - prev_ms > 1800000
+                     THEN 1 ELSE 0 END AS brk FROM x),
+z AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM y),
+s AS (SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+             epoch_ms(MAX(ts)) + 1800000 AS session_end_ms,
+             count(*) AS n_events
+      FROM z GROUP BY user_id, sid)
+SELECT user_id, session_start_ms, session_end_ms, n_events
+FROM s, mx WHERE session_end_ms <= m - 7200000
+""")
+def stream_sessions_final(spark, sf):
+    # Watermark-evicted session emission: the streaming session
+    # windows (snapshot.py::session_windows) flush exactly the
+    # sessions whose end (last event + 30 min gap) precedes the final
+    # watermark (max event time − 2 h) — the deterministic-projection
+    # pattern that retired the tumbling/EWMA rows-only entries, now
+    # certifying append-mode session state. Oracle = the
+    # events_session_native gaps-and-islands SQL (same probed
+    # merge-at-exact-gap semantics) plus the eviction cutoff.
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        run_sessions_available_now,
+    )
+
+    out = run_sessions_available_now(spark, sf,
+                                     table_name="stream_sessions_reg")
+    return out.select("user_id",
+                      F.unix_millis("session_start")
+                       .alias("session_start_ms"),
+                      F.unix_millis("session_end")
+                       .alias("session_end_ms"),
+                      "n_events")
+
+
+@register("corpus_release_manifest", """
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(lower(regexp_replace(text, ' +', ' ', 'g')))),
+corpus AS (
+  SELECT d.* FROM documents d JOIN canon USING (doc_id)
+  WHERE d.source NOT IN ('src0', 'src1')),
+bench_grams AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1),
+      i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS g
+    FROM documents WHERE source IN ('src0', 'src1'))),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1),
+      i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS g
+    FROM corpus) cg JOIN bench_grams USING (g)),
+gated AS (
+  SELECT *, len(string_split(text, ' ')) AS n_tokens
+  FROM corpus
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND len(string_split(text, ' ')) >= 5),
+quota AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM gated) WHERE rk <= 30)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM quota GROUP BY lang, source
+""")
+def corpus_release_manifest(spark, sf):
+    # The 100-TB corpus-release capstone (VERDICT r06 #6): exact dedup
+    # (md5-fingerprint canon, operators/dedup.py::exact_dedup) →
+    # benchmark 8-gram decontamination (text.py::ngram_contamination,
+    # bench grams broadcast so the corpus never shuffles) → token-count
+    # quality gate → hash-deterministic per-language quota → release
+    # manifest. Every stage reuses a certified operator; the chain
+    # itself is what this entry certifies (tests/test_corpus_release_manifest.py
+    # pins the plan: no cartesian, bench side broadcast).
+    from yougile_etl_pipeline_spark.operators.dedup import exact_dedup
+    from yougile_etl_pipeline_spark.operators.text import (
+        ngram_contamination,
+        tokens,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    canon = (exact_dedup(docs, "doc_id", "text")
+             .select(F.col("canonical_id").alias("doc_id")))
+    is_bench = F.col("source").isin("src0", "src1")
+    corpus = docs.join(canon, "doc_id").filter(~is_bench)
+    bench = docs.filter(is_bench)
+    dirty = ngram_contamination(corpus, bench, n=8).select("doc_id")
+    gated = (corpus.join(dirty, "doc_id", "left_anti")
+             .withColumn("n_tokens", F.size(tokens("text")))
+             .filter(F.col("n_tokens") >= 5))
+    w = (Window.partitionBy("lang")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    quota = (gated.withColumn("__rk", F.row_number().over(w))
+                  .filter(F.col("__rk") <= 30))
+    return (quota.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -534,10 +777,15 @@ if hasattr(_registry_mod, "_rotate_certification_window"):
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r07_staged.py and consumed by bench.py's
 # `staged` block so every bank entry carries a wall time + plan
-# fingerprint before it ever certifies.
+# fingerprint before it ever certifies. The first 12 are the bank
+# staged in round 6; the last 6 are the round-7 mid-round
+# registrations (freed filler slots — see the section comment above).
 R07_ENTRIES: list[str] = [
     "mm_wav_stats", "mm_bmp_stats", "quality_gini", "events_ks_global",
     "text_code_profile", "text_bpe_fertility", "graph_bfs_layers",
     "stream_dedup_keys", "mm_media_features", "f_map_functions",
     "events_seasonal_anomalies", "mart_pareto_coverage",
+    "mm_wav_resample", "mm_bmp_rle8", "stream_topk_state",
+    "stream_segment_rollup", "stream_sessions_final",
+    "corpus_release_manifest",
 ]

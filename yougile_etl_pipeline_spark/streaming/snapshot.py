@@ -257,3 +257,40 @@ def run_dedup_keys_available_now(spark, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def segment_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment + complete-mode aggregation: the event
+    stream broadcast-joined to a DETERMINISTIC user→segment dim (min
+    segment per user bucket — `enriched_stream`'s dropDuplicates
+    survivor is arrival-order-dependent, which would break oracle
+    pairing) and rolled up per segment.
+
+    Scale shape: the dim is bounded (≤100 rows here; a real user dim
+    broadcast-refreshes per micro-batch), so the stream never
+    shuffles for the join — the only exchange is the final bounded
+    per-segment aggregate. Complete output mode keeps the whole
+    (tiny) result in state, deterministic at any batch slicing."""
+    events = read_events_stream(spark, sf_dir)
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    dim = (cust.groupBy((F.col("c_custkey") % 100).alias("user_id"))
+               .agg(F.min("c_mktsegment").alias("segment")))
+    joined = events.join(F.broadcast(dim), "user_id", "left")
+    return (joined
+            .groupBy(F.coalesce("segment", F.lit("UNKNOWN"))
+                      .alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+                  .alias("total_value")))
+
+
+def run_segments_available_now(spark: SparkSession, sf_dir: str,
+                               table_name: str = "stream_segments"
+                               ) -> DataFrame:
+    q = (segment_counts_stream(spark, sf_dir)
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)

@@ -301,3 +301,90 @@ def run_ewma_available_now(spark, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming top-k (bounded per-key state, r07)
+# ---------------------------------------------------------------------------
+
+TOPK_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("rank", T.IntegerType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+_TOPK_STATE_SCHEMA = T.StructType([
+    T.StructField("vals", T.ArrayType(T.DoubleType())),
+    T.StructField("ids", T.ArrayType(T.LongType())),
+])
+
+
+def topk_stateful(events: DataFrame, *, k: int = 5) -> DataFrame:
+    """Streaming per-key top-k with eviction: each key's state is the
+    current k best ``(value, event_id)`` pairs — O(k) per key, the
+    bounded-state leaderboard every monitoring/ranking stream needs
+    (the use case the Spark-4 ListState API targets;
+    ``applyInPandasWithState`` expresses it today with the list pair
+    carried in one state tuple).
+
+    Order is the TOTAL order (value DESC, event_id ASC) — the
+    deterministic tie-break that makes the operator oracle-pairable
+    against a batch ``row_number()`` window. Each micro-batch emits
+    the refreshed top-k for keys that received rows; under an
+    availableNow drain of a static snapshot (one batch) the output is
+    exactly one ranked list per key, equal to the batch window — the
+    same single-drain determinism argument as `ewma_stateful`.
+
+    At 100 TB: state is k pairs per key regardless of stream length;
+    merging a batch is sort-of-(batch + k) per key, never a global
+    sort; the shuffle is the groupBy(key) Arrow exchange only."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        pdf = pd.concat(list(pdfs))
+        if pdf.empty:
+            return
+        pairs = list(zip((float(v) for v in pdf["value"]),
+                         (int(i) for i in pdf["event_id"])))
+        if state.exists:
+            vals, ids = state.get
+            pairs += [(float(v), int(i)) for v, i in zip(vals, ids)]
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        pairs = pairs[:k]
+        state.update(([p[0] for p in pairs], [p[1] for p in pairs]))
+        yield pd.DataFrame({
+            "event_type": [etype] * len(pairs),
+            "rank": pd.array(range(1, len(pairs) + 1), dtype="int32"),
+            "event_id": [p[1] for p in pairs],
+            "value": [p[0] for p in pairs],
+        })
+
+    base = events.select("event_type", "event_id", "value")
+    return base.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=TOPK_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_topk_available_now(spark, sf_dir: str, *, k: int = 5,
+                           table_name: str = "stream_topk") -> DataFrame:
+    """Drain the events stream once through the stateful top-k into a
+    memory sink; returns one ranked list per event_type."""
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        read_events_stream,
+    )
+
+    q = (topk_stateful(read_events_stream(spark, sf_dir), k=k)
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
