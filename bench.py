@@ -128,11 +128,32 @@ def main() -> None:
     # round-7 registrations (the registry_r07 bank, live since the r07
     # rotation): same treatment.
     out["r07"], out["r07_plans"] = _r07_timings(spark, sf_dir)
-    # r08 staging bank: same single-warmed-run + fingerprint treatment,
+    # round-8 registrations (registry_r08, wired live at the r08
+    # rotation, populated mid-round): same treatment.
+    out["r08"], out["r08_plans"] = _r08_timings(spark, sf_dir)
+    # r09 staging bank: same single-warmed-run + fingerprint treatment,
     # so nothing registers untimed at the next rotation (the staging
     # contract's own lesson — the 22.7 s rolling-distinct catch).
     out["staged"], out["staged_plans"] = _staged_timings(spark, sf_dir)
+    # FULL dump first (one line, for humans / ROUNDLOG), then a COMPACT
+    # summary as the FINAL stdout line: the driver's BENCH_r{N}.json
+    # capture keeps only a ~2,000-char tail, and the full dump outgrew
+    # it in r05 (BENCH_r05–r07 all record `parsed: null`). The last
+    # line stays well under the cap so the headline number is always
+    # machine-readable (VERDICT r07 "What's missing" #1).
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "value_15q_baseline_comparable":
+            out["value_15q_baseline_comparable"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "run_totals": out["run_totals"],
+        "recall": out["recall"],
+        "sf": out["sf"],
+    }
+    print(json.dumps(compact))
 
 
 # Streaming entries manage their own execution (the availableNow drain
@@ -186,19 +207,29 @@ def _r07_timings(
                              skip=set(HEADLINE))
 
 
+def _r08_timings(
+        spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    """Per-round perf/plan record for the round-8 registrations (live
+    in the registry since the r08 rotation)."""
+    from yougile_etl_pipeline_spark.registry_r08 import R08_ENTRIES
+
+    return _manifest_timings(spark, sf_dir, R08_ENTRIES,
+                             skip=set(HEADLINE))
+
+
 def _staged_timings(
         spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
-    """Wall time + plan fingerprint for every round-8 BANK entry,
-    driven off registry_r08's own registrations. Importing the bank
+    """Wall time + plan fingerprint for every round-9 BANK entry,
+    driven off registry_r09's own registrations. Importing the bank
     module registers its entries IN THIS PROCESS ONLY — they insert
     after the live window's 50 entries and the module's tail guard
     re-rotates, so the certified window set bench measures is
     untouched (the driver's correctness process never imports the
-    bank; tests/test_registry_r08_staged.py proves non-import on the
+    bank; tests/test_registry_r09_staged.py proves non-import on the
     canonical path)."""
-    from yougile_etl_pipeline_spark import registry_r08
+    from yougile_etl_pipeline_spark import registry_r09
 
-    return _manifest_timings(spark, sf_dir, registry_r08.R08_ENTRIES)
+    return _manifest_timings(spark, sf_dir, registry_r09.R09_ENTRIES)
 
 
 def _r06_timings(

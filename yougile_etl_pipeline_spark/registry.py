@@ -772,11 +772,20 @@ _STABLE_CERTIFIED = [
     # back into this list one-for-one.
     "mart_flagship", "j1_left_broadcast_dim",
     "j2_left_fact_child",
-    "r1_explode_tokens_pos", "r2_explode_keep_empty", "u1_union_by_name",
-    "set_intersect",
-    "a1_dedup_full", "a1_dedup_by_key", "d1_orphan_audit",
+    # r08 note: 18 more long-stable cheap entries are HELD OUT of this
+    # list (not un-certified — recertifying) to fill the r08 window
+    # next to the 28 r07-filler recerts, the three changed-this-round
+    # holds (corpus_release_manifest quota rework, stream_sessions_final
+    # oracle tie-break, stream_topk_state drain guard) and the pulled
+    # graph_pagerank (checkpoint_every 8→2): r1/r2 explodes,
+    # u1_union_by_name, set_intersect/set_except, a1_dedup_full,
+    # d1_orphan_audit, win_rank_topn/win_running_total, sort_limit_topk,
+    # f_string/math/date/array/try/regexp/null/bitwise function
+    # families. As genuinely new r08 registrations land mid-round they
+    # swap back into this list one-for-one (the mart_abc_parts
+    # precedent).
+    "a1_dedup_by_key",
     "agg_pricing_summary", "agg_topk_revenue", "agg_rollup",
-    "win_rank_topn", "win_running_total", "sort_limit_topk",
     "text_token_stats", "text_lang_id", "text_quality_score",
     "text_fingerprints", "dedup_exact",
     "mm_binary_metadata", "mm_decode_features", "events_hourly_snapshot",
@@ -789,7 +798,7 @@ _STABLE_CERTIFIED = [
     # untouched since — the full r03 window minus text_inverted_index
     # (red in r03: raw-array output; fixed this round, kept in the
     # window for recertification).
-    "set_except", "text_repetition_stats", "doc_chunks",
+    "text_repetition_stats", "doc_chunks",
     "sample_source_mix", "train_pack_sequences", "dedup_shingle_jaccard",
     "dedup_shingle_capped", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_clusters", "dedup_canonical_docs",
@@ -825,7 +834,11 @@ _STABLE_CERTIFIED = [
     "text_lm_quality", "link_fuzzy_titles", "dim_scd2_orders",
     "quality_expectations", "events_retention_cohorts",
     "events_interval_merge", "events_resample_ffill",
-    "quality_pseudonymize", "graph_pagerank", "dim_scd2_lookup",
+    # r08 note: graph_pagerank is NOT listed despite its green history —
+    # pagerank_fixed_point's checkpoint cadence changed this round
+    # (checkpoint_every 8→2, VERDICT r07 "What's wrong" #2) and changed
+    # implementations recertify officially.
+    "quality_pseudonymize", "dim_scd2_lookup",
     "events_variant_extract", "join_incremental_delta",
     "r_unpivot_metrics", "agg_grouping_sets", "win_dist_functions",
     "sketch_incremental_merge", "sql_scalar_subquery",
@@ -889,17 +902,22 @@ _STABLE_CERTIFIED = [
     "text_hashed_features", "mart_rfm_scores",
     "mart_cohort_ltv", "events_top_paths", "events_dwell_time",
     "text_lang_confusion", "mart_abc_parts",
-    "f_null_functions", "f_bitwise_functions",
-    # r07 mid-round swap (the mart_abc_parts precedent): six held-out
-    # recertification fillers — all multi-round driver-green scalar/
-    # relational entries, code untouched for 2+ rounds — promote back
-    # to stable, freeing window slots for the six genuinely new r07
-    # registrations at the bottom of registry_r07.py (mm_wav_resample,
-    # mm_bmp_rle8, stream_topk_state, stream_segment_rollup,
-    # stream_sessions_final, corpus_release_manifest), each
-    # oracle-proven at sf0.001 AND sf0.01 before registration.
-    "f_string_functions", "f_math_functions", "f_date_arithmetic",
-    "f_array_functions", "f_try_arithmetic", "f_regexp_extract",
+    # (r08: f_null/f_bitwise and the six f_* families promoted back in
+    # r07 moved to the held-out recert set again — see the r08 note.)
+    # r08 driver HASH-green (CORRECTNESS_r07: 50/50 — rows + schema +
+    # hash, zero errors), promoted at the r08 rotation in r07-window
+    # order. Held IN the window instead (changed this round):
+    # corpus_release_manifest (per-language quota rebuilt as two-phase
+    # top-k, VERDICT r07 #1), stream_sessions_final (oracle tie-break
+    # ORDER BY ts, event_id — ADVICE r07), stream_topk_state
+    # (single-batch drain guard — ADVICE r07).
+    "stream_tumbling_counts", "graph_kcore", "text_dup_span_removal",
+    "stream_ewma_values", "mm_wav_stats", "mm_bmp_stats",
+    "quality_gini", "events_ks_global", "text_code_profile",
+    "text_bpe_fertility", "graph_bfs_layers", "stream_dedup_keys",
+    "mm_media_features", "f_map_functions", "events_seasonal_anomalies",
+    "mart_pareto_coverage", "mm_wav_resample", "mm_bmp_rle8",
+    "stream_segment_rollup",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -2519,6 +2519,11 @@ from yougile_etl_pipeline_spark import registry_r06  # noqa: E402,F401
 # circular-entry-path reason as the r06 import above.
 from yougile_etl_pipeline_spark import registry_r07  # noqa: E402,F401
 
+# Round-8 rotation (r08 start): registry_r08 goes live here. The bank
+# was EMPTY at r07 end, so every r08 entry is built and registered
+# in-round, filling the 18 freed recert-filler slots one-for-one.
+from yougile_etl_pipeline_spark import registry_r08  # noqa: E402,F401
+
 # Order-independence guard: if THIS module was the process's entry
 # point into the engine (e.g. `from ...registry_ext import <helper>`
 # before anything imported registry), the circular tail-import path
