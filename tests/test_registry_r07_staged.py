@@ -40,17 +40,29 @@ def test_registry_imports_r07():
 
 
 def test_r07_entries_registered_inside_window():
-    from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
+    from yougile_etl_pipeline_spark.registry import (
+        ORACLES,
+        QUERIES,
+        _STABLE_CERTIFIED,
+    )
     from yougile_etl_pipeline_spark.registry_r07 import R07_ENTRIES
 
     assert len(R07_ENTRIES) == _EXPECTED
     window = set(list(QUERIES)[:50])
     missing = [n for n in R07_ENTRIES if n not in QUERIES]
     assert not missing, f"r07 entries not registered: {missing}"
-    out = [n for n in R07_ENTRIES if n not in window]
-    assert not out, (
-        f"r07 entries pushed outside the 50-slot certification "
-        f"window: {out}")
+    # Post-r08-rotation invariant (same shape as the r06 twin,
+    # tests/test_registry_r06_staged.py): every r07 entry is either
+    # promoted to the stable list (certified green in the r08 window,
+    # CORRECTNESS_r07 50/50) or held INSIDE the new window for
+    # recertification (corpus_release_manifest / stream_sessions_final
+    # / stream_topk_state, changed by the round-9 work) —
+    # "registered but never-certified" remains impossible.
+    limbo = [n for n in R07_ENTRIES
+             if n not in window and n not in set(_STABLE_CERTIFIED)]
+    assert not limbo, (
+        f"r07 entries neither stable nor in the certification "
+        f"window: {limbo}")
     no_oracle = [n for n in R07_ENTRIES if n not in ORACLES]
     assert no_oracle == [], f"entries without oracles: {no_oracle}"
 
