@@ -35,6 +35,11 @@ def test_corpus_release_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan           # bench grams broadcast
     assert "LeftAnti" in plan                    # decontam subtraction
+    # Per-language quota is the TWO-PHASE top-k (VERDICT r07 #1): the
+    # partition-local mapInPandas combiner must sit in the plan so no
+    # task ever sorts a whole language's corpus — the phase-2 window
+    # only ranks the <= |langs|*k*partitions survivors.
+    assert "MapInPandas" in plan                 # quota combiner phase
 
 
 def test_corpus_release_quota_and_gate_hold(spark):

@@ -432,6 +432,11 @@ _ITERATIVE_PLAN_BUDGETS = {
     "graph_kcore": 8,
     "graph_bfs_layers": 8,
     "graph_label_propagation": 8,
+    # pagerank_fixed_point joined the checkpoint_every=2 cadence in r09
+    # (VERDICT r08 #5): with a truncation after iteration 2 of 3, the
+    # final plan covers one power-iteration step plus the node/degree
+    # prologue — measured 11 shuffles at sf0.001; loose double.
+    "graph_pagerank": 22,
 }
 
 

@@ -178,7 +178,7 @@ def pagerank_fixed_point(
     iterations: int = 3,
     scale: int = 10**12,
     damping_pct: int = 85,
-    checkpoint_every: int | None = 8,
+    checkpoint_every: int | None = 2,
 ) -> DataFrame:
     """Power-iteration PageRank in integer fixed-point arithmetic.
 

@@ -54,11 +54,14 @@ def grouped_topk(df: DataFrame, group_cols: list[str],
 
     ``order_cols`` must be a TOTAL order (append a unique id as the
     last column) or ties make both phases nondeterministic. Columns
-    are compared ascending, string/number semantics matching Spark's
-    own ordering (phase 1 compares with pandas ``sort_values``, which
-    agrees with Spark on ASCII strings and numerics — the md5-hex +
-    integer-id keys used by callers; callers with exotic collations
-    should pre-encode).
+    are compared ascending NULLS FIRST, matching Spark's default
+    ascending window order (phase 1 sorts with pandas ``sort_values``
+    ``na_position='first'`` so a null order key survives the local
+    combiner exactly when the phase-2 window would rank it). String
+    comparison agrees between the phases for ALL valid Unicode —
+    pandas compares code points and Spark compares UTF-8 bytes, and
+    UTF-8 byte order equals code-point order by construction; callers
+    with non-default collations should pre-encode.
     """
     from pyspark.sql.window import Window
 
@@ -73,6 +76,7 @@ def grouped_topk(df: DataFrame, group_cols: list[str],
             cur = (pdf if state is None
                    else pd.concat([state, pdf], ignore_index=True))
             cur = cur.sort_values(sort_cols, kind="mergesort",
+                                  na_position="first",
                                   ignore_index=True)
             state = cur.groupby(groups, sort=False,
                                 dropna=False).head(k)

@@ -774,10 +774,12 @@ _STABLE_CERTIFIED = [
     "j2_left_fact_child",
     # r08 note: 18 more long-stable cheap entries are HELD OUT of this
     # list (not un-certified — recertifying) to fill the r08 window
-    # next to the 28 r07-filler recerts, the three changed-this-round
+    # next to the 28 r07-filler recerts, the three planned-change
     # holds (corpus_release_manifest quota rework, stream_sessions_final
-    # oracle tie-break, stream_topk_state drain guard) and the pulled
-    # graph_pagerank (checkpoint_every 8→2): r1/r2 explodes,
+    # oracle tie-break, stream_topk_state drain guard — planned at the
+    # r08 rotation, the code changes themselves landed in ROUND 9) and
+    # the pulled graph_pagerank (checkpoint_every 8→2, landed r09):
+    # r1/r2 explodes,
     # u1_union_by_name, set_intersect/set_except, a1_dedup_full,
     # d1_orphan_audit, win_rank_topn/win_running_total, sort_limit_topk,
     # f_string/math/date/array/try/regexp/null/bitwise function
@@ -835,9 +837,12 @@ _STABLE_CERTIFIED = [
     "quality_expectations", "events_retention_cohorts",
     "events_interval_merge", "events_resample_ffill",
     # r08 note: graph_pagerank is NOT listed despite its green history —
-    # pagerank_fixed_point's checkpoint cadence changed this round
-    # (checkpoint_every 8→2, VERDICT r07 "What's wrong" #2) and changed
-    # implementations recertify officially.
+    # it was pulled at the r08 rotation for a PLANNED checkpoint-cadence
+    # change (checkpoint_every 8→2, VERDICT r07 "What's wrong" #2). The
+    # change did NOT land in round 8 (VERDICT r08 "What's wrong" #1);
+    # it landed in round 9 (operators/graph.py:181 now 2, plan budget
+    # pinned in tests/test_plan_audits.py) and the entry recertifies in
+    # the r09 window with the new cadence.
     "quality_pseudonymize", "dim_scd2_lookup",
     "events_variant_extract", "join_incremental_delta",
     "r_unpivot_metrics", "agg_grouping_sets", "win_dist_functions",
@@ -906,11 +911,17 @@ _STABLE_CERTIFIED = [
     # r07 moved to the held-out recert set again — see the r08 note.)
     # r08 driver HASH-green (CORRECTNESS_r07: 50/50 — rows + schema +
     # hash, zero errors), promoted at the r08 rotation in r07-window
-    # order. Held IN the window instead (changed this round):
+    # order. Held IN the window instead for PLANNED changes:
     # corpus_release_manifest (per-language quota rebuilt as two-phase
     # top-k, VERDICT r07 #1), stream_sessions_final (oracle tie-break
     # ORDER BY ts, event_id — ADVICE r07), stream_topk_state
-    # (single-batch drain guard — ADVICE r07).
+    # (single-batch drain guard — ADVICE r07). The changes did NOT
+    # land in round 8 (VERDICT r08 "What's wrong" #1 — the holds were
+    # recorded but the code was untouched); all three landed in ROUND
+    # 9 (registry_r07.py quota via operators/relational.py::
+    # grouped_topk; registry_r07.py session oracle; streaming/
+    # stateful.py drain guard) and the entries recertify in the r09
+    # window with the changed code.
     "stream_tumbling_counts", "graph_kcore", "text_dup_span_removal",
     "stream_ewma_values", "mm_wav_stats", "mm_bmp_stats",
     "quality_gini", "events_ks_global", "text_code_profile",

@@ -533,7 +533,6 @@ def mart_pareto_coverage(spark, sf):
 # ---------------------------------------------------------------------------
 
 from pyspark.sql import functions as F  # noqa: E402
-from pyspark.sql.window import Window  # noqa: E402
 
 
 @register("mm_wav_resample", """
@@ -652,14 +651,14 @@ def stream_segment_rollup(spark, sf):
 @register("stream_sessions_final", """
 WITH mx AS (SELECT epoch_ms(max(ts)) AS m FROM events),
 x AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          lag(epoch_ms(ts)) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) AS prev_ms
   FROM events),
 y AS (SELECT *, CASE WHEN prev_ms IS NULL
                        OR epoch_ms(ts) - prev_ms > 1800000
                      THEN 1 ELSE 0 END AS brk FROM x),
-z AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+z AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid FROM y),
 s AS (SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
              epoch_ms(MAX(ts)) + 1800000 AS session_end_ms,
@@ -738,6 +737,9 @@ def corpus_release_manifest(spark, sf):
     # itself is what this entry certifies (tests/test_corpus_release_manifest.py
     # pins the plan: no cartesian, bench side broadcast).
     from yougile_etl_pipeline_spark.operators.dedup import exact_dedup
+    from yougile_etl_pipeline_spark.operators.relational import (
+        grouped_topk,
+    )
     from yougile_etl_pipeline_spark.operators.text import (
         ngram_contamination,
         tokens,
@@ -753,10 +755,20 @@ def corpus_release_manifest(spark, sf):
     gated = (corpus.join(dirty, "doc_id", "left_anti")
              .withColumn("n_tokens", F.size(tokens("text")))
              .filter(F.col("n_tokens") >= 5))
-    w = (Window.partitionBy("lang")
-         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
-    quota = (gated.withColumn("__rk", F.row_number().over(w))
-                  .filter(F.col("__rk") <= 30))
+    # Per-language quota via the two-phase top-k (VERDICT r07 #1,
+    # landed r09): a bare row_number window funnels each language's
+    # ENTIRE gated corpus through one task for a full sort — with
+    # English ≫ everything else that single skewed task is the
+    # 100-TB killer. grouped_topk's partition-local combiner bounds
+    # every task at |langs|·30 rows before the (now tiny) stitch
+    # window; the (md5(doc_id), doc_id) key is a non-null total
+    # order, so the result is bit-identical to the window form
+    # (tests/test_corpus_release_manifest.py pins both the parity
+    # and the combiner's presence in the plan).
+    keyed = gated.withColumn(
+        "__ord", F.md5(F.col("doc_id").cast("string")))
+    quota = grouped_topk(keyed, ["lang"], ["__ord", "doc_id"],
+                         30).drop("__ord")
     return (quota.groupBy("lang", "source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("total_tokens"),

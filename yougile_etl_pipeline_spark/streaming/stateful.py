@@ -345,9 +345,13 @@ def topk_stateful(events: DataFrame, *, k: int = 5) -> DataFrame:
     def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         (etype,) = key
-        pdf = pd.concat(list(pdfs))
-        if pdf.empty:
+        # A timeout/no-data invocation hands an EMPTY iterator —
+        # pd.concat raises on zero objects, so guard before it
+        # (ADVICE r07; same shape failure the sessionize fn guards).
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
             return
+        pdf = pd.concat(frames)
         pairs = list(zip((float(v) for v in pdf["value"]),
                          (int(i) for i in pdf["event_id"])))
         if state.exists:
@@ -387,4 +391,20 @@ def run_topk_available_now(spark, sf_dir: str, *, k: int = 5,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    # Single-batch drain guard (ADVICE r07): the oracle-pairability
+    # argument in `topk_stateful` requires the WHOLE snapshot in ONE
+    # micro-batch — a chunked drain (e.g. a maxFilesPerTrigger rate
+    # limit appearing on the source) would append one ranked list per
+    # chunk per key, and the duplicate ranks would silently
+    # hash-mismatch. Fail loudly instead.
+    data_batches = sum(
+        1 for p in q.recentProgress
+        if (p.get("numInputRows") if isinstance(p, dict)
+            else p.numInputRows) > 0)
+    if data_batches > 1:
+        raise RuntimeError(
+            f"availableNow drain used {data_batches} data batches; "
+            f"the stateful top-k's append-mode output is only "
+            f"batch-window-deterministic for a single-batch drain — "
+            f"remove rate limits (maxFilesPerTrigger) from the source")
     return spark.table(table_name)
