@@ -90,9 +90,15 @@ def main() -> None:
         for i in range(K):
             c = df
             for col, dom in keys.items():
+                # Cast to bigint BEFORE the offset (ADVICE r07 #3): a
+                # 32-bit key column whose domain rounds up near 2^31
+                # would silently WRAP on the high copies, aliasing
+                # foreign keys across copies. Keys scale up as int64
+                # and stay int64 in the output.
                 c = c.withColumn(
-                    col, (F.col(col) + F.lit(i * domains[dom]))
-                    .cast(dict(df.dtypes)[col]))
+                    col,
+                    F.col(col).cast("bigint")
+                    + F.lit(i * domains[dom]).cast("bigint"))
             copies.append(c)
         big = copies[0]
         for c in copies[1:]:

@@ -2524,6 +2524,12 @@ from yougile_etl_pipeline_spark import registry_r07  # noqa: E402,F401
 # in-round, filling the 18 freed recert-filler slots one-for-one.
 from yougile_etl_pipeline_spark import registry_r08  # noqa: E402,F401
 
+# Round-9 wiring (r09 start): registry_r09 goes live here. The bank
+# was EMPTY at r08 end (VERDICT r08 "What's missing" #3), so every
+# r09 entry is built and registered in-round, each swapping one
+# held-out recertification filler back into _STABLE_CERTIFIED.
+from yougile_etl_pipeline_spark import registry_r09  # noqa: E402,F401
+
 # Order-independence guard: if THIS module was the process's entry
 # point into the engine (e.g. `from ...registry_ext import <helper>`
 # before anything imported registry), the circular tail-import path

@@ -1,26 +1,23 @@
-"""Round-8 query registrations — STAGING BANK, NOT YET WIRED.
+"""Round-8 query registrations — WIRED at the r08 rotation.
 
-Do NOT import this module in round 7: the r07 certification window is
-exactly full (12 registry_r07 bank entries + the two streaming
-recertifications + graph_kcore/text_dup_span_removal recerts + 34
-held-out fillers), and registering past the driver's 50-slot window
-would leave never-certified queries at the round boundary
-(tests/test_certification_window.py enforces the accounting). At
-ROUND-8 START, wire it with one line at the bottom of registry_ext.py
-next to the registry_r06/registry_r07 imports.
+The staging history (preserved in git): this module was authored in
+round 7 as a deliberately-unimported bank; the r08 rotation wired it
+live via the import at registry_ext.py's bottom, next to the
+registry_r06/registry_r07 imports, and
+tests/test_registry_r08_staged.py now enforces the WIRED state (live
+import, every entry registered with an oracle inside the driver's
+50-slot certification window).
 
-NOTE: genuinely new operators built in round 7 should PREFER direct
-registration (swapping a held-out filler back into _STABLE_CERTIFIED
-one-for-one) so they certify THIS round — this bank is for overflow
-beyond the 34 swappable slots. Same staging contract as the previous
-banks: every entry lands here only with its DuckDB oracle proven
-bit-identical at sf0.001 AND sf0.01 (scripts/check_staged.py) and a
-recorded sf0.1 wall time (bench.py's `staged` block is manifest-driven
-off R08_ENTRIES — automatic once the entry and its parity test exist).
-
-tests/test_registry_r08_staged.py smoke-imports this module in a
-SUBPROCESS (so the round-7 window stays untouched) and verifies every
-entry registers with an oracle and runs green at sf0.001.
+The bank stayed EMPTY through round 8 (no entries were staged).
+Mid-round registrations may land here directly — each one swaps a
+held-out recertification filler back into _STABLE_CERTIFIED
+one-for-one so the window keeps exactly 50 non-stable entries
+(tests/test_certification_window.py enforces the accounting). Same
+staging contract as every bank: an entry lands only with its DuckDB
+oracle proven bit-identical at sf0.001 AND sf0.01
+(scripts/check_staged.py) and a recorded sf0.1 wall time (bench.py's
+`staged` block is manifest-driven off R08_ENTRIES — automatic once
+the entry and its parity test exist).
 """
 
 from __future__ import annotations

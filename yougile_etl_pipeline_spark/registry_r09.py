@@ -1,28 +1,21 @@
-"""Round-9 query registrations — STAGING BANK, NOT YET WIRED.
+"""Round-9 query registrations — WIRED at round-9 start.
 
-Do NOT import this module in round 8: the r08 certification window is
-exactly full (46 held-out recertification fillers + graph_pagerank's
-checkpoint-cadence recert + the three changed-this-round holds, with
-mid-round r08 registrations swapping fillers back one-for-one), and
-registering past the driver's 50-slot window would leave
-never-certified queries at the round boundary
-(tests/test_certification_window.py enforces the accounting). At
-ROUND-9 START, wire it with one line at the bottom of registry_ext.py
-next to the registry_r06/r07/r08 imports.
+The staging history (preserved in git): authored in round 8 as a
+deliberately-unimported empty bank; round 9 wired it live via the
+import at registry_ext.py's bottom, next to the
+registry_r06/r07/r08 imports, and tests/test_registry_r09_staged.py
+now enforces the WIRED state (live import, every entry registered
+with an oracle inside the driver's 50-slot certification window).
 
-NOTE: genuinely new operators built in round 8 should PREFER direct
-registration in registry_r08.py (swapping a held-out filler back into
-_STABLE_CERTIFIED one-for-one) so they certify THIS round — this bank
-is for overflow beyond the swappable slots. Same staging contract as
-the previous banks: every entry lands here only with its DuckDB
-oracle proven bit-identical at sf0.001 AND sf0.01
-(scripts/check_staged.py) and a recorded sf0.1 wall time (bench.py's
-`staged` block is manifest-driven off R09_ENTRIES — automatic once
-the entry and its parity test exist).
-
-tests/test_registry_r09_staged.py smoke-imports this module in a
-SUBPROCESS (so the round-8 window stays untouched) and verifies every
-entry registers with an oracle and runs green at sf0.001.
+Every round-9 entry is built and registered in-round (direct
+registration), each swapping one held-out recertification filler
+back into _STABLE_CERTIFIED one-for-one so the window keeps exactly
+50 non-stable entries (tests/test_certification_window.py enforces
+the accounting). Same contract as every bank: an entry lands only
+with its DuckDB oracle proven bit-identical at sf0.001 AND sf0.01
+(per-op parity test + scripts/check_queries.py) and a recorded
+sf0.1 wall time (bench.py's `staged` block is manifest-driven off
+R09_ENTRIES — automatic once the entry and its parity test exist).
 """
 
 from __future__ import annotations
