@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["column_profile", "deterministic_sample", "hash_bucket",
-           "sample_by_rates", "key_skew_profile", "train_val_test_split",
+           "sample_by_rates", "mixture_rebalance", "key_skew_profile",
+           "train_val_test_split",
            "check_expectations", "quarantine", "scd2_build",
            "scd2_lookup", "pseudonymize", "topk_per_group",
            "exact_group_median", "mad_outliers", "distribution_drift",
@@ -85,6 +86,38 @@ def sample_by_rates(df: DataFrame, key: str, group_col: str,
               if thresh is not None
               else F.lit(int(round(default_rate * buckets))))
     return df.filter(hash_bucket(key, buckets) < thresh)
+
+
+def mixture_rebalance(df: DataFrame, group_col: str, weight_col: str,
+                      key: str, *, buckets: int = 10000) -> DataFrame:
+    """Data-driven mixture rebalancing: downsample every group to
+    (approximately) the SMALLEST group's total weight — the
+    equal-mixing primitive a multilingual/multi-source training run
+    needs ("no language dominates the batch mix"), with the rates
+    COMPUTED from the data instead of hand-configured like
+    `sample_by_rates`.
+
+    Per group g: rate_q(g) = (min_total · buckets) div total(g) —
+    pure BIGINT arithmetic, so the quantized rate is bit-identical on
+    any engine (no float division anywhere). A row survives iff
+    ``hash_bucket(key) < rate_q(group)``; the smallest group gets
+    rate_q = buckets and keeps everything. Selection is deterministic
+    per key: re-runs, repartitions, and corpus growth never flip an
+    existing row's fate, only totals drift (re-run to re-quantize).
+
+    100 TB shape: two SMALL aggregates (|groups| rows) and a
+    broadcast of the rate table back onto the fact — the big side is
+    filtered by a per-row predicate and NEVER shuffles."""
+    totals = (df.groupBy(group_col)
+              .agg(F.sum(weight_col).cast("bigint").alias("__tot")))
+    m = totals.agg(F.min("__tot").alias("__min"))
+    rates = (totals.crossJoin(F.broadcast(m))
+             .select(group_col,
+                     F.expr(f"(__min * {int(buckets)}) div __tot")
+                     .alias("__q")))
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(hash_bucket(key, buckets) < F.col("__q"))
+            .drop("__q"))
 
 
 def topk_per_group(df: DataFrame, group_col: str, order_col: str,

@@ -929,6 +929,14 @@ _STABLE_CERTIFIED = [
     "mm_media_features", "f_map_functions", "events_seasonal_anomalies",
     "mart_pareto_coverage", "mm_wav_resample", "mm_bmp_rle8",
     "stream_segment_rollup",
+    # r09 mid-round swaps: each genuinely new registry_r09 entry
+    # frees one window slot by promoting a held-out recert filler
+    # back here (every one is a many-times-driver-certified green,
+    # most recently CORRECTNESS_r08) — the window keeps exactly 50
+    # non-stable entries (tests/test_certification_window.py).
+    "f_case_bands",          # slot → sample_reservoir_per_lang
+    "set_union_distinct",    # slot → corpus_mixture_rebalance
+    "j_full_outer",          # slot → events_hopping_counts
 ]
 
 # Queries awaiting their first driver certification that could NOT fit
