@@ -75,6 +75,110 @@ def test_events_hopping_counts_parity(spark):
     _parity(spark, "events_hopping_counts")
 
 
+def test_text_bpe_roundtrip_parity(spark):
+    _parity(spark, "text_bpe_roundtrip")
+
+
+def test_text_bpe_roundtrip_merges_actually_fire(spark):
+    # The differential is vacuous if no merge ever applies — prove the
+    # fixed merge table produces multi-char tokens on common words.
+    from yougile_etl_pipeline_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([("the",), ("ring",), ("sand",)],
+                               "word string")
+    merges = [("t", "h"), ("e", "</w>"), ("th", "e</w>"), ("a", "n"),
+              ("i", "n"), ("o", "r"), ("r", "e"), ("s", "</w>"),
+              ("in", "g"), ("an", "d</w>")]
+    got = {r["word"]: r["toks"] for r in
+           bpe_encode(df, merges, word_col="word",
+                      out_col="toks").collect()}
+    assert got["the"] == ["the</w>"]
+    assert got["ring"] == ["r", "ing", "</w>"] or \
+        any(len(t) > 1 for t in got["ring"])
+    assert any(len(t) > 1 for t in got["sand"])
+
+
+def test_stream_dedup_static_store_parity(spark):
+    _parity(spark, "stream_dedup_static_store")
+
+
+def test_mm_bmp_palette8_parity(spark):
+    _parity(spark, "mm_bmp_palette8")
+
+
+def test_bmp_pal8_codec_roundtrip_unit():
+    # Direct codec unit: non-identity palette must change the stats
+    # vs raw indices, top-down files decode identically, and padding
+    # is excluded (w=5 forces a 3-byte pad per row).
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        bmp_encode_pal8,
+        bmp_pal8_decode,
+    )
+
+    idx = np.arange(15, dtype=np.uint8).reshape(3, 5)
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([(3 * i + 1) % 256, (5 * i + 2) % 256,
+                    (7 * i + 3) % 256], axis=1).astype(np.uint8)
+    got = bmp_pal8_decode(bmp_encode_pal8(idx, pal))
+    resolved = pal[idx].astype(np.int64)
+    assert got["width"] == 5 and got["height"] == 3
+    assert got["px_sum"] == int(resolved.sum())
+    assert got["px_min"] == int(resolved.min())
+    assert got["px_max"] == int(resolved.max())
+    assert got["px_sum"] != int(idx.astype(np.int64).sum())  # real lookup
+
+
+def test_events_asof_nearest_parity(spark):
+    _parity(spark, "events_asof_nearest")
+
+
+def test_events_asof_nearest_prefers_backward_on_tie(spark):
+    # Synthetic tie: clicks equidistant before/after the purchase —
+    # the earlier (backward) click must win; and among equal-ts
+    # clicks the greatest event_id wins on BOTH sides.
+    import datetime as dt
+
+    from yougile_etl_pipeline_spark.registry import QUERIES  # noqa: F401
+    from yougile_etl_pipeline_spark.operators.relational import asof_join
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = [(1, ts(10), 7, "click", 0.0, None),
+            (2, ts(10), 7, "click", 0.0, None),   # same ts, bigger id
+            (3, ts(30), 7, "click", 0.0, None),
+            (9, ts(20), 7, "purchase", 0.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    from pyspark.sql import functions as F
+    ev = df.withColumn("ms", F.unix_millis("ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ms", "event_id",
+                        (-F.col("event_id")).alias("neg_id")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select(F.col("event_id").alias("purchase_id"),
+                           "user_id", F.col("ms").alias("purchase_ms")))
+    back = asof_join(purchases, clicks, on="user_id",
+                     left_ts="purchase_ms", right_ts="ms",
+                     right_cols=["event_id"], suffix="_b",
+                     direction="backward")
+    both = asof_join(back, clicks, on="user_id",
+                     left_ts="purchase_ms", right_ts="ms",
+                     right_cols=["event_id", "neg_id"], suffix="_f",
+                     tiebreak="neg_id", direction="forward")
+    d_b = F.col("purchase_ms") - F.col("ms_b")
+    d_f = F.col("ms_f") - F.col("purchase_ms")
+    take_back = F.col("ms_b").isNotNull() & (
+        F.col("ms_f").isNull() | (d_b <= d_f))
+    out = both.select(
+        F.when(take_back, F.col("event_id_b"))
+         .otherwise(F.col("event_id_f")).alias("click_id")).collect()
+    assert len(out) == 1 and out[0]["click_id"] == 2
+
+
 def test_events_hopping_counts_every_event_in_three_windows(spark):
     # 30-min windows hopping every 10 min: total across windows must
     # be exactly 3x the event count.

@@ -31,7 +31,9 @@ import numpy as np
 __all__ = [
     "bmp_decode",
     "bmp_encode",
+    "bmp_encode_pal8",
     "bmp_encode_rle8",
+    "bmp_pal8_decode",
     "bmp_rle8_decode",
     "default_media_decoder",
     "pcm_resample_zoh",
@@ -261,6 +263,95 @@ def bmp_encode_rle8(pixels: np.ndarray) -> bytes:
     off = 14 + len(info) + len(palette)
     head = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
     return head + info + palette + body
+
+
+def bmp_encode_pal8(pixels: np.ndarray, palette: np.ndarray) -> bytes:
+    """Canonical UNCOMPRESSED 8-bpp palette BMP (BITMAPINFOHEADER,
+    BI_RGB) with an arbitrary 256-entry palette.
+
+    `pixels` is (height, width) uint8 palette indices in logical
+    order (row 0 = top); `palette` is (256, 3) uint8 (B, G, R)
+    entries, written as the spec's BGRX quads between the header and
+    the pixel array. Rows are stored bottom-up, each padded to a
+    4-byte boundary — for 1-byte pixels the pad is (-w) mod 4, a
+    DIFFERENT stride rule than the 24-bpp encoder's (-3w) mod 4,
+    which is exactly what `bmp_pal8_decode` must undo."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("pixels must be (h, w) uint8 palette indices")
+    if pal.shape != (256, 3):
+        raise ValueError("palette must be (256, 3) uint8 BGR")
+    h, w = px.shape
+    pad = (-w) % 4
+    rows = [px[r].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)]
+    img = b"".join(rows)
+    quads = b"".join(bytes((int(b), int(g), int(r), 0))
+                     for b, g, r in pal)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                       len(img), 2835, 2835, 256, 0)
+    off = 14 + len(info) + len(quads)
+    head = struct.pack("<2sIHHI", b"BM", off + len(img), 0, 0, off)
+    return head + info + quads + img
+
+
+def bmp_pal8_decode(payload: bytes) -> dict:
+    """Parse an uncompressed 8-bpp palette BMP into exact integer
+    statistics over the PALETTE-RESOLVED channel bytes — unlike
+    `bmp_rle8_decode` (whose synth corpus uses the identity palette,
+    so it reads indices), this decoder genuinely walks the color
+    table: every index is looked up to its (B, G, R) entry and the
+    statistics cover the resolved bytes.
+
+    Handles bottom-up and top-down (negative height) files and the
+    1-byte-pixel stride rule (rows padded to 4 bytes, padding
+    excluded from statistics). Returns ``{width, height,
+    bits_per_pixel, px_sum, px_min, px_max}`` where ``px_sum`` is the
+    exact integer sum of every resolved channel byte and min/max
+    range over resolved channel bytes (None for zero-area)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _magic, fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if fsize != len(payload):
+        raise ValueError(f"BMP size field {fsize} != payload {len(payload)}")
+    hsize, w, h_raw, planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if hsize < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 8 or comp != 0:
+        raise ValueError(
+            f"not an uncompressed 8-bpp palette BMP (bpp={bpp}, "
+            f"compression={comp})")
+    if w < 0:
+        raise ValueError(f"invalid BMP width {w}")
+    n_colors = struct.unpack_from("<I", payload, 14 + 32)[0] or 256
+    pal_off = 14 + hsize
+    if pal_off + 4 * n_colors > off:
+        raise ValueError("palette overlaps pixel array")
+    quads = np.frombuffer(payload, dtype=np.uint8,
+                          count=4 * n_colors, offset=pal_off)
+    pal = quads.reshape(n_colors, 4)[:, :3]        # BGR, X dropped
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    stride = w + ((-w) % 4)
+    if off + stride * h > len(payload):
+        raise ValueError("pixel array truncated")
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=stride * h, offset=off)
+    idx = raw.reshape(h, stride)[:, :w]            # drop padding
+    if not top_down:
+        idx = idx[::-1]
+    if idx.size and int(idx.max()) >= n_colors:
+        raise ValueError("palette index out of range")
+    resolved = pal[idx]                            # (h, w, 3) bytes
+    return {
+        "width": int(w),
+        "height": int(h),
+        "bits_per_pixel": int(bpp),
+        "px_sum": int(resolved.astype(np.int64).sum()),
+        "px_min": int(resolved.min()) if resolved.size else None,
+        "px_max": int(resolved.max()) if resolved.size else None,
+    }
 
 
 def bmp_rle8_decode(payload: bytes) -> dict:

@@ -29,10 +29,12 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_binary_payload",
     "binary_metadata",
+    "bmp_pal8_stats",
     "bmp_rle8_stats",
     "bmp_stats",
     "decode_media",
     "fake_feature_extract",
+    "synth_bmp_pal8_payloads",
     "synth_bmp_payloads",
     "synth_bmp_rle8_payloads",
     "synth_wav_payloads",
@@ -425,6 +427,81 @@ def bmp_rle8_stats(df: DataFrame, id_col: str = "media_id",
             })
 
     return df.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+def bmp_pal8_stats(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Exact integer image statistics from UNCOMPRESSED 8-bpp palette
+    BMPs with a real (non-identity) color table
+    (`media_codec.bmp_pal8_decode`): every index resolves through the
+    palette and statistics cover the resolved (B, G, R) bytes — the
+    color-table walk the RLE8 entry's identity palette never
+    exercises. Map-only streaming pass."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        bmp_pal8_decode,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [bmp_pal8_decode(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "width": np.array([r["width"] for r in rows], "int32"),
+                "height": np.array([r["height"] for r in rows], "int32"),
+                "px_sum": np.array([r["px_sum"] for r in rows], "int64"),
+                "px_min": pd.array([r["px_min"] for r in rows],
+                                   dtype="Int32"),
+                "px_max": pd.array([r["px_max"] for r in rows],
+                                   dtype="Int32"),
+            })
+
+    return df.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+def synth_bmp_pal8_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic palette-BMP corpus: per id::
+
+        w           = 5 + id % 6
+        h           = 2 + id % 4
+        idx(r,c)    = (id + 3*r + 2*c) % 256      (logical top-down)
+        palette[i]  = ((3i+1)%256, (5i+2)%256, (7i+3)%256)  as (B,G,R)
+
+    The palette is closed-form but NON-identity, so decode statistics
+    differ from index statistics exactly when the color-table lookup
+    is honored — a SQL oracle computes the resolved-channel stats
+    from the two formulas without seeing a byte (the
+    `synth_wav_payloads` proof pattern)."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        bmp_encode_pal8,
+    )
+
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack([(3 * i + 1) % 256,
+                        (5 * i + 2) % 256,
+                        (7 * i + 3) % 256], axis=1).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                w = int(5 + mid % 6)
+                h = int(2 + mid % 4)
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                px = ((mid + 3 * r + 2 * c) % 256).astype(np.uint8)
+                payloads.append(bmp_encode_pal8(px, palette))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
 
 
 def synth_bmp_rle8_payloads(df: DataFrame, id_col: str) -> DataFrame:

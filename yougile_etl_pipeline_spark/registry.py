@@ -937,6 +937,10 @@ _STABLE_CERTIFIED = [
     "f_case_bands",          # slot → sample_reservoir_per_lang
     "set_union_distinct",    # slot → corpus_mixture_rebalance
     "j_full_outer",          # slot → events_hopping_counts
+    "f_regexp_extract",      # slot → text_bpe_roundtrip
+    "set_intersect_all",     # slot → stream_dedup_static_store
+    "set_except_dup_left",   # slot → mm_bmp_palette8
+    "set_except_all",        # slot → events_asof_nearest
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -125,6 +125,179 @@ def events_hopping_counts(spark, sf):
             .select(F.unix_millis(F.col("w.start")).alias("win_start_ms"),
                     "event_type", "n"))
 
+@register("text_bpe_roundtrip", """
+WITH w AS (
+  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS word
+  FROM documents)
+SELECT lang, count(*) AS n_words,
+       CAST(SUM(len(word)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(word)) AS BIGINT) AS total_decoded_chars,
+       0 AS n_mismatch
+FROM w WHERE regexp_matches(word, '^[A-Za-z0-9]+$')
+GROUP BY lang
+""")
+def text_bpe_roundtrip(spark, sf):
+    # Tokenizer round-trip audit — decode(encode(w)) must equal w for
+    # every distinct word: bpe_encode (operators/bpe.py) splits each
+    # word to char symbols + '</w>' and folds a FIXED merge table
+    # (driver-side constant, the shipped-artifact economics); decode
+    # is the inverse map-only fold (concat tokens, strip the end
+    # marker). The oracle computes what a LOSSLESS tokenizer must
+    # yield — decoded chars == original chars, zero mismatches —
+    # without running BPE, so any encode/decode defect hash-diverges.
+    # Domain pinned to [A-Za-z0-9]+ words: a word containing the end
+    # marker itself is ambiguous by construction. Everything is
+    # map-only after the distinct (the memoization grain bpe_encode
+    # documents); no other shuffle.
+    from yougile_etl_pipeline_spark.operators.bpe import bpe_encode
+
+    merges = [("t", "h"), ("e", "</w>"), ("th", "e</w>"), ("a", "n"),
+              ("i", "n"), ("o", "r"), ("r", "e"), ("s", "</w>"),
+              ("in", "g"), ("an", "d</w>")]
+    words = (load_table(spark, sf, "documents")
+             .select("lang", F.explode(F.split("text", " "))
+                     .alias("word"))
+             .filter(F.col("word").rlike("^[A-Za-z0-9]+$"))
+             .distinct())
+    enc = bpe_encode(words, merges, word_col="word", out_col="toks")
+    dec = enc.withColumn(
+        "decoded",
+        F.regexp_replace(F.array_join("toks", ""), "</w>$", ""))
+    return (dec.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.length("word")).cast("bigint")
+                  .alias("total_chars"),
+                 F.sum(F.length("decoded")).cast("bigint")
+                  .alias("total_decoded_chars"),
+                 F.sum(F.when(F.col("decoded") != F.col("word"), 1)
+                        .otherwise(0)).cast("int")
+                  .alias("n_mismatch")))
+
+
+@register("stream_dedup_static_store", """
+SELECT event_type, count(*) AS n_new,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+FROM events WHERE event_id % 3 <> 0
+GROUP BY event_type
+""")
+def stream_dedup_static_store(spark, sf):
+    # Incremental-ingest dedup: the event stream anti-joined against
+    # a STATIC fingerprint store (16-byte md5 keys, never bodies) —
+    # the streaming twin of dedup.py::incremental
+    # (snapshot.py::dedup_against_store_stream). The store is a pure
+    # function of the snapshot (event_id ≡ 0 mod 3), making the
+    # surviving set a deterministic projection and the entry
+    # hash-exact; complete-mode rollup is slicing-independent.
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        run_dedup_store_available_now,
+    )
+
+    return run_dedup_store_available_now(
+        spark, sf, table_name="stream_dedup_store_reg")
+
+
+@register("mm_bmp_palette8", """
+WITH p AS (SELECT p_partkey AS id, 5 + p_partkey % 6 AS w,
+                  2 + p_partkey % 4 AS h
+           FROM part),
+v AS (
+  SELECT id, w, h,
+         list_transform(range(0, CAST(w*h AS BIGINT)),
+           i -> (id + 3*(i // w) + 2*(i % w)) % 256) AS idx
+  FROM p)
+SELECT id AS media_id,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  CAST(list_sum(list_transform(idx,
+       x -> (3*x+1)%256 + (5*x+2)%256 + (7*x+3)%256)) AS BIGINT)
+    AS px_sum,
+  CAST(list_min(list_transform(idx,
+       x -> least((3*x+1)%256, (5*x+2)%256, (7*x+3)%256))) AS INTEGER)
+    AS px_min,
+  CAST(list_max(list_transform(idx,
+       x -> greatest((3*x+1)%256, (5*x+2)%256, (7*x+3)%256))) AS INTEGER)
+    AS px_max
+FROM v
+""")
+def mm_bmp_palette8(spark, sf):
+    # Uncompressed 8-bpp palette BMP with a real color-table walk
+    # (media_codec.bmp_pal8_decode): the synth palette is closed-form
+    # but NON-identity, so the statistics prove the decoder honors
+    # the lookup — the path mm_bmp_rle8's grayscale-identity palette
+    # never exercises — plus the 1-byte-pixel stride rule. Oracle
+    # computes resolved-channel stats from the index and palette
+    # formulas without seeing a byte.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        bmp_pal8_stats,
+        synth_bmp_pal8_payloads,
+    )
+
+    pt = load_table(spark, sf, "part").select("p_partkey")
+    return bmp_pal8_stats(synth_bmp_pal8_payloads(pt, "p_partkey"))
+
+
+@register("events_asof_nearest", """
+WITH c AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events
+  WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ms,
+         c.ms AS click_ms, c.event_id AS click_id,
+         abs(c.ms - p.purchase_ms) AS d,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY abs(c.ms - p.purchase_ms) ASC NULLS LAST,
+                    c.ms ASC NULLS LAST, c.event_id DESC NULLS LAST)
+           AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id
+)
+SELECT purchase_id, user_id, purchase_ms, click_ms, click_id,
+       d AS dist_ms
+FROM j WHERE rn = 1
+""")
+def events_asof_nearest(spark, sf):
+    # Nearest-asof join (pandas merge_asof direction='nearest'): each
+    # purchase picks the user's click MINIMIZING |click − purchase|,
+    # ties to the earlier click, then the greatest event_id. Built as
+    # the composition of the backward + forward union-sort asof joins
+    # (relational.py::asof_join — one shuffle each, never a quadratic
+    # candidate set; the oracle states the same pick as an argmin
+    # over the naive per-key theta join). The forward leg tie-breaks
+    # on -event_id so both directions prefer the GREATEST id among
+    # equal-ts clicks, matching the oracle's single ordering.
+    from yougile_etl_pipeline_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ms", F.unix_millis("ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ms", F.col("event_id"),
+                        (-F.col("event_id")).alias("neg_id")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select(F.col("event_id").alias("purchase_id"),
+                           "user_id", F.col("ms").alias("purchase_ms")))
+    back = asof_join(purchases, clicks, on="user_id",
+                     left_ts="purchase_ms", right_ts="ms",
+                     right_cols=["event_id"], suffix="_b",
+                     direction="backward")
+    both = asof_join(back, clicks, on="user_id",
+                     left_ts="purchase_ms", right_ts="ms",
+                     right_cols=["event_id", "neg_id"], suffix="_f",
+                     tiebreak="neg_id", direction="forward")
+    d_b = F.col("purchase_ms") - F.col("ms_b")
+    d_f = F.col("ms_f") - F.col("purchase_ms")
+    take_back = F.col("ms_b").isNotNull() & (
+        F.col("ms_f").isNull() | (d_b <= d_f))
+    return both.select(
+        "purchase_id", "user_id", "purchase_ms",
+        F.when(take_back, F.col("ms_b")).otherwise(F.col("ms_f"))
+         .alias("click_ms"),
+        F.when(take_back, F.col("event_id_b"))
+         .otherwise(F.col("event_id_f")).alias("click_id"),
+        F.when(take_back, d_b).otherwise(d_f).alias("dist_ms"))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -143,4 +316,8 @@ R09_ENTRIES: list[str] = [
     "sample_reservoir_per_lang",
     "corpus_mixture_rebalance",
     "events_hopping_counts",
+    "text_bpe_roundtrip",
+    "stream_dedup_static_store",
+    "mm_bmp_palette8",
+    "events_asof_nearest",
 ]

@@ -259,6 +259,54 @@ def run_dedup_keys_available_now(spark, sf_dir: str,
     return spark.table(table_name)
 
 
+def dedup_against_store_stream(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Stream-vs-static-store dedup — the INCREMENTAL-INGEST
+    primitive (VERDICT r07 #3 candidate): new records stream in, a
+    static fingerprint store holds everything already ingested, and
+    a stream-static LEFT ANTI join drops the replays. This is the
+    streaming twin of `operators/dedup.py::incremental` — the store
+    carries 16-byte md5 fingerprints, never bodies, so the anti join
+    keys on fixed-width hashes.
+
+    The demo store = fingerprints of every event_id ≡ 0 (mod 3), a
+    pure function of the snapshot, which makes the surviving set a
+    deterministic projection (`event_id % 3 <> 0`) and the entry
+    hash-exact oracle-pairable. The rollup is complete-mode, so the
+    (tiny, per-type) result is deterministic at any micro-batch
+    slicing — the `segment_counts_stream` argument.
+
+    At 100 TB the store outgrows a broadcast: the same plan falls
+    back to a per-batch shuffled stream-static join, and the
+    production refinement is a broadcast Bloom prefilter
+    (`dedup.py::bloom` bitmap) in front of the exact anti join so
+    only probable-duplicates pay the shuffle."""
+    events = read_events_stream(spark, sf_dir)
+    snap = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    store = (snap.filter(F.col("event_id") % 3 == 0)
+             .select(F.md5(F.col("event_id").cast("string"))
+                     .alias("fp")))
+    fresh = (events.withColumn(
+                 "fp", F.md5(F.col("event_id").cast("string")))
+             .join(store, "fp", "left_anti"))
+    return (fresh.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_new"),
+                 F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+                  .alias("total_value")))
+
+
+def run_dedup_store_available_now(spark: SparkSession, sf_dir: str,
+                                  table_name: str = "stream_dedup_store"
+                                  ) -> DataFrame:
+    q = (dedup_against_store_stream(spark, sf_dir)
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
 def segment_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment + complete-mode aggregation: the event
     stream broadcast-joined to a DETERMINISTIC user→segment dim (min
