@@ -131,10 +131,23 @@ def main() -> None:
     # round-8 registrations (registry_r08, wired live at the r08
     # rotation, populated mid-round): same treatment.
     out["r08"], out["r08_plans"] = _r08_timings(spark, sf_dir)
-    # r09 staging bank: same single-warmed-run + fingerprint treatment,
+    # round-9 registrations (registry_r09, wired live at r09 start,
+    # populated mid-round): same treatment.
+    out["r09"], out["r09_plans"] = _r09_timings(spark, sf_dir)
+    # r10 staging bank: same single-warmed-run + fingerprint treatment,
     # so nothing registers untimed at the next rotation (the staging
     # contract's own lesson — the 22.7 s rolling-distinct catch).
     out["staged"], out["staged_plans"] = _staged_timings(spark, sf_dir)
+    # sf1 scaling evidence (VERDICT r07 #5), gated on
+    # SPARK_GRAFT_SF1_DIR so routine per-round runs stay cheap: a
+    # single warmed run of every headline query at the synthetic
+    # 10x-sf0.1 dataset plus the time slope vs this run's sf0.1
+    # medians — sub-linear-in-data slopes (< 10) are the 100x design
+    # claim made measurable. The dataset regenerates via
+    # scripts/make_sf1.py if evicted from /tmp.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR")
+    if sf1_dir:
+        out["sf1"] = _sf1_block(spark, sf1_dir, timings)
     # FULL dump first (one line, for humans / ROUNDLOG), then a COMPACT
     # summary as the FINAL stdout line: the driver's BENCH_r{N}.json
     # capture keeps only a ~2,000-char tail, and the full dump outgrew
@@ -164,7 +177,7 @@ def main() -> None:
 _STREAMING_SKIP = {"stream_ewma_values", "stream_tumbling_counts",
                    "stream_dedup_keys", "stream_click_attribution",
                    "stream_topk_state", "stream_segment_rollup",
-                   "stream_sessions_final"}
+                   "stream_sessions_final", "stream_dedup_static_store"}
 
 
 def _manifest_timings(
@@ -217,19 +230,58 @@ def _r08_timings(
                              skip=set(HEADLINE))
 
 
+def _r09_timings(
+        spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    """Per-round perf/plan record for the round-9 registrations (live
+    in the registry since the r09 wiring)."""
+    from yougile_etl_pipeline_spark.registry_r09 import R09_ENTRIES
+
+    return _manifest_timings(spark, sf_dir, R09_ENTRIES,
+                             skip=set(HEADLINE))
+
+
 def _staged_timings(
         spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
-    """Wall time + plan fingerprint for every round-9 BANK entry,
-    driven off registry_r09's own registrations. Importing the bank
+    """Wall time + plan fingerprint for every round-10 BANK entry,
+    driven off registry_r10's own registrations. Importing the bank
     module registers its entries IN THIS PROCESS ONLY — they insert
     after the live window's 50 entries and the module's tail guard
     re-rotates, so the certified window set bench measures is
     untouched (the driver's correctness process never imports the
-    bank; tests/test_registry_r09_staged.py proves non-import on the
+    bank; tests/test_registry_r10_staged.py proves non-import on the
     canonical path)."""
-    from yougile_etl_pipeline_spark import registry_r09
+    from yougile_etl_pipeline_spark import registry_r10
 
-    return _manifest_timings(spark, sf_dir, registry_r09.R09_ENTRIES)
+    return _manifest_timings(spark, sf_dir, registry_r10.R10_ENTRIES)
+
+
+def _sf1_block(spark, sf1_dir: str,
+               sf01_timings: dict[str, float]) -> dict:
+    """Single warmed run of every headline query at the sf1 synthetic
+    dataset + slope vs the sf0.1 medians just measured. The dataset
+    is 10x sf0.1 (scripts/make_sf1.py: K=10 key-offset copies), so a
+    slope near 10 is linear-in-data and anything materially below is
+    sub-linear; a slope far ABOVE 10 flags a scale cliff (quadratic
+    candidate set, single-task sort, spill) that sf0.1 hides."""
+    import subprocess
+
+    if not os.path.isdir(sf1_dir):
+        here = os.path.dirname(os.path.abspath(__file__))
+        subprocess.run(
+            [sys.executable, os.path.join(here, "scripts", "make_sf1.py"),
+             sf1_dir],
+            check=True, cwd=here)
+    timings, _plans = _manifest_timings(spark, sf1_dir, HEADLINE)
+    slopes = {n: round(t / sf01_timings[n], 2)
+              for n, t in timings.items()
+              if sf01_timings.get(n, 0) > 0.05}  # sub-50ms bases: noise
+    return {
+        "dir": sf1_dir,
+        "queries": timings,
+        "total": round(sum(timings.values()), 3),
+        "slopes_vs_sf01": slopes,
+        "worst_slope": max(slopes.values()) if slopes else None,
+    }
 
 
 def _r06_timings(

@@ -1,4 +1,4 @@
-"""Re-run every R09-BANK staged-operator oracle-parity test at the
+"""Re-run every R10-BANK staged-operator oracle-parity test at the
 DRIVER'S certification scale factor (sf0.01) before registration.
 
 History: in round 5 this swept the 46 registry_r06 staged entries; in
@@ -9,7 +9,7 @@ registry_r08-style in-window additions) are NOT swept here — they
 enter the live window immediately, so scripts/check_queries.py covers
 them at sf0.01 the moment they register; their sf0.001 parity tests
 ride normal CI. This wrapper exists for the NEXT round's bank only:
-operators built and oracle-proven ahead of slots freeing at the r09
+operators built and oracle-proven ahead of slots freeing at the r10
 rotation. Same contract as before: parity at sf0.001 rides normal CI,
 this wrapper re-executes the exact parity subset with the fixture dir
 overridden to the driver's scale (tests/conftest.py reads
@@ -25,15 +25,15 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# one parity test per staged round-9 bank entry
-# (yougile_etl_pipeline_spark/registry_r09.py) — EMPTY at r08 start;
+# one parity test per staged round-10 bank entry
+# (yougile_etl_pipeline_spark/registry_r10.py) — EMPTY at r09 start;
 # add a line here with every bank entry, per the staging checklist.
 PARITY_TESTS: list[str] = []
 
 
 def main() -> int:
     if not PARITY_TESTS:
-        print("staged parity sweep: r09 bank is empty — nothing to run")
+        print("staged parity sweep: r10 bank is empty — nothing to run")
         return 0
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.01")
