@@ -437,6 +437,9 @@ _ITERATIVE_PLAN_BUDGETS = {
     # final plan covers one power-iteration step plus the node/degree
     # prologue — measured 11 shuffles at sf0.001; loose double.
     "graph_pagerank": 22,
+    # the personalized variant shares the loop shape + cadence; its
+    # prologue adds the seed join (measured 12 at sf0.001).
+    "graph_pagerank_personalized": 24,
 }
 
 

@@ -179,6 +179,61 @@ def test_events_asof_nearest_prefers_backward_on_tie(spark):
     assert len(out) == 1 and out[0]["click_id"] == 2
 
 
+def test_events_resample_interpolate_parity(spark):
+    _parity(spark, "events_resample_interpolate")
+
+
+def test_resample_interpolate_unit(spark):
+    # Hand-checkable grid: anchors at hours 0 (v=10) and 3 (v=40) →
+    # hours 1/2 interpolate to 20/30; a leading-gap key falls back
+    # to its single anchor on both sides of it.
+    import datetime as dt
+
+    from yougile_etl_pipeline_spark.operators.relational import (
+        resample_interpolate,
+    )
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    rows = [(1, ts(0, 30), 7, "e", 10.0, None),
+            (2, ts(3, 10), 7, "e", 40.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["h"].hour: r["value_interp"]
+           for r in resample_interpolate(
+               df, "user_id", "ts", "value").collect()}
+    assert out == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0}
+
+
+def test_graph_pagerank_personalized_parity(spark):
+    _parity(spark, "graph_pagerank_personalized")
+
+
+def test_pagerank_personalized_mass_at_seeds(spark):
+    # Non-seed sources with no in-edges must hold rank 0; seeds must
+    # hold at least the teleport base; empty seed set → all-zero.
+    from pyspark.sql import functions as F
+
+    from yougile_etl_pipeline_spark.operators.graph import (
+        pagerank_personalized,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank_personalized(edges, seeds,
+                                            iterations=3).collect()}
+    assert ranks[4] == 0                       # unreachable from seed
+    assert ranks[1] >= 15 * 10**12 // 100      # teleport base held
+    assert ranks[2] > 0 and ranks[3] > 0       # mass flowed 1→2→3
+    empty = pagerank_personalized(
+        edges, spark.createDataFrame([(99,)], "node long"))
+    assert empty.agg(F.max("rank")).first()[0] == 0
+
+
 def test_events_hopping_counts_every_event_in_three_windows(spark):
     # 30-min windows hopping every 10 min: total across windows must
     # be exactly 3x the event count.

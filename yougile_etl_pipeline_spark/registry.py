@@ -941,6 +941,8 @@ _STABLE_CERTIFIED = [
     "set_intersect_all",     # slot → stream_dedup_static_store
     "set_except_dup_left",   # slot → mm_bmp_palette8
     "set_except_all",        # slot → events_asof_nearest
+    "f_datetime_truncs",     # slot → events_resample_interpolate
+    "f_string_pad_translate",  # slot → graph_pagerank_personalized
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -298,6 +298,127 @@ def events_asof_nearest(spark, sf):
         F.when(take_back, d_b).otherwise(d_f).alias("dist_ms"))
 
 
+@register("events_resample_interpolate", """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), hourly AS (
+  SELECT user_id, h, val, n_events FROM (
+    SELECT user_id, date_trunc('hour', ts) AS h, value AS val,
+           count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+             AS n_events,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1
+), j AS (
+  SELECT g.user_id, g.h, hh.val, coalesce(hh.n_events, 0) AS n_events
+  FROM grid g LEFT JOIN hourly hh
+    ON g.user_id = hh.user_id AND g.h = hh.h
+), x AS (
+  SELECT *,
+    last_value(val IGNORE NULLS) OVER w_past AS vp,
+    last_value(CASE WHEN val IS NOT NULL THEN h END IGNORE NULLS)
+      OVER w_past AS hp,
+    first_value(val IGNORE NULLS) OVER w_next AS vn,
+    first_value(CASE WHEN val IS NOT NULL THEN h END IGNORE NULLS)
+      OVER w_next AS hn
+  FROM j
+  WINDOW w_past AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, h,
+  CASE WHEN val IS NOT NULL THEN val
+       WHEN vp IS NULL THEN vn
+       WHEN vn IS NULL THEN vp
+       ELSE vp + (vn - vp)
+            * (CAST(epoch_ms(h) - epoch_ms(hp) AS DOUBLE)
+               / CAST(epoch_ms(hn) - epoch_ms(hp) AS DOUBLE))
+  END AS value_interp,
+  n_events
+FROM x
+""")
+def events_resample_interpolate(spark, sf):
+    # Linear-interpolation resampling (relational.py::
+    # resample_interpolate): empty hourly buckets get the straight
+    # line between the nearest anchored buckets, leading/trailing
+    # gaps fall back to the single available anchor. Anchor time and
+    # value ride the same null condition, so both windows pick the
+    # SAME row (no chimera fills); v0 + (v1−v0)·(Δt/ΔT) is one
+    # correctly-rounded double division + multiply + add in identical
+    # operand order on both engines — hash-exact despite the doubles.
+    from yougile_etl_pipeline_spark.operators.relational import (
+        resample_interpolate,
+    )
+
+    ev = load_table(spark, sf, "events")
+    return resample_interpolate(ev, "user_id", "ts", "value")
+
+
+_PPR_GRAPH = """
+d0 AS (
+  SELECT DISTINCT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
+  FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40),
+nodes AS (SELECT DISTINCT n FROM (
+  SELECT src AS n FROM d0 UNION SELECT dst FROM d0)),
+deg AS (SELECT src, count(*) AS outdeg FROM d0 GROUP BY src),
+ns AS (SELECT count(*) AS k FROM nodes WHERE n % 10 = 0)
+"""
+
+_PPR_STEP = """
+s{i} AS (
+  SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS s
+  FROM d0 e JOIN r{prev} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT nd.n AS node,
+         CAST(CASE WHEN nd.n % 10 = 0
+                   THEN (15 * 1000000000000) // (100 * (SELECT k FROM ns))
+                   ELSE 0 END
+              + (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes nd LEFT JOIN s{i} ON nd.n = s{i}.node
+)"""
+
+_PPR_SQL = ("WITH " + _PPR_GRAPH
+            + ", r0 AS (SELECT n AS node, CAST(CASE WHEN n % 10 = 0"
+              " THEN 1000000000000 // (SELECT k FROM ns) ELSE 0 END"
+              " AS BIGINT) AS rank FROM nodes)"
+            + "".join("," + _PPR_STEP.format(i=i, prev=i - 1)
+                      for i in (1, 2, 3))
+            + "\nSELECT node, rank FROM r3")
+
+
+@register("graph_pagerank_personalized", _PPR_SQL)
+def graph_pagerank_personalized(spark, sf):
+    # Personalized PageRank (graph.py::pagerank_personalized):
+    # teleport mass restarts at the seed set (nodes ≡ 0 mod 10 of the
+    # modular doc graph) instead of uniformly — seed-conditioned
+    # relevance, the expansion primitive behind "more like these
+    # documents". Integer fixed-point like the global variant, so
+    # three unrolled iterations are bit-exact against the SQL oracle;
+    # checkpoint_every=2 truncates lineage on the same cadence as
+    # every other iterative graph op.
+    from yougile_etl_pipeline_spark.operators.graph import (
+        pagerank_personalized,
+    )
+
+    d = load_table(spark, sf, "documents")
+    edges = (d.select((F.col("doc_id") % 40).alias("src"),
+                      ((F.col("doc_id") * 7 + 3) % 40).alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    seeds = (d.select((F.col("doc_id") % 40).alias("node"))
+             .filter(F.col("node") % 10 == 0)
+             .distinct())
+    return pagerank_personalized(edges, seeds)
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -320,4 +441,6 @@ R09_ENTRIES: list[str] = [
     "stream_dedup_static_store",
     "mm_bmp_palette8",
     "events_asof_nearest",
+    "events_resample_interpolate",
+    "graph_pagerank_personalized",
 ]
