@@ -234,6 +234,31 @@ def test_pagerank_personalized_mass_at_seeds(spark):
     assert empty.agg(F.max("rank")).first()[0] == 0
 
 
+def test_stream_hopping_counts_parity(spark):
+    # The streaming twin shares the batch entry's oracle — an
+    # availableNow complete-mode drain must equal the batch rollup.
+    _parity(spark, "stream_hopping_counts")
+
+
+def test_events_stickiness_dau_mau_parity(spark):
+    _parity(spark, "events_stickiness_dau_mau")
+
+
+def test_stickiness_bounds(spark):
+    # 1/n_days <= stickiness <= 1 by construction (each day's DAU is
+    # between 1-user-overlap and the month's full MAU).
+    from yougile_etl_pipeline_spark.registry import QUERIES
+
+    for r in QUERIES["events_stickiness_dau_mau"](
+            spark, SF_SMOKE).collect():
+        assert 0 < r["stickiness"] <= 1.0
+        assert r["sum_dau"] >= r["mau"] or r["n_days"] == 1
+
+
+def test_corpus_dedup_rate_report_parity(spark):
+    _parity(spark, "corpus_dedup_rate_report")
+
+
 def test_events_hopping_counts_every_event_in_three_windows(spark):
     # 30-min windows hopping every 10 min: total across windows must
     # be exactly 3x the event count.

@@ -943,6 +943,9 @@ _STABLE_CERTIFIED = [
     "set_except_all",        # slot → events_asof_nearest
     "f_datetime_truncs",     # slot → events_resample_interpolate
     "f_string_pad_translate",  # slot → graph_pagerank_personalized
+    "f_hash_functions",      # slot → stream_hopping_counts
+    "f_bitwise_functions",   # slot → events_stickiness_dau_mau
+    "f_try_arithmetic",      # slot → corpus_dedup_rate_report
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

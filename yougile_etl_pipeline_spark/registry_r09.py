@@ -419,6 +419,93 @@ def graph_pagerank_personalized(spark, sf):
     return pagerank_personalized(edges, seeds)
 
 
+@register("stream_hopping_counts", """
+SELECT win_start_ms, event_type, count(*) AS n
+FROM (
+  SELECT event_type,
+         unnest(generate_series(a - 1200000, a, 600000)) AS win_start_ms
+  FROM (SELECT event_type,
+               epoch_ms(ts) - epoch_ms(ts) % 600000 AS a
+        FROM events))
+GROUP BY 1, 2
+""")
+def stream_hopping_counts(spark, sf):
+    # The STREAMING twin of events_hopping_counts — identical
+    # F.window expression under readStream, complete-mode state,
+    # availableNow drain; shares the batch entry's window-enumeration
+    # oracle verbatim (snapshot.py::hopping_counts_stream).
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        run_hopping_available_now,
+    )
+
+    return run_hopping_available_now(
+        spark, sf, table_name="stream_hopping_reg")
+
+
+@register("events_stickiness_dau_mau", """
+WITH d AS (
+  SELECT date_trunc('month', ts) AS mon, CAST(ts AS DATE) AS day,
+         user_id
+  FROM events),
+dau AS (SELECT mon, day, count(DISTINCT user_id) AS dau
+        FROM d GROUP BY 1, 2),
+mau AS (SELECT mon, count(DISTINCT user_id) AS mau FROM d GROUP BY 1),
+agg AS (SELECT mon, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(SUM(dau) AS BIGINT) AS sum_dau
+        FROM dau GROUP BY mon)
+SELECT a.mon, a.n_days, a.sum_dau, m.mau,
+       CAST(a.sum_dau AS DOUBLE) / (a.n_days * m.mau) AS stickiness
+FROM agg a JOIN mau m ON a.mon = m.mon
+""")
+def events_stickiness_dau_mau(spark, sf):
+    # DAU/MAU stickiness — the engagement ratio every activity mart
+    # reports: mean daily actives over monthly actives, per month.
+    # Exact distinct counts both levels (bounded: |users| per bucket);
+    # the single double division happens in identical operand order
+    # on both engines, so the ratio is hash-exact.
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("month", "ts").alias("mon"),
+        F.to_date("ts").alias("day"), "user_id")
+    dau = (ev.groupBy("mon", "day")
+           .agg(F.count_distinct("user_id").alias("dau")))
+    mau = ev.groupBy("mon").agg(F.count_distinct("user_id").alias("mau"))
+    agg = (dau.groupBy("mon")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                F.sum("dau").cast("bigint").alias("sum_dau")))
+    return (agg.join(mau, "mon")
+            .select("mon", "n_days", "sum_dau", "mau",
+                    (F.col("sum_dau").cast("double")
+                     / (F.col("n_days") * F.col("mau")))
+                    .alias("stickiness")))
+
+
+@register("corpus_dedup_rate_report", """
+WITH f AS (
+  SELECT source,
+         md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT fp) AS n_unique,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_rows
+FROM f GROUP BY source
+""")
+def corpus_dedup_rate_report(spark, sf):
+    # Per-source duplication audit — the "how dirty is each crawl"
+    # report that decides dedup budgets: normalized-text fingerprints
+    # (the exact_dedup family's md5-of-collapsed-whitespace canon),
+    # distinct-vs-total per source. Only 16-byte fingerprints
+    # shuffle, never bodies.
+    docs = load_table(spark, sf, "documents")
+    fp = docs.select(
+        "source",
+        F.md5(F.lower(F.regexp_replace("text", " +", " "))).alias("fp"))
+    return (fp.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("fp").alias("n_unique"),
+                 (F.count(F.lit(1)) - F.count_distinct("fp"))
+                 .cast("bigint").alias("n_dup_rows")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -443,4 +530,7 @@ R09_ENTRIES: list[str] = [
     "events_asof_nearest",
     "events_resample_interpolate",
     "graph_pagerank_personalized",
+    "stream_hopping_counts",
+    "events_stickiness_dau_mau",
+    "corpus_dedup_rate_report",
 ]

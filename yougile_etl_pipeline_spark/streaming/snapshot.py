@@ -307,6 +307,40 @@ def run_dedup_store_available_now(spark: SparkSession, sf_dir: str,
     return spark.table(table_name)
 
 
+def hopping_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping-window rollup — the SAME ``F.window('30
+    minutes', '10 minutes')`` expression the batch entry
+    (`events_hopping_counts`) certifies, under readStream: each event
+    lands in exactly three windows, counts aggregate per (window,
+    type). Complete output mode keeps every window's count in state
+    and re-emits the full (bounded: 3 windows per distinct 10-min
+    slice) result each batch, so an availableNow drain equals the
+    batch rollup at ANY micro-batch slicing — which is what lets the
+    entry share the batch twin's window-enumeration oracle verbatim.
+    A production stream would swap complete mode for append +
+    ``withWatermark`` to evict closed windows; the expression is
+    unchanged — that is the point of certifying it."""
+    events = read_events_stream(spark, sf_dir)
+    return (events
+            .groupBy(F.window("ts", "30 minutes", "10 minutes")
+                     .alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+                    "event_type", "n"))
+
+
+def run_hopping_available_now(spark: SparkSession, sf_dir: str,
+                              table_name: str = "stream_hopping"
+                              ) -> DataFrame:
+    q = (hopping_counts_stream(spark, sf_dir)
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
 def segment_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment + complete-mode aggregation: the event
     stream broadcast-joined to a DETERMINISTIC user→segment dim (min
