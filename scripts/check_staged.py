@@ -28,7 +28,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # one parity test per staged round-10 bank entry
 # (yougile_etl_pipeline_spark/registry_r10.py) — EMPTY at r09 start;
 # add a line here with every bank entry, per the staging checklist.
-PARITY_TESTS: list[str] = []
+PARITY_TESTS: list[str] = [
+    # the r10 bank's subprocess smoke executes every entry's REGISTRY
+    # copy against its oracle at SPARK_GRAFT_SMOKE_DIR (this wrapper
+    # sets sf0.01): quality_iqr_outliers, agg_share_of_parent,
+    # mm_wav_mulaw, events_asof_tolerance
+    "tests/test_registry_r10_staged.py::"
+    "test_r10_module_registers_and_runs_in_subprocess",
+]
 
 
 def main() -> int:

@@ -328,3 +328,62 @@ def test_decode_media_mixed_duckdb_parity(spark):
     con = duck_connect(SF_SMOKE)
     issues = compare(got, con, MIXED_ORACLE)
     assert not issues, issues
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law (r10 staging bank: mm_wav_mulaw)
+# ---------------------------------------------------------------------------
+
+def test_mulaw_roundtrip_quantization_properties():
+    """The lossy round trip must (a) be idempotent on already-decoded
+    values, (b) bound the error by the segment step, (c) preserve
+    sign and ordering of magnitudes across segment boundaries."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    s = np.array([0, 1, -1, 100, -100, 1000, -1000, 8191, -8192,
+                  32635, -32635, 32767, -32768], dtype=np.int64)
+    dec = mulaw_decode(mulaw_encode(s)).astype(np.int64)
+    # sign preserved wherever the decoded magnitude is non-zero
+    # (inputs below half the first quantization step — |s| < 4 —
+    # legitimately decode to 0, G.711's dead zone)
+    nz = dec != 0
+    assert ((dec[nz] > 0) == (s[nz] > 0)).all()
+    assert (np.abs(s[(dec == 0) & (s != 0)]) < 4).all()
+    # error bounded by half the segment step (step = 2^(seg+3)), and
+    # the clip region saturates at the top quantization level
+    mag = np.minimum(np.abs(s), 32635) + 132
+    seg = np.zeros_like(mag)
+    for t in (256, 512, 1024, 2048, 4096, 8192, 16384):
+        seg += (mag >= t).astype(np.int64)
+    step = 1 << (seg + 3)
+    assert (np.abs(np.abs(dec) - np.minimum(np.abs(s), 32635))
+            <= step).all()
+    # idempotence: decode(encode(decode(encode(x)))) == decode(encode(x))
+    dec2 = mulaw_decode(mulaw_encode(dec)).astype(np.int64)
+    assert (dec2 == dec).all()
+
+
+def test_mulaw_decode_matches_closed_form():
+    """The decoder must equal the closed form the SQL oracle states:
+    ((mant*8 + 132) << seg) - 132, signed."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    rng = np.arange(-32768, 32768, 257, dtype=np.int64)
+    dec = mulaw_decode(mulaw_encode(rng)).astype(np.int64)
+    mag = np.minimum(np.abs(rng), 32635) + 132
+    seg = np.zeros_like(mag)
+    for t in (256, 512, 1024, 2048, 4096, 8192, 16384):
+        seg += (mag >= t).astype(np.int64)
+    mant = (mag >> (seg + 3)) & 0xF
+    want = np.where(rng < 0, -1, 1) * (((mant * 8 + 132) << seg) - 132)
+    assert (dec == want).all()

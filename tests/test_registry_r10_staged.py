@@ -5,8 +5,9 @@ round 9 must NOT import registry_r10 — the r09 window is exactly
 full, and an accidental import would strand never-certified
 registrations at the round boundary; (2) the module must actually
 work when wired — verified in a SUBPROCESS so this test session's
-registry stays untouched, with every entry oracle-executed at
-sf0.001 from its REGISTRY copy."""
+registry stays untouched, with every entry oracle-executed from its
+REGISTRY copy at sf0.001 (or SPARK_GRAFT_SMOKE_DIR — the
+scripts/check_staged.py sf0.01 re-proof path)."""
 
 from __future__ import annotations
 
@@ -16,10 +17,10 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_EXPECTED = 0
+_EXPECTED = 4
 
 _SUBPROC = """
-import sys
+import os, sys
 sys.path.insert(0, %r)
 from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
 before = set(QUERIES)
@@ -34,10 +35,10 @@ if new:
     from tests.oracle_compare import compare, duck_connect
     spark = get_spark(app_name="r10-smoke", master="local[4]")
     spark.sparkContext.setLogLevel("ERROR")
-    con = duck_connect("/root/testdata/sf0.001")
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    con = duck_connect(sf)
     for name in new:
-        issues = compare(QUERIES[name](spark, "/root/testdata/sf0.001"),
-                         con, ORACLES[name])
+        issues = compare(QUERIES[name](spark, sf), con, ORACLES[name])
         assert not issues, f"{name}: {issues}"
 print("R10-SMOKE-OK")
 """

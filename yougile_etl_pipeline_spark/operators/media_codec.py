@@ -36,6 +36,8 @@ __all__ = [
     "bmp_pal8_decode",
     "bmp_rle8_decode",
     "default_media_decoder",
+    "mulaw_decode",
+    "mulaw_encode",
     "pcm_resample_zoh",
     "wav_decode",
     "wav_encode",
@@ -437,6 +439,48 @@ def bmp_rle8_decode(payload: bytes) -> dict:
         "px_min": px_min,
         "px_max": px_max,
     }
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law companding (8-bit log-PCM telephony codec)
+# ---------------------------------------------------------------------------
+
+_MULAW_BIAS = 0x84      # 132
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode(samples: np.ndarray) -> bytes:
+    """G.711 µ-law compression of int16 PCM — the engine's first
+    LOSSY codec, and still pure integer math: bias, clip, segment
+    (position of the leading bit), 4-bit mantissa, ones-complement.
+    One byte per sample.
+
+    Vectorized: the segment search is eight integer comparisons, not
+    a per-sample Python loop."""
+    s = np.asarray(samples, dtype=np.int64)
+    sign = (s < 0).astype(np.int64)
+    mag = np.minimum(np.abs(s), _MULAW_CLIP) + _MULAW_BIAS
+    # seg = floor(log2(mag)) - 7  for mag in [0x84, 0x7F9B+0x84]
+    seg = np.zeros_like(mag)
+    for threshold in (256, 512, 1024, 2048, 4096, 8192, 16384):
+        seg += (mag >= threshold).astype(np.int64)
+    mant = (mag >> (seg + 3)) & 0xF
+    code = (~((sign << 7) | (seg << 4) | mant)) & 0xFF
+    return code.astype(np.uint8).tobytes()
+
+
+def mulaw_decode(payload: bytes) -> np.ndarray:
+    """Exact integer G.711 µ-law expansion (the inverse of
+    `mulaw_encode`'s quantizer): int16 samples out, bit-identical to
+    the closed-form ``((mant·8 + 132) << seg) − 132`` a SQL oracle
+    can state — which is what makes a lossy codec's output still
+    hash-exact oracle-pairable."""
+    code = (~np.frombuffer(payload, dtype=np.uint8).astype(np.int64)) & 0xFF
+    sign = (code >> 7) & 1
+    seg = (code >> 4) & 7
+    mant = code & 0xF
+    mag = (((mant << 3) + _MULAW_BIAS) << seg) - _MULAW_BIAS
+    return np.where(sign == 1, -mag, mag).astype(np.int16)
 
 
 # ---------------------------------------------------------------------------

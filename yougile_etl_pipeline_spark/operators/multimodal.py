@@ -34,7 +34,9 @@ __all__ = [
     "bmp_stats",
     "decode_media",
     "fake_feature_extract",
+    "mulaw_roundtrip_stats",
     "synth_bmp_pal8_payloads",
+    "synth_mulaw_payloads",
     "synth_bmp_payloads",
     "synth_bmp_rle8_payloads",
     "synth_wav_payloads",
@@ -247,6 +249,71 @@ def bmp_stats(df: DataFrame, id_col: str = "media_id",
             })
 
     return df.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+def mulaw_roundtrip_stats(df: DataFrame, id_col: str = "media_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """Exact integer statistics of G.711 µ-law DECODED samples
+    (`media_codec.mulaw_decode`) — the engine's first lossy codec,
+    kept hash-exact oracle-pairable because the quantizer is pure
+    integer math a SQL oracle can state in closed form. Map-only
+    streaming pass."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        mulaw_decode,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [mulaw_decode(p).astype(np.int64)
+                    for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "n_samples": np.array([len(r) for r in rows], "int64"),
+                "dec_sum": np.array([int(r.sum()) for r in rows],
+                                    "int64"),
+                "dec_min": np.array([int(r.min()) for r in rows],
+                                    "int64"),
+                "dec_max": np.array([int(r.max()) for r in rows],
+                                    "int64"),
+            })
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("n_samples", T.LongType()),
+                           T.StructField("dec_sum", T.LongType()),
+                           T.StructField("dec_min", T.LongType()),
+                           T.StructField("dec_max", T.LongType())])
+    return df.mapInPandas(run, schema)
+
+
+def synth_mulaw_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic µ-law corpus from the SAME closed-form signal as
+    `synth_wav_payloads` (n = 50 + id % 100, s[i] = (id·31 + i·17)
+    mod 65536 − 32768), compressed through `mulaw_encode` — one byte
+    per sample, no container."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        mulaw_encode,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                n = 50 + mid % 100
+                i = np.arange(n, dtype=np.int64)
+                s = (mid * 31 + i * 17) % 65536 - 32768
+                payloads.append(mulaw_encode(s))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
 
 
 def synth_wav_payloads(df: DataFrame, id_col: str) -> DataFrame:

@@ -27,8 +27,194 @@ entry registers with an oracle and runs green at sf0.001.
 
 from __future__ import annotations
 
-from yougile_etl_pipeline_spark.registry import register  # noqa: F401
-from yougile_etl_pipeline_spark.sources.tables import load_table  # noqa: F401
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.registry import register
+from yougile_etl_pipeline_spark.sources.tables import load_table
+
+
+@register("quality_iqr_outliers", """
+WITH ranked AS (
+  SELECT event_type, value AS v,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL),
+q AS (SELECT event_type,
+        MIN(CASE WHEN rn = (n * 250000 + 999999) // 1000000
+                 THEN v END) AS q1,
+        MIN(CASE WHEN rn = (n * 750000 + 999999) // 1000000
+                 THEN v END) AS q3
+      FROM ranked GROUP BY event_type),
+f AS (SELECT event_type, q1, q3,
+        q1 - 1.5 * (q3 - q1) AS lo,
+        q3 + 1.5 * (q3 - q1) AS hi FROM q)
+SELECT e.event_type, count(*) AS n,
+  CAST(SUM(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_low,
+  CAST(SUM(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_high,
+  MIN(f.q1) AS q1, MIN(f.q3) AS q3
+FROM events e JOIN f USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+""")
+def quality_iqr_outliers(spark, sf):
+    # Tukey-fence outlier audit per key: exact type-1 quartiles
+    # (quality.py::exact_group_quantiles — data-member answers, one
+    # key shuffle) → 1.5·IQR fences → per-key outlier counts. The
+    # fence arithmetic is three double ops in identical operand
+    # order on both engines; the |keys|-row fence table broadcasts,
+    # so the fact side pays one extra scan and no extra shuffle.
+    from yougile_etl_pipeline_spark.operators.quality import (
+        exact_group_quantiles,
+    )
+
+    ev = (load_table(spark, sf, "events")
+          .select("event_type", "value")
+          .filter(F.col("value").isNotNull()))
+    qs = exact_group_quantiles(ev, "event_type", "value",
+                               q_ppm=[250_000, 750_000])
+    p = qs.groupBy("event_type").agg(
+        F.min(F.when(F.col("q_ppm") == 250_000,
+                     F.col("quantile"))).alias("q1"),
+        F.min(F.when(F.col("q_ppm") == 750_000,
+                     F.col("quantile"))).alias("q3"))
+    fence = p.select(
+        "event_type", "q1", "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"))
+    return (ev.join(F.broadcast(fence), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("value") < F.col("lo"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_low"),
+                 F.sum(F.when(F.col("value") > F.col("hi"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_high"),
+                 F.min("q1").alias("q1"), F.min("q3").alias("q3")))
+
+
+@register("agg_share_of_parent", """
+WITH seg AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n_cust
+  FROM customer GROUP BY 1, 2),
+tot AS (SELECT c_nationkey, CAST(SUM(n_cust) AS BIGINT) AS nation_total
+        FROM seg GROUP BY 1)
+SELECT s.c_nationkey, s.c_mktsegment, s.n_cust, t.nation_total,
+       CAST(s.n_cust AS DOUBLE) / CAST(t.nation_total AS DOUBLE)
+         AS share
+FROM seg s JOIN tot t USING (c_nationkey)
+""")
+def agg_share_of_parent(spark, sf):
+    # Percent-of-parent rollup — the drill-down mart shape (segment
+    # share within nation): child aggregate re-aggregated to the
+    # parent level and broadcast back for the ratio. Two bounded
+    # aggregates, one broadcast, one identical-operand-order double
+    # division (hash-exact).
+    c = load_table(spark, sf, "customer")
+    seg = (c.groupBy("c_nationkey", "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_cust")))
+    tot = (seg.groupBy("c_nationkey")
+           .agg(F.sum("n_cust").cast("bigint").alias("nation_total")))
+    return (seg.join(F.broadcast(tot), "c_nationkey")
+            .select("c_nationkey", "c_mktsegment", "n_cust",
+                    "nation_total",
+                    (F.col("n_cust").cast("double")
+                     / F.col("nation_total").cast("double"))
+                    .alias("share")))
+
+
+@register("mm_wav_mulaw", """
+WITH p AS (SELECT event_id AS id, 50 + event_id % 100 AS n FROM events),
+s AS (
+  SELECT id, n,
+    list_transform(range(0, CAST(n AS BIGINT)),
+      i -> (id*31 + i*17) % 65536 - 32768) AS sm
+  FROM p),
+m AS (
+  SELECT id, n, sm,
+    list_transform(sm, x -> least(abs(x), 32635) + 132) AS mag
+  FROM s),
+g AS (
+  SELECT id, n, sm, mag,
+    list_transform(mag, x ->
+      CASE WHEN x >= 16384 THEN 7 WHEN x >= 8192 THEN 6
+           WHEN x >= 4096 THEN 5 WHEN x >= 2048 THEN 4
+           WHEN x >= 1024 THEN 3 WHEN x >= 512 THEN 2
+           WHEN x >= 256 THEN 1 ELSE 0 END) AS seg
+  FROM m),
+d AS (
+  SELECT id, n,
+    list_transform(range(1, CAST(n AS BIGINT) + 1), i ->
+      (CASE WHEN sm[i] < 0 THEN -1 ELSE 1 END)
+      * ((((mag[i] // (1 << (seg[i] + 3))) % 16) * 8 + 132)
+         * (1 << seg[i]) - 132)) AS dec
+  FROM g)
+SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(list_sum(dec) AS BIGINT) AS dec_sum,
+       CAST(list_min(dec) AS BIGINT) AS dec_min,
+       CAST(list_max(dec) AS BIGINT) AS dec_max
+FROM d
+""")
+def mm_wav_mulaw(spark, sf):
+    # G.711 µ-law round trip — the engine's first LOSSY codec, still
+    # hash-exact oracle-pairable because the quantizer (bias, clip,
+    # segment, 4-bit mantissa) is pure integer math the oracle states
+    # in closed form over the synth signal
+    # (media_codec.mulaw_encode/mulaw_decode; same signal family as
+    # mm_wav_stats). Map-only mapInPandas pass, one byte per sample.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        mulaw_roundtrip_stats,
+        synth_mulaw_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return mulaw_roundtrip_stats(synth_mulaw_payloads(ev, "event_id"))
+
+
+@register("events_asof_tolerance", """
+WITH c AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events
+  WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ms,
+         c.ms AS click_ms, c.event_id AS click_id,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY c.ms DESC NULLS LAST, c.event_id DESC NULLS LAST)
+           AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id
+    AND c.ms <= p.purchase_ms AND c.ms >= p.purchase_ms - 600000
+)
+SELECT purchase_id, user_id, purchase_ms, click_ms, click_id
+FROM j WHERE rn = 1
+""")
+def events_asof_tolerance(spark, sf):
+    # Backward as-of join WITH a tolerance bound (pandas merge_asof's
+    # `tolerance` knob): matches farther than 10 minutes before the
+    # purchase are voided to NULL rather than carried — the staleness
+    # guard every "price as of" lookup needs. Exercises asof_join's
+    # tolerance mask (relational.py), which the untolerated entries
+    # never touch; same one-shuffle union-sort shape.
+    from yougile_etl_pipeline_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ms", F.unix_millis("ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ms", "event_id"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select(F.col("event_id").alias("purchase_id"),
+                           "user_id", F.col("ms").alias("purchase_ms")))
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_ts="purchase_ms", right_ts="ms",
+                    right_cols=["event_id"], suffix="_asof",
+                    tolerance=600_000)
+    return out.select("purchase_id", "user_id", "purchase_ms",
+                      F.col("ms_asof").alias("click_ms"),
+                      F.col("event_id_asof").alias("click_id"))
 
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
@@ -43,5 +229,10 @@ if hasattr(_registry_mod, "_rotate_certification_window"):
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r10_staged.py and consumed by bench.py's
 # `staged` block so every bank entry carries a wall time + plan
-# fingerprint before it ever certifies. EMPTY at r09 start.
-R10_ENTRIES: list[str] = []
+# fingerprint before it ever certifies.
+R10_ENTRIES: list[str] = [
+    "quality_iqr_outliers",
+    "agg_share_of_parent",
+    "mm_wav_mulaw",
+    "events_asof_tolerance",
+]
