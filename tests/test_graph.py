@@ -211,3 +211,32 @@ def test_triangle_count_random_vs_bruteforce(spark):
                    and (a, c) in edges)
     df = spark.createDataFrame(sorted(edges), "src long, dst long")
     assert triangle_count(df).collect()[0].n_triangles == expected
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (r10 staging bank: graph_hits_scores)
+# ---------------------------------------------------------------------------
+
+def test_hits_scores_hand_checked(spark):
+    """Star graph 1->3, 2->3, 3->4: after two unnormalized
+    iterations, authority concentrates on 3 (pointed to by the best
+    hubs) and hub mass on 1/2 (they point at the best authority).
+    Hand-unrolled: h0=1 -> a1=(3:2, 4:1) -> h1=(1:2, 2:2, 3:1) ->
+    a2=(3:4, 4:1) -> h2=(1:4, 2:4, 3:1)."""
+    from yougile_etl_pipeline_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits_scores(edges, iterations=2).collect()}
+    assert got == {1: (4, 0), 2: (4, 0), 3: (1, 4), 4: (0, 1)}
+
+
+def test_hits_scores_empty_and_single_edge(spark):
+    from yougile_etl_pipeline_spark.operators.graph import hits_scores
+
+    one = spark.createDataFrame([(7, 9)], "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits_scores(one, iterations=2).collect()}
+    # a1=(9:1); h1=(7:1); a2=(9:1); h2=(7:1)
+    assert got == {7: (1, 0), 9: (0, 1)}

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "canonical_docs",
            "pagerank_fixed_point", "pagerank_personalized",
-           "triangle_count", "label_propagation",
+           "hits_scores", "triangle_count", "label_propagation",
            "kcore_peel", "neighbor_jaccard"]
 
 
@@ -295,6 +295,52 @@ def pagerank_personalized(
                 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits_scores(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+                iterations: int = 2,
+                checkpoint_every: int | None = 2) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities) in UNNORMALIZED integer
+    arithmetic: h₀ = 1 for every node, then alternately
+    ``auth_k(v) = Σ_{u→v} hub_{k−1}(u)`` and
+    ``hub_k(u) = Σ_{u→v} auth_k(v)`` for a FIXED iteration count.
+
+    Skipping the usual per-round normalization is what keeps the
+    result bit-deterministic and SQL-oracle-pairable: every value is
+    an integer sum, growing at most by a max-degree factor per
+    half-step (int64 overflows only past degree^(2·iterations) ≈
+    10^18 — document the bound rather than divide). Rankings are
+    unchanged by normalization, which is all HITS is used for.
+
+    Distributed shape per half-step: one join of the edge list to the
+    current score vector (both keyed on a node id) + one groupBy —
+    the PageRank shuffle pattern; `checkpoint_every` truncates
+    lineage on the iterative-graph cadence. Returns
+    ``(node, hub, auth)``."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node"))).distinct())
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for i in range(iterations):
+        a = (edges.join(hub, edges[src] == hub["node"])
+             .groupBy(F.col(dst).alias("node"))
+             .agg(F.sum("hub").alias("auth")))
+        auth = (nodes.join(a, "node", "left")
+                .select("node", F.coalesce("auth", F.lit(0))
+                        .cast("long").alias("auth")))
+        h = (edges.join(auth, edges[dst] == auth["node"])
+             .groupBy(F.col(src).alias("node"))
+             .agg(F.sum("auth").alias("hub")))
+        hub = (nodes.join(h, "node", "left")
+               .select("node", F.coalesce("hub", F.lit(0))
+                       .cast("long").alias("hub")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iterations:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select("node", "hub", "auth")
 
 
 def triangle_count(edges: DataFrame, *, src: str = "src",

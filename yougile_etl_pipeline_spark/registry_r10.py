@@ -216,6 +216,129 @@ def events_asof_tolerance(spark, sf):
                       F.col("ms_asof").alias("click_ms"),
                       F.col("event_id_asof").alias("click_id"))
 
+@register("graph_hits_scores", """
+WITH d0 AS (
+  SELECT DISTINCT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
+  FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40),
+nodes AS (SELECT DISTINCT n FROM (
+  SELECT src AS n FROM d0 UNION SELECT dst FROM d0)),
+a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS a
+       FROM d0 GROUP BY dst),
+na1 AS (SELECT n AS node, COALESCE(a1.a, 0) AS a
+        FROM nodes LEFT JOIN a1 ON nodes.n = a1.node),
+h1 AS (SELECT e.src AS node, CAST(SUM(na1.a) AS BIGINT) AS h
+       FROM d0 e JOIN na1 ON e.dst = na1.node GROUP BY e.src),
+nh1 AS (SELECT n AS node, COALESCE(h1.h, 0) AS h
+        FROM nodes LEFT JOIN h1 ON nodes.n = h1.node),
+a2 AS (SELECT e.dst AS node, CAST(SUM(nh1.h) AS BIGINT) AS a
+       FROM d0 e JOIN nh1 ON e.src = nh1.node GROUP BY e.dst),
+na2 AS (SELECT n AS node, COALESCE(a2.a, 0) AS a
+        FROM nodes LEFT JOIN a2 ON nodes.n = a2.node),
+h2 AS (SELECT e.src AS node, CAST(SUM(na2.a) AS BIGINT) AS h
+       FROM d0 e JOIN na2 ON e.dst = na2.node GROUP BY e.src),
+nh2 AS (SELECT n AS node, COALESCE(h2.h, 0) AS h
+        FROM nodes LEFT JOIN h2 ON nodes.n = h2.node)
+SELECT nh2.node, nh2.h AS hub, na2.a AS auth
+FROM nh2 JOIN na2 ON nh2.node = na2.node
+""")
+def graph_hits_scores(spark, sf):
+    # Kleinberg HITS over the modular doc graph (graph.py::
+    # hits_scores): unnormalized integer hub/authority sums after two
+    # fixed iterations — normalization only rescales the ranking, and
+    # skipping it is what keeps a spectral-style algorithm
+    # bit-exactly oracle-pairable (two unrolled half-step CTE pairs).
+    from yougile_etl_pipeline_spark.operators.graph import hits_scores
+
+    d = load_table(spark, sf, "documents")
+    edges = (d.select((F.col("doc_id") % 40).alias("src"),
+                      ((F.col("doc_id") * 7 + 3) % 40).alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    return hits_scores(edges, iterations=2)
+
+
+@register("text_jaccard_topk_pairs", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(t) - 1, 0) + 1),
+      i -> t[i] || ' ' || t[i+1])) AS g
+    FROM toks)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb
+          FROM bg GROUP BY doc_id),
+rare AS (SELECT g FROM bg GROUP BY g
+         HAVING count(*) BETWEEN 2 AND 4),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bg x JOIN rare USING (g) JOIN bg y USING (g)
+  WHERE x.doc_id < y.doc_id),
+inter AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN bg xa ON xa.doc_id = c.a
+  JOIN bg xb ON xb.doc_id = c.b AND xb.g = xa.g
+  GROUP BY c.a, c.b),
+scored AS (
+  SELECT i.a, i.b, i.n_inter,
+         sa.nb + sb.nb - i.n_inter AS n_union,
+         (i.n_inter * 1000000) // (sa.nb + sb.nb - i.n_inter)
+           AS jacc_ppm
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+               JOIN sizes sb ON sb.doc_id = i.b)
+SELECT a, b, n_inter, n_union, jacc_ppm
+FROM scored
+ORDER BY jacc_ppm DESC, a, b
+LIMIT 20
+""")
+def text_jaccard_topk_pairs(spark, sf):
+    # Top-20 most-similar document pairs by EXACT bigram Jaccard,
+    # with the candidate set bounded by RARE-shingle blocking
+    # (document frequency 2–4): a pair is considered only if it
+    # shares a discriminative bigram, so the quadratic all-pairs
+    # product never materializes — the blocking-cost lesson from
+    # dedup_blocking_profile applied to a report query. Similarity is
+    # integer ppm (floor), making the global top-k (TakeOrdered, no
+    # full sort) hash-exact; (ppm DESC, a, b) is a total order.
+    from yougile_etl_pipeline_spark.operators.text import shingle_stream
+
+    docs = load_table(spark, sf, "documents")
+    bg = shingle_stream(docs, "doc_id", "text", n=2).distinct()
+    sizes = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"))
+    rare = (bg.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df").between(2, 4)).select("sh"))
+    blocked = bg.join(rare, "sh")
+    cand = (blocked.alias("x")
+            .join(blocked.alias("y"),
+                  (F.col("x.sh") == F.col("y.sh"))
+                  & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("a"),
+                    F.col("y.doc_id").alias("b"))
+            .distinct())
+    inter = (cand
+             .join(bg.alias("xa"), F.col("xa.doc_id") == F.col("a"))
+             .join(bg.alias("xb"),
+                   (F.col("xb.doc_id") == F.col("b"))
+                   & (F.col("xb.sh") == F.col("xa.sh")))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter")))
+    scored = (inter
+              .join(sizes.withColumnRenamed("doc_id", "a")
+                    .withColumnRenamed("nb", "na_"), "a")
+              .join(sizes.withColumnRenamed("doc_id", "b")
+                    .withColumnRenamed("nb", "nb_"), "b")
+              .select("a", "b", "n_inter",
+                      (F.col("na_") + F.col("nb_") - F.col("n_inter"))
+                      .alias("n_union"))
+              .withColumn("jacc_ppm",
+                          F.expr("(n_inter * 1000000) div n_union")))
+    return (scored.orderBy(F.col("jacc_ppm").desc(), "a", "b")
+            .limit(20)
+            .select("a", "b", "n_inter", "n_union", "jacc_ppm"))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -235,4 +358,6 @@ R10_ENTRIES: list[str] = [
     "agg_share_of_parent",
     "mm_wav_mulaw",
     "events_asof_tolerance",
+    "graph_hits_scores",
+    "text_jaccard_topk_pairs",
 ]
