@@ -339,6 +339,80 @@ def text_jaccard_topk_pairs(spark, sf):
             .select("a", "b", "n_inter", "n_union", "jacc_ppm"))
 
 
+@register("quality_duplicate_key_audit", """
+WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS c
+           FROM lineitem GROUP BY 1, 2)
+SELECT c AS multiplicity, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows
+FROM k GROUP BY c
+""")
+def quality_duplicate_key_audit(spark, sf):
+    # Key-integrity audit — the multiplicity histogram of a supposed
+    # primary key: how many (orderkey, linenumber) pairs appear once,
+    # twice, N times (this testdata genuinely carries duplicate
+    # pairs, the gotcha every "deterministic survivor" op must
+    # handle). Two bounded keyed aggregates, pure integers; at 100 TB
+    # the first groupBy is the only data-sized shuffle and
+    # map-side-combines to near-distinct cardinality.
+    li = load_table(spark, sf, "lineitem")
+    k = (li.groupBy("l_orderkey", "l_linenumber")
+         .agg(F.count(F.lit(1)).alias("c")))
+    return (k.groupBy(F.col("c").alias("multiplicity"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                 F.sum("c").cast("bigint").alias("n_rows")))
+
+
+@register("text_vocab_coverage_curve", """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE term <> '' GROUP BY term),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts),
+top AS (SELECT term, c FROM counts
+        ORDER BY c DESC, term LIMIT 1000),
+ranked AS (
+  SELECT term, c,
+         CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT)
+           AS rank,
+         CAST(SUM(c) OVER (ORDER BY c DESC, term
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM top)
+SELECT rank, cum,
+       (cum * 1000000) // (SELECT t FROM total) AS coverage_ppm
+FROM ranked WHERE rank IN (10, 100, 1000)
+""")
+def text_vocab_coverage_curve(spark, sf):
+    # Vocabulary coverage curve — what fraction of all token
+    # occurrences the top-10/100/1000 terms cover (the Zipf head
+    # weight that sizes tokenizer vocabularies and stopword lists).
+    # 100x shape: the corpus pays ONE term-count shuffle; the
+    # cumulative window runs over the TakeOrdered top-1000 only
+    # (never the full vocabulary), and the grand total rides a
+    # broadcast one-row aggregate. Coverage in integer ppm
+    # (floor) keeps the output hash-exact.
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    toks = (docs.select(F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != ""))
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    total = counts.agg(F.sum("c").cast("bigint").alias("t"))
+    top = counts.orderBy(F.col("c").desc(), "term").limit(1000)
+    w = Window.orderBy(F.col("c").desc(), "term")
+    ranked = (top.withColumn("rank",
+                             F.row_number().over(w).cast("bigint"))
+              .withColumn("cum", F.sum("c").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))
+                  .cast("bigint")))
+    return (ranked.filter(F.col("rank").isin(10, 100, 1000))
+            .crossJoin(F.broadcast(total))
+            .select("rank", "cum",
+                    F.expr("(cum * 1000000) div t")
+                    .alias("coverage_ppm")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -360,4 +434,6 @@ R10_ENTRIES: list[str] = [
     "events_asof_tolerance",
     "graph_hits_scores",
     "text_jaccard_topk_pairs",
+    "quality_duplicate_key_audit",
+    "text_vocab_coverage_curve",
 ]
