@@ -39,17 +39,29 @@ def test_registry_imports_r09():
 
 
 def test_r09_entries_registered_inside_window():
-    from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
+    from yougile_etl_pipeline_spark.registry import (
+        ORACLES,
+        QUERIES,
+        _STABLE_CERTIFIED,
+    )
     from yougile_etl_pipeline_spark.registry_r09 import R09_ENTRIES
 
     assert len(R09_ENTRIES) == _EXPECTED
     window = set(list(QUERIES)[:50])
     missing = [n for n in R09_ENTRIES if n not in QUERIES]
     assert not missing, f"r09 entries not registered: {missing}"
-    out = [n for n in R09_ENTRIES if n not in window]
-    assert not out, (
-        f"r09 entries pushed outside the 50-slot certification "
-        f"window: {out}")
+    # Post-r10-rotation invariant (same shape as the r06/r07 twins):
+    # every r09 entry is either promoted to the stable list (certified
+    # green in the r09 window, CORRECTNESS_r09 50/50) or held INSIDE
+    # the new window for recertification — "registered but
+    # never-certified" remains impossible. Flipped at the r10 rotation
+    # itself this time (VERDICT r08 #2's lesson: the r08 rotation
+    # forgot its twin and shipped a red suite).
+    limbo = [n for n in R09_ENTRIES
+             if n not in window and n not in set(_STABLE_CERTIFIED)]
+    assert not limbo, (
+        f"r09 entries neither inside the certification window nor "
+        f"promoted to _STABLE_CERTIFIED: {limbo}")
     no_oracle = [n for n in R09_ENTRIES if n not in ORACLES]
     assert no_oracle == [], f"entries without oracles: {no_oracle}"
 

@@ -800,13 +800,20 @@ _STABLE_CERTIFIED = [
     # untouched since — the full r03 window minus text_inverted_index
     # (red in r03: raw-array output; fixed this round, kept in the
     # window for recertification).
-    "text_repetition_stats", "doc_chunks",
-    "sample_source_mix", "train_pack_sequences", "dedup_shingle_jaccard",
-    "dedup_shingle_capped", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_clusters", "dedup_canonical_docs",
-    "sim_ann_lsh_sized",
-    "corpus_clean_pipeline", "events_funnel",
-    "ivf_kmeans_step",
+    # r10 note: 30 of the r03 promotes below are HELD OUT of this list
+    # (not un-certified — recertifying): their last official driver row
+    # is CORRECTNESS_r03, the OLDEST green history in the repo, which
+    # makes them the natural picks to fill the r10 window next to the
+    # 8 registry_r10 bank entries and the 12 r09-swap fillers (whose
+    # last row is r08). Held out here: text_repetition_stats,
+    # doc_chunks, sample_source_mix, train_pack_sequences,
+    # dedup_shingle_jaccard, dedup_shingle_capped, dedup_minhash_lsh,
+    # dedup_simhash, dedup_simhash_pairs, dedup_clusters,
+    # dedup_canonical_docs, sim_ann_lsh_sized, corpus_clean_pipeline,
+    # events_funnel, ivf_kmeans_step (15 from the first r03 block) and
+    # 15 more below. As genuinely new r10 registrations land mid-round
+    # they swap back into this list one-for-one (the standing
+    # mart_abc_parts precedent).
     # NOT listed despite r03 green: sim_ann_lsh_bucket, sim_ivf_topk,
     # sim_ivf_multiprobe — retuned this round (LSH L=4→18 tables; IVF
     # centroids fixed-256 → √N-adaptive on both engine and oracle
@@ -814,12 +821,13 @@ _STABLE_CERTIFIED = [
     # recall@5 at the old knobs vs 0.95/0.975/1.0 now at sf0.1).
     # Changed implementation+oracle ⇒ back into the window for
     # recertification, per the changed-this-round rule.
-    "dedup_embedding_cosine_w6", "dedup_embedding_cosine",
-    "mm_frame_sample", "text_zscore_by_lang", "agg_pivot_status",
-    "agg_cube", "agg_count_distinct", "agg_percentiles",
-    "win_lead_lag_ntile", "win_range_frame",
-    "sample_deterministic", "quality_profile", "sql_api_top_nations",
-    "sketch_approx_distinct", "sketch_approx_quantiles",
+    # (r10: the second half of the r03 held-out recert set —
+    # dedup_embedding_cosine_w6, dedup_embedding_cosine,
+    # mm_frame_sample, text_zscore_by_lang, agg_pivot_status, agg_cube,
+    # agg_count_distinct, agg_percentiles, win_lead_lag_ntile,
+    # win_range_frame, sample_deterministic, quality_profile,
+    # sql_api_top_nations, sketch_approx_distinct,
+    # sketch_approx_quantiles — see the r10 note above.)
     "events_interval_join", "agg_regional_volume",
     # r04 driver HASH-green (CORRECTNESS_r04: 50/50, rows + schema +
     # hash), code untouched since — the full r04 window promotes,
@@ -929,23 +937,47 @@ _STABLE_CERTIFIED = [
     "mm_media_features", "f_map_functions", "events_seasonal_anomalies",
     "mart_pareto_coverage", "mm_wav_resample", "mm_bmp_rle8",
     "stream_segment_rollup",
-    # r09 mid-round swaps: each genuinely new registry_r09 entry
-    # frees one window slot by promoting a held-out recert filler
-    # back here (every one is a many-times-driver-certified green,
-    # most recently CORRECTNESS_r08) — the window keeps exactly 50
-    # non-stable entries (tests/test_certification_window.py).
-    "f_case_bands",          # slot → sample_reservoir_per_lang
-    "set_union_distinct",    # slot → corpus_mixture_rebalance
-    "j_full_outer",          # slot → events_hopping_counts
-    "f_regexp_extract",      # slot → text_bpe_roundtrip
-    "set_intersect_all",     # slot → stream_dedup_static_store
-    "set_except_dup_left",   # slot → mm_bmp_palette8
-    "set_except_all",        # slot → events_asof_nearest
-    "f_datetime_truncs",     # slot → events_resample_interpolate
-    "f_string_pad_translate",  # slot → graph_pagerank_personalized
-    "f_hash_functions",      # slot → stream_hopping_counts
-    "f_bitwise_functions",   # slot → events_stickiness_dau_mau
-    "f_try_arithmetic",      # slot → corpus_dedup_rate_report
+    # r09 mid-round swaps: each genuinely new registry_r09 entry freed
+    # one window slot by promoting a held-out recert filler back here
+    # (f_case_bands, set_union_distinct, j_full_outer,
+    # f_regexp_extract, set_intersect_all, set_except_dup_left,
+    # set_except_all, f_datetime_truncs, f_string_pad_translate,
+    # f_hash_functions, f_bitwise_functions, f_try_arithmetic — each
+    # many-times-driver-certified, most recently CORRECTNESS_r08).
+    # r10 note: those same 12 are HELD OUT again at the r10 rotation —
+    # together with the 30 r03-era holds noted above they fill the 42
+    # filler slots next to the 8 registry_r10 bank entries (8 + 42 =
+    # 50). They swap back one-for-one as new r10 registrations land.
+    #
+    # ROUND-10 ROTATION — EXECUTED at r10 start: all 50 r09-window
+    # queries are CORRECTNESS_r09 green (rows + schema + hash for 47;
+    # the stream_* entries hash-green via their batch-parity oracles),
+    # code untouched since the r09 close — promote ALL 50, in window
+    # order. This includes the four r08-planned changes that landed in
+    # round 9 (corpus_release_manifest two-phase quota, graph_pagerank
+    # checkpoint 8→2, stream_sessions_final oracle tie-break,
+    # stream_topk_state drain guard) — each now carries an official
+    # driver row for the CHANGED code, closing the r08 audit-trail
+    # finding for good.
+    "p2_projection", "p3_rename", "p4_conform", "p5_member_filter",
+    "p6_nullsafe_neq", "p7_null_predicates", "p8_drop_cols",
+    "p9_literal_append", "j_inner", "j_semi", "j_anti",
+    "r1_explode_tokens_pos", "r2_explode_keep_empty",
+    "u1_union_by_name", "set_intersect", "set_except", "f1_coalesce",
+    "f2_f3_strip_split", "f4_parse_ddmmyyyy", "f5_epoch_ms_roundtrip",
+    "f6_empty_to_null_cast", "a1_dedup_full", "a2_counts",
+    "d1_orphan_audit", "win_rank_topn", "win_running_total",
+    "sort_limit_topk", "graph_pagerank", "stream_topk_state",
+    "stream_sessions_final", "corpus_release_manifest",
+    "sample_reservoir_per_lang", "corpus_mixture_rebalance",
+    "events_hopping_counts", "text_bpe_roundtrip",
+    "stream_dedup_static_store", "mm_bmp_palette8",
+    "events_asof_nearest", "events_resample_interpolate",
+    "graph_pagerank_personalized", "stream_hopping_counts",
+    "events_stickiness_dau_mau", "corpus_dedup_rate_report",
+    "f_string_functions", "f_math_functions", "f_date_arithmetic",
+    "f_array_functions", "p_na_fill_drop", "f_null_functions",
+    "f_array_set_ops",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -2530,6 +2530,14 @@ from yougile_etl_pipeline_spark import registry_r08  # noqa: E402,F401
 # held-out recertification filler back into _STABLE_CERTIFIED.
 from yougile_etl_pipeline_spark import registry_r09  # noqa: E402,F401
 
+# Round-10 rotation (r10 start): the 8-entry bank staged in round 9
+# goes live here, in the same ext-bottom position and for the same
+# circular-entry-path reason as the imports above. Further round-10
+# operators register directly into registry_r10 mid-round, each
+# swapping a held-out recertification filler back into
+# _STABLE_CERTIFIED one-for-one.
+from yougile_etl_pipeline_spark import registry_r10  # noqa: E402,F401
+
 # Order-independence guard: if THIS module was the process's entry
 # point into the engine (e.g. `from ...registry_ext import <helper>`
 # before anything imported registry), the circular tail-import path

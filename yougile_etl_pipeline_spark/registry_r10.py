@@ -1,28 +1,22 @@
-"""Round-10 query registrations — STAGING BANK, NOT YET WIRED.
+"""Round-10 query registrations — WIRED at the r10 rotation.
 
-Do NOT import this module in round 9: the r09 certification window is
-exactly full (the four changed-implementation holds + the seven
-round-9 direct registrations + held-out recertification fillers, with
-mid-round registrations swapping fillers back one-for-one), and
-registering past the driver's 50-slot window would leave
-never-certified queries at the round boundary
-(tests/test_certification_window.py enforces the accounting). At
-ROUND-10 START, wire it with one line at the bottom of
-registry_ext.py next to the registry_r06/r07/r08/r09 imports.
+Round-9 state (preserved in git history): this was the staged bank —
+eight entries built and oracle-proven in round 9 (sf0.001 AND sf0.01
+parity + recorded sf0.1 wall times), deliberately unimported so the
+exactly-full r09 window could not strand a never-certified query. The
+r10 rotation wired it at registry_ext.py's bottom; the eight entries
+now sit inside the driver's 50-slot certification window next to 42
+held-out recertification fillers. Genuinely new round-10 operators
+register directly into this module mid-round, each swapping one
+held-out filler back into _STABLE_CERTIFIED (registry.py) so the
+window stays at exactly 50 non-stable entries
+(tests/test_certification_window.py enforces the accounting; the
+wired-state guards live in tests/test_registry_r10_staged.py).
 
-NOTE: genuinely new operators built in round 9 should PREFER direct
-registration in registry_r09.py (swapping a held-out filler back into
-_STABLE_CERTIFIED one-for-one) so they certify THIS round — this bank
-is for overflow beyond the swappable slots. Same staging contract as
-the previous banks: every entry lands here only with its DuckDB
-oracle proven bit-identical at sf0.001 AND sf0.01
-(scripts/check_staged.py) and a recorded sf0.1 wall time (bench.py's
-`staged` block is manifest-driven off R10_ENTRIES — automatic once
-the entry and its parity test exist).
-
-tests/test_registry_r10_staged.py smoke-imports this module in a
-SUBPROCESS (so the round-9 window stays untouched) and verifies every
-entry registers with an oracle and runs green at sf0.001.
+Staging contract for every entry, unchanged from the r06–r09 banks:
+DuckDB oracle proven bit-identical at sf0.001 AND sf0.01 before
+registration, sf0.1 wall time + plan fingerprint recorded by
+bench.py's manifest-driven r10 block.
 """
 
 from __future__ import annotations
