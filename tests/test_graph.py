@@ -240,3 +240,38 @@ def test_hits_scores_empty_and_single_edge(spark):
            for r in hits_scores(one, iterations=2).collect()}
     # a1=(9:1); h1=(7:1); a2=(9:1); h2=(7:1)
     assert got == {7: (1, 0), 9: (0, 1)}
+
+
+def test_graph_ops_tolerate_conflicting_edge_columns(spark):
+    """ADVICE r09: an edges frame that already carries a node/rank/
+    hub/auth column must not produce ambiguous-reference errors or a
+    wrong join resolution — the operators project edges down to
+    internal names at entry."""
+    from yougile_etl_pipeline_spark.operators.graph import (
+        hits_scores,
+        pagerank_fixed_point,
+        pagerank_personalized,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 3, 99, 99, 99, 99), (2, 3, 99, 99, 99, 99),
+         (3, 4, 99, 99, 99, 99)],
+        "src long, dst long, node long, rank long, hub long, auth long")
+
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits_scores(edges, iterations=2).collect()}
+    assert got == {1: (4, 0), 2: (4, 0), 3: (1, 4), 4: (0, 1)}
+
+    clean = edges.select("src", "dst")
+    pr_clean = {r["node"]: r["rank"]
+                for r in pagerank_fixed_point(clean).collect()}
+    pr_dirty = {r["node"]: r["rank"]
+                for r in pagerank_fixed_point(edges).collect()}
+    assert pr_clean == pr_dirty
+
+    seeds = spark.createDataFrame([(1,)], "node long")
+    pp_clean = {r["node"]: r["rank"]
+                for r in pagerank_personalized(clean, seeds).collect()}
+    pp_dirty = {r["node"]: r["rank"]
+                for r in pagerank_personalized(edges, seeds).collect()}
+    assert pp_clean == pp_dirty

@@ -92,3 +92,25 @@ def test_grouped_topk_plan_has_local_combiner(spark):
             "formatted"))
     assert "MapInPandas" in plan
     assert "Window" in plan
+
+
+def test_grouped_topk_rejects_float_order_columns(spark):
+    # ADVICE r09: pandas sorts NaN as NA (first, under
+    # na_position='first') while Spark's window orders NaN after all
+    # numbers, and Arrow conflates NULL/NaN doubles in phase 1 — so a
+    # floating-point order key could let the local combiner evict rows
+    # the window phase would keep. The operator must refuse instead of
+    # silently returning a wrong answer.
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1.5, 1)], "g string, v double, id long")
+    with pytest.raises(ValueError, match="floating-point"):
+        grouped_topk(df, ["g"], ["v", "id"], 3)
+    ff = spark.createDataFrame(
+        [("a", 1.5, 1)], "g string, v float, id long")
+    with pytest.raises(ValueError, match="floating-point"):
+        grouped_topk(ff, ["g"], ["v", "id"], 3)
+    # integer order keys stay accepted
+    ok = spark.createDataFrame([("a", 1, 1)], "g string, v int, id long")
+    assert grouped_topk(ok, ["g"], ["v", "id"], 3).count() == 1

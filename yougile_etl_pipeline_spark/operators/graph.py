@@ -208,9 +208,16 @@ def pagerank_fixed_point(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node"))).distinct())
+    # Defensive normalization (ADVICE r09): project the caller's edge
+    # list down to internal names at entry — an edges frame that
+    # already carries a `node`/`rank` column would otherwise produce
+    # ambiguous-reference errors (or a silently wrong join resolution)
+    # against the internal score frames below.
+    edges = edges.select(F.col(src).alias("__src"),
+                         F.col(dst).alias("__dst"))
+    deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    nodes = (edges.select(F.col("__src").alias("node"))
+             .union(edges.select(F.col("__dst").alias("node"))).distinct())
     n = nodes.count()
     if n == 0:
         # empty edge set: empty (node, rank) result, not a divide-by-zero
@@ -218,9 +225,9 @@ def pagerank_fixed_point(
     base = (100 - damping_pct) * scale // (100 * n)
     ranks = nodes.select("node", F.lit(scale // n).alias("rank"))
     for i in range(iterations):
-        contribs = (edges.join(ranks, edges[src] == ranks["node"])
-                    .join(deg, src)
-                    .select(F.col(dst).alias("node"),
+        contribs = (edges.join(ranks, edges["__src"] == ranks["node"])
+                    .join(deg, "__src")
+                    .select(F.col("__dst").alias("node"),
                             F.expr("rank div __outdeg").alias("__c")))
         sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
         ranks = (nodes.join(sums, "node", "left")
@@ -263,9 +270,13 @@ def pagerank_personalized(
     truncates every `checkpoint_every` iterations."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node"))).distinct())
+    # Defensive normalization (ADVICE r09): internal names at entry,
+    # same rationale as pagerank_fixed_point.
+    edges = edges.select(F.col(src).alias("__src"),
+                         F.col(dst).alias("__dst"))
+    deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    nodes = (edges.select(F.col("__src").alias("node"))
+             .union(edges.select(F.col("__dst").alias("node"))).distinct())
     seed_set = (seeds.select(F.col(seed_col).alias("node")).distinct()
                 .join(nodes, "node"))          # seeds outside the graph drop
     n_seeds = seed_set.count()
@@ -279,9 +290,9 @@ def pagerank_personalized(
         F.when(F.col("__is_seed") == 1, F.lit(scale // n_seeds))
          .otherwise(F.lit(0)).cast("long").alias("rank"))
     for i in range(iterations):
-        contribs = (edges.join(ranks, edges[src] == ranks["node"])
-                    .join(deg, src)
-                    .select(F.col(dst).alias("node"),
+        contribs = (edges.join(ranks, edges["__src"] == ranks["node"])
+                    .join(deg, "__src")
+                    .select(F.col("__dst").alias("node"),
                             F.expr("rank div __outdeg").alias("__c")))
         sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
         ranks = (flagged.join(sums, "node", "left")
@@ -319,19 +330,24 @@ def hits_scores(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     ``(node, hub, auth)``."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node"))).distinct())
+    # Defensive normalization (ADVICE r09): internal names at entry —
+    # an edges frame already carrying `node`/`hub`/`auth` would
+    # otherwise hit ambiguous references against the score frames.
+    edges = edges.select(F.col(src).alias("__src"),
+                         F.col(dst).alias("__dst"))
+    nodes = (edges.select(F.col("__src").alias("node"))
+             .union(edges.select(F.col("__dst").alias("node"))).distinct())
     hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
     auth = None
     for i in range(iterations):
-        a = (edges.join(hub, edges[src] == hub["node"])
-             .groupBy(F.col(dst).alias("node"))
+        a = (edges.join(hub, edges["__src"] == hub["node"])
+             .groupBy(F.col("__dst").alias("node"))
              .agg(F.sum("hub").alias("auth")))
         auth = (nodes.join(a, "node", "left")
                 .select("node", F.coalesce("auth", F.lit(0))
                         .cast("long").alias("auth")))
-        h = (edges.join(auth, edges[dst] == auth["node"])
-             .groupBy(F.col(src).alias("node"))
+        h = (edges.join(auth, edges["__dst"] == auth["node"])
+             .groupBy(F.col("__src").alias("node"))
              .agg(F.sum("auth").alias("hub")))
         hub = (nodes.join(h, "node", "left")
                .select("node", F.coalesce("hub", F.lit(0))

@@ -63,13 +63,30 @@ def grouped_topk(df: DataFrame, group_cols: list[str],
     pandas compares code points and Spark compares UTF-8 bytes, and
     UTF-8 byte order equals code-point order by construction; callers
     with non-default collations should pre-encode.
+
+    ``order_cols`` must NOT be floating-point (raises on Double/Float
+    order columns, ADVICE r09): pandas sorts NaN as NA (first, under
+    ``na_position='first'``) while Spark's window orders NaN AFTER all
+    numbers, and Arrow makes NULL and NaN doubles indistinguishable in
+    phase 1 — the local combiner could evict rows the phase-2 window
+    would keep. Quantize float order keys to integers (or format them
+    to strings) before calling.
     """
+    from pyspark.sql.types import DoubleType, FloatType
     from pyspark.sql.window import Window
 
     import pandas as pd
 
     sort_cols = list(order_cols)
     groups = list(group_cols)
+    for c in sort_cols:
+        if isinstance(df.schema[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"grouped_topk: order column {c!r} is floating-point — "
+                f"pandas (NaN-as-NA, sorted first) and Spark (NaN after "
+                f"all numbers) disagree on NaN placement, so the local "
+                f"combiner could evict rows the window phase would "
+                f"keep; quantize to integer ppm or stringify first")
 
     def _local_topk(batches):
         state: pd.DataFrame | None = None
@@ -445,8 +462,9 @@ def resample_interpolate(events: DataFrame, key: str, ts_col: str,
     # "last non-null so far" is exactly "nearest non-null at-or-after
     # h". An explicit (current → unboundedFollowing) frame computes
     # the same values but Spark evaluates shrinking frames
-    # non-incrementally — measured 12.6 s vs 1.3 s at sf0.1 for the
-    # identical result. Same single shuffle either way; the reversed
+    # non-incrementally — measured 12.6 s vs 1.7 s at sf0.1 for the
+    # identical result (the value SCALE.md and COVERAGE.md E19 record;
+    # ADVICE r09 #3). Same single shuffle either way; the reversed
     # window only adds a local re-sort.
     w_past = (Window.partitionBy(key).orderBy("h")
               .rowsBetween(Window.unboundedPreceding, 0))

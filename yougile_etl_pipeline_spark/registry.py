@@ -959,6 +959,14 @@ _STABLE_CERTIFIED = [
     # stream_topk_state drain guard) — each now carries an official
     # driver row for the CHANGED code, closing the r08 audit-trail
     # finding for good.
+    # r10 exception: graph_pagerank and graph_pagerank_personalized
+    # are NOT promoted despite their CORRECTNESS_r09 greens — the
+    # ADVICE r09 defensive edge normalization (operators/graph.py:
+    # edges projected to internal __src/__dst names at entry) CHANGED
+    # their implementation this round, and changed implementations
+    # recertify officially. Both stay in the r10 window; f_case_bands
+    # and set_union_distinct swap back here to keep the window at
+    # exactly 50.
     "p2_projection", "p3_rename", "p4_conform", "p5_member_filter",
     "p6_nullsafe_neq", "p7_null_predicates", "p8_drop_cols",
     "p9_literal_append", "j_inner", "j_semi", "j_anti",
@@ -967,17 +975,19 @@ _STABLE_CERTIFIED = [
     "f2_f3_strip_split", "f4_parse_ddmmyyyy", "f5_epoch_ms_roundtrip",
     "f6_empty_to_null_cast", "a1_dedup_full", "a2_counts",
     "d1_orphan_audit", "win_rank_topn", "win_running_total",
-    "sort_limit_topk", "graph_pagerank", "stream_topk_state",
+    "sort_limit_topk", "stream_topk_state",
     "stream_sessions_final", "corpus_release_manifest",
     "sample_reservoir_per_lang", "corpus_mixture_rebalance",
     "events_hopping_counts", "text_bpe_roundtrip",
     "stream_dedup_static_store", "mm_bmp_palette8",
     "events_asof_nearest", "events_resample_interpolate",
-    "graph_pagerank_personalized", "stream_hopping_counts",
+    "stream_hopping_counts",
     "events_stickiness_dau_mau", "corpus_dedup_rate_report",
     "f_string_functions", "f_math_functions", "f_date_arithmetic",
     "f_array_functions", "p_na_fill_drop", "f_null_functions",
     "f_array_set_ops",
+    "f_case_bands",        # slot ← graph_pagerank (changed, recerts)
+    "set_union_distinct",  # slot ← graph_pagerank_personalized (ditto)
 ]
 
 # Queries awaiting their first driver certification that could NOT fit
