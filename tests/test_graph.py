@@ -275,3 +275,43 @@ def test_graph_ops_tolerate_conflicting_edge_columns(spark):
     pp_dirty = {r["node"]: r["rank"]
                 for r in pagerank_personalized(edges, seeds).collect()}
     assert pp_clean == pp_dirty
+
+
+def test_degree_assortativity_hand_checked(spark):
+    """Chain 1->2->3: edges (1,2),(2,3). Degrees: out 1=1,2=1; in 2=1,
+    3=1. Pairs (x,y) = (1,1),(1,1) -> zero variance on both sides ->
+    NULL r. Star 1->2, 1->3, 2->3: out 1=2, 2=1; in 2=1, 3=2. Pairs:
+    (2,1),(2,2),(1,2). n=3 sx=5 sy=5 sxx=9 syy=9 sxy=8: num=24-25=-1,
+    denx=27-25=2, deny=2 -> r = -1/2 = -0.5."""
+    from yougile_etl_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    row = degree_assortativity(chain).collect()[0]
+    assert (row["n_edges"], row["sx"], row["sy"]) == (2, 2, 2)
+    assert row["assortativity"] is None  # zero variance
+
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    row = degree_assortativity(star).collect()[0]
+    assert (row["n_edges"], row["sx"], row["sy"], row["sxx"],
+            row["syy"], row["sxy"]) == (3, 5, 5, 9, 9, 8)
+    assert abs(row["assortativity"] - (-0.5)) < 1e-12
+
+
+def test_reciprocity_hand_checked(spark):
+    from yougile_etl_pipeline_spark.operators.graph import reciprocity
+
+    # 1<->2 mutual, 1->3 one-way, a self-loop and a duplicate edge
+    # that must both be ignored
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 3), (1, 2)], "src long, dst long")
+    row = reciprocity(edges).collect()[0]
+    assert (row["n_edges"], row["n_reciprocal"]) == (3, 2)
+    assert row["reciprocity_ppm"] == 666666  # floor(2e6/3)
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    row = reciprocity(empty).collect()[0]
+    assert (row["n_edges"], row["n_reciprocal"]) == (0, 0)
+    assert row["reciprocity_ppm"] is None

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "canonical_docs",
            "pagerank_fixed_point", "pagerank_personalized",
            "hits_scores", "triangle_count", "label_propagation",
-           "kcore_peel", "neighbor_jaccard"]
+           "kcore_peel", "neighbor_jaccard",
+           "degree_assortativity", "reciprocity"]
 
 
 def connected_components(
@@ -596,3 +597,83 @@ def bfs_layers(edges: DataFrame, seeds: DataFrame, *,
             assigned = assigned.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
     return assigned
+
+
+def degree_assortativity(edges: DataFrame, *, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Directed degree assortativity — the Pearson correlation between
+    the out-degree of an edge's source and the in-degree of its target,
+    over all edges (Newman 2002's r: do hubs link to hubs?). Positive r
+    = assortative (high-degree nodes prefer each other), negative =
+    disassortative (hub-and-spoke) — the one-number structural probe
+    behind link-graph QA and crawl-frontier tuning.
+
+    Computed from exact BIGINT sufficient statistics (n, Σx, Σy, Σx²,
+    Σy², Σxy over the per-edge degree pairs) so everything up to the
+    final expression is integer-exact and engine-portable; the final
+    correlation is a single fixed-operand-order double expression
+    (one subtraction pattern, one multiply, one sqrt, one divide —
+    sqrt is correctly rounded under IEEE 754, so the double is
+    bit-identical across engines). Returns ONE row:
+    (n_edges, sx, sy, sxx, syy, sxy, assortativity).
+
+    Distributed shape: two keyed degree aggregates (map-side combined
+    to near-distinct node cardinality), two joins of the edge list to
+    the |V|-sized degree tables, then one global aggregate — no
+    all-pairs products, no windows; at 100 TB the edge list pays two
+    key shuffles and the one-row reduction.
+    """
+    edges = edges.select(F.col(src).alias("__src"),
+                         F.col(dst).alias("__dst"))
+    outd = edges.groupBy("__src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__xd"))
+    ind = edges.groupBy("__dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__yd"))
+    paired = edges.join(outd, "__src").join(ind, "__dst")
+    stats = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("__xd").cast("bigint").alias("sx"),
+        F.sum("__yd").cast("bigint").alias("sy"),
+        F.sum(F.col("__xd") * F.col("__xd")).cast("bigint").alias("sxx"),
+        F.sum(F.col("__yd") * F.col("__yd")).cast("bigint").alias("syy"),
+        F.sum(F.col("__xd") * F.col("__yd")).cast("bigint").alias("sxy"))
+    num = F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (denx > 0) & (deny > 0),
+        num.cast("double")
+        / F.sqrt(denx.cast("double") * deny.cast("double")))
+    return stats.select("n_edges", "sx", "sy", "sxx", "syy", "sxy",
+                        r.alias("assortativity"))
+
+
+def reciprocity(edges: DataFrame, *, src: str = "src",
+                dst: str = "dst") -> DataFrame:
+    """Edge reciprocity of a directed graph: the share of distinct
+    directed edges u→v whose reverse v→u also exists (self-loops
+    excluded, duplicate edges collapsed) — the classic "is this link
+    graph mutual or broadcast?" probe.
+
+    Returns ONE row (n_edges, n_reciprocal, reciprocity_ppm) with the
+    ratio in integer ppm (floor) so the output stays hash-exact.
+
+    Distributed shape: one distinct over the edge list, then a
+    LEFT SEMI self-join on the swapped key pair — both sides shuffle
+    on the (node, node) key once; no row explosion (semi joins emit at
+    most the left side), no windows.
+    """
+    e = (edges.select(F.col(src).alias("__src"),
+                      F.col(dst).alias("__dst"))
+         .filter(F.col("__src") != F.col("__dst"))
+         .distinct())
+    rev = e.select(F.col("__dst").alias("__src"),
+                   F.col("__src").alias("__dst"))
+    recip = e.join(rev, ["__src", "__dst"], "left_semi")
+    n = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    k = recip.agg(F.count(F.lit(1)).cast("bigint").alias("n_reciprocal"))
+    return (n.crossJoin(k)
+            .select("n_edges", "n_reciprocal",
+                    F.expr("CASE WHEN n_edges > 0 THEN "
+                           "(n_reciprocal * 1000000) div n_edges "
+                           "END").alias("reciprocity_ppm")))

@@ -1035,3 +1035,45 @@ def ks_by_group(df: DataFrame, group_col: str,
     return (cdf.groupBy(F.col("grp").alias(group_col),
                         "n_group", "n_total")
                .agg(F.max(d).alias("ks_d")))
+
+
+def chi2_independence_cells(df: DataFrame, col_a: str,
+                            col_b: str) -> DataFrame:
+    """Pearson chi-squared independence audit between two categorical
+    columns, reported as the PER-CELL contribution table (the
+    contingency-table drill-down a data-quality report actually shows:
+    which (a, b) cells are over/under-represented vs independence).
+
+    For each observed cell: observed count ``o``, the marginals
+    ``r_tot``/``c_tot``, the grand total ``n``, and the cell's
+    chi-squared contribution ``(o·n − r·c)² / (r·c·n)``. All counts,
+    the signed numerator ``o·n − r·c`` (bounded by n², safe to ~3·10⁹
+    rows) and the denominator product are exact BIGINTs; the square
+    happens AFTER the cast to double (num² would overflow int64 past
+    ~10⁵ rows), so the final value is a fixed-operand-order
+    multiply-then-divide on doubles — bit-identical across engines. The
+    total χ² statistic is deliberately NOT emitted as a double sum
+    (summation order over cells would make it partition-dependent) —
+    consumers sum the exact cell numerators/denominators or the
+    ppm-quantized cells instead.
+
+    Distributed shape: one keyed count over (a, b) — the only
+    data-sized shuffle, map-side combined to cell cardinality — then
+    two re-aggregations of the CELL table (marginals) broadcast back,
+    and a broadcast one-row grand total. The fact table is scanned
+    once.
+    """
+    cells = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("o")))
+    r = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("r_tot"))
+    c = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("c_tot"))
+    n = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    num = (F.col("o") * F.col("n")
+           - F.col("r_tot") * F.col("c_tot"))
+    den = F.col("r_tot") * F.col("c_tot") * F.col("n")
+    return (cells.join(F.broadcast(r), "a")
+            .join(F.broadcast(c), "b")
+            .crossJoin(F.broadcast(n))
+            .select("a", "b", "o", "r_tot", "c_tot", "n",
+                    (num.cast("double") * num.cast("double")
+                     / den.cast("double")).alias("cell_chi2")))

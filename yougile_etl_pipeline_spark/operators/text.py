@@ -1178,3 +1178,44 @@ def bpe_fertility_by_lang(df: DataFrame, lang_col: str = "lang",
                F.col("total_bpe_tokens").cast("double")
                / F.col("total_tokens").cast("double"))
          .alias("fertility"))
+
+
+def kwic_concordance(df: DataFrame, id_col: str, text_col: str,
+                     keyword: str, *, window: int = 2) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance — every occurrence of
+    ``keyword`` as a whitespace token, with up to ``window`` tokens of
+    left and right context joined back into strings. The classic
+    corpus-linguistics view ("show me how this term is used") and the
+    human-review surface behind blocklist tuning and PII-pattern
+    triage.
+
+    Distributed shape: MAP-ONLY — tokenize, posexplode the position
+    sequence, filter to the keyword, and slice the SAME token array
+    for context (no self-join on positions, no window function, no
+    shuffle at all); at 100 TB this runs as a single scan-project
+    stage. Context shorter than ``window`` at document edges truncates
+    naturally (``slice`` with a zero/overrun length clamps).
+
+    Returns (id, pos, left_ctx, right_ctx) with ``pos`` the 0-based
+    token position; empty context is the empty string (matching
+    ``concat_ws`` semantics — oracle note: DuckDB's
+    ``array_to_string([])`` is NULL, COALESCE it).
+    """
+    toks = df.select(F.col(id_col),
+                     F.split(F.col(text_col), " ").alias("__toks"))
+    hits = (toks.select(
+        id_col,
+        F.posexplode("__toks").alias("pos", "__tok"),
+        "__toks")
+        .filter(F.col("__tok") == keyword))
+    # slice() is 1-based: left covers 0-based [pos-window, pos) ->
+    # start max(pos-window,0)+1, length min(pos,window); right covers
+    # (pos, pos+window] -> start pos+2, clamped by slice itself.
+    left = F.slice("__toks",
+                   F.greatest(F.col("pos") - window, F.lit(0)) + 1,
+                   F.least(F.col("pos"), F.lit(window)))
+    right = F.slice("__toks", F.col("pos") + 2, window)
+    return hits.select(
+        id_col, "pos",
+        F.concat_ws(" ", left).alias("left_ctx"),
+        F.concat_ws(" ", right).alias("right_ctx"))

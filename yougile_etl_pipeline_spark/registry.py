@@ -988,6 +988,14 @@ _STABLE_CERTIFIED = [
     "f_array_set_ops",
     "f_case_bands",        # slot ← graph_pagerank (changed, recerts)
     "set_union_distinct",  # slot ← graph_pagerank_personalized (ditto)
+    # r10 mid-round swaps: each genuinely new registry_r10 entry frees
+    # one window slot by promoting a held-out recert filler back here
+    # (every one is a many-times-driver-certified green, most recently
+    # CORRECTNESS_r08/r09).
+    "j_full_outer",        # slot → graph_degree_assortativity
+    "f_regexp_extract",    # slot → graph_reciprocity
+    "set_intersect_all",   # slot → quality_chi2_lang_source
+    "set_except_dup_left",  # slot → text_kwic_concordance
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

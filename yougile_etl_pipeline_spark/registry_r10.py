@@ -407,6 +407,133 @@ def text_vocab_coverage_curve(spark, sf):
                     .alias("coverage_ppm")))
 
 
+# ---------------------------------------------------------------------------
+# Round-10 mid-round direct registrations (each swaps one held-out
+# recertification filler back into _STABLE_CERTIFIED — see the r10
+# note in registry.py).
+# ---------------------------------------------------------------------------
+
+_D0_EDGES_SQL = """
+  SELECT DISTINCT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
+  FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40"""
+
+
+def _d0_edges(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return (d.select((F.col("doc_id") % 40).alias("src"),
+                     ((F.col("doc_id") * 7 + 3) % 40).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+@register("graph_degree_assortativity", f"""
+WITH d0 AS ({_D0_EDGES_SQL}),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS xd FROM d0 GROUP BY src),
+ind  AS (SELECT dst, CAST(count(*) AS BIGINT) AS yd FROM d0 GROUP BY dst),
+p AS (SELECT xd, yd FROM d0 JOIN outd USING (src) JOIN ind USING (dst)),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(SUM(xd) AS BIGINT) AS sx,
+             CAST(SUM(yd) AS BIGINT) AS sy,
+             CAST(SUM(xd * xd) AS BIGINT) AS sxx,
+             CAST(SUM(yd * yd) AS BIGINT) AS syy,
+             CAST(SUM(xd * yd) AS BIGINT) AS sxy
+      FROM p)
+SELECT n_edges, sx, sy, sxx, syy, sxy,
+  CASE WHEN n_edges * sxx - sx * sx > 0
+        AND n_edges * syy - sy * sy > 0 THEN
+    CAST(n_edges * sxy - sx * sy AS DOUBLE)
+    / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+           * CAST(n_edges * syy - sy * sy AS DOUBLE))
+  END AS assortativity
+FROM s
+""")
+def graph_degree_assortativity(spark, sf):
+    # Newman degree-correlation r over the modular doc graph
+    # (graph.py::degree_assortativity): exact BIGINT sufficient stats,
+    # one fixed-operand-order double expression at the end (sqrt is
+    # IEEE-correctly-rounded, so the double is hash-exact).
+    from yougile_etl_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(_d0_edges(spark, sf))
+
+
+@register("graph_reciprocity", f"""
+WITH d0 AS ({_D0_EDGES_SQL}),
+rec AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+        FROM d0 a JOIN d0 b ON a.src = b.dst AND a.dst = b.src),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM d0)
+SELECT n_edges, n_reciprocal,
+       CAST(CASE WHEN n_edges > 0
+                 THEN (n_reciprocal * 1000000) // n_edges
+            END AS BIGINT) AS reciprocity_ppm
+FROM tot, rec
+""")
+def graph_reciprocity(spark, sf):
+    # Mutual-link share of the modular doc graph (graph.py::
+    # reciprocity): distinct edges, left-semi self-join on the swapped
+    # pair, integer-ppm ratio. The oracle's inner join equals the semi
+    # join because d0 is distinct and each edge has at most one
+    # reverse.
+    from yougile_etl_pipeline_spark.operators.graph import reciprocity
+
+    return reciprocity(_d0_edges(spark, sf))
+
+
+@register("quality_chi2_lang_source", """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+r AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r_tot FROM cells GROUP BY a),
+c AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c_tot FROM cells GROUP BY b),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+SELECT cells.a, cells.b, o, r_tot, c_tot, n.n,
+       CAST(o * n.n - r_tot * c_tot AS DOUBLE)
+       * CAST(o * n.n - r_tot * c_tot AS DOUBLE)
+       / CAST(r_tot * c_tot * n.n AS DOUBLE) AS cell_chi2
+FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN n
+""")
+def quality_chi2_lang_source(spark, sf):
+    # Pearson chi-squared independence drill-down between declared
+    # language and source (quality.py::chi2_independence_cells): which
+    # (lang, source) cells deviate from independence. One keyed count
+    # is the only data-sized shuffle; marginals broadcast back.
+    from yougile_etl_pipeline_spark.operators.quality import (
+        chi2_independence_cells,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return chi2_independence_cells(docs, "lang", "source")
+
+
+@register("text_kwic_concordance", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+p AS (
+  SELECT doc_id, t,
+         CAST(generate_subscripts(t, 1) - 1 AS INTEGER) AS pos,
+         unnest(t) AS tok
+  FROM toks)
+SELECT doc_id, pos,
+  COALESCE(array_to_string(t[greatest(pos - 1, 1):pos], ' '), '')
+    AS left_ctx,
+  COALESCE(array_to_string(t[pos + 2:pos + 3], ' '), '') AS right_ctx
+FROM p WHERE tok = 'spark'
+""")
+def text_kwic_concordance(spark, sf):
+    # Keyword-in-context concordance for the token 'spark'
+    # (text.py::kwic_concordance, window=2): MAP-ONLY — posexplode +
+    # array slicing on the same token array, zero shuffles
+    # (plan-pinned in tests/test_chi2_kwic.py).
+    from yougile_etl_pipeline_spark.operators.text import (
+        kwic_concordance,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return kwic_concordance(docs, "doc_id", "text", "spark", window=2)
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -430,4 +557,9 @@ R10_ENTRIES: list[str] = [
     "text_jaccard_topk_pairs",
     "quality_duplicate_key_audit",
     "text_vocab_coverage_curve",
+    # mid-round direct registrations (round 10):
+    "graph_degree_assortativity",
+    "graph_reciprocity",
+    "quality_chi2_lang_source",
+    "text_kwic_concordance",
 ]
