@@ -527,3 +527,60 @@ def default_media_decoder(payload: bytes, media_type: str) -> list[float]:
         f"no pure-Python decoder for media_type={media_type!r} "
         f"(magic={payload[:4]!r}); compressed formats need codec "
         "libraries not present in this environment")
+
+
+def bmp_decode_pixels(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bpp BMP into the logical TOP-DOWN
+    ``(h, w, 3)`` uint8 pixel grid (stored channel order B,G,R),
+    undoing the format's bottom-up row order and 4-byte row padding.
+
+    Deliberately a standalone parse rather than a refactor of
+    `bmp_decode`: that function backs a long-stable certified entry
+    (``mm_bmp_stats``) and the certification contract treats any
+    implementation change as a recertification event — the ~15
+    duplicated validation lines are cheaper than churning a certified
+    operator."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _magic, fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if fsize != len(payload):
+        raise ValueError(f"BMP size field {fsize} != payload {len(payload)}")
+    hsize, w, h_raw, planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if hsize < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP encoding (bpp={bpp}, compression={comp}); "
+            "only uncompressed 24-bpp decodes without codec libraries")
+    if w < 0:
+        raise ValueError(f"invalid BMP width {w}")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if off + stride * h > len(payload):
+        raise ValueError("pixel array truncated")
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, :row_bytes]      # drop padding
+    if not top_down:
+        rows = rows[::-1]                             # undo bottom-up
+    return rows.reshape(h, w, 3)
+
+
+def resize_nearest(pixels: np.ndarray, dst_h: int, dst_w: int) -> np.ndarray:
+    """Nearest-neighbor resample of an ``(h, w, ...)`` pixel grid to
+    ``(dst_h, dst_w, ...)``: output cell (r, c) takes source cell
+    ``((r·h) // dst_h, (c·w) // dst_w)`` — the floor-index map every
+    engine (and a SQL oracle) computes identically in integer
+    arithmetic, which is what makes a resize verifiable bit-exactly.
+    Pure index selection: no interpolation, no float math."""
+    if dst_h < 1 or dst_w < 1:
+        raise ValueError(f"invalid target size {dst_h}x{dst_w}")
+    h, w = pixels.shape[0], pixels.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("cannot resize a zero-area image")
+    ri = (np.arange(dst_h, dtype=np.int64) * h) // dst_h
+    ci = (np.arange(dst_w, dtype=np.int64) * w) // dst_w
+    return pixels[ri][:, ci]

@@ -613,3 +613,118 @@ def synth_bmp_rle8_payloads(df: DataFrame, id_col: str) -> DataFrame:
     from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
 
     return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: nearest-neighbor image resize + framed audio energy
+# ---------------------------------------------------------------------------
+
+BMP_RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("src_w", T.IntegerType()),
+    T.StructField("src_h", T.IntegerType()),
+    T.StructField("out_sum", T.LongType()),
+    T.StructField("out_min", T.IntegerType()),
+    T.StructField("out_max", T.IntegerType()),
+])
+
+
+def bmp_resize_stats(df: DataFrame, dst_h: int, dst_w: int,
+                     id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Decode 24-bpp BMP payloads, nearest-neighbor resize to a fixed
+    ``dst_h x dst_w`` thumbnail (`media_codec.resize_nearest` — pure
+    integer floor-index selection, no interpolation), and report exact
+    integer statistics of the RESIZED grid. The thumbnail/preprocess
+    step of an image training pipeline, with the resize itself under
+    bit-exact oracle verification because the index map is closed-form
+    integer arithmetic.
+
+    Map-only streaming `mapInPandas` pass — no shuffle; at 100 TB this
+    is a single scan-transform stage whose parallelism is the input
+    split count."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        bmp_decode_pixels,
+        resize_nearest,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs = [bmp_decode_pixels(p) for p in pdf[payload_col]]
+            outs = [resize_nearest(px, dst_h, dst_w) for px in srcs]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "src_w": np.array([p.shape[1] for p in srcs], "int32"),
+                "src_h": np.array([p.shape[0] for p in srcs], "int32"),
+                "out_sum": np.array(
+                    [int(o.astype(np.int64).sum()) for o in outs],
+                    "int64"),
+                "out_min": np.array([int(o.min()) for o in outs],
+                                    "int32"),
+                "out_max": np.array([int(o.max()) for o in outs],
+                                    "int32"),
+            })
+
+    return df.mapInPandas(run, BMP_RESIZE_SCHEMA)
+
+
+WAV_FRAME_ENERGY_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("e_max", T.LongType()),
+    T.StructField("f_argmax", T.LongType()),
+    T.StructField("n_quiet", T.LongType()),
+])
+
+
+def wav_frame_energy(df: DataFrame, frame: int = 32,
+                     quiet_threshold: int = 10_000_000_000,
+                     id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Framed audio energy over RIFF/WAVE PCM16 payloads — the feature
+    extraction behind voice-activity detection and silence trimming:
+    split the decoded signal into fixed non-overlapping frames (the
+    final frame may be short), per-frame energy = exact int64 sum of
+    squared samples, then per media the frame count, the peak energy,
+    the FIRST peak frame index, and the count of "quiet" frames below
+    ``quiet_threshold``.
+
+    Everything is integer (energy of a 32-sample PCM16 frame is
+    <= 32·32768² ≈ 3.4·10¹⁰, far under int64), so the whole feature is
+    oracle-pairable in closed form over the synthetic signal. Map-only
+    streaming pass, no shuffle."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        wav_samples,
+    )
+
+    def one(payload: bytes) -> tuple[int, int, int, int, int]:
+        _ch, _rate, s = wav_samples(payload)
+        s = s.astype(np.int64)
+        n = len(s)
+        n_frames = -(-n // frame) if n else 0
+        if n_frames == 0:
+            return 0, 0, 0, 0, 0
+        pad = n_frames * frame - n
+        sq = np.pad(s * s, (0, pad))
+        en = sq.reshape(n_frames, frame).sum(axis=1)
+        return (n, n_frames, int(en.max()), int(np.argmax(en)),
+                int((en < quiet_threshold).sum()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "n_samples": np.array([r[0] for r in rows], "int64"),
+                "n_frames": np.array([r[1] for r in rows], "int64"),
+                "e_max": np.array([r[2] for r in rows], "int64"),
+                "f_argmax": np.array([r[3] for r in rows], "int64"),
+                "n_quiet": np.array([r[4] for r in rows], "int64"),
+            })
+
+    return df.mapInPandas(run, WAV_FRAME_ENERGY_SCHEMA)

@@ -996,6 +996,8 @@ _STABLE_CERTIFIED = [
     "f_regexp_extract",    # slot → graph_reciprocity
     "set_intersect_all",   # slot → quality_chi2_lang_source
     "set_except_dup_left",  # slot → text_kwic_concordance
+    "set_except_all",      # slot → mm_bmp_resize_nearest
+    "f_datetime_truncs",   # slot → mm_wav_frame_energy
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -534,6 +534,79 @@ def text_kwic_concordance(spark, sf):
     return kwic_concordance(docs, "doc_id", "text", "spark", window=2)
 
 
+@register("mm_bmp_resize_nearest", """
+WITH p AS (SELECT event_id AS id,
+                  4 + event_id % 5 AS w, 3 + event_id % 4 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, 144), k ->
+    (id + 7 * (((k // 24) * h) // 6)
+        + 3 * ((((k % 24) // 3) * w) // 8)
+        + (k % 3)) % 256) AS px
+  FROM p)
+SELECT id AS media_id,
+       CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST(list_sum(px) AS BIGINT) AS out_sum,
+       CAST(list_min(px) AS INTEGER) AS out_min,
+       CAST(list_max(px) AS INTEGER) AS out_max
+FROM v
+""")
+def mm_bmp_resize_nearest(spark, sf):
+    # Thumbnail preprocess under bit-exact verification: real 24-bpp
+    # BMP decode (media_codec.bmp_decode_pixels — bottom-up rows +
+    # padding undone) then nearest-neighbor resize to 6x8
+    # (media_codec.resize_nearest — pure integer floor-index map, so
+    # the oracle states the RESIZED grid in closed form over the
+    # synthetic image formula: out(rr,cc,ch) = byte((rr*h) div 6,
+    # (cc*w) div 8, ch), flattened to k in range(144) with rr = k div
+    # 24, cc = (k mod 24) div 3). Map-only mapInPandas pass.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        bmp_resize_stats,
+        synth_bmp_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return bmp_resize_stats(synth_bmp_payloads(ev, "event_id"), 6, 8)
+
+
+@register("mm_wav_frame_energy", """
+WITH p AS (SELECT event_id AS id, 50 + event_id % 100 AS n FROM events),
+s AS (SELECT id, n,
+  list_transform(range(0, CAST(n AS BIGINT)),
+    i -> (id * 31 + i * 17) % 65536 - 32768) AS sm FROM p),
+f AS (SELECT id, n, (n + 31) // 32 AS nf, sm FROM p
+      JOIN s USING (id, n)),
+e AS (SELECT id, n, nf,
+  list_transform(range(0, CAST(nf AS BIGINT)), fi ->
+    list_sum(list_transform(
+      range(fi * 32, least(fi * 32 + 32, CAST(n AS BIGINT))),
+      i -> sm[i + 1] * sm[i + 1]))) AS en
+  FROM f)
+SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(list_max(en) AS BIGINT) AS e_max,
+       CAST(list_position(en, list_max(en)) - 1 AS BIGINT) AS f_argmax,
+       CAST(len(list_filter(en, x -> x < 10000000000)) AS BIGINT)
+         AS n_quiet
+FROM e
+""")
+def mm_wav_frame_energy(spark, sf):
+    # Voice-activity-detection features: real WAV decode
+    # (media_codec.wav_samples) then non-overlapping 32-sample frames,
+    # per-frame int64 energy, peak/first-argmax/quiet-count per media
+    # (multimodal.wav_frame_energy). The synth signal (same family as
+    # mm_wav_stats) lets the oracle state every frame energy in closed
+    # form — nested list_transform over frame then sample index.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        synth_wav_payloads,
+        wav_frame_energy,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return wav_frame_energy(synth_wav_payloads(ev, "event_id"),
+                            frame=32, quiet_threshold=10_000_000_000)
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -562,4 +635,6 @@ R10_ENTRIES: list[str] = [
     "graph_reciprocity",
     "quality_chi2_lang_source",
     "text_kwic_concordance",
+    "mm_bmp_resize_nearest",
+    "mm_wav_frame_energy",
 ]
