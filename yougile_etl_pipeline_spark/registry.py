@@ -998,6 +998,8 @@ _STABLE_CERTIFIED = [
     "set_except_dup_left",  # slot → text_kwic_concordance
     "set_except_all",      # slot → mm_bmp_resize_nearest
     "f_datetime_truncs",   # slot → mm_wav_frame_energy
+    "f_string_pad_translate",  # slot → events_gaps_islands
+    "f_hash_functions",    # slot → train_shard_planner
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -607,6 +607,87 @@ def mm_wav_frame_energy(spark, sf):
                             frame=32, quiet_threshold=10_000_000_000)
 
 
+@register("events_gaps_islands", """
+WITH r AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    - row_number() OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS grp
+  FROM events),
+i AS (SELECT user_id, event_type, grp, count(*) AS len
+      FROM r GROUP BY 1, 2, 3)
+SELECT event_type, CAST(len AS BIGINT) AS island_len,
+       CAST(count(*) AS BIGINT) AS n_islands
+FROM i GROUP BY 1, 2
+""")
+def events_gaps_islands(spark, sf):
+    # Classic gaps-and-islands: maximal runs of consecutive same-type
+    # events per user (the row_number-difference trick — rn over user
+    # minus rn over (user, type) is constant exactly within a run),
+    # reported as the island-length histogram per event type. The
+    # behavioral-streak metric behind "3 errors in a row" alerting.
+    # (ts, event_id) is a total order per user, so the grouping is
+    # hash-exact. 100x shape: both windows and both aggregates are
+    # user-partitioned — one key shuffle, no global sort.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = (Window.partitionBy("user_id", "event_type")
+            .orderBy("ts", "event_id"))
+    runs = ev.withColumn(
+        "grp", F.row_number().over(w_u) - F.row_number().over(w_ut))
+    islands = (runs.groupBy("user_id", "event_type", "grp")
+               .agg(F.count(F.lit(1)).alias("len")))
+    return (islands.groupBy("event_type",
+                            F.col("len").cast("bigint")
+                            .alias("island_len"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_islands")))
+
+
+@register("train_shard_planner", """
+WITH c AS (
+  SELECT lang, doc_id, n_chars,
+    CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM documents),
+s AS (SELECT lang, doc_id, n_chars,
+             (cum - n_chars) // 20000 AS shard_id FROM c)
+SELECT lang, CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM s GROUP BY 1, 2
+""")
+def train_shard_planner(spark, sf):
+    # Deterministic shard manifest for a training-data release: per
+    # language, docs in doc_id order are packed into ~20k-char shards
+    # by START offset (shard = floor(preceding-chars / cap)), then the
+    # plan is summarized per shard. The start-offset rule makes shard
+    # assignment a pure function of the running total — no sequential
+    # bin state, so it distributes. 100x shape: ONE lang-keyed shuffle
+    # feeds a RUNNING window frame (incremental, never a shrinking
+    # frame — SCALE.md) and a same-key aggregate.
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents").select(
+        "lang", "doc_id", "n_chars")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = docs.withColumn(
+        "cum", F.sum("n_chars").over(w).cast("bigint"))
+    s = c.withColumn("shard_id",
+                     F.expr("(cum - n_chars) div 20000"))
+    return (s.groupBy("lang",
+                      F.col("shard_id").cast("bigint").alias("shard_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.min("doc_id").cast("bigint").alias("first_doc"),
+                 F.max("doc_id").cast("bigint").alias("last_doc")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -637,4 +718,6 @@ R10_ENTRIES: list[str] = [
     "text_kwic_concordance",
     "mm_bmp_resize_nearest",
     "mm_wav_frame_energy",
+    "events_gaps_islands",
+    "train_shard_planner",
 ]
