@@ -67,3 +67,26 @@ def test_kwic_is_map_only(spark):
     out = kwic_concordance(df, "doc_id", "text", "spark")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero shuffles: scan-project only
+
+
+def test_cramers_v_hand_checked(spark):
+    # the skewed 2x2 from the cell test: chi2 = 0.375 exactly; ppm
+    # floors 41666+83333+83333+166666 = 374998; dof = 6*min(1,1);
+    # V ~ sqrt(0.375/6) = 0.25 (quantization <= 4 ppm of chi2)
+    from yougile_etl_pipeline_spark.operators.quality import (
+        cramers_v_ppm,
+    )
+
+    rows = ([("a1", "b1")] * 3 + [("a1", "b2")]
+            + [("a2", "b1")] + [("a2", "b2")])
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cramers_v_ppm(df, "x", "y").collect()[0]
+    assert (r["n"], r["r_cats"], r["c_cats"]) == (6, 2, 2)
+    assert r["chi2_ppm"] == 374998
+    assert abs(r["cramers_v"] - 0.25) < 1e-4
+
+    # degenerate: one category on one side -> V NULL
+    one = spark.createDataFrame(
+        [("a", "b1"), ("a", "b2")], "x string, y string")
+    r = cramers_v_ppm(one, "x", "y").collect()[0]
+    assert r["cramers_v"] is None

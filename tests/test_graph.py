@@ -315,3 +315,24 @@ def test_reciprocity_hand_checked(spark):
     row = reciprocity(empty).collect()[0]
     assert (row["n_edges"], row["n_reciprocal"]) == (0, 0)
     assert row["reciprocity_ppm"] is None
+
+
+def test_katz_centrality_hand_checked(spark):
+    """1->3, 2->3, 3->4, scale=100, alpha=1/5, 2 iterations:
+    x0 = 100 everywhere; x1 = 100 + insum div 5 -> (100,100,140,120);
+    x2: node 3 gets (100+100) div 5 = 40 -> 140, node 4 gets
+    140 div 5 = 28 -> 128."""
+    from yougile_etl_pipeline_spark.operators.graph import katz_centrality
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src long, dst long")
+    got = {r["node"]: r["katz"] for r in katz_centrality(
+        edges, iterations=2, scale=100, alpha_inv=5).collect()}
+    assert got == {1: 100, 2: 100, 3: 140, 4: 128}
+    # conflicting-column defense, same as the other graph ops
+    dirty = spark.createDataFrame(
+        [(1, 3, 9), (2, 3, 9), (3, 4, 9)],
+        "src long, dst long, katz long")
+    got2 = {r["node"]: r["katz"] for r in katz_centrality(
+        dirty, iterations=2, scale=100, alpha_inv=5).collect()}
+    assert got2 == got

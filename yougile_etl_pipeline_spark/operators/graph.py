@@ -677,3 +677,53 @@ def reciprocity(edges: DataFrame, *, src: str = "src",
                     F.expr("CASE WHEN n_edges > 0 THEN "
                            "(n_reciprocal * 1000000) div n_edges "
                            "END").alias("reciprocity_ppm")))
+
+
+def katz_centrality(edges: DataFrame, *, src: str = "src",
+                    dst: str = "dst", iterations: int = 3,
+                    scale: int = 10**9, alpha_inv: int = 5,
+                    checkpoint_every: int | None = 2) -> DataFrame:
+    """Katz centrality in the same integer fixed-point framework as
+    `pagerank_fixed_point`: x' = 1·scale + (Aᵀx) div alpha_inv — every
+    node gets a base unit of centrality plus an attenuated (α =
+    1/alpha_inv) share of its in-neighbors' centrality. Unlike
+    PageRank, contributions are NOT degree-normalized, so Katz rewards
+    being pointed at by well-connected nodes even when those nodes
+    point at many others — the standard influence measure when edge
+    fan-out should not dilute endorsement.
+
+    Integer floor-division at each step keeps the result after a FIXED
+    iteration count bit-deterministic and SQL-oracle-pairable (an
+    unrolled-CTE oracle, like the PageRank family). Overflow bound:
+    after k iterations values are ≤ scale·Σ(d_max/alpha_inv)^i — with
+    the default scale 10⁹, int64 holds any graph whose max in-degree
+    stays under ~10³·alpha_inv for 3 iterations; raise alpha_inv (or
+    lower scale) for denser graphs.
+
+    Distributed shape per iteration: one join of the edge list to the
+    score vector + one keyed sum (the PageRank shuffle pattern);
+    lineage truncates every `checkpoint_every` iterations."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if alpha_inv < 2:
+        raise ValueError(f"alpha_inv must be >= 2, got {alpha_inv}")
+    edges = edges.select(F.col(src).alias("__src"),
+                         F.col(dst).alias("__dst"))
+    nodes = (edges.select(F.col("__src").alias("node"))
+             .union(edges.select(F.col("__dst").alias("node"))).distinct())
+    katz = nodes.select("node", F.lit(scale).cast("long").alias("katz"))
+    for i in range(iterations):
+        contribs = (edges.join(katz, edges["__src"] == katz["node"])
+                    .select(F.col("__dst").alias("node"),
+                            F.col("katz").alias("__c")))
+        sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
+        katz = (nodes.join(sums, "node", "left")
+                .select("node",
+                        (F.lit(scale)
+                         + F.expr(f"coalesce(__s, CAST(0 AS BIGINT)) "
+                                  f"div {alpha_inv}"))
+                        .cast("long").alias("katz")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iterations:
+            katz = katz.localCheckpoint(eager=True)
+    return katz

@@ -1077,3 +1077,40 @@ def chi2_independence_cells(df: DataFrame, col_a: str,
             .select("a", "b", "o", "r_tot", "c_tot", "n",
                     (num.cast("double") * num.cast("double")
                      / den.cast("double")).alias("cell_chi2")))
+
+
+def cramers_v_ppm(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association strength between two categorical columns
+    — the [0, 1]-normalized companion to `chi2_independence_cells`
+    (how strongly is lang tied to source?), as ONE summary row.
+
+    Cross-engine determinism: the χ² total is a sum of per-cell
+    DOUBLES, whose value would depend on partition order — so each
+    cell's contribution is first floor-quantized to integer ppm
+    (floor is exact on doubles and identical across engines, unlike
+    bigint casts, which truncate in Spark but round in DuckDB) and the
+    ppm BIGINTs are summed exactly. V then comes from one
+    fixed-operand-order double expression:
+    sqrt(chi2_ppm / (n·min(r−1, c−1) · 10⁶)). The ≤1-ppm-per-cell
+    quantization is documented behavior, not drift.
+
+    Returns (n, r_cats, c_cats, chi2_ppm, cramers_v); V is NULL for a
+    degenerate table (a single category on either side)."""
+    cells = chi2_independence_cells(df, col_a, col_b)
+    quant = cells.select(
+        "n",
+        F.floor(F.col("cell_chi2") * 1000000).cast("bigint")
+        .alias("__cell_ppm"),
+        "a", "b")
+    agg = quant.agg(
+        F.min("n").alias("n"),
+        F.countDistinct("a").cast("bigint").alias("r_cats"),
+        F.countDistinct("b").cast("bigint").alias("c_cats"),
+        F.sum("__cell_ppm").cast("bigint").alias("chi2_ppm"))
+    dof = F.col("n") * F.least(F.col("r_cats") - 1,
+                               F.col("c_cats") - 1)
+    v = F.when(dof > 0,
+               F.sqrt(F.col("chi2_ppm").cast("double")
+                      / (dof.cast("double") * F.lit(1000000.0))))
+    return agg.select("n", "r_cats", "c_cats", "chi2_ppm",
+                      v.alias("cramers_v"))

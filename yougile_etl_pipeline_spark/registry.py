@@ -1000,6 +1000,10 @@ _STABLE_CERTIFIED = [
     "f_datetime_truncs",   # slot → mm_wav_frame_energy
     "f_string_pad_translate",  # slot → events_gaps_islands
     "f_hash_functions",    # slot → train_shard_planner
+    "f_bitwise_functions",  # slot → graph_katz_centrality
+    "f_try_arithmetic",    # slot → quality_cramers_v
+    "text_repetition_stats",  # slot → events_user_lifecycle
+    "doc_chunks",          # slot → events_peak_concurrency
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

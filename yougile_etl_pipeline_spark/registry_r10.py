@@ -688,6 +688,169 @@ def train_shard_planner(spark, sf):
                  F.max("doc_id").cast("bigint").alias("last_doc")))
 
 
+@register("graph_katz_centrality", f"""
+WITH d0 AS ({_D0_EDGES_SQL}),
+nodes AS (SELECT DISTINCT n AS node FROM (
+  SELECT src AS n FROM d0 UNION SELECT dst FROM d0)),
+x0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS k FROM nodes),
+s1 AS (SELECT e.dst AS node, CAST(SUM(x0.k) AS BIGINT) AS s
+       FROM d0 e JOIN x0 ON e.src = x0.node GROUP BY e.dst),
+x1 AS (SELECT n.node,
+         CAST(1000000000 + COALESCE(s1.s, 0) // 5 AS BIGINT) AS k
+       FROM nodes n LEFT JOIN s1 USING (node)),
+s2 AS (SELECT e.dst AS node, CAST(SUM(x1.k) AS BIGINT) AS s
+       FROM d0 e JOIN x1 ON e.src = x1.node GROUP BY e.dst),
+x2 AS (SELECT n.node,
+         CAST(1000000000 + COALESCE(s2.s, 0) // 5 AS BIGINT) AS k
+       FROM nodes n LEFT JOIN s2 USING (node)),
+s3 AS (SELECT e.dst AS node, CAST(SUM(x2.k) AS BIGINT) AS s
+       FROM d0 e JOIN x2 ON e.src = x2.node GROUP BY e.dst),
+x3 AS (SELECT n.node,
+         CAST(1000000000 + COALESCE(s3.s, 0) // 5 AS BIGINT) AS k
+       FROM nodes n LEFT JOIN s3 USING (node))
+SELECT node, k AS katz FROM x3
+""")
+def graph_katz_centrality(spark, sf):
+    # Katz influence over the modular doc graph (graph.py::
+    # katz_centrality): x' = scale + (A^T x) div 5, three integer
+    # fixed-point iterations vs the three unrolled CTE pairs — the
+    # non-degree-normalized counterpart to PageRank in the same
+    # bit-deterministic framework.
+    from yougile_etl_pipeline_spark.operators.graph import (
+        katz_centrality,
+    )
+
+    return katz_centrality(_d0_edges(spark, sf), iterations=3,
+                           scale=10**9, alpha_inv=5)
+
+
+@register("quality_cramers_v", """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+r AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r_tot FROM cells GROUP BY a),
+c AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c_tot FROM cells GROUP BY b),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+q AS (
+  SELECT n.n AS n, cells.a, cells.b,
+    CAST(floor(CAST(o * n.n - r_tot * c_tot AS DOUBLE)
+               * CAST(o * n.n - r_tot * c_tot AS DOUBLE)
+               / CAST(r_tot * c_tot * n.n AS DOUBLE)
+               * 1000000) AS BIGINT) AS cell_ppm
+  FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN n)
+SELECT CAST(MIN(n) AS BIGINT) AS n,
+       CAST(count(DISTINCT a) AS BIGINT) AS r_cats,
+       CAST(count(DISTINCT b) AS BIGINT) AS c_cats,
+       CAST(SUM(cell_ppm) AS BIGINT) AS chi2_ppm,
+       CASE WHEN MIN(n) * least(count(DISTINCT a) - 1,
+                                count(DISTINCT b) - 1) > 0 THEN
+         sqrt(CAST(SUM(cell_ppm) AS DOUBLE)
+              / (CAST(MIN(n) * least(count(DISTINCT a) - 1,
+                                     count(DISTINCT b) - 1) AS DOUBLE)
+                 * 1000000.0))
+       END AS cramers_v
+FROM q
+""")
+def quality_cramers_v(spark, sf):
+    # Cramér's V association between lang and source (quality.py::
+    # cramers_v_ppm): per-cell chi2 contributions floor-quantized to
+    # integer ppm (floor, NOT a bigint cast — Spark casts truncate
+    # while DuckDB casts round), summed exactly, then one
+    # fixed-operand-order double sqrt.
+    from yougile_etl_pipeline_spark.operators.quality import (
+        cramers_v_ppm,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return cramers_v_ppm(docs, "lang", "source")
+
+
+@register("events_user_lifecycle", """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+l AS (
+  SELECT user_id, day,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+  FROM d)
+SELECT CAST(day AS BIGINT) AS day_num,
+  CASE WHEN prev IS NULL THEN 'new'
+       WHEN prev = day - 1 THEN 'retained'
+       ELSE 'resurrected' END AS state,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM l GROUP BY 1, 2
+""")
+def events_user_lifecycle(spark, sf):
+    # Growth accounting: classify every active (user, day) as new
+    # (first day ever), retained (also active the day before) or
+    # resurrected (returned after a gap) and count the mix per day —
+    # the standard DAU decomposition behind retention dashboards.
+    # 100x shape: one distinct on (user, day), then a user-partitioned
+    # lag window and a small keyed aggregate — day arithmetic is pure
+    # integer (epoch-ms div), no calendar functions, no TZ surface.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events")
+    d = (ev.select("user_id",
+                   F.expr("unix_millis(ts) div 86400000").alias("day"))
+         .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagd = d.withColumn("prev", F.lag("day").over(w))
+    state = (F.when(F.col("prev").isNull(), "new")
+             .when(F.col("prev") == F.col("day") - 1, "retained")
+             .otherwise("resurrected"))
+    return (lagd.select(F.col("day").cast("bigint").alias("day_num"),
+                        state.alias("state"))
+            .groupBy("day_num", "state")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+
+
+@register("events_peak_concurrency", """
+WITH e AS (SELECT event_id, epoch_ms(ts) AS ms FROM events),
+d AS (
+  SELECT ms // 86400000 AS day, ms AS t, 1 AS delta, event_id FROM e
+  UNION ALL
+  SELECT ms // 86400000 AS day, ms + 300000 AS t, -1 AS delta, event_id
+  FROM e),
+r AS (SELECT day, delta,
+        SUM(delta) OVER (PARTITION BY day ORDER BY t, delta, event_id
+                         ROWS UNBOUNDED PRECEDING) AS run
+      FROM d)
+SELECT CAST(day AS BIGINT) AS day_num,
+       CAST(MAX(run) AS BIGINT) AS peak,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_events
+FROM r GROUP BY day
+""")
+def events_peak_concurrency(spark, sf):
+    # Peak concurrency per day — the capacity-planning sweep: each
+    # event opens a 5-minute interval; +1/-1 boundary deltas, a
+    # running sum over the (t, delta, event_id) total order (ends
+    # sort before starts at the same instant, so back-to-back
+    # intervals never double-count), max per day. Day-scoped by the
+    # START's day (documented: the counter resets at midnight).
+    # 100x shape: the union doubles rows map-side, then ONE day-keyed
+    # shuffle feeds a RUNNING frame and the same-key aggregate.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.unix_millis("ts").alias("ms"))
+    starts = ev.select(
+        F.expr("ms div 86400000").alias("day"),
+        F.col("ms").alias("t"), F.lit(1).alias("delta"), "event_id")
+    ends = ev.select(
+        F.expr("ms div 86400000").alias("day"),
+        (F.col("ms") + 300000).alias("t"),
+        F.lit(-1).alias("delta"), "event_id")
+    d = starts.unionAll(ends)
+    w = (Window.partitionBy("day").orderBy("t", "delta", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    r = d.withColumn("run", F.sum("delta").over(w))
+    return (r.groupBy(F.col("day").cast("bigint").alias("day_num"))
+            .agg(F.max("run").cast("bigint").alias("peak"),
+                 F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_events")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -720,4 +883,8 @@ R10_ENTRIES: list[str] = [
     "mm_wav_frame_energy",
     "events_gaps_islands",
     "train_shard_planner",
+    "graph_katz_centrality",
+    "quality_cramers_v",
+    "events_user_lifecycle",
+    "events_peak_concurrency",
 ]
