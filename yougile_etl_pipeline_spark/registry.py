@@ -1004,6 +1004,10 @@ _STABLE_CERTIFIED = [
     "f_try_arithmetic",    # slot → quality_cramers_v
     "text_repetition_stats",  # slot → events_user_lifecycle
     "doc_chunks",          # slot → events_peak_concurrency
+    "sample_source_mix",   # slot → mart_revenue_bridge
+    "train_pack_sequences",  # slot → events_missing_days
+    "dedup_shingle_jaccard",  # slot → sim_margin_audit
+    "dedup_shingle_capped",  # slot → text_hapax_ratio
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

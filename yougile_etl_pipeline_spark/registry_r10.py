@@ -851,6 +851,241 @@ def events_peak_concurrency(spark, sf):
                  .cast("bigint").alias("n_events")))
 
 
+@register("mart_revenue_bridge", """
+WITH cur AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS rev
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+prv AS (SELECT o_custkey, m + 1 AS m, rev AS prev_rev FROM cur),
+f AS (
+  SELECT COALESCE(cur.o_custkey, prv.o_custkey) AS ck,
+         COALESCE(cur.m, prv.m) AS m, cur.rev, prv.prev_rev
+  FROM cur FULL OUTER JOIN prv
+    ON cur.o_custkey = prv.o_custkey AND cur.m = prv.m)
+SELECT CAST(m AS BIGINT) AS month_idx,
+  CAST(SUM(CASE WHEN prev_rev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new,
+  CAST(SUM(CASE WHEN rev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_churned,
+  CAST(SUM(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+                 AND rev > prev_rev THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_up,
+  CAST(SUM(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+                 AND rev < prev_rev THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_down,
+  CAST(CAST(SUM(CASE WHEN prev_rev IS NULL THEN rev END) AS VARCHAR)
+       AS DOUBLE) AS new_rev,
+  CAST(CAST(SUM(CASE WHEN rev IS NULL THEN prev_rev END) AS VARCHAR)
+       AS DOUBLE) AS churned_rev,
+  CAST(CAST(SUM(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+                      AND rev > prev_rev THEN rev - prev_rev END)
+            AS VARCHAR) AS DOUBLE) AS expansion,
+  CAST(CAST(SUM(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+                      AND rev < prev_rev THEN prev_rev - rev END)
+            AS VARCHAR) AS DOUBLE) AS contraction
+FROM f GROUP BY m
+""")
+def mart_revenue_bridge(spark, sf):
+    # Month-over-month revenue bridge (growth accounting on money):
+    # per month, how much revenue came from NEW customers, how much
+    # left with CHURNED ones, and the expansion/contraction split
+    # among customers active in both months. DECIMAL-exact sums
+    # (double money never sums raw — the repo-wide rule); the
+    # decimal→double boundary goes through VARCHAR on the oracle side
+    # because DuckDB's direct cast double-rounds once the unscaled
+    # value passes 2^53 (SCALE.md gotcha). 100x shape: one (custkey,
+    # month) aggregate, a self-shifted FULL OUTER join on the same
+    # key, one month-keyed rollup.
+    o = (load_table(spark, sf, "orders")
+         .filter(F.col("o_orderdate").isNotNull()))
+    cur = (o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.col("o_totalprice").cast("decimal(24,6)").alias("p"))
+        .groupBy("o_custkey", "m")
+        .agg(F.sum("p").alias("rev")))
+    prv = cur.select("o_custkey", (F.col("m") + 1).alias("m"),
+                     F.col("rev").alias("prev_rev"))
+    f = (cur.join(prv, ["o_custkey", "m"], "full_outer"))
+    both = F.col("rev").isNotNull() & F.col("prev_rev").isNotNull()
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    return (f.groupBy(F.col("m").cast("bigint").alias("month_idx"))
+            .agg(
+        F.sum(F.when(F.col("prev_rev").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("rev").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_churned"),
+        F.sum(F.when(both & (F.col("rev") > F.col("prev_rev")), 1)
+              .otherwise(0)).cast("bigint").alias("n_up"),
+        F.sum(F.when(both & (F.col("rev") < F.col("prev_rev")), 1)
+              .otherwise(0)).cast("bigint").alias("n_down"),
+        _dbl(F.sum(F.when(F.col("prev_rev").isNull(), F.col("rev"))))
+        .alias("new_rev"),
+        _dbl(F.sum(F.when(F.col("rev").isNull(), F.col("prev_rev"))))
+        .alias("churned_rev"),
+        _dbl(F.sum(F.when(both & (F.col("rev") > F.col("prev_rev")),
+                          F.col("rev") - F.col("prev_rev"))))
+        .alias("expansion"),
+        _dbl(F.sum(F.when(both & (F.col("rev") < F.col("prev_rev")),
+                          F.col("prev_rev") - F.col("rev"))))
+        .alias("contraction")))
+
+
+@register("events_missing_days", """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+g AS (SELECT MAX(day) AS gmax FROM d),
+u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_active,
+             MIN(day) AS first_day
+      FROM d GROUP BY user_id)
+SELECT CAST(gmax - first_day + 1 - n_active AS BIGINT) AS missing_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u CROSS JOIN g GROUP BY 1
+""")
+def events_missing_days(spark, sf):
+    # Heartbeat-absence audit: for each user, days with NO activity
+    # between their first active day and the corpus's last day, as a
+    # histogram (how leaky is the daily engagement?). Pure integer
+    # epoch-day arithmetic — no calendar spine explode needed, because
+    # missing = span − active count. One distinct + one user-keyed
+    # aggregate + a broadcast one-row max.
+    ev = load_table(spark, sf, "events")
+    d = (ev.select("user_id",
+                   F.expr("unix_millis(ts) div 86400000").alias("day"))
+         .distinct())
+    g = d.agg(F.max("day").alias("gmax"))
+    u = (d.groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"),
+              F.min("day").alias("first_day")))
+    return (u.crossJoin(F.broadcast(g))
+            .select((F.col("gmax") - F.col("first_day") + 1
+                     - F.col("n_active")).cast("bigint")
+                    .alias("missing_days"))
+            .groupBy("missing_days")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+
+
+# Local copy of registry_ext's int8 quantization oracle fragment
+# (_QSCALE_SQL/_QCODE): the bank must not import registry_ext at
+# module top — the circular entry path can reach this module while
+# registry_ext is still partially initialized (see the import notes at
+# registry_ext's bottom).
+_Q_SQL = """
+qv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       FROM qv),
+qq AS (SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(greatest(-127.0,
+                least(127.0, floor(x / scale + 0.5))) AS INTEGER))
+         END AS q
+       FROM qs)
+"""
+
+
+@register("sim_margin_audit", f"""
+WITH {_Q_SQL},
+q AS (SELECT vec_id AS query_id, q AS a FROM qq WHERE vec_id < 8),
+c AS (SELECT vec_id AS match_id, q AS b FROM qq),
+scored AS (
+  SELECT query_id, match_id,
+    CAST(list_sum(list_transform(range(1, len(a) + 1),
+         i -> CAST(a[i] AS BIGINT) * b[i])) AS BIGINT) AS dot
+  FROM q CROSS JOIN c WHERE query_id != match_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, match_id) AS rk
+      FROM scored)
+SELECT a1.query_id, a1.match_id AS top_id, a1.dot AS top_dot,
+       a2.match_id AS second_id, a2.dot AS second_dot,
+       a1.dot - a2.dot AS margin
+FROM r a1 JOIN r a2 ON a1.query_id = a2.query_id
+WHERE a1.rk = 1 AND a2.rk = 2
+""")
+def sim_margin_audit(spark, sf):
+    # Nearest-neighbor confidence audit: per query, the INTEGER dot
+    #-product gap between the best and second-best int8-quantized
+    # neighbor — the margin that tells a retrieval pipeline which
+    # matches are decisive vs coin-flips. Quantized codes make the
+    # score and the margin exact BIGINTs (no float comparison
+    # anywhere); same broadcast-query brute-force shape as
+    # sim_topk_int8.
+    from pyspark.sql.window import Window
+
+    from yougile_etl_pipeline_spark.operators.quantize import (
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    qq = quantize_int8(emb).select("vec_id", "qvec")
+    q = (qq.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("qvec").alias("a")))
+    c = qq.select(F.col("vec_id").alias("match_id"),
+                  F.col("qvec").alias("b"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("query_id") != F.col("match_id"))
+              .select("query_id", "match_id",
+                      F.expr("aggregate(zip_with(a, b, (x, y) -> "
+                             "CAST(x AS BIGINT) * y), 0L, "
+                             "(acc, v) -> acc + v)").alias("dot")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), "match_id")
+    r = scored.withColumn("rk", F.row_number().over(w)) \
+              .filter(F.col("rk") <= 2)
+    a1 = r.filter(F.col("rk") == 1).select(
+        "query_id", F.col("match_id").alias("top_id"),
+        F.col("dot").alias("top_dot"))
+    a2 = r.filter(F.col("rk") == 2).select(
+        "query_id", F.col("match_id").alias("second_id"),
+        F.col("dot").alias("second_dot"))
+    return (a1.join(a2, "query_id")
+            .select("query_id", "top_id", "top_dot", "second_id",
+                    "second_dot",
+                    (F.col("top_dot") - F.col("second_dot"))
+                    .alias("margin")))
+
+
+@register("text_hapax_ratio", """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE term <> '' GROUP BY 1, 2)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(c) AS BIGINT) AS tokens,
+       CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS hapax_share_ppm
+FROM counts GROUP BY lang
+""")
+def text_hapax_ratio(spark, sf):
+    # Hapax legomena share per language — the vocabulary-tail weight
+    # (complement of text_vocab_coverage_curve's Zipf head): what
+    # fraction of the vocabulary occurs exactly once. High hapax share
+    # flags noisy/OCR-ish corpora and sizes subword-tokenizer budgets.
+    # One (lang, term) shuffle map-side-combined to near-vocab
+    # cardinality, then a lang-keyed rollup; integer ppm.
+    docs = load_table(spark, sf, "documents")
+    toks = (docs.select("lang",
+                        F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != ""))
+    counts = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (counts.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("hapax"),
+                 F.sum("c").cast("bigint").alias("tokens"))
+            .select("lang", "vocab", "hapax", "tokens",
+                    F.expr("(hapax * 1000000) div vocab")
+                    .alias("hapax_share_ppm")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -887,4 +1122,8 @@ R10_ENTRIES: list[str] = [
     "quality_cramers_v",
     "events_user_lifecycle",
     "events_peak_concurrency",
+    "mart_revenue_bridge",
+    "events_missing_days",
+    "sim_margin_audit",
+    "text_hapax_ratio",
 ]
