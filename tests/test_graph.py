@@ -336,3 +336,20 @@ def test_katz_centrality_hand_checked(spark):
     got2 = {r["node"]: r["katz"] for r in katz_centrality(
         dirty, iterations=2, scale=100, alpha_inv=5).collect()}
     assert got2 == got
+
+
+def test_clustering_coefficients_hand_checked(spark):
+    """Triangle 1-2-3 plus pendant 3-4 (undirected, given as directed
+    one-way edges): nodes 1,2 have k=2, one closed pair -> 1.0; node 3
+    has k=3, neighbors {1,2,4}, only (1,2) closed of 3 pairs ->
+    1/3; node 4 has k=1 -> NULL."""
+    from yougile_etl_pipeline_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long")
+    got = {r["node"]: (r["degree"], r["triangles"], r["coeff_ppm"])
+           for r in clustering_coefficients(edges).collect()}
+    assert got == {1: (2, 1, 1000000), 2: (2, 1, 1000000),
+                   3: (3, 1, 333333), 4: (1, 0, None)}

@@ -727,3 +727,52 @@ def katz_centrality(edges: DataFrame, *, src: str = "src",
                 and i + 1 < iterations:
             katz = katz.localCheckpoint(eager=True)
     return katz
+
+
+def clustering_coefficients(edges: DataFrame, *, src: str = "src",
+                            dst: str = "dst") -> DataFrame:
+    """Per-node LOCAL clustering coefficient of the undirected graph —
+    how close each node's neighborhood is to a clique
+    (closed neighbor pairs / possible neighbor pairs), the node-level
+    refinement of `triangle_count`'s global probe and the standard
+    community-tightness feature for link QA and spam detection.
+
+    Integer-ppm output keeps it hash-exact: coeff_ppm =
+    (2·t·10⁶) div (k·(k−1)) with t = closed neighbor pairs and k =
+    degree; NULL for k < 2 (undefined).
+
+    Distributed shape: symmetrize + distinct once, then the wedge
+    self-join on the center node and one semi-closing join against the
+    edge set (the `triangle_count`/`neighbor_jaccard` pattern) — all
+    equi-joins on node ids. The wedge set is Σ k²-sized: like
+    neighbor_jaccard, cap or sample mega-hubs upstream if degree skew
+    is extreme (a 10⁵-degree hub contributes 10¹⁰ wedges)."""
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v")))
+           .filter(F.col("u") != F.col("v"))
+           .distinct())
+    deg = und.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"))
+    wedges = (und.alias("a")
+              .join(und.alias("b"),
+                    (F.col("a.u") == F.col("b.u"))
+                    & (F.col("a.v") < F.col("b.v")))
+              .select(F.col("a.u").alias("u"),
+                      F.col("a.v").alias("x"),
+                      F.col("b.v").alias("y")))
+    closed = wedges.join(
+        und.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"], "left_semi")
+    tri = closed.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"))
+    out = (deg.join(tri, "u", "left")
+           .select(F.col("u").alias("node"),
+                   F.col("k").alias("degree"),
+                   F.coalesce("t", F.lit(0)).cast("bigint")
+                   .alias("triangles")))
+    return out.withColumn(
+        "coeff_ppm",
+        F.expr("CASE WHEN degree >= 2 THEN "
+               "(2 * triangles * 1000000) div (degree * (degree - 1)) "
+               "END"))

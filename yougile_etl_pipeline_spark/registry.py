@@ -1008,6 +1008,9 @@ _STABLE_CERTIFIED = [
     "train_pack_sequences",  # slot → events_missing_days
     "dedup_shingle_jaccard",  # slot → sim_margin_audit
     "dedup_shingle_capped",  # slot → text_hapax_ratio
+    "dedup_minhash_lsh",   # slot → graph_clustering_coeff
+    "dedup_simhash",       # slot → events_conversion_latency
+    "dedup_simhash_pairs",  # slot → mart_order_fill_latency
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -1086,6 +1086,105 @@ def text_hapax_ratio(spark, sf):
                     .alias("hapax_share_ppm")))
 
 
+@register("graph_clustering_coeff", f"""
+WITH d0 AS ({_D0_EDGES_SQL}),
+und AS (SELECT DISTINCT u, v FROM (
+  SELECT src AS u, dst AS v FROM d0
+  UNION ALL SELECT dst AS u, src AS v FROM d0) s
+  WHERE u <> v),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS k FROM und GROUP BY u),
+w AS (SELECT a.u AS u, a.v AS x, b.v AS y
+      FROM und a JOIN und b ON a.u = b.u AND a.v < b.v),
+closed AS (SELECT w.u FROM w JOIN und e ON e.u = w.x AND e.v = w.y),
+tri AS (SELECT u, CAST(count(*) AS BIGINT) AS t FROM closed GROUP BY u)
+SELECT deg.u AS node, deg.k AS degree,
+       CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN deg.k >= 2 THEN
+         (2 * COALESCE(tri.t, 0) * 1000000) // (deg.k * (deg.k - 1))
+       END AS BIGINT) AS coeff_ppm
+FROM deg LEFT JOIN tri USING (u)
+""")
+def graph_clustering_coeff(spark, sf):
+    # Per-node local clustering over the modular doc graph
+    # (graph.py::clustering_coefficients): wedge self-join + one
+    # closing semi-join, integer-ppm coefficient — the node-level
+    # refinement of graph_triangle_count's global number. The oracle's
+    # inner closing join equals the semi join because the undirected
+    # edge set is distinct.
+    from yougile_etl_pipeline_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    return clustering_coefficients(_d0_edges(spark, sf))
+
+
+@register("events_conversion_latency", """
+WITH c AS (SELECT user_id, MIN(epoch_ms(ts)) AS c_ms FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(epoch_ms(e.ts)) AS p_ms
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= c.c_ms
+      GROUP BY e.user_id)
+SELECT CAST((p_ms - c_ms) // 3600000 AS BIGINT) AS hours_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM c JOIN p USING (user_id) GROUP BY 1
+""")
+def events_conversion_latency(spark, sf):
+    # Funnel latency distribution: per user, milliseconds from the
+    # FIRST click to the first purchase at-or-after it, bucketed into
+    # hours — the "how long does conversion take" histogram behind
+    # attribution-window sizing (complements events_funnel's
+    # conversion COUNTS and the asof family's per-event pairing).
+    # Pure integer epoch-ms arithmetic; two user-keyed aggregates and
+    # one user join.
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .groupBy("user_id").agg(F.min("ms").alias("c_ms")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ms") >= F.col("c_ms"))
+         .groupBy("user_id").agg(F.min("ms").alias("p_ms")))
+    return (c.join(p, "user_id")
+            .select(F.expr("(p_ms - c_ms) div 3600000").cast("bigint")
+                    .alias("hours_bucket"))
+            .groupBy("hours_bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+
+
+@register("mart_order_fill_latency", """
+WITH l AS (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+           FROM lineitem GROUP BY 1),
+j AS (SELECT o.o_orderpriority AS priority,
+        date_diff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.last_ship AS DATE)) AS lag_days
+      FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey)
+SELECT priority, CAST(lag_days AS BIGINT) AS lag_days,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM j GROUP BY 1, 2
+""")
+def mart_order_fill_latency(spark, sf):
+    # Order-completion latency matrix: days from order placement to
+    # the LAST line shipment, as a histogram per order priority — the
+    # SLA view of fulfilment ("are URGENT orders actually filled
+    # faster?"). One orderkey-grain aggregate on lineitem (map-side
+    # combined), one key join to orders, one small rollup; day math on
+    # DATE-cast values (Spark datediff(end, start) = DuckDB
+    # date_diff('day', start, end)).
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    l = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship"))
+    j = (o.join(l, o["o_orderkey"] == l["l_orderkey"])
+         .select(F.col("o_orderpriority").alias("priority"),
+                 F.datediff(F.col("last_ship").cast("date"),
+                            F.col("o_orderdate").cast("date"))
+                 .alias("lag_days")))
+    return (j.groupBy("priority",
+                      F.col("lag_days").cast("bigint").alias("lag_days"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -1126,4 +1225,7 @@ R10_ENTRIES: list[str] = [
     "events_missing_days",
     "sim_margin_audit",
     "text_hapax_ratio",
+    "graph_clustering_coeff",
+    "events_conversion_latency",
+    "mart_order_fill_latency",
 ]
