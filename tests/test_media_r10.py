@@ -98,3 +98,35 @@ def test_wav_frame_energy_argmax_is_first_peak(spark):
         "media_id long, payload binary")
     row = wav_frame_energy(df, frame=2, quiet_threshold=1).collect()[0]
     assert (row["e_max"], row["f_argmax"], row["n_quiet"]) == (4, 0, 0)
+
+
+def test_bmp_flip_crop_hand_checked(spark):
+    """Independent of the closed-form oracle (which shares the index
+    derivation with the implementation): an explicit 3x4 grid, flip
+    then center-crop 2x3, expected cells written out by hand.
+
+    Grid rows (values = 10*r + c, channels all equal):
+      r0: 0 1 2 3 / r1: 10 11 12 13 / r2: 20 21 22 23
+    Flipped horizontally: r0: 3 2 1 0 / r1: 13 12 11 10 / ...
+    Crop 2 rows x 3 cols centered: r0 offset (3-2)//2 = 0,
+    c0 = (4-3)//2 = 0 -> rows 0..1, cols 0..2 of the FLIPPED grid:
+      [3 2 1] / [13 12 11]  -> sum*3 channels = 42*3 = 126,
+      min 1, max 13."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import bmp_encode
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        bmp_flip_crop_stats,
+    )
+
+    r = np.arange(3)[:, None]
+    c = np.arange(4)[None, :]
+    base = (10 * r + c).astype(np.uint8)
+    px = np.repeat(base[:, :, None], 3, axis=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp_encode(px)))],
+        "media_id long, payload binary")
+    row = bmp_flip_crop_stats(df, crop_h=2, crop_w=3).collect()[0]
+    assert (row["src_w"], row["src_h"]) == (4, 3)
+    assert row["out_sum"] == (3 + 2 + 1 + 13 + 12 + 11) * 3
+    assert (row["out_min"], row["out_max"]) == (1, 13)

@@ -26,6 +26,275 @@ entry registers with an oracle and runs green at sf0.001.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.registry import register
+from yougile_etl_pipeline_spark.sources.tables import load_table
+
+# Local copy of the modular doc-graph fragment (registry_r10._D0_EDGES
+# _SQL): banks must not import sibling bank modules — the circular
+# entry path can reach this module while they are partially
+# initialized.
+_D0_SQL = """
+  SELECT DISTINCT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
+  FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40"""
+
+
+def _d0(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return (d.select((F.col("doc_id") % 40).alias("src"),
+                     ((F.col("doc_id") * 7 + 3) % 40).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+@register("mm_bmp_flip_crop", """
+WITH p AS (SELECT event_id AS id,
+                  4 + event_id % 5 AS w, 3 + event_id % 4 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, 18), k ->
+    (id + 7 * ((h - 2) // 2 + k // 9)
+        + 3 * (w - 1 - ((w - 3) // 2 + (k % 9) // 3))
+        + (k % 3)) % 256) AS px
+  FROM p)
+SELECT id AS media_id,
+       CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST(list_sum(px) AS BIGINT) AS out_sum,
+       CAST(list_min(px) AS INTEGER) AS out_min,
+       CAST(list_max(px) AS INTEGER) AS out_max
+FROM v
+""")
+def mm_bmp_flip_crop(spark, sf):
+    # Augmentation pair under bit-exact verification: horizontal
+    # mirror (c' = w-1-c) + centered 2x3 crop (offsets (dim-crop) div
+    # 2) over real-decoded 24-bpp BMPs — multimodal.bmp_flip_crop_
+    # stats; the oracle states the transformed grid in closed form
+    # (k in range(18): rr = k div 9, cc = (k mod 9) div 3, ch = k mod
+    # 3). Map-only mapInPandas pass.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        bmp_flip_crop_stats,
+        synth_bmp_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return bmp_flip_crop_stats(synth_bmp_payloads(ev, "event_id"),
+                               crop_h=2, crop_w=3)
+
+
+@register("graph_harmonic_r2", f"""
+WITH d0 AS ({_D0_SQL}),
+nodes AS (SELECT DISTINCT n AS node FROM (
+  SELECT src AS n FROM d0 UNION SELECT dst FROM d0)),
+n1 AS (SELECT src, CAST(count(*) AS BIGINT) AS c1 FROM d0 GROUP BY src),
+h2 AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+       FROM d0 a JOIN d0 b ON a.dst = b.src
+       WHERE a.src <> b.dst),
+h2o AS (SELECT src, dst FROM h2
+        WHERE NOT EXISTS (SELECT 1 FROM d0
+                          WHERE d0.src = h2.src AND d0.dst = h2.dst)),
+n2 AS (SELECT src, CAST(count(*) AS BIGINT) AS c2 FROM h2o GROUP BY src)
+SELECT nodes.node,
+       CAST(COALESCE(n1.c1, 0) AS BIGINT) AS n_dist1,
+       CAST(COALESCE(n2.c2, 0) AS BIGINT) AS n_dist2,
+       CAST(COALESCE(n1.c1, 0) * 1000000
+            + COALESCE(n2.c2, 0) * 500000 AS BIGINT) AS harmonic_ppm
+FROM nodes LEFT JOIN n1 ON nodes.node = n1.src
+           LEFT JOIN n2 ON nodes.node = n2.src
+""")
+def graph_harmonic_r2(spark, sf):
+    # Harmonic centrality truncated at radius 2 (directed): sum of
+    # 1/d(u, v) over v within two hops = |d=1| + |d=2|/2, in integer
+    # ppm (x1e6 and x5e5). Exact set logic — distinct 1-hop targets,
+    # distinct 2-hop targets anti-joined against the 1-hop set — so a
+    # distance-based centrality stays hash-exact. Two equi-joins and
+    # two keyed counts; the 2-hop set is bounded by sum of
+    # deg_in*deg_out like every wedge op.
+    e = _d0(spark, sf)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    n1 = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1"))
+    h2 = (e.alias("a").join(e.alias("b"),
+                            F.col("a.dst") == F.col("b.src"))
+          .select(F.col("a.src").alias("src"),
+                  F.col("b.dst").alias("dst"))
+          .filter(F.col("src") != F.col("dst"))
+          .distinct())
+    h2o = h2.join(e, ["src", "dst"], "left_anti")
+    n2 = h2o.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2"))
+    out = (nodes
+           .join(n1.withColumnRenamed("src", "node"), "node", "left")
+           .join(n2.withColumnRenamed("src", "node"), "node", "left")
+           .select("node",
+                   F.coalesce("c1", F.lit(0)).cast("bigint")
+                   .alias("n_dist1"),
+                   F.coalesce("c2", F.lit(0)).cast("bigint")
+                   .alias("n_dist2")))
+    return out.withColumn(
+        "harmonic_ppm",
+        (F.col("n_dist1") * 1000000
+         + F.col("n_dist2") * 500000).cast("bigint"))
+
+
+@register("text_term_burstiness", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS x
+       FROM toks WHERE term <> '' GROUP BY 1, 2),
+tot AS (SELECT term, CAST(SUM(x) AS BIGINT) AS tot FROM dc GROUP BY term),
+top AS (SELECT term, tot FROM tot ORDER BY tot DESC, term LIMIT 20),
+s AS (SELECT dc.term, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM dc JOIN top USING (term) GROUP BY dc.term)
+SELECT term, n AS n_docs, sx AS occurrences,
+       CAST(((n * sxx - sx * sx) * 1000000) // (n * sx) AS BIGINT)
+         AS fano_ppm
+FROM s
+""")
+def text_term_burstiness(spark, sf):
+    # Term burstiness (Fano factor, variance/mean in integer ppm) of
+    # the top-20 corpus terms over their per-document counts — the
+    # classic content-vs-function-word discriminator (bursty terms
+    # cluster in few docs; function words spread evenly). Exact BIGINT
+    # sufficient stats per term; one (term, doc) shuffle + a
+    # TakeOrdered top-20 broadcast back.
+    docs = load_table(spark, sf, "documents")
+    toks = (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != ""))
+    dc = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"))
+    tot = dc.groupBy("term").agg(
+        F.sum("x").cast("bigint").alias("tot"))
+    top = tot.orderBy(F.col("tot").desc(), "term").limit(20)
+    s = (dc.join(F.broadcast(top.select("term")), "term")
+         .groupBy("term")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("x").cast("bigint").alias("sx"),
+              F.sum(F.col("x") * F.col("x")).cast("bigint")
+              .alias("sxx")))
+    return s.select(
+        "term", F.col("n").alias("n_docs"),
+        F.col("sx").alias("occurrences"),
+        F.expr("((n * sxx - sx * sx) * 1000000) div (n * sx)")
+        .cast("bigint").alias("fano_ppm"))
+
+
+@register("agg_weekend_revenue_share", """
+WITH o AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+                  dayofweek(CAST(o_orderdate AS DATE)) AS dw,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+           FROM orders WHERE o_orderdate IS NOT NULL)
+SELECT CAST(m AS BIGINT) AS month_idx,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN dw IN (0, 6) THEN cents ELSE 0 END)
+            AS BIGINT) AS weekend_cents,
+       CAST((SUM(CASE WHEN dw IN (0, 6) THEN cents ELSE 0 END)
+             * 1000000) // SUM(cents) AS BIGINT) AS weekend_share_ppm
+FROM o GROUP BY m
+""")
+def agg_weekend_revenue_share(spark, sf):
+    # Weekend share of monthly revenue in integer ppm: money becomes
+    # exact integer CENTS at the scan (DECIMAL(18,2) * 100 — never a
+    # raw double sum), then pure BIGINT aggregation. Cross-engine
+    # calendar gotcha pinned: Spark dayofweek is 1=Sun..7=Sat while
+    # DuckDB's is 0=Sun..6=Sat, so weekend is IN (1,7) here and
+    # IN (0,6) in the oracle.
+    o = (load_table(spark, sf, "orders")
+         .filter(F.col("o_orderdate").isNotNull())
+         .select((F.year("o_orderdate") * 12
+                  + F.month("o_orderdate")).alias("m"),
+                 F.dayofweek(F.col("o_orderdate").cast("date"))
+                 .alias("dw"),
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("bigint").alias("cents")))
+    wknd = F.when(F.col("dw").isin(1, 7), F.col("cents")).otherwise(0)
+    return (o.groupBy(F.col("m").cast("bigint").alias("month_idx"))
+            .agg(F.sum("cents").cast("bigint").alias("total_cents"),
+                 F.sum(wknd).cast("bigint").alias("weekend_cents"))
+            .withColumn("weekend_share_ppm",
+                        F.expr("(weekend_cents * 1000000) "
+                               "div total_cents").cast("bigint")))
+
+
+@register("events_interarrival_bands", """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+           FROM events),
+l AS (SELECT event_type,
+        ms - lag(ms) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ms, event_id) AS gap
+      FROM e)
+SELECT event_type,
+  CASE WHEN gap < 60000 THEN 'lt_1m' WHEN gap < 600000 THEN 'lt_10m'
+       WHEN gap < 3600000 THEN 'lt_1h' ELSE 'ge_1h' END AS band,
+  CAST(count(*) AS BIGINT) AS n
+FROM l WHERE gap IS NOT NULL GROUP BY 1, 2
+""")
+def events_interarrival_bands(spark, sf):
+    # Inter-arrival-time banding per event type (the rate fingerprint
+    # behind bot detection and session-gap tuning): per (user, type)
+    # stream, the gap to the previous occurrence, banded into
+    # <1m/<10m/<1h/≥1h. Integer epoch-ms lag over a user-partitioned
+    # window — one key shuffle, no global sort.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms"),
+        "event_id")
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy("ms", "event_id"))
+    gaps = (ev.withColumn("gap", F.col("ms") - F.lag("ms").over(w))
+            .filter(F.col("gap").isNotNull()))
+    band = (F.when(F.col("gap") < 60000, "lt_1m")
+            .when(F.col("gap") < 600000, "lt_10m")
+            .when(F.col("gap") < 3600000, "lt_1h")
+            .otherwise("ge_1h"))
+    return (gaps.select("event_type", band.alias("band"))
+            .groupBy("event_type", "band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+@register("train_split_leakage_audit", """
+WITH s AS (
+  SELECT md5(text) AS fp,
+    CASE WHEN b < 9000 THEN 'train'
+         WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT text,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 AS b
+        FROM documents)),
+f AS (SELECT fp, CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM s GROUP BY fp)
+SELECT n_splits, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs
+FROM f GROUP BY n_splits
+""")
+def train_split_leakage_audit(spark, sf):
+    # Split-leakage audit — the eval-integrity check a training
+    # pipeline runs after quality_train_split: exact-duplicate
+    # documents (md5 fingerprints) that land in MORE THAN ONE split
+    # leak evaluation data into training. Reports the histogram of
+    # fingerprints by how many splits they touch (n_splits >= 2 rows
+    # are the leaks). Only 16-byte fingerprints shuffle.
+    from yougile_etl_pipeline_spark.operators.quality import (
+        train_val_test_split,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    s = train_val_test_split(docs, "doc_id").select(
+        F.md5("text").alias("fp"), "split")
+    f = (s.groupBy("fp")
+         .agg(F.countDistinct("split").cast("bigint").alias("n_splits"),
+              F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    return (f.groupBy("n_splits")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+                 F.sum("n_docs").cast("bigint").alias("n_docs")))
+
 
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
@@ -41,4 +310,11 @@ if hasattr(_registry_mod, "_rotate_certification_window"):
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # `staged` block so every bank entry carries a wall time + plan
 # fingerprint before it ever certifies.
-R11_ENTRIES: list[str] = []
+R11_ENTRIES: list[str] = [
+    "mm_bmp_flip_crop",
+    "graph_harmonic_r2",
+    "text_term_burstiness",
+    "agg_weekend_revenue_share",
+    "events_interarrival_bands",
+    "train_split_leakage_audit",
+]
