@@ -1011,6 +1011,9 @@ _STABLE_CERTIFIED = [
     "dedup_minhash_lsh",   # slot → graph_clustering_coeff
     "dedup_simhash",       # slot → events_conversion_latency
     "dedup_simhash_pairs",  # slot → mart_order_fill_latency
+    "dedup_clusters",      # slot → events_autocorr_daily
+    "dedup_canonical_docs",  # slot → mart_revenue_hhi
+    "sim_ann_lsh_sized",   # slot → events_engagement_transitions
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

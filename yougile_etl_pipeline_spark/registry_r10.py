@@ -1185,6 +1185,154 @@ def mart_order_fill_latency(spark, sf):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))
 
 
+@register("events_autocorr_daily", """
+WITH d AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT event_type, x AS y,
+         lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp,
+         day - lag(day) OVER (PARTITION BY event_type ORDER BY day)
+           AS dgap
+  FROM d),
+q AS (SELECT event_type, xp AS x, y FROM p
+      WHERE xp IS NOT NULL AND dgap = 1),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM q GROUP BY event_type)
+SELECT event_type, n AS n_pairs,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+    CAST(n * sxy - sx * sy AS DOUBLE)
+    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+           * CAST(n * syy - sy * sy AS DOUBLE))
+  END AS acf1
+FROM s
+""")
+def events_autocorr_daily(spark, sf):
+    # Lag-1 autocorrelation of the daily event-count series per type —
+    # the burst/momentum probe (is a busy day followed by a busy
+    # day?). Consecutive-day pairs only (a gap breaks the pair), exact
+    # BIGINT sufficient stats, and the same fixed-operand-order
+    # Pearson tail as graph_degree_assortativity — correlation
+    # coefficients stay hash-exact when everything up to one final
+    # double expression is integer.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events")
+    d = (ev.select("event_type",
+                   F.expr("unix_millis(ts) div 86400000").alias("day"))
+         .groupBy("event_type", "day")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("x")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = (d.select("event_type", F.col("x").alias("y"),
+                  F.lag("x").over(w).alias("xp"),
+                  (F.col("day") - F.lag("day").over(w)).alias("dgap"))
+         .filter(F.col("xp").isNotNull() & (F.col("dgap") == 1)))
+    s = (p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xp").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("xp") * F.col("xp")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("xp") * F.col("y")).cast("bigint").alias("sxy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    acf = F.when((denx > 0) & (deny > 0),
+                 num.cast("double")
+                 / F.sqrt(denx.cast("double") * deny.cast("double")))
+    return s.select("event_type", F.col("n").alias("n_pairs"),
+                    acf.alias("acf1"))
+
+
+@register("mart_revenue_hhi", """
+WITH sup AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey,
+         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+tot AS (SELECT nation, CAST(SUM(cents) AS BIGINT) AS total
+        FROM sup GROUP BY nation),
+sh AS (SELECT sup.nation, (cents * 1000000) // total AS p
+       FROM sup JOIN tot USING (nation))
+SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(p * p) // 1000000 AS BIGINT) AS hhi_ppm
+FROM sh GROUP BY nation
+""")
+def mart_revenue_hhi(spark, sf):
+    # Herfindahl-Hirschman revenue concentration per nation: is one
+    # supplier dominating? Money becomes exact integer cents at the
+    # scan, shares are integer ppm (floor), HHI = sum of squared
+    # shares div 1e6 — monopoly = 1e6 ppm, perfectly even across k
+    # suppliers ~ 1e6/k. All-BIGINT pipeline: supplier-grain
+    # aggregate, nation totals broadcast back, one nation rollup.
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey"), F.col("s_nationkey").alias("nation"))
+    cents = (li.select("l_suppkey",
+                       (F.col("l_extendedprice").cast("decimal(18,2)")
+                        * 100).cast("bigint").alias("c"))
+             .join(F.broadcast(sup),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .groupBy("nation", "l_suppkey")
+             .agg(F.sum("c").cast("bigint").alias("cents")))
+    tot = cents.groupBy("nation").agg(
+        F.sum("cents").cast("bigint").alias("total"))
+    sh = (cents.join(F.broadcast(tot), "nation")
+          .select("nation",
+                  F.expr("(cents * 1000000) div total").alias("p")))
+    return (sh.groupBy("nation")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+                 F.expr("sum(p * p) div 1000000").cast("bigint")
+                 .alias("hhi_ppm")))
+
+
+@register("events_engagement_transitions", """
+WITH d AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT user_id, day,
+        CASE WHEN n >= 10 THEN 'high' WHEN n >= 3 THEN 'mid'
+             ELSE 'low' END AS band
+      FROM d),
+t AS (SELECT band AS to_band,
+        lag(band) OVER (PARTITION BY user_id ORDER BY day) AS from_band,
+        day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS dgap
+      FROM b)
+SELECT from_band, to_band, CAST(count(*) AS BIGINT) AS n
+FROM t WHERE from_band IS NOT NULL AND dgap = 1 GROUP BY 1, 2
+""")
+def events_engagement_transitions(spark, sf):
+    # Day-over-day engagement Markov matrix: users banded by daily
+    # event volume (low 1-2 / mid 3-9 / high 10+), transitions counted
+    # only across CONSECUTIVE active days — the churn-risk signal
+    # (high->low flows) behind engagement alerting. One (user, day)
+    # aggregate, a user-partitioned lag, one small rollup.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events")
+    d = (ev.select("user_id",
+                   F.expr("unix_millis(ts) div 86400000").alias("day"))
+         .groupBy("user_id", "day")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    band = (F.when(F.col("n") >= 10, "high")
+            .when(F.col("n") >= 3, "mid").otherwise("low"))
+    b = d.select("user_id", "day", band.alias("band"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    t = (b.select(F.col("band").alias("to_band"),
+                  F.lag("band").over(w).alias("from_band"),
+                  (F.col("day") - F.lag("day").over(w)).alias("dgap"))
+         .filter(F.col("from_band").isNotNull() & (F.col("dgap") == 1)))
+    return (t.groupBy("from_band", "to_band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -1228,4 +1376,7 @@ R10_ENTRIES: list[str] = [
     "graph_clustering_coeff",
     "events_conversion_latency",
     "mart_order_fill_latency",
+    "events_autocorr_daily",
+    "mart_revenue_hhi",
+    "events_engagement_transitions",
 ]
