@@ -181,7 +181,7 @@ _STREAMING_SKIP = {"stream_ewma_values", "stream_tumbling_counts",
                    "stream_dedup_keys", "stream_click_attribution",
                    "stream_topk_state", "stream_segment_rollup",
                    "stream_sessions_final", "stream_dedup_static_store",
-                   "stream_hopping_counts"}
+                   "stream_hopping_counts", "stream_interarrival_bands"}
 
 
 def _manifest_timings(

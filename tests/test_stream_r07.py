@@ -85,3 +85,34 @@ def test_sessions_final_is_subset_of_batch_sessions(spark):
     b = set(map(tuple, batch.collect()))
     assert s <= b
     assert len(s) > 0
+
+
+def test_stream_interarrival_matches_batch_lag(spark):
+    """stateful.interarrival_stateful — the emitted (event_id, gap)
+    set must equal the batch window's lag exactly (the bit-parity
+    chain the registry entry's shared oracle rests on)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tests.conftest import SF_SMOKE
+    from yougile_etl_pipeline_spark.sources.tables import load_table
+    from yougile_etl_pipeline_spark.streaming.stateful import (
+        run_interarrival_available_now,
+    )
+
+    got = run_interarrival_available_now(
+        spark, SF_SMOKE, table_name="t_stream_gaps_parity")
+    stream_rows = {(r["user_id"], r["event_type"], r["event_id"],
+                    r["gap"]) for r in got.collect()}
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms"),
+        "event_id")
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy("ms", "event_id"))
+    batch = (ev.withColumn("gap", F.col("ms") - F.lag("ms").over(w))
+             .filter(F.col("gap").isNotNull()))
+    batch_rows = {(r["user_id"], r["event_type"], r["event_id"],
+                   r["gap"]) for r in batch.collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0

@@ -296,6 +296,42 @@ def train_split_leakage_audit(spark, sf):
                  F.sum("n_docs").cast("bigint").alias("n_docs")))
 
 
+@register("stream_interarrival_bands", """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+           FROM events),
+l AS (SELECT event_type,
+        ms - lag(ms) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ms, event_id) AS gap
+      FROM e)
+SELECT event_type,
+  CASE WHEN gap < 60000 THEN 'lt_1m' WHEN gap < 600000 THEN 'lt_10m'
+       WHEN gap < 3600000 THEN 'lt_1h' ELSE 'ge_1h' END AS band,
+  CAST(count(*) AS BIGINT) AS n
+FROM l WHERE gap IS NOT NULL GROUP BY 1, 2
+""")
+def stream_interarrival_bands(spark, sf):
+    # Streaming twin of events_interarrival_bands: per-(user, type)
+    # gaps emitted by applyInPandasWithState carrying ONE int64 of
+    # state per key (stateful.interarrival_stateful), drained with
+    # availableNow, then banded in batch. Shares the batch entry's
+    # oracle VERBATIM — the sorted single-batch drain makes the
+    # emitted gaps bit-identical to the batch window's lag, so even a
+    # stateful streaming op stays hash-exact.
+    from yougile_etl_pipeline_spark.streaming.stateful import (
+        run_interarrival_available_now,
+    )
+
+    gaps = run_interarrival_available_now(
+        spark, sf, table_name="stream_gaps_r11")
+    band = (F.when(F.col("gap") < 60000, "lt_1m")
+            .when(F.col("gap") < 600000, "lt_10m")
+            .when(F.col("gap") < 3600000, "lt_1h")
+            .otherwise("ge_1h"))
+    return (gaps.select("event_type", band.alias("band"))
+            .groupBy("event_type", "band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -317,4 +353,5 @@ R11_ENTRIES: list[str] = [
     "agg_weekend_revenue_share",
     "events_interarrival_bands",
     "train_split_leakage_audit",
+    "stream_interarrival_bands",
 ]

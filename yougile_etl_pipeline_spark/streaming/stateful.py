@@ -408,3 +408,82 @@ def run_topk_available_now(spark, sf_dir: str, *, k: int = 5,
             f"batch-window-deterministic for a single-batch drain — "
             f"remove rate limits (maxFilesPerTrigger) from the source")
     return spark.table(table_name)
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming inter-arrival gaps (one int64 of state per key, r10)
+# ---------------------------------------------------------------------------
+
+GAP_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("gap", T.LongType()),
+])
+
+_GAP_STATE_SCHEMA = T.StructType([
+    T.StructField("last_ms", T.LongType()),
+])
+
+
+def interarrival_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of the `events_interarrival_bands` lag: per
+    (user, event_type) key the state is ONE int64 — the last seen
+    epoch-ms — and each arriving event emits its gap to the previous
+    occurrence (first occurrence emits nothing). O(active keys) state,
+    the unbounded-stream path for rate fingerprinting / bot detection.
+
+    Ordering contract (the `ewma_stateful` one): rows sort by
+    (ms, event_id) within each micro-batch; availableNow file streams
+    replay deterministically, so on identical input the emitted gaps
+    are BIT-IDENTICAL to the batch window's lag — which is what lets
+    the registry entry share the batch oracle hash-exactly."""
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        user_id, etype = key
+        pdf = pd.concat(list(pdfs))
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["ms", "event_id"])
+        last = state.get[0] if state.exists else None
+        rows = []
+        for eid, ms in zip(pdf["event_id"], pdf["ms"]):
+            ms = int(ms)
+            if last is not None:
+                rows.append((user_id, etype, int(eid), ms - last))
+            last = ms
+        state.update((last,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "event_type", "event_id",
+                               "gap"])
+
+    from pyspark.sql import functions as F
+
+    base = events.select("user_id", "event_type",
+                         F.unix_millis("ts").alias("ms"), "event_id")
+    return base.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType=GAP_SCHEMA,
+        stateStructType=_GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_interarrival_available_now(
+        spark, sf_dir: str,
+        table_name: str = "stream_gaps") -> DataFrame:
+    """Drain the events stream once through the stateful gap emitter
+    into a memory sink; returns the per-event gaps."""
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        read_events_stream,
+    )
+
+    q = (interarrival_stateful(read_events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
