@@ -782,3 +782,60 @@ def test_dup_span_removal_fingerprint_equijoins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     body = plan.split("\n\n")[0]
     assert _shuffles(body) <= 3
+
+
+def test_chi2_broadcasts_marginals_single_fact_shuffle(spark):
+    """quality_chi2_lang_source: the only data-sized work is the
+    (lang, source) cell count, materialized ONCE by the operator's
+    eager localCheckpoint (without it, Spark re-planned each marginal
+    branch from the parquet scan — 8 fact scans in the static plan);
+    row/column marginals and the grand total ride back as broadcasts
+    over the checkpointed cell table."""
+    plan = _formatted(spark,
+                      QUERIES["quality_chi2_lang_source"](spark, SF_SMOKE))
+    assert plan.count("BroadcastExchange") >= 3   # r, c, grand total
+    assert "SortMergeJoin" not in plan
+    # ZERO parquet scans in the query plan: the single documents scan
+    # ran eagerly inside the cells checkpoint; every branch reads it.
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
+
+
+def test_revenue_hhi_broadcasts_dim_and_totals(spark):
+    """mart_revenue_hhi: supplier dim and nation totals broadcast; the
+    lineitem fact pays exactly its supplier-grain aggregate shuffle,
+    never a sort-merge join."""
+    plan = _formatted(spark, QUERIES["mart_revenue_hhi"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_shard_planner_single_shuffle_running_frame(spark):
+    """train_shard_planner: ONE lang-keyed exchange feeds both the
+    running window and the same-key aggregate (partitioning reuse);
+    the frame is RUNNING (unboundedPreceding..current), never the
+    non-incremental shrinking shape (SCALE.md)."""
+    plan = _formatted(spark, QUERIES["train_shard_planner"](spark, SF_SMOKE))
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") - body.count("BroadcastExchange") == 1
+    assert "unboundedpreceding" in plan.lower()
+    assert "unboundedfollowing" not in plan.lower()
+
+
+def test_peak_concurrency_single_shuffle(spark):
+    """events_peak_concurrency: the +1/-1 union doubles rows map-side;
+    one day-keyed exchange serves the running frame and the same-key
+    max aggregate."""
+    plan = _formatted(spark,
+                      QUERIES["events_peak_concurrency"](spark, SF_SMOKE))
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") - body.count("BroadcastExchange") == 1
+
+
+def test_margin_audit_broadcasts_queries_no_cartesian(spark):
+    """sim_margin_audit: the 8-query side broadcasts into a
+    BroadcastNestedLoopJoin (a deliberate tiny-side cross join);
+    a CartesianProduct would mean the broadcast was lost."""
+    plan = _formatted(spark, QUERIES["sim_margin_audit"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

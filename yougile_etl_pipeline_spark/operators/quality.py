@@ -1060,11 +1060,18 @@ def chi2_independence_cells(df: DataFrame, col_a: str,
     Distributed shape: one keyed count over (a, b) — the only
     data-sized shuffle, map-side combined to cell cardinality — then
     two re-aggregations of the CELL table (marginals) broadcast back,
-    and a broadcast one-row grand total. The fact table is scanned
-    once.
+    and a broadcast one-row grand total. The cell table is MATERIALIZED
+    (eager localCheckpoint, the iterative-graph device): it is tiny
+    (|A|·|B| rows) but feeds four consumers, and without the barrier
+    Spark re-plans each branch from the parquet scan — measured 8
+    scans of the fact table in the static plan (plan-pinned to exactly
+    1 in tests/test_plan_audits.py). Construction-time execution of
+    the bounded cell aggregate is the documented trade (the IVF
+    centroid-probe precedent).
     """
     cells = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
-             .agg(F.count(F.lit(1)).cast("bigint").alias("o")))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+             .localCheckpoint(eager=True))
     r = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("r_tot"))
     c = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("c_tot"))
     n = cells.agg(F.sum("o").cast("bigint").alias("n"))
