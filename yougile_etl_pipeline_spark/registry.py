@@ -1014,6 +1014,9 @@ _STABLE_CERTIFIED = [
     "dedup_clusters",      # slot → events_autocorr_daily
     "dedup_canonical_docs",  # slot → mart_revenue_hhi
     "sim_ann_lsh_sized",   # slot → events_engagement_transitions
+    "corpus_clean_pipeline",  # slot → events_ab_assignment_audit
+    "events_funnel",       # slot → events_hour_dow_heatmap
+    "ivf_kmeans_step",     # slot → events_session_depth_hist
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

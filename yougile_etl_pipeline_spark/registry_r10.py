@@ -1333,6 +1333,123 @@ def events_engagement_transitions(spark, sf):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
 
 
+@register("events_ab_assignment_audit", """
+WITH u AS (
+  SELECT user_id,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events)),
+p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(COALESCE(n_purch, 0)) AS BIGINT) AS n_purchases,
+       CAST((SUM(COALESCE(n_purch, 0)) * 1000000) // count(*)
+            AS BIGINT) AS purchases_per_user_ppm
+FROM u LEFT JOIN p USING (user_id) GROUP BY arm
+""")
+def events_ab_assignment_audit(spark, sf):
+    # Deterministic A/B experiment audit: users split into two arms by
+    # the engine-portable md5 hash bucket (the quality.py::hash_bucket
+    # primitive — re-runs, engines, and repartitions never move a
+    # user), then per-arm purchase volume and rate in integer ppm —
+    # the assignment-balance + outcome readout every experimentation
+    # pipeline checks before trusting a lift number. Two user-keyed
+    # aggregates, one key join.
+    from yougile_etl_pipeline_spark.operators.quality import hash_bucket
+
+    ev = load_table(spark, sf, "events")
+    u = (ev.select("user_id").distinct()
+         .select("user_id", hash_bucket("user_id", 2).alias("arm")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_purch")))
+    j = u.join(p, "user_id", "left").select(
+        "arm", F.coalesce("n_purch", F.lit(0)).alias("n_purch"))
+    return (j.groupBy("arm")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.sum("n_purch").cast("bigint").alias("n_purchases"))
+            .withColumn("purchases_per_user_ppm",
+                        F.expr("(n_purchases * 1000000) div n_users")
+                        .cast("bigint")))
+
+
+@register("events_hour_dow_heatmap", """
+WITH e AS (
+  SELECT ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
+         (epoch_ms(ts) // 3600000) % 24 AS hour
+  FROM events),
+c AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n,
+       CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+FROM c CROSS JOIN t
+""")
+def events_hour_dow_heatmap(spark, sf):
+    # Load heatmap: event share per (day-of-week, hour-of-day) cell in
+    # integer ppm — the capacity-planning view. The calendar is PURE
+    # INTEGER epoch arithmetic (dow = (epoch_day + 4) mod 7, the
+    # 1970-01-01-was-Thursday convention; hour = (epoch_ms div 3600000)
+    # mod 24): no dialect surface, no session-TZ surface, unlike
+    # year()/dayofweek() (SCALE.md calendar note). One keyed count +
+    # a broadcast one-row total.
+    ev = load_table(spark, sf, "events").select(
+        F.expr("((unix_millis(ts) div 86400000) + 4) % 7").alias("dow"),
+        F.expr("(unix_millis(ts) div 3600000) % 24").alias("hour"))
+    c = ev.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    return (c.crossJoin(F.broadcast(t))
+            .select(F.col("dow").cast("bigint").alias("dow"),
+                    F.col("hour").cast("bigint").alias("hour"), "n",
+                    F.expr("(n * 1000000) div total").cast("bigint")
+                    .alias("share_ppm")))
+
+
+@register("events_session_depth_hist", """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events),
+b AS (
+  SELECT user_id, ms, event_id,
+    CASE WHEN ms - lag(ms) OVER w > 1800000
+          OR lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+s AS (
+  SELECT user_id,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b),
+d AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS depth
+      FROM s GROUP BY 1, 2)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
+FROM d GROUP BY depth
+""")
+def events_session_depth_hist(spark, sf):
+    # Session depth histogram: 30-minute-gap sessions (the
+    # events_sessionize rule, with the (ms, event_id) tie-break the
+    # session family standardized on in r09), counted by events per
+    # session — the engagement-depth distribution behind "how many
+    # actions does a visit contain". One user-keyed shuffle feeds the
+    # lag, the RUNNING session-id sum, and the per-session count.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.unix_millis("ts").alias("ms"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    b = ev.withColumn(
+        "brk",
+        F.when(F.lag("ms").over(w).isNull()
+               | ((F.col("ms") - F.lag("ms").over(w)) > 1800000),
+               1).otherwise(0))
+    s = b.withColumn(
+        "sid", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    d = (s.groupBy("user_id", "sid")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("depth")))
+    return (d.groupBy("depth")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -1379,4 +1496,7 @@ R10_ENTRIES: list[str] = [
     "events_autocorr_daily",
     "mart_revenue_hhi",
     "events_engagement_transitions",
+    "events_ab_assignment_audit",
+    "events_hour_dow_heatmap",
+    "events_session_depth_hist",
 ]
