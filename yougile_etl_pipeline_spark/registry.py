@@ -1017,6 +1017,9 @@ _STABLE_CERTIFIED = [
     "corpus_clean_pipeline",  # slot → events_ab_assignment_audit
     "events_funnel",       # slot → events_hour_dow_heatmap
     "ivf_kmeans_step",     # slot → events_session_depth_hist
+    "dedup_embedding_cosine_w6",  # slot → text_doclen_quartiles_by_source
+    "dedup_embedding_cosine",  # slot → graph_degree_histogram
+    "mm_frame_sample",     # slot → corpus_source_overlap
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

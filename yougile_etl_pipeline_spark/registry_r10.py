@@ -1450,6 +1450,103 @@ def events_session_depth_hist(spark, sf):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions")))
 
 
+@register("text_doclen_quartiles_by_source", """
+WITH ranked AS (
+  SELECT source, n_chars AS v,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT source,
+  MIN(CASE WHEN rn = (n * 250000 + 999999) // 1000000 THEN v END) AS q1,
+  MIN(CASE WHEN rn = (n * 500000 + 999999) // 1000000 THEN v END)
+    AS median,
+  MIN(CASE WHEN rn = (n * 750000 + 999999) // 1000000 THEN v END) AS q3
+FROM ranked GROUP BY source
+""")
+def text_doclen_quartiles_by_source(spark, sf):
+    # Corpus length profile: exact type-1 quartiles of document length
+    # per source (quality.py::exact_group_quantiles — the certified
+    # data-member-answer machinery from quality_iqr_outliers, pointed
+    # at the corpus) — the length-mix report that catches a truncated
+    # or boilerplate-heavy crawl before it trains.
+    from yougile_etl_pipeline_spark.operators.quality import (
+        exact_group_quantiles,
+    )
+
+    docs = (load_table(spark, sf, "documents")
+            .select("source", "n_chars")
+            .filter(F.col("n_chars").isNotNull()))
+    qs = exact_group_quantiles(docs, "source", "n_chars",
+                               q_ppm=[250_000, 500_000, 750_000])
+    return (qs.groupBy("source").agg(
+        F.min(F.when(F.col("q_ppm") == 250_000,
+                     F.col("quantile"))).alias("q1"),
+        F.min(F.when(F.col("q_ppm") == 500_000,
+                     F.col("quantile"))).alias("median"),
+        F.min(F.when(F.col("q_ppm") == 750_000,
+                     F.col("quantile"))).alias("q3")))
+
+
+@register("graph_degree_histogram", f"""
+WITH d0 AS ({_D0_EDGES_SQL}),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS k FROM d0 GROUP BY src),
+ind  AS (SELECT dst, CAST(count(*) AS BIGINT) AS k FROM d0 GROUP BY dst)
+SELECT 'out' AS direction, k AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM outd GROUP BY k
+UNION ALL
+SELECT 'in' AS direction, k AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM ind GROUP BY k
+""")
+def graph_degree_histogram(spark, sf):
+    # In/out degree distribution of the doc graph — the first thing a
+    # link-graph QA looks at (power-law tail? truncation?). Two keyed
+    # counts re-aggregated to histogram grain; nodes with zero
+    # in/out-degree are absent by definition (documented).
+    e = _d0_edges(spark, sf)
+    outd = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"))
+    ind = e.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"))
+    o = (outd.groupBy("k")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+         .select(F.lit("out").alias("direction"),
+                 F.col("k").alias("degree"), "n_nodes"))
+    i = (ind.groupBy("k")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+         .select(F.lit("in").alias("direction"),
+                 F.col("k").alias("degree"), "n_nodes"))
+    return o.unionAll(i)
+
+
+@register("corpus_source_overlap", """
+WITH f AS (SELECT DISTINCT md5(text) AS fp, source FROM documents)
+SELECT a.source AS s1, b.source AS s2,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+""")
+def corpus_source_overlap(spark, sf):
+    # Cross-source duplicate crosstab: how many exact-duplicate
+    # fingerprints each PAIR of sources shares — which crawls overlap,
+    # the planning input for source-level dedup priorities
+    # (complements corpus_dedup_rate_report's per-source view). Only
+    # 16-byte fingerprints shuffle; the pair join is fp-keyed
+    # (bounded by duplicate multiplicity, never all-pairs of docs).
+    docs = load_table(spark, sf, "documents")
+    f = docs.select(F.md5("text").alias("fp"), "source").distinct()
+    pairs = (f.alias("a")
+             .join(f.alias("b"),
+                   (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.source") < F.col("b.source")))
+             .select(F.col("a.source").alias("s1"),
+                     F.col("b.source").alias("s2")))
+    return (pairs.groupBy("s1", "s2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -1499,4 +1596,7 @@ R10_ENTRIES: list[str] = [
     "events_ab_assignment_audit",
     "events_hour_dow_heatmap",
     "events_session_depth_hist",
+    "text_doclen_quartiles_by_source",
+    "graph_degree_histogram",
+    "corpus_source_overlap",
 ]
