@@ -772,3 +772,58 @@ def bmp_flip_crop_stats(df: DataFrame, crop_h: int, crop_w: int,
             })
 
     return df.mapInPandas(run, BMP_RESIZE_SCHEMA)
+
+
+WAV_PEAKNORM_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("peak", T.LongType()),
+    T.StructField("norm_sum", T.LongType()),
+    T.StructField("norm_max", T.LongType()),
+])
+
+
+def wav_peak_normalize_stats(df: DataFrame,
+                             id_col: str = "media_id",
+                             payload_col: str = "payload") -> DataFrame:
+    """Peak (magnitude) normalization audit over RIFF/WAVE PCM16
+    payloads — the gain-staging preprocess before audio feature
+    extraction: each sample magnitude rescales to the int16 full
+    scale, ``|s|·32767 div peak`` with ``peak = max(|s|)``, all in
+    exact non-negative int64 (floor division on non-negative operands
+    is identical in Spark, DuckDB, and numpy — signed division is NOT,
+    so the op normalizes magnitudes by design). Reports per media the
+    peak and the normalized-magnitude sum/max (max = 32767 whenever
+    the payload is non-silent). Map-only streaming pass."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        wav_samples,
+    )
+
+    def one(payload: bytes) -> tuple[int, int, int, int]:
+        _ch, _rate, s = wav_samples(payload)
+        a = np.abs(s.astype(np.int64))
+        n = len(a)
+        if n == 0:
+            return 0, 0, 0, 0
+        peak = int(a.max())
+        if peak == 0:
+            return n, 0, 0, 0
+        norm = (a * 32767) // peak
+        return n, peak, int(norm.sum()), int(norm.max())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "n_samples": np.array([r[0] for r in rows], "int64"),
+                "peak": np.array([r[1] for r in rows], "int64"),
+                "norm_sum": np.array([r[2] for r in rows], "int64"),
+                "norm_max": np.array([r[3] for r in rows], "int64"),
+            })
+
+    return df.mapInPandas(run, WAV_PEAKNORM_SCHEMA)

@@ -332,6 +332,120 @@ def stream_interarrival_bands(spark, sf):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
 
 
+@register("mm_wav_peak_normalize", """
+WITH p AS (SELECT event_id AS id, 50 + event_id % 100 AS n FROM events),
+s AS (SELECT id, n,
+  list_transform(range(0, CAST(n AS BIGINT)),
+    i -> abs((id * 31 + i * 17) % 65536 - 32768)) AS a FROM p),
+m AS (SELECT id, n, a, list_max(a) AS peak FROM s),
+o AS (SELECT id, n, peak,
+  list_transform(a, x -> (x * 32767) // peak) AS norm FROM m
+  WHERE peak > 0)
+SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(peak AS BIGINT) AS peak,
+       CAST(list_sum(norm) AS BIGINT) AS norm_sum,
+       CAST(list_max(norm) AS BIGINT) AS norm_max
+FROM o
+""")
+def mm_wav_peak_normalize(spark, sf):
+    # Gain-staging audit: real WAV decode then per-sample magnitude
+    # rescale |s|*32767 div peak — exact non-negative int64 (floor
+    # division on non-negative operands is engine-identical; SIGNED
+    # integer division is not, which is why the op normalizes
+    # magnitudes by design — multimodal.wav_peak_normalize_stats).
+    # Closed-form oracle over the synth signal; every non-silent
+    # payload reports norm_max = 32767.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        synth_wav_payloads,
+        wav_peak_normalize_stats,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return wav_peak_normalize_stats(synth_wav_payloads(ev, "event_id"))
+
+
+@register("events_burst_flag_audit", """
+WITH m AS (
+  SELECT user_id, epoch_ms(ts) // 60000 AS minute,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+u AS (SELECT user_id, CAST(MAX(n) AS BIGINT) AS burst FROM m GROUP BY 1)
+SELECT CASE WHEN burst >= 10 THEN 'ge_10'
+            WHEN burst >= 5 THEN '5_9' ELSE 'lt_5' END AS burst_band,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(MAX(burst) AS BIGINT) AS max_burst
+FROM u GROUP BY 1
+""")
+def events_burst_flag_audit(spark, sf):
+    # Bot/burst screening: each user's peak events-per-minute, banded
+    # (lt_5 / 5_9 / ge_10) — the rate-limit audit that feeds abuse
+    # review queues. Two keyed aggregates over integer epoch-minutes;
+    # the (user, minute) count map-side-combines to near-distinct
+    # cardinality.
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.expr("unix_millis(ts) div 60000").alias("minute"))
+    m = (ev.groupBy("user_id", "minute")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    u = m.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("burst"))
+    band = (F.when(F.col("burst") >= 10, "ge_10")
+            .when(F.col("burst") >= 5, "5_9").otherwise("lt_5"))
+    return (u.select(band.alias("burst_band"), "burst")
+            .groupBy("burst_band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.max("burst").cast("bigint").alias("max_burst")))
+
+
+@register("sample_temperature_mixture", """
+WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+           FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n_before) AS w_min FROM w),
+r AS (SELECT lang, n_before,
+        CAST(floor(10000 * sqrt(CAST(w_min AS DOUBLE)
+                                / CAST(n_before AS DOUBLE)))
+             AS BIGINT) AS rate_q
+      FROM w CROSS JOIN mn),
+k AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_after
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < r.rate_q
+      GROUP BY d.lang)
+SELECT r.lang, r.n_before, r.rate_q,
+       CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after
+FROM r LEFT JOIN k USING (lang)
+""")
+def sample_temperature_mixture(spark, sf):
+    # Temperature-smoothed mixture sampling (T=2): per-language keep
+    # rate ∝ sqrt(w_min/w_g), so post-sample weights ∝ sqrt(w_g·w_min)
+    # — big languages stay bigger but dampened, the standard
+    # multilingual-LLM mix rule between equal-mix (mixture_rebalance)
+    # and raw proportions. Deterministic despite the float: ONE
+    # fixed-operand-order sqrt (IEEE-correctly-rounded) and a floor
+    # quantization to basis points; selection is the engine-portable
+    # md5 bucket, so re-runs never flip a document's fate. Rate table
+    # broadcasts; the corpus never shuffles.
+    from yougile_etl_pipeline_spark.operators.quality import hash_bucket
+
+    docs = load_table(spark, sf, "documents").select("lang", "doc_id")
+    w = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    mn = w.agg(F.min("n_before").alias("w_min"))
+    r = (w.crossJoin(F.broadcast(mn))
+         .select("lang", "n_before",
+                 F.floor(10000 * F.sqrt(
+                     F.col("w_min").cast("double")
+                     / F.col("n_before").cast("double")))
+                 .cast("bigint").alias("rate_q")))
+    kept = (docs.join(F.broadcast(r), "lang")
+            .filter(hash_bucket("doc_id", 10000) < F.col("rate_q"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_after")))
+    return (r.join(kept, "lang", "left")
+            .select("lang", "n_before", "rate_q",
+                    F.coalesce("n_after", F.lit(0)).cast("bigint")
+                    .alias("n_after")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -354,4 +468,7 @@ R11_ENTRIES: list[str] = [
     "events_interarrival_bands",
     "train_split_leakage_audit",
     "stream_interarrival_bands",
+    "mm_wav_peak_normalize",
+    "events_burst_flag_audit",
+    "sample_temperature_mixture",
 ]
