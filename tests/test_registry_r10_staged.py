@@ -27,7 +27,7 @@ import sys
 from tests.conftest import SF_SMOKE
 from tests.oracle_compare import compare, duck_connect
 
-_EXPECTED = 36  # grows with every mid-round r10 registration
+_EXPECTED = 39  # grows with every mid-round r10 registration
 
 
 def test_registry_imports_r10():

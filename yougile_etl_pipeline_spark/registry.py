@@ -1020,6 +1020,9 @@ _STABLE_CERTIFIED = [
     "dedup_embedding_cosine_w6",  # slot → text_doclen_quartiles_by_source
     "dedup_embedding_cosine",  # slot → graph_degree_histogram
     "mm_frame_sample",     # slot → corpus_source_overlap
+    "text_zscore_by_lang",  # slot → quality_effect_size_cohens_d
+    "agg_pivot_status",    # slot → graph_pagerank_convergence
+    "agg_cube",            # slot → train_shuffle_order_sample
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

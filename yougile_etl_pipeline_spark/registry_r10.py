@@ -1547,6 +1547,147 @@ def corpus_source_overlap(spark, sf):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
 
 
+@register("quality_effect_size_cohens_d", """
+WITH v AS (SELECT event_type AS t,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events WHERE event_type IN ('click', 'purchase')),
+s AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sm,
+             CAST(SUM(c * c) AS BIGINT) AS ss FROM v GROUP BY t),
+a AS (SELECT n, sm, ss FROM s WHERE t = 'click'),
+b AS (SELECT n AS n2, sm AS sm2, ss AS ss2 FROM s WHERE t = 'purchase')
+SELECT a.n AS n1, b.n2 AS n2, a.sm AS sum1, b.sm2 AS sum2,
+       a.ss AS ss1, b.ss2 AS ss2,
+  (CAST(a.sm AS DOUBLE) / CAST(a.n AS DOUBLE)
+   - CAST(b.sm2 AS DOUBLE) / CAST(b.n2 AS DOUBLE))
+  / sqrt(((CAST(a.n AS DOUBLE) * CAST(a.ss AS DOUBLE)
+           - CAST(a.sm AS DOUBLE) * CAST(a.sm AS DOUBLE))
+            / CAST(a.n AS DOUBLE)
+          + (CAST(b.n2 AS DOUBLE) * CAST(b.ss2 AS DOUBLE)
+             - CAST(b.sm2 AS DOUBLE) * CAST(b.sm2 AS DOUBLE))
+            / CAST(b.n2 AS DOUBLE))
+         / CAST(a.n + b.n2 - 2 AS DOUBLE)) AS cohens_d
+FROM a, b
+""")
+def quality_effect_size_cohens_d(spark, sf):
+    # Cohen's d standardized mean difference between click and
+    # purchase values — the effect-size readout an experimentation /
+    # drift pipeline reports next to a p-value. Money enters as exact
+    # integer cents; n/Σx/Σx² stay BIGINT; the mean difference and
+    # pooled SD are one fixed-operand-order double expression
+    # (Σ(x−m)² computed as (n·ss − s²)/n — exact-integer numerators
+    # until the final casts), so yet another real-valued statistic is
+    # hash-exact.
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select(F.col("event_type").alias("t"),
+                  (F.col("value").cast("decimal(18,2)") * 100)
+                  .cast("bigint").alias("c")))
+    s = (ev.groupBy("t")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("c").cast("bigint").alias("sm"),
+              F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss")))
+    a = s.filter(F.col("t") == "click").select("n", "sm", "ss")
+    b = (s.filter(F.col("t") == "purchase")
+         .select(F.col("n").alias("n2"), F.col("sm").alias("sm2"),
+                 F.col("ss").alias("ss2")))
+    j = a.crossJoin(b)
+    nd = F.col("n").cast("double")
+    n2d = F.col("n2").cast("double")
+    ssq1 = (nd * F.col("ss").cast("double")
+            - F.col("sm").cast("double") * F.col("sm").cast("double")) / nd
+    ssq2 = (n2d * F.col("ss2").cast("double")
+            - F.col("sm2").cast("double")
+            * F.col("sm2").cast("double")) / n2d
+    d = ((F.col("sm").cast("double") / nd
+          - F.col("sm2").cast("double") / n2d)
+         / F.sqrt((ssq1 + ssq2)
+                  / (F.col("n") + F.col("n2") - 2).cast("double")))
+    return j.select(F.col("n").alias("n1"), "n2",
+                    F.col("sm").alias("sum1"),
+                    F.col("sm2").alias("sum2"),
+                    F.col("ss").alias("ss1"),
+                    F.col("ss2").alias("ss2"),
+                    d.alias("cohens_d"))
+
+
+@register("graph_pagerank_convergence", f"""
+WITH d0 AS ({_D0_EDGES_SQL}),
+nodes AS (SELECT DISTINCT n AS node FROM (
+  SELECT src AS n FROM d0 UNION SELECT dst FROM d0)),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM d0 GROUP BY src),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+x0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+       FROM nodes CROSS JOIN cnt),
+s1 AS (SELECT e.dst AS node, CAST(SUM(x0.r // deg.od) AS BIGINT) AS s
+       FROM d0 e JOIN x0 ON e.src = x0.node
+       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+x1 AS (SELECT nodes.node,
+         CAST((15 * 1000000000000) // (100 * cnt.n)
+              + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS r
+       FROM nodes CROSS JOIN cnt
+       LEFT JOIN s1 ON nodes.node = s1.node),
+s2 AS (SELECT e.dst AS node, CAST(SUM(x1.r // deg.od) AS BIGINT) AS s
+       FROM d0 e JOIN x1 ON e.src = x1.node
+       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+x2 AS (SELECT nodes.node,
+         CAST((15 * 1000000000000) // (100 * cnt.n)
+              + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS r
+       FROM nodes CROSS JOIN cnt
+       LEFT JOIN s2 ON nodes.node = s2.node)
+SELECT cnt.n AS n_nodes,
+       CAST(SUM(ABS(x2.r - x1.r)) AS BIGINT) AS l1_delta,
+       CAST(MAX(ABS(x2.r - x1.r)) AS BIGINT) AS max_delta
+FROM x1 JOIN x2 USING (node) CROSS JOIN cnt GROUP BY cnt.n
+""")
+def graph_pagerank_convergence(spark, sf):
+    # Fixed-point convergence diagnostic: the L1/L∞ distance between
+    # PageRank after 1 and after 2 iterations — the "has the ranking
+    # settled?" gate an iterative-graph pipeline checks before
+    # stopping early. Integer fixed-point makes even the CONVERGENCE
+    # metric hash-exact (two unrolled oracle iterations); engine side
+    # runs pagerank_fixed_point at both depths and differences them.
+    from yougile_etl_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    e = _d0_edges(spark, sf)
+    r1 = pagerank_fixed_point(e, iterations=1).withColumnRenamed(
+        "rank", "r1")
+    r2 = pagerank_fixed_point(e, iterations=2).withColumnRenamed(
+        "rank", "r2")
+    j = r1.join(r2, "node")
+    return (j.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                  F.sum(F.abs(F.col("r2") - F.col("r1")))
+                  .cast("bigint").alias("l1_delta"),
+                  F.max(F.abs(F.col("r2") - F.col("r1")))
+                  .cast("bigint").alias("max_delta")))
+
+
+@register("train_shuffle_order_sample", """
+WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sk
+           FROM documents),
+t AS (SELECT doc_id, sk FROM k ORDER BY sk, doc_id LIMIT 100)
+SELECT CAST(row_number() OVER (ORDER BY sk, doc_id) AS BIGINT) AS pos,
+       doc_id, sk
+FROM t
+""")
+def train_shuffle_order_sample(spark, sf):
+    # Deterministic corpus shuffle order — reproducible training-epoch
+    # ordering: documents sort by md5(doc_id) (engine-portable, no RNG
+    # state), here the first 100 positions as the auditable sample.
+    # TakeOrdered top-100 (never a full sort); the row_number window
+    # runs over 100 rows only.
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("sk"))
+    t = docs.orderBy("sk", "doc_id").limit(100)
+    w = Window.orderBy("sk", "doc_id")
+    return t.select(F.row_number().over(w).cast("bigint").alias("pos"),
+                    "doc_id", "sk")
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -1599,4 +1740,7 @@ R10_ENTRIES: list[str] = [
     "text_doclen_quartiles_by_source",
     "graph_degree_histogram",
     "corpus_source_overlap",
+    "quality_effect_size_cohens_d",
+    "graph_pagerank_convergence",
+    "train_shuffle_order_sample",
 ]
