@@ -25,13 +25,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WINDOW = 50
-# stream_click_attribution is the one remaining rows-only entry: its
-# outer-join NULL emission depends on watermark eviction timing across
-# micro-batches, which an availableNow drain does not pin (documented
-# at the registry entry; batch-parity test chains it to the oracle-
-# green events_interval_join). tumbling/ewma/dedup all carry
-# hash-exact deterministic-projection oracles since r07.
-ROWS_ONLY_BY_DESIGN = {"stream_click_attribution"}
+# No rows-only entries remain since r11: stream_click_attribution
+# (the last one) gained a hash-exact deterministic-projection oracle —
+# the INNER stream-stream join's availableNow emission set is exactly
+# the batch events_interval_join row-set (matches emit on arrival,
+# never on watermark advance). Every streaming entry now carries a
+# hash-exact oracle.
+ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 
 def main() -> None:

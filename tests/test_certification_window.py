@@ -48,8 +48,9 @@ def test_listed_names_exist():
 def test_deferred_queries_are_locally_verifiable():
     # every deferred query must either carry an oracle (so
     # scripts/check_queries.py can verify it locally) or be a documented
-    # rows-only streaming op
-    rows_only_by_design = {"stream_click_attribution"}
+    # rows-only streaming op (none since r11: stream_click_attribution
+    # gained its hash-exact deterministic-projection oracle)
+    rows_only_by_design: set[str] = set()
     missing = [q for q in _DEFERRED_TO_NEXT_WINDOW
                if q not in ORACLES and q not in rows_only_by_design]
     assert not missing

@@ -178,6 +178,40 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank_fixed_point(df, iterations=2)
     assert out.columns == ["node", "rank"] and out.count() == 0
 
+def test_pagerank_trajectory_matches_independent_runs(spark):
+    # The shared-prefix trajectory (VERDICT r10 #3) must be bit-equal
+    # to N independent fixed-depth runs — checkpointing only truncates
+    # lineage, never changes the integer arithmetic.
+    import random
+
+    from yougile_etl_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    rng = random.Random(11)
+    edges = []
+    for _ in range(50):
+        a, b = rng.randrange(15), rng.randrange(15)
+        if a != b:
+            edges.append((f"n{a}", f"n{b}"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    traj = pagerank_fixed_point(df, iterations=3, return_trajectory=True)
+    assert len(traj) == 3
+    for depth, ranks in enumerate(traj, start=1):
+        got = {r["node"]: r["rank"] for r in ranks.collect()}
+        want = {r["node"]: r["rank"]
+                for r in pagerank_fixed_point(
+                    df, iterations=depth).collect()}
+        assert got == want, f"trajectory diverged at depth {depth}"
+
+def test_pagerank_trajectory_empty_edges(spark):
+    from yougile_etl_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    df = spark.createDataFrame([], "src string, dst string")
+    traj = pagerank_fixed_point(df, iterations=2, return_trajectory=True)
+    assert len(traj) == 2
+    assert all(t.count() == 0 for t in traj)
+
 
 def test_triangle_count_known_graph(spark):
     # K4 has C(4,3)=4 triangles; edges given in mixed orientation with

@@ -1,20 +1,18 @@
-"""Guards for the round-10 registration module — WIRED at r10 start.
+"""Guards for the round-10 registration module — WIRED at r10 start,
+its 39 entries PROMOTED to _STABLE_CERTIFIED at the r11 rotation
+(CORRECTNESS_r10: 50/50 rows + schema + hash, zero errors) EXCEPT
+graph_pagerank_convergence, which stays inside the r11 window for a
+planned implementation change (VERDICT r10 #3: shared-prefix
+trajectory instead of two independent depth-1/depth-2 lineages).
 
-Round-9 state (preserved in git history): registry_r10 was a staged
-8-entry bank, deliberately unimported, and these guards enforced
-non-import plus a subprocess smoke. Round 10 wired it at
-registry_ext.py's bottom; genuinely new round-10 operators register
-directly into this module mid-round, each swapping one held-out
-recertification filler back into _STABLE_CERTIFIED so the driver's
-50-slot certification window never strands a never-certified query.
-The guards now enforce the WIRED invariants (same shape as
+The guards now enforce the POST-PROMOTION invariants (same shape as
 tests/test_registry_r09_staged.py):
 
 1. the import is live (the bank cannot silently fall out);
-2. every r10 entry is inside ``list(QUERIES)[:50]`` (registered but
-   never-certified is the failure mode the window accounting exists
-   to prevent);
-3. every r10 entry carries an oracle unless documented rows-only;
+2. every r10 entry is either promoted to the stable list or held
+   INSIDE ``list(QUERIES)[:50]`` — "registered but never-certified"
+   remains impossible;
+3. every r10 entry carries an oracle;
 4. every entry is oracle-executed from its REGISTRY copy at SF_SMOKE,
    so transcription drift between the bank module and the per-op
    parity tests cannot ship.
@@ -27,7 +25,7 @@ import sys
 from tests.conftest import SF_SMOKE
 from tests.oracle_compare import compare, duck_connect
 
-_EXPECTED = 39  # grows with every mid-round r10 registration
+_EXPECTED = 39  # final round-10 count (frozen at the r11 rotation)
 
 
 def test_registry_imports_r10():
@@ -39,17 +37,26 @@ def test_registry_imports_r10():
 
 
 def test_r10_entries_registered_inside_window():
-    from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
+    from yougile_etl_pipeline_spark.registry import (
+        ORACLES,
+        QUERIES,
+        _STABLE_CERTIFIED,
+    )
     from yougile_etl_pipeline_spark.registry_r10 import R10_ENTRIES
 
     assert len(R10_ENTRIES) == _EXPECTED
     window = set(list(QUERIES)[:50])
     missing = [n for n in R10_ENTRIES if n not in QUERIES]
     assert not missing, f"r10 entries not registered: {missing}"
-    out = [n for n in R10_ENTRIES if n not in window]
-    assert not out, (
-        f"r10 entries pushed outside the 50-slot certification "
-        f"window: {out}")
+    # Post-r11-rotation invariant: every r10 entry is either promoted
+    # to the stable list (certified green in the r10 window,
+    # CORRECTNESS_r10 50/50) or held INSIDE the new window for
+    # recertification (graph_pagerank_convergence, changed this round).
+    limbo = [n for n in R10_ENTRIES
+             if n not in window and n not in set(_STABLE_CERTIFIED)]
+    assert not limbo, (
+        f"r10 entries neither inside the certification window nor "
+        f"promoted to _STABLE_CERTIFIED: {limbo}")
     no_oracle = [n for n in R10_ENTRIES if n not in ORACLES]
     assert no_oracle == [], f"entries without oracles: {no_oracle}"
 

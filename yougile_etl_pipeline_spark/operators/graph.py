@@ -181,7 +181,8 @@ def pagerank_fixed_point(
     scale: int = 10**12,
     damping_pct: int = 85,
     checkpoint_every: int | None = 2,
-) -> DataFrame:
+    return_trajectory: bool = False,
+) -> DataFrame | list[DataFrame]:
     """Power-iteration PageRank in integer fixed-point arithmetic.
 
     Ranks are bigints in units of 1/`scale`; every step is integer
@@ -206,6 +207,15 @@ def pagerank_fixed_point(
     `checkpoint_every` truncates lineage with `localCheckpoint` every k
     iterations — without it, deep iteration counts grow the logical plan
     superlinearly (same device as connected_components).
+
+    `return_trajectory=True` returns the full list of rank frames
+    [after-iter-1, …, after-iter-N] instead of only the last one, with
+    every intermediate eagerly localCheckpoint'ed so each iteration
+    EXTENDS the previous one's materialized result — the shared-prefix
+    form a convergence gate needs (VERDICT r10 #3: computing rank₁ and
+    rank₂ as two independent lineages redoes the depth-1 work; at 100
+    TB that is a full extra pass over the edge list). The arithmetic is
+    identical either way — checkpointing only truncates lineage.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -222,9 +232,11 @@ def pagerank_fixed_point(
     n = nodes.count()
     if n == 0:
         # empty edge set: empty (node, rank) result, not a divide-by-zero
-        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
+        empty = nodes.select("node", F.lit(0).cast("long").alias("rank"))
+        return [empty] * iterations if return_trajectory else empty
     base = (100 - damping_pct) * scale // (100 * n)
     ranks = nodes.select("node", F.lit(scale // n).alias("rank"))
+    trajectory: list[DataFrame] = []
     for i in range(iterations):
         contribs = (edges.join(ranks, edges["__src"] == ranks["node"])
                     .join(deg, "__src")
@@ -237,10 +249,15 @@ def pagerank_fixed_point(
                           + F.expr(f"({damping_pct} * coalesce(__s, "
                                    f"CAST(0 AS BIGINT))) div 100"))
                          .alias("rank")))
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+        if return_trajectory:
+            # every intermediate materializes: iteration i+1 extends
+            # THIS result rather than re-deriving it from the scan
+            ranks = ranks.localCheckpoint(eager=True)
+            trajectory.append(ranks)
+        elif checkpoint_every and (i + 1) % checkpoint_every == 0 \
                 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return trajectory if return_trajectory else ranks
 
 
 def pagerank_personalized(

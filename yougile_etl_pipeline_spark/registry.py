@@ -770,8 +770,22 @@ _STABLE_CERTIFIED = [
     # history — the natural recertification picks per the rotation
     # plan. As genuinely new registrations land mid-round they swap
     # back into this list one-for-one.
-    "mart_flagship", "j1_left_broadcast_dim",
-    "j2_left_fact_child",
+    # r11 note: the 17 r01/r02-era promotes that used to open this
+    # list (mart_flagship, j1_left_broadcast_dim, j2_left_fact_child,
+    # a1_dedup_by_key, agg_pricing_summary, agg_topk_revenue,
+    # agg_rollup, text_token_stats, text_lang_id, text_quality_score,
+    # text_fingerprints, dedup_exact, mm_binary_metadata,
+    # mm_decode_features, events_hourly_snapshot, events_json_flatten,
+    # events_sessionize) are HELD OUT at the r11 rotation (not
+    # un-certified — recertifying): their last official driver row is
+    # CORRECTNESS_r02, now the OLDEST green history in the repo. With
+    # the 21 r03-era holds noted below they fill 38 filler slots next
+    # to the 10 registry_r11 bank entries and the two planned-change
+    # holds (stream_click_attribution hash-exact oracle,
+    # graph_pagerank_convergence shared-prefix trajectory — VERDICT
+    # r10 #2/#3): 10 + 2 + 38 = 50. They swap back one-for-one as
+    # genuinely new r11 registrations land mid-round (the standing
+    # mart_abc_parts precedent).
     # r08 note: 18 more long-stable cheap entries are HELD OUT of this
     # list (not un-certified — recertifying) to fill the r08 window
     # next to the 28 r07-filler recerts, the three planned-change
@@ -786,12 +800,9 @@ _STABLE_CERTIFIED = [
     # families. As genuinely new r08 registrations land mid-round they
     # swap back into this list one-for-one (the mart_abc_parts
     # precedent).
-    "a1_dedup_by_key",
-    "agg_pricing_summary", "agg_topk_revenue", "agg_rollup",
-    "text_token_stats", "text_lang_id", "text_quality_score",
-    "text_fingerprints", "dedup_exact",
-    "mm_binary_metadata", "mm_decode_features", "events_hourly_snapshot",
-    "events_json_flatten", "events_sessionize",
+    # (r11: the 14 names that used to sit here — a1_dedup_by_key
+    # through events_sessionize — are in the r11 held-out recert set;
+    # see the r11 note above.)
     # r06 note: `stream_tumbling_counts` (r01+r02 rows-only green) is
     # deliberately NOT listed — its last driver row was r02, and
     # VERDICT r05 "What's missing" #3 asked for a fresh rows-only row;
@@ -874,7 +885,15 @@ _STABLE_CERTIFIED = [
     "text_line_dedup", "text_bm25_scores", "text_self_dedup",
     "sample_quality_quota", "dedup_minhash_recall_eval",
     "sim_cosine_topk", "events_asof_join", "events_asof_forward",
-    "stream_click_attribution", "emb_quantize_int8", "sim_topk_int8",
+    # r11 note: stream_click_attribution is NOT listed despite its
+    # rows-only green history — VERDICT r10 #2 retires the engine's
+    # last rows-only entry by giving it the hash-exact
+    # deterministic-projection oracle (the stream_dedup_keys pattern:
+    # under an availableNow drain the inner stream-stream join emits
+    # exactly the batch events_interval_join row-set, which the parity
+    # test asserts literally). Changed oracle ⇒ back into the r11
+    # window for official recertification.
+    "emb_quantize_int8", "sim_topk_int8",
     "sql_q3_shipping_priority", "sql_q14_promo_share",
     "sql_q16_supplier_cnt", "sql_q22_dormant_rich", "sql_parameterized",
     "win_first_last_ignorenulls", "agg_median_split",
@@ -1002,27 +1021,54 @@ _STABLE_CERTIFIED = [
     "f_hash_functions",    # slot → train_shard_planner
     "f_bitwise_functions",  # slot → graph_katz_centrality
     "f_try_arithmetic",    # slot → quality_cramers_v
-    "text_repetition_stats",  # slot → events_user_lifecycle
-    "doc_chunks",          # slot → events_peak_concurrency
-    "sample_source_mix",   # slot → mart_revenue_bridge
-    "train_pack_sequences",  # slot → events_missing_days
-    "dedup_shingle_jaccard",  # slot → sim_margin_audit
-    "dedup_shingle_capped",  # slot → text_hapax_ratio
-    "dedup_minhash_lsh",   # slot → graph_clustering_coeff
-    "dedup_simhash",       # slot → events_conversion_latency
-    "dedup_simhash_pairs",  # slot → mart_order_fill_latency
-    "dedup_clusters",      # slot → events_autocorr_daily
-    "dedup_canonical_docs",  # slot → mart_revenue_hhi
-    "sim_ann_lsh_sized",   # slot → events_engagement_transitions
-    "corpus_clean_pipeline",  # slot → events_ab_assignment_audit
-    "events_funnel",       # slot → events_hour_dow_heatmap
-    "ivf_kmeans_step",     # slot → events_session_depth_hist
-    "dedup_embedding_cosine_w6",  # slot → text_doclen_quartiles_by_source
-    "dedup_embedding_cosine",  # slot → graph_degree_histogram
-    "mm_frame_sample",     # slot → corpus_source_overlap
-    "text_zscore_by_lang",  # slot → quality_effect_size_cohens_d
-    "agg_pivot_status",    # slot → graph_pagerank_convergence
-    "agg_cube",            # slot → train_shuffle_order_sample
+    # r11 note: the 21 r03-era names that used to close this block
+    # (text_repetition_stats, doc_chunks, sample_source_mix,
+    # train_pack_sequences, dedup_shingle_jaccard, dedup_shingle_capped,
+    # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
+    # dedup_clusters, dedup_canonical_docs, sim_ann_lsh_sized,
+    # corpus_clean_pipeline, events_funnel, ivf_kmeans_step,
+    # dedup_embedding_cosine_w6, dedup_embedding_cosine,
+    # mm_frame_sample, text_zscore_by_lang, agg_pivot_status, agg_cube
+    # — each swapped back here during round 10, so their last official
+    # driver row is still CORRECTNESS_r03) are HELD OUT again at the
+    # r11 rotation: with the 17 r02-era holds noted at the top of this
+    # list they fill the 38 filler slots of the r11 window. They swap
+    # back one-for-one as new r11 registrations land. events_interval_
+    # join and agg_regional_volume (the only other r03-era greens)
+    # stay promoted — the filler pool needs exactly 38.
+    #
+    # ROUND-11 ROTATION — EXECUTED at r11 start: all 50 r10-window
+    # queries are CORRECTNESS_r10 green (rows + schema + hash, zero
+    # errors — the driver's cleanest window yet), code untouched since
+    # the r10 close — promote ALL 50 in window order EXCEPT
+    # graph_pagerank_convergence, which stays in the r11 window for a
+    # PLANNED change (VERDICT r10 #3: the depth-1/depth-2 double
+    # lineage becomes a shared localCheckpoint'ed prefix in
+    # operators/graph.py; changed implementations recertify
+    # officially).
+    "agg_count_distinct", "agg_percentiles", "win_lead_lag_ntile",
+    "win_range_frame", "sample_deterministic", "quality_profile",
+    "sql_api_top_nations", "sketch_approx_distinct",
+    "sketch_approx_quantiles", "graph_pagerank",
+    "graph_pagerank_personalized", "quality_iqr_outliers",
+    "agg_share_of_parent", "mm_wav_mulaw", "events_asof_tolerance",
+    "graph_hits_scores", "text_jaccard_topk_pairs",
+    "quality_duplicate_key_audit", "text_vocab_coverage_curve",
+    "graph_degree_assortativity", "graph_reciprocity",
+    "quality_chi2_lang_source", "text_kwic_concordance",
+    "mm_bmp_resize_nearest", "mm_wav_frame_energy",
+    "events_gaps_islands", "train_shard_planner",
+    "graph_katz_centrality", "quality_cramers_v",
+    "events_user_lifecycle", "events_peak_concurrency",
+    "mart_revenue_bridge", "events_missing_days", "sim_margin_audit",
+    "text_hapax_ratio", "graph_clustering_coeff",
+    "events_conversion_latency", "mart_order_fill_latency",
+    "events_autocorr_daily", "mart_revenue_hhi",
+    "events_engagement_transitions", "events_ab_assignment_audit",
+    "events_hour_dow_heatmap", "events_session_depth_hist",
+    "text_doclen_quartiles_by_source", "graph_degree_histogram",
+    "corpus_source_overlap", "quality_effect_size_cohens_d",
+    "train_shuffle_order_sample",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

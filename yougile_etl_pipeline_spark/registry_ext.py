@@ -1132,24 +1132,36 @@ def stream_tumbling_counts(spark, sf):
         "event_type", "n_events", "total_value")
 
 
-@register("stream_click_attribution")  # stream-stream join → rows-only;
+@register("stream_click_attribution", """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND epoch_ms(p.ts) > epoch_ms(c.ts)
+ AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 300000
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""")
 def stream_click_attribution(spark, sf):
-    # No DuckDB oracle CAN exist (stream-stream interval join with
-    # watermark state), so the driver records a rows-only row — but the
-    # correctness proof chain is complete and two links long:
-    #   1. tests/test_streaming_multimodal.py asserts this streaming
-    #      query's output rows LITERALLY EQUAL the batch
-    #      events_interval_join's rows on the same input (sorted
-    #      row-set equality, not just counts);
-    #   2. events_interval_join is oracle-paired and driver hash-green
-    #      (CORRECTNESS_r03).
-    # Transitively the streaming rows match the SQL oracle; the
-    # rows-only driver row certifies the streaming machinery runs.
+    # Hash-exact oracle via the deterministic-projection pattern
+    # (VERDICT r10 #2, retiring the engine's last rows-only entry —
+    # the stream_dedup_keys r07 template): an INNER stream-stream join
+    # emits a matched pair the moment both sides are buffered, never
+    # on watermark advance, so under an availableNow drain of a static
+    # snapshot the append-mode emission set IS deterministic — exactly
+    # the batch interval-join row-set (nothing is evicted before
+    # matching: eviction needs the watermark to PASS a row, and the
+    # final watermark of a drained snapshot trails max(event_time) by
+    # the full 2h delay, far beyond the 5-min join range). The oracle
+    # therefore states the same naive inequality join the batch
+    # events_interval_join carries; tests/test_streaming_multimodal.py
+    # additionally asserts literal row-set equality between this
+    # streaming query and that batch entry on the same input.
     from yougile_etl_pipeline_spark.streaming.joins import (
         run_attribution_available_now,
     )
 
-    return run_attribution_available_now(spark, sf)
+    return run_attribution_available_now(spark, sf).select(
+        "user_id", "click_id", "purchase_id", "gap_ms")
 
 
 # ---------------------------------------------------------------------------
@@ -2537,6 +2549,14 @@ from yougile_etl_pipeline_spark import registry_r09  # noqa: E402,F401
 # swapping a held-out recertification filler back into
 # _STABLE_CERTIFIED one-for-one.
 from yougile_etl_pipeline_spark import registry_r10  # noqa: E402,F401
+
+# Round-11 rotation (r11 start): the ten-entry bank staged in round 10
+# goes live here, in the same ext-bottom position and for the same
+# circular-entry-path reason as the imports above. Further round-11
+# operators register directly into registry_r11 mid-round, each
+# swapping a held-out recertification filler back into
+# _STABLE_CERTIFIED one-for-one.
+from yougile_etl_pipeline_spark import registry_r11  # noqa: E402,F401
 
 # Order-independence guard: if THIS module was the process's entry
 # point into the engine (e.g. `from ...registry_ext import <helper>`

@@ -1646,16 +1646,17 @@ def graph_pagerank_convergence(spark, sf):
     # settled?" gate an iterative-graph pipeline checks before
     # stopping early. Integer fixed-point makes even the CONVERGENCE
     # metric hash-exact (two unrolled oracle iterations); engine side
-    # runs pagerank_fixed_point at both depths and differences them.
+    # takes the SHARED-PREFIX trajectory (VERDICT r10 #3): rank₁ is
+    # localCheckpoint'ed once and iteration 2 extends it, instead of
+    # the two independent lineages that redid the depth-1 work.
     from yougile_etl_pipeline_spark.operators.graph import (
         pagerank_fixed_point,
     )
 
     e = _d0_edges(spark, sf)
-    r1 = pagerank_fixed_point(e, iterations=1).withColumnRenamed(
-        "rank", "r1")
-    r2 = pagerank_fixed_point(e, iterations=2).withColumnRenamed(
-        "rank", "r2")
+    traj = pagerank_fixed_point(e, iterations=2, return_trajectory=True)
+    r1 = traj[0].withColumnRenamed("rank", "r1")
+    r2 = traj[1].withColumnRenamed("rank", "r2")
     j = r1.join(r2, "node")
     return (j.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
                   F.sum(F.abs(F.col("r2") - F.col("r1")))

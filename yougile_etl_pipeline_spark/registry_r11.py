@@ -1,27 +1,25 @@
-"""Round-11 query registrations — STAGING BANK, NOT YET WIRED.
+"""Round-11 query registrations — WIRED at the r11 rotation.
 
-Do NOT import this module in round 10: the r10 certification window is
-exactly full (the eight registry_r10 bank entries + held-out
-recertification fillers, with mid-round registrations swapping fillers
-back one-for-one), and registering past the driver's 50-slot window
-would leave never-certified queries at the round boundary
-(tests/test_certification_window.py enforces the accounting). At
-ROUND-11 START, wire it with one line at the bottom of
-registry_ext.py next to the registry_r06/r07/r08/r09/r10 imports.
+Round-10 state (preserved in git history): this was the staged bank —
+ten entries built and oracle-proven in round 10 (sf0.001 AND sf0.01
+parity + recorded sf0.1 wall times), deliberately unimported so the
+exactly-full r10 window could not strand a never-certified query. The
+r11 rotation wired it at registry_ext.py's bottom; the ten entries
+now sit inside the driver's 50-slot certification window next to 38
+held-out recertification fillers and the two planned-change holds
+(stream_click_attribution's new hash-exact oracle,
+graph_pagerank_convergence's shared-prefix rework — VERDICT r10
+#2/#3). Genuinely new round-11 operators register directly into this
+module mid-round, each swapping one held-out filler back into
+_STABLE_CERTIFIED (registry.py) so the window stays at exactly 50
+non-stable entries (tests/test_certification_window.py enforces the
+accounting; the wired-state guards live in
+tests/test_registry_r11_staged.py).
 
-NOTE: genuinely new operators built in round 10 should PREFER direct
-registration in registry_r10.py (swapping a held-out filler back into
-_STABLE_CERTIFIED one-for-one) so they certify THIS round — this bank
-is for overflow beyond the swappable slots. Same staging contract as
-the previous banks: every entry lands here only with its DuckDB
-oracle proven bit-identical at sf0.001 AND sf0.01
-(scripts/check_staged.py) and a recorded sf0.1 wall time (bench.py's
-`staged` block is manifest-driven off R11_ENTRIES — automatic once
-the entry and its parity test exist).
-
-tests/test_registry_r11_staged.py smoke-imports this module in a
-SUBPROCESS (so the round-10 window stays untouched) and verifies every
-entry registers with an oracle and runs green at sf0.001.
+Staging contract for every entry, unchanged from the r06–r10 banks:
+DuckDB oracle proven bit-identical at sf0.001 AND sf0.01 before
+registration, sf0.1 wall time + plan fingerprint recorded by
+bench.py's manifest-driven r11 block.
 """
 
 from __future__ import annotations
