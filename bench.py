@@ -285,12 +285,18 @@ def _staged_timings(
 
 def _sf1_block(spark, sf1_dir: str,
                sf01_timings: dict[str, float]) -> dict:
-    """Single warmed run of every headline query at the sf1 synthetic
-    dataset + slope vs the sf0.1 medians just measured. The dataset
-    is 10x sf0.1 (scripts/make_sf1.py: K=10 key-offset copies), so a
-    slope near 10 is linear-in-data and anything materially below is
-    sub-linear; a slope far ABOVE 10 flags a scale cliff (quadratic
-    candidate set, single-task sort, spill) that sf0.1 hides."""
+    """Median-of-N warmed runs of every headline query at the sf1
+    synthetic dataset + slope vs the sf0.1 medians just measured. The
+    dataset is 10x sf0.1 (scripts/make_sf1.py: K=10 key-offset
+    copies), so a slope near 10 is linear-in-data and anything
+    materially below is sub-linear; a slope far ABOVE 10 flags a scale
+    cliff (quadratic candidate set, single-task sort, spill) that
+    sf0.1 hides. N defaults to 3 (SPARK_GRAFT_SF1_RUNS): two rounds
+    running, a SINGLE warmed sf1 run produced false slope alarms
+    (r09's oscillation; r10's 15.4 flagship that re-measured at ~3.5)
+    — medians retire the per-round cold-cache caveat (VERDICT r10
+    #4)."""
+    import statistics
     import subprocess
 
     if not os.path.isdir(sf1_dir):
@@ -299,13 +305,23 @@ def _sf1_block(spark, sf1_dir: str,
             [sys.executable, os.path.join(here, "scripts", "make_sf1.py"),
              sf1_dir],
             check=True, cwd=here)
-    timings, _plans = _manifest_timings(spark, sf1_dir, HEADLINE)
+    sf1_runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "3"))
+    per_run: list[dict[str, float]] = []
+    for _ in range(max(1, sf1_runs)):
+        t, _plans = _manifest_timings(spark, sf1_dir, HEADLINE)
+        per_run.append(t)
+    timings = {n: round(statistics.median(r[n] for r in per_run), 3)
+               for n in per_run[0]}
     slopes = {n: round(t / sf01_timings[n], 2)
               for n, t in timings.items()
               if sf01_timings.get(n, 0) > 0.05}  # sub-50ms bases: noise
     return {
         "dir": sf1_dir,
+        "runs": len(per_run),
         "queries": timings,
+        "spread": {n: round(max(r[n] for r in per_run)
+                            - min(r[n] for r in per_run), 3)
+                   for n in per_run[0]},
         "total": round(sum(timings.values()), 3),
         "slopes_vs_sf01": slopes,
         "worst_slope": max(slopes.values()) if slopes else None,

@@ -1069,6 +1069,11 @@ _STABLE_CERTIFIED = [
     "text_doclen_quartiles_by_source", "graph_degree_histogram",
     "corpus_source_overlap", "quality_effect_size_cohens_d",
     "train_shuffle_order_sample",
+    # r11 mid-round swaps: each genuinely new registry_r11 entry frees
+    # one window slot by promoting a held-out recert filler back here
+    # (youngest-history fillers return first — the r03-era holds —
+    # keeping the oldest r02-era rows inside the window to refresh).
+    "text_repetition_stats",  # slot → mm_png_stats
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

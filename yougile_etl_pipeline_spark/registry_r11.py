@@ -458,6 +458,46 @@ if hasattr(_registry_mod, "_rotate_certification_window"):
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # `staged` block so every bank entry carries a wall time + plan
 # fingerprint before it ever certifies.
+@register("mm_png_stats", """
+WITH p AS (SELECT event_id AS id,
+                  5 + event_id % 4 AS w, 3 + event_id % 4 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, CAST(w * h * 3 AS BIGINT)), k ->
+    (id + 11 * (k // (w * 3)) + 5 * ((k % (w * 3)) // 3)
+        + 3 * (k % 3)) % 256) AS px
+  FROM p)
+SELECT id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(list_sum(px) AS BIGINT) AS px_sum,
+       CAST(list_min(px) AS INTEGER) AS px_min,
+       CAST(list_max(px) AS INTEGER) AS px_max,
+       CAST(LEAST(h, 5) AS INTEGER) AS n_filter_kinds
+FROM v
+""")
+def mm_png_stats(spark, sf):
+    # The engine's first DEFLATE-compressed image decode (VERDICT r10
+    # #6): real PNG payloads — chunk walk with CRC32 verification,
+    # stdlib-zlib inflate, all five scanline-filter reconstructions
+    # (None/Sub/Up/Average/Paeth, id-seeded so every filter appears
+    # across the corpus) — decoded back to exact integer statistics
+    # the oracle states in closed form from the synthetic signal
+    # (k in range(w*h*3): r = k div (w*3), c = (k mod (w*3)) div 3,
+    # ch = k mod 3). n_filter_kinds = LEAST(h, 5) hash-proves the
+    # filter machinery actually ran. Map-only mapInPandas pass;
+    # JPEG/H.264 (transform-coded) still raise honestly.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        png_stats,
+        synth_png_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return png_stats(synth_png_payloads(ev, "event_id"))
+
+
+# Manifest of this module's registrations — pinned by
+# tests/test_registry_r11_staged.py and consumed by bench.py's
+# r11 block so every entry carries a wall time + plan fingerprint.
 R11_ENTRIES: list[str] = [
     "mm_bmp_flip_crop",
     "graph_harmonic_r2",
@@ -469,4 +509,6 @@ R11_ENTRIES: list[str] = [
     "mm_wav_peak_normalize",
     "events_burst_flag_audit",
     "sample_temperature_mixture",
+    # mid-round direct registrations (round 11):
+    "mm_png_stats",
 ]
