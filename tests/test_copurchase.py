@@ -91,3 +91,42 @@ def test_copurchase_duckdb_parity(spark):
     con = duck_connect(SF_SMOKE)
     assert compare(got, con, _ORACLE) == []
     assert got.count() > 0, "no repeated part pairs — weak fixture"
+
+
+# ---------------------------------------------------------------------------
+# association_rules (round 11): directional confidence over the pairs
+# ---------------------------------------------------------------------------
+
+def test_association_rules_hand_checked(spark):
+    from yougile_etl_pipeline_spark.operators.frequency import (
+        association_rules,
+    )
+    # baskets: {A,B} x3, {A} x1  → c_A=4, c_B=3, c_AB=3, N=4
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"),
+            (3, "A"), (3, "B"), (4, "A")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r["antecedent"], r["consequent"]): r
+           for r in association_rules(df, "b", "i").collect()}
+    assert set(out) == {("A", "B"), ("B", "A")}
+    ab, ba = out[("A", "B")], out[("B", "A")]
+    # support identical both directions: 3/4 = 750000 ppm
+    assert ab["support_ppm"] == ba["support_ppm"] == 750000
+    # confidence(A→B) = 3/4; confidence(B→A) = 3/3
+    assert ab["confidence_ppm"] == 750000
+    assert ba["confidence_ppm"] == 1000000
+    # lift symmetric: 3*4/(4*3) = 1.0
+    assert ab["lift"] == ba["lift"] == 1.0
+    assert ab["c_ante"] == 4 and ab["c_cons"] == 3
+
+
+def test_association_rules_truncating_ppm(spark):
+    from yougile_etl_pipeline_spark.operators.frequency import (
+        association_rules,
+    )
+    # c_AB=2, c_A=3, N=3: confidence 2/3 → 666666 ppm (truncated)
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r["antecedent"], r["consequent"]): r
+           for r in association_rules(df, "b", "i").collect()}
+    assert out[("A", "B")]["confidence_ppm"] == 666666
+    assert out[("A", "B")]["support_ppm"] == 666666

@@ -131,3 +131,46 @@ def test_ks_duckdb_parity(spark):
     con = duck_connect(SF_SMOKE)
     issues = compare(got, con, KS_ORACLE)
     assert not issues, issues
+
+
+# ---------------------------------------------------------------------------
+# lorenz_deciles (round 11): the decile drill-down of the gini number
+# ---------------------------------------------------------------------------
+
+def test_lorenz_deciles_hand_checked(spark):
+    from yougile_etl_pipeline_spark.operators.quality import lorenz_deciles
+
+    # 5 keys with values 1..5 (total 15), 10 bands: band of rank r is
+    # (r-1)*10 div 5 → bands 0,2,4,6,8 each hold exactly one key.
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "k long, v long")
+    out = {r["band"]: r for r in
+           lorenz_deciles(df, "k", "v", n_bands=10).collect()}
+    assert sorted(out) == [0, 2, 4, 6, 8]
+    assert all(out[b]["n_keys"] == 1 for b in out)
+    assert out[0]["band_total"] == 1 and out[8]["band_total"] == 5
+    assert out[0]["share_ppm"] == 1 * 10**6 // 15
+    assert out[8]["share_ppm"] == 5 * 10**6 // 15
+
+
+def test_lorenz_deciles_shares_monotone_and_bounded(spark):
+    import random
+
+    from yougile_etl_pipeline_spark.operators.quality import lorenz_deciles
+
+    rng = random.Random(5)
+    df = spark.createDataFrame(
+        [(k, rng.randrange(1, 10**6)) for k in range(237)],
+        "k long, v long")
+    rows = sorted(lorenz_deciles(df, "k", "v").collect(),
+                  key=lambda r: r["band"])
+    assert [r["band"] for r in rows] == list(range(10))
+    # equal-population cut: sizes differ by at most one
+    sizes = [r["n_keys"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # ascending-value ranking → band totals non-decreasing, shares sum
+    # to at most 1e6 (truncation only loses)
+    totals = [r["band_total"] for r in rows]
+    assert totals == sorted(totals)
+    assert sum(r["share_ppm"] for r in rows) <= 10**6
+    assert sum(r["n_keys"] for r in rows) == 237

@@ -87,3 +87,80 @@ def test_ewma_converges_toward_constant_input(spark):
     out = [r.ewma for r in ewma_fixed_point(
         df, "user_id", ["event_id"], "value").collect()]
     assert all(math.isclose(v, 7.25, abs_tol=1e-9) for v in out)
+
+
+# ---------------------------------------------------------------------------
+# holt_linear_fixed_point (round 11)
+# ---------------------------------------------------------------------------
+
+def _holt_ref(vals, p=1, q=4, r=1, s=5, scale=100, S=10**6):
+    def tdiv(a, b):
+        quo = abs(a) // abs(b)
+        return quo if (a >= 0) == (b >= 0) else -quo
+
+    ints = [int(round(v * scale)) for v in vals]
+    l, b = ints[0] * S, 0
+    out = [(l / (scale * S), 0.0)]
+    for v in ints[1:]:
+        ln = tdiv(p * v * S + (q - p) * (l + b), q)
+        bn = tdiv(r * (ln - l) + (s - r) * b, s)
+        l, b = ln, bn
+        out.append((l / (scale * S), b / (scale * S)))
+    return out
+
+
+def test_holt_linear_matches_reference_incl_negative_trend(spark):
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        holt_linear_fixed_point,
+    )
+    vals = [10.0, 12.0, 8.5, 20.25, 3.0, 3.0, 1.25]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)],
+        "k long, t long, value double")
+    got = {r["t"]: (r["level"], r["trend"])
+           for r in holt_linear_fixed_point(df, "k", ["t"], "value")
+           .collect()}
+    ref = _holt_ref(vals)
+    assert len(got) == len(ref)
+    for i, (lv, tr) in enumerate(ref):
+        assert got[i] == (lv, tr), i
+    # declining tail must produce a negative trend (the signed-state
+    # truncation parity the oracle relies on)
+    assert got[len(vals) - 1][1] < 0
+
+
+def test_holt_linear_partitioning_invariant(spark):
+    import random
+
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        holt_linear_fixed_point,
+    )
+    rng = random.Random(13)
+    rows = [(k, t, round(rng.uniform(-50, 50), 2))
+            for k in range(5) for t in range(40)]
+    df1 = spark.createDataFrame(
+        rows, "k long, t long, value double").coalesce(1)
+    df8 = spark.createDataFrame(
+        rows, "k long, t long, value double").repartition(8)
+    r1 = {(r["k"], r["t"]): (r["level"], r["trend"])
+          for r in holt_linear_fixed_point(df1, "k", ["t"], "value")
+          .collect()}
+    r8 = {(r["k"], r["t"]): (r["level"], r["trend"])
+          for r in holt_linear_fixed_point(df8, "k", ["t"], "value")
+          .collect()}
+    assert r1 == r8
+
+
+def test_holt_linear_rejects_bad_smoothing_params(spark):
+    import pytest as _pt
+
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        holt_linear_fixed_point,
+    )
+    df = spark.createDataFrame([(1, 1, 1.0)], "k long, t long, value double")
+    with _pt.raises(ValueError):
+        holt_linear_fixed_point(df, "k", ["t"], "value",
+                                alpha_num=4, alpha_den=4)
+    with _pt.raises(ValueError):
+        holt_linear_fixed_point(df, "k", ["t"], "value",
+                                beta_num=0, beta_den=5)

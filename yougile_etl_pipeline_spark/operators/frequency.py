@@ -270,3 +270,45 @@ def copurchase_lift(df: DataFrame, basket_col: str, item_col: str, *,
                * F.col("c_b").cast("double")))
     return scored.select("item_a", "item_b", "c_ab", "c_a", "c_b",
                          "n_baskets", lift.alias("lift"))
+
+
+def association_rules(df: DataFrame, basket_col: str, item_col: str, *,
+                      min_pair_count: int = 2,
+                      max_basket_items: int = 1000) -> DataFrame:
+    """Directional association rules a→b from the co-purchase pairs:
+    both orientations of every canonical pair, scored with
+
+        support_ppm(a→b)    = c_ab · 10⁶ div n_baskets
+        confidence_ppm(a→b) = c_ab · 10⁶ div c_a
+        lift(a,b)           = c_ab · N / (c_a · c_b)   (symmetric)
+
+    Support and confidence are EXACT integer parts-per-million
+    (truncating division — engine-identical), lift the one fixed
+    float expression `copurchase_lift` already certifies. Confidence
+    is the direction-sensitive score a recommender thresholds on
+    ("of baskets with a, how many also had b"), which lift alone
+    cannot express.
+
+    Scale shape: everything rides `copurchase_lift`'s plan (sorted
+    per-basket arrays, per-row pair transform, NO basket self-join,
+    enforced basket cap); the two orientations are a map-side
+    union over the already-aggregated pair relation — no extra
+    shuffle."""
+    pairs = copurchase_lift(df, basket_col, item_col,
+                            min_pair_count=min_pair_count,
+                            max_basket_items=max_basket_items)
+
+    def orient(ante, cons, c_ante, c_cons):
+        return pairs.select(
+            F.col(ante).alias("antecedent"),
+            F.col(cons).alias("consequent"),
+            "c_ab",
+            F.col(c_ante).alias("c_ante"),
+            F.col(c_cons).alias("c_cons"),
+            "n_baskets",
+            F.expr("c_ab * 1000000L div n_baskets").alias("support_ppm"),
+            F.expr(f"c_ab * 1000000L div {c_ante}").alias("confidence_ppm"),
+            F.col("lift"))
+
+    return orient("item_a", "item_b", "c_a", "c_b").unionByName(
+        orient("item_b", "item_a", "c_b", "c_a"))

@@ -1121,3 +1121,42 @@ def cramers_v_ppm(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
                       / (dof.cast("double") * F.lit(1000000.0))))
     return agg.select("n", "r_cats", "c_cats", "chi2_ppm",
                       v.alias("cramers_v"))
+
+
+def lorenz_deciles(df: DataFrame, key_col: str, value_col: str, *,
+                   n_bands: int = 10) -> DataFrame:
+    """Concentration (Lorenz) band table: rank keys ascending by an
+    exact integer `value_col`, cut the ranking into `n_bands`
+    equal-population bands, and report each band's population, total,
+    and exact share in parts-per-million — the decile-table view of
+    the concentration `gini_by_group` reduces to one number.
+
+        band = ((rank - 1) · n_bands) div n_keys      (0-based)
+
+    so band populations differ by at most one key and the assignment
+    is a pure integer function of the rank — no ntile (whose remainder
+    distribution is engine-specific), no percentile interpolation.
+    Ties in value order break by key, making the ranking total.
+
+    Scale shape: `df` is expected to be an already-aggregated
+    (key, value) relation — dimension-sized, not fact-sized — so the
+    single row_number window over it is bounded; the grand total rides
+    a 1-row broadcast cross join (the documented broadcast-stats
+    pattern). Shares are truncating integer ppm: engine-identical, and
+    they sum to ≤ 10⁶ by construction."""
+    n_rows = df.select(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col)).cast("bigint").alias("__total"))
+    w = Window.orderBy(F.col(value_col).asc(), F.col(key_col).asc())
+    ranked = (df.select(key_col, value_col)
+              .withColumn("__rn", F.row_number().over(w))
+              .crossJoin(F.broadcast(n_rows)))
+    banded = ranked.withColumn(
+        "band", F.expr(f"(( __rn - 1) * {n_bands}) div __n"))
+    return (banded.groupBy("band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                 F.sum(F.col(value_col)).cast("bigint").alias("band_total"),
+                 F.first("__total").alias("__t"))
+            .select("band", "n_keys", "band_total",
+                    F.expr("band_total * 1000000L div __t")
+                    .alias("share_ppm")))

@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["ewma_fixed_point", "theil_sen_slope", "cusum_fixed_point",
+__all__ = ["ewma_fixed_point", "holt_linear_fixed_point",
+           "theil_sen_slope", "cusum_fixed_point",
            "rolling_slope", "seasonal_baseline"]
 
 
@@ -331,3 +332,85 @@ def seasonal_baseline(df: DataFrame, ts_col: str, value_col: str, *,
                 f"{out_prefix}_residual",
                 F.col(value_col) - F.col(f"{out_prefix}_mean"))
                .drop("__dow", "__hod"))
+
+
+def holt_linear_fixed_point(
+        df: DataFrame, key_col: str, order_cols: list[str],
+        value_col: str, *,
+        alpha_num: int = 1, alpha_den: int = 4,
+        beta_num: int = 1, beta_den: int = 5,
+        value_scale: int = 100,
+        sub_scale: int = 10**6) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + linear
+    trend) over the `order_cols` total order, in exact integer
+    fixed-point — the trended sibling of `ewma_fixed_point`:
+
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+        l_1 = x_1,  b_1 = 0
+
+    Every step is integer multiply / truncating-divide / sum on int64
+    state in units of 1/(value_scale·sub_scale), so a fixed recurrence
+    depth is bit-deterministic across engines AND partitionings; the
+    SQL twin is a recursive CTE (the `events_ewma` pattern). Trends go
+    NEGATIVE on declining series — both engines truncate integer
+    division toward zero, so the parity holds for signed state too.
+
+    Scale shape: the per-key sequence collects to one array (bounded
+    by the per-key event count, same contract as ewma_fixed_point) and
+    folds once — one key shuffle, no iteration over the data.
+    Returns key, order cols, `level`, `trend` (doubles: one final IEEE
+    division of the exact int64 state each)."""
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("alpha must satisfy 0 < num < den")
+    if not (0 < beta_num < beta_den):
+        raise ValueError("beta must satisfy 0 < num < den")
+    p, q = alpha_num, alpha_den
+    r, s = beta_num, beta_den
+    S = sub_scale
+    v_int = (F.col(value_col)
+             .cast(f"decimal(20,{len(str(value_scale)) - 1})")
+             * value_scale).cast("bigint")
+    ordered = F.array_sort(F.collect_list(F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        v_int.alias("__v"))))
+    # The fold cannot let-bind l_t, so the l-recurrence expression is
+    # textually repeated inside the b-recurrence — exactly like the
+    # recursive-CTE oracle, which keeps the two evaluation orders
+    # trivially identical.
+    l_new = (f"({p}L * x.__v * {S}L"
+             f" + {q - p}L * (acc.l + acc.b)) div {q}L")
+    step = (
+        f"(acc, x) -> CASE WHEN size(acc.ls) = 0 THEN named_struct("
+        f"'ls', array(x.__v * {S}L), "
+        f"'bs', array(CAST(0 AS BIGINT)), "
+        f"'l', x.__v * {S}L, 'b', CAST(0 AS BIGINT)) "
+        f"ELSE named_struct("
+        f"'ls', concat(acc.ls, array({l_new})), "
+        f"'bs', concat(acc.bs, array(({r}L * (({l_new}) - acc.l)"
+        f"  + {s - r}L * acc.b) div {s}L)), "
+        f"'l', {l_new}, "
+        f"'b', ({r}L * (({l_new}) - acc.l)"
+        f"  + {s - r}L * acc.b) div {s}L) END")
+    grouped = df.groupBy(key_col).agg(ordered.alias("__seq"))
+    folded = grouped.select(
+        key_col, "__seq",
+        F.expr(f"aggregate(__seq, "
+               f"named_struct("
+               f"'ls', CAST(array() AS ARRAY<BIGINT>), "
+               f"'bs', CAST(array() AS ARRAY<BIGINT>), "
+               f"'l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT)), "
+               f"{step})").alias("__st")) \
+        .select(key_col, "__seq",
+                F.col("__st.ls").alias("__ls"),
+                F.col("__st.bs").alias("__bs"))
+    pairs = folded.select(
+        key_col,
+        F.explode(F.arrays_zip("__seq", "__ls", "__bs")).alias("z"))
+    denom = float(value_scale * S)
+    return pairs.select(
+        key_col,
+        *[F.col(f"z.__seq.__o{i}").alias(c)
+          for i, c in enumerate(order_cols)],
+        (F.col("z.__ls").cast("double") / denom).alias("level"),
+        (F.col("z.__bs").cast("double") / denom).alias("trend"))

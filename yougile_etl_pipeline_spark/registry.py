@@ -1074,6 +1074,9 @@ _STABLE_CERTIFIED = [
     # (youngest-history fillers return first — the r03-era holds —
     # keeping the oldest r02-era rows inside the window to refresh).
     "text_repetition_stats",  # slot → mm_png_stats
+    "doc_chunks",          # slot → events_holt_linear
+    "sample_source_mix",   # slot → freq_association_rules
+    "train_pack_sequences",  # slot → quality_lorenz_deciles
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

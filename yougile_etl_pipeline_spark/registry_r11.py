@@ -495,6 +495,131 @@ def mm_png_stats(spark, sf):
     return png_stats(synth_png_payloads(ev, "event_id"))
 
 
+@register("events_holt_linear", """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+h AS (
+  SELECT user_id, event_id, rn, v * 1000000 AS l, CAST(0 AS BIGINT) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_id, n.rn,
+         (1 * n.v * 1000000 + 3 * (h.l + h.b)) // 4,
+         (1 * ((1 * n.v * 1000000 + 3 * (h.l + h.b)) // 4 - h.l)
+            + 4 * h.b) // 5
+  FROM h JOIN seq n ON n.user_id = h.user_id AND n.rn = h.rn + 1)
+SELECT user_id, event_id,
+       CAST(l AS DOUBLE) / 100000000.0 AS level,
+       CAST(b AS DOUBLE) / 100000000.0 AS trend
+FROM h
+""")
+def events_holt_linear(spark, sf):
+    # Holt double-exponential smoothing (level + linear trend, α=1/4,
+    # β=1/5) per user — the trended upgrade of events_ewma for
+    # rate-forecasting pipelines. Same cross-engine device: the
+    # sequential recurrence runs as an exact int64 fold over the
+    # per-key sorted array (one key shuffle, no iteration over data),
+    # the oracle as a recursive CTE; trends go NEGATIVE on declining
+    # series, and both engines truncate integer division toward zero,
+    # so signed state stays bit-identical
+    # (operators/timeseries.py::holt_linear_fixed_point).
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        holt_linear_fixed_point,
+    )
+
+    ev = load_table(spark, sf, "events") \
+        .select("user_id", "ts", "event_id", "value")
+    return (holt_linear_fixed_point(ev, "user_id", ["ts", "event_id"],
+                                    "value")
+            .select("user_id", "event_id", "level", "trend"))
+
+
+@register("freq_association_rules", """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*) AS c_ab
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 2),
+support AS (SELECT i, count(*) AS c FROM items GROUP BY 1),
+totals AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+scored AS (
+  SELECT p.item_a, p.item_b, p.c_ab,
+         sa.c AS c_a, sb.c AS c_b, t.n_baskets,
+         CAST(p.c_ab AS DOUBLE) * CAST(t.n_baskets AS DOUBLE)
+           / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS lift
+  FROM pairs p
+  JOIN support sa ON sa.i = p.item_a
+  JOIN support sb ON sb.i = p.item_b
+  CROSS JOIN totals t)
+SELECT item_a AS antecedent, item_b AS consequent, c_ab,
+       c_a AS c_ante, c_b AS c_cons, n_baskets,
+       c_ab * 1000000 // n_baskets AS support_ppm,
+       c_ab * 1000000 // c_a AS confidence_ppm, lift
+FROM scored
+UNION ALL
+SELECT item_b, item_a, c_ab, c_b, c_a, n_baskets,
+       c_ab * 1000000 // n_baskets,
+       c_ab * 1000000 // c_b, lift
+FROM scored
+""")
+def freq_association_rules(spark, sf):
+    # Directional market-basket rules a→b with exact integer-ppm
+    # support/confidence and the certified symmetric lift — the score
+    # set a recommender actually thresholds on. Rides copurchase_
+    # lift's no-self-join plan; the two orientations union the
+    # already-aggregated pair relation map-side
+    # (operators/frequency.py::association_rules).
+    from yougile_etl_pipeline_spark.operators.frequency import (
+        association_rules,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey",
+                             min_pair_count=2)
+
+
+@register("quality_lorenz_deciles", """
+WITH rev AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+tot AS (SELECT count(*) AS n, CAST(SUM(cents) AS BIGINT) AS total
+        FROM rev),
+ranked AS (
+  SELECT k, cents,
+         row_number() OVER (ORDER BY cents, k) AS rn
+  FROM rev)
+SELECT ((rn - 1) * 10) // n AS band,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cents) AS BIGINT) AS band_total,
+       CAST(SUM(cents) AS BIGINT) * 1000000 // MAX(total) AS share_ppm
+FROM ranked CROSS JOIN tot
+GROUP BY 1
+""")
+def quality_lorenz_deciles(spark, sf):
+    # Customer-revenue concentration as a Lorenz decile table — the
+    # drill-down of quality_gini's single number: rank customers by
+    # exact-cents spend, cut into 10 equal-population bands by pure
+    # integer rank math (no ntile — its remainder placement is
+    # engine-specific), report exact counts/totals + truncating-ppm
+    # shares. The window runs over the AGGREGATED customer relation
+    # (dimension-sized), never the order facts
+    # (operators/quality.py::lorenz_deciles).
+    from yougile_etl_pipeline_spark.operators.quality import lorenz_deciles
+
+    o = load_table(spark, sf, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(20,2)") * 100))
+        .cast("bigint").alias("cents"))
+    return lorenz_deciles(rev, "k", "cents", n_bands=10)
+
+
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # r11 block so every entry carries a wall time + plan fingerprint.
@@ -511,4 +636,7 @@ R11_ENTRIES: list[str] = [
     "sample_temperature_mixture",
     # mid-round direct registrations (round 11):
     "mm_png_stats",
+    "events_holt_linear",
+    "freq_association_rules",
+    "quality_lorenz_deciles",
 ]
