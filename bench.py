@@ -184,7 +184,8 @@ _STREAMING_SKIP = {"stream_ewma_values", "stream_tumbling_counts",
                    "stream_dedup_keys", "stream_click_attribution",
                    "stream_topk_state", "stream_segment_rollup",
                    "stream_sessions_final", "stream_dedup_static_store",
-                   "stream_hopping_counts", "stream_interarrival_bands"}
+                   "stream_hopping_counts", "stream_interarrival_bands",
+                   "stream_burst_flags"}
 
 
 def _manifest_timings(

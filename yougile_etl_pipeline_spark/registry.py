@@ -1077,6 +1077,8 @@ _STABLE_CERTIFIED = [
     "doc_chunks",          # slot → events_holt_linear
     "sample_source_mix",   # slot → freq_association_rules
     "train_pack_sequences",  # slot → quality_lorenz_deciles
+    "dedup_shingle_jaccard",  # slot → stream_burst_flags
+    "dedup_shingle_capped",  # slot → events_cumulative_users
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

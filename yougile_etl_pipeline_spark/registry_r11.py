@@ -620,6 +620,78 @@ def quality_lorenz_deciles(spark, sf):
     return lorenz_deciles(rev, "k", "cents", n_bands=10)
 
 
+@register("stream_burst_flags", """
+WITH m AS (
+  SELECT user_id, epoch_ms(ts) // 60000 AS minute,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+u AS (SELECT user_id, CAST(MAX(n) AS BIGINT) AS burst FROM m GROUP BY 1)
+SELECT CASE WHEN burst >= 10 THEN 'ge_10'
+            WHEN burst >= 5 THEN '5_9' ELSE 'lt_5' END AS burst_band,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(MAX(burst) AS BIGINT) AS max_burst
+FROM u GROUP BY 1
+""")
+def stream_burst_flags(spark, sf):
+    # Streaming twin of events_burst_flag_audit: per-user peak
+    # events-per-minute tracked by applyInPandasWithState carrying
+    # THREE int64s of state per user (open minute bucket, its count,
+    # max so far — streaming/stateful.py::burst_stateful), drained
+    # with availableNow, then banded in batch. Shares the batch
+    # entry's oracle VERBATIM — the sorted single-batch drain emits
+    # exactly one (user, burst) row equal to the batch
+    # MAX-over-(user, minute) aggregate, so the abuse screen stays
+    # hash-exact even as a stateful stream.
+    from yougile_etl_pipeline_spark.streaming.stateful import (
+        run_burst_available_now,
+    )
+
+    bursts = run_burst_available_now(spark, sf,
+                                     table_name="stream_bursts_r11")
+    band = (F.when(F.col("burst") >= 10, "ge_10")
+            .when(F.col("burst") >= 5, "5_9").otherwise("lt_5"))
+    return (bursts.select(band.alias("burst_band"), "burst")
+            .groupBy("burst_band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.max("burst").cast("bigint").alias("max_burst")))
+
+
+@register("events_cumulative_users", """
+WITH f AS (
+  SELECT user_id, MIN(epoch_ms(ts) // 86400000) AS d0
+  FROM events GROUP BY 1),
+per_day AS (
+  SELECT d0 AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM per_day
+""")
+def events_cumulative_users(spark, sf):
+    # Cumulative distinct users per day — the classic
+    # "COUNT(DISTINCT) OVER cumulative window" that no engine supports
+    # directly, rewritten exactly: a user contributes to the
+    # cumulative count from their FIRST day on, so cum-distinct(day)
+    # = running sum of first-seen counts. One user-keyed aggregate
+    # over the facts; the running window rides the DAY-level relation
+    # (hundreds of rows), never the events. Integer epoch-days — no
+    # calendar or TZ surface.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.expr("unix_millis(ts) div 86400000").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    per_day = first.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_day.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"))
+
+
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # r11 block so every entry carries a wall time + plan fingerprint.
@@ -639,4 +711,6 @@ R11_ENTRIES: list[str] = [
     "events_holt_linear",
     "freq_association_rules",
     "quality_lorenz_deciles",
+    "stream_burst_flags",
+    "events_cumulative_users",
 ]

@@ -25,7 +25,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
 __all__ = ["sessionize_stateful", "SESSION_SCHEMA",
-           "ewma_stateful", "run_ewma_available_now", "EWMA_SCHEMA"]
+           "ewma_stateful", "run_ewma_available_now", "EWMA_SCHEMA",
+           "burst_stateful", "run_burst_available_now", "BURST_SCHEMA"]
 
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
@@ -481,6 +482,89 @@ def run_interarrival_available_now(
     )
 
     q = (interarrival_stateful(read_events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
+BURST_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("burst", T.LongType()),
+])
+
+_BURST_STATE_SCHEMA = T.StructType([
+    T.StructField("cur_minute", T.LongType()),
+    T.StructField("cur_count", T.LongType()),
+    T.StructField("max_burst", T.LongType()),
+])
+
+
+def burst_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of the `events_burst_flag_audit` peak detector:
+    per user the state is THREE int64s — the minute bucket currently
+    being counted, its running count, and the max events-per-minute
+    seen so far — so an unbounded stream gets rate-limit/abuse
+    screening with O(active users) state, never a (user, minute)
+    keyed store that grows with stream length.
+
+    Each micro-batch emits the user's refreshed peak (append mode);
+    under an availableNow drain of a static snapshot (one batch) that
+    is exactly one row per user, equal to the batch
+    MAX-over-(user, minute) aggregate — the `topk_stateful`
+    single-drain determinism argument. Minutes that straddle
+    micro-batches merge correctly because the open bucket rides the
+    state."""
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(["ms", "event_id"])
+        if state.exists:
+            cur_minute, cur_count, max_burst = (
+                int(state.get[0]), int(state.get[1]), int(state.get[2]))
+        else:
+            cur_minute, cur_count, max_burst = None, 0, 0
+        for ms in pdf["ms"]:
+            minute = int(ms) // 60000
+            if minute == cur_minute:
+                cur_count += 1
+            else:
+                if cur_minute is not None:
+                    max_burst = max(max_burst, cur_count)
+                cur_minute, cur_count = minute, 1
+        max_burst = max(max_burst, cur_count)
+        state.update((cur_minute, cur_count, max_burst))
+        yield pd.DataFrame({"user_id": [user_id],
+                            "burst": [max_burst]})
+
+    from pyspark.sql import functions as F
+
+    base = events.select("user_id", F.unix_millis("ts").alias("ms"),
+                         "event_id")
+    return base.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=BURST_SCHEMA,
+        stateStructType=_BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_burst_available_now(
+        spark, sf_dir: str,
+        table_name: str = "stream_bursts") -> DataFrame:
+    """Drain the events stream once through the stateful peak counter
+    into a memory sink; returns one (user_id, burst) row per user."""
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        read_events_stream,
+    )
+
+    q = (burst_stateful(read_events_stream(spark, sf_dir))
          .writeStream.format("memory").queryName(table_name)
          .outputMode("append")
          .trigger(availableNow=True)
