@@ -1079,6 +1079,8 @@ _STABLE_CERTIFIED = [
     "train_pack_sequences",  # slot → quality_lorenz_deciles
     "dedup_shingle_jaccard",  # slot → stream_burst_flags
     "dedup_shingle_capped",  # slot → events_cumulative_users
+    "dedup_simhash",       # slot → sim_pq_recall_eval
+    "dedup_simhash_pairs",  # slot → events_funnel_windowed
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

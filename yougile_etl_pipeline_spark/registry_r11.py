@@ -692,6 +692,216 @@ def events_cumulative_users(spark, sf):
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"))
 
 
+# Local copies of the PQ oracle fragments (registry_r06._PQ_BOOKS_SQL
+# and friends): banks must not import sibling bank modules — the
+# circular entry path can reach this module while they are partially
+# initialized (same rule as _D0_SQL above).
+_PQM, _PQK, _PQW = 4, 8, 16
+_PQ_L2SQ = ("list_sum(list_transform(range(1, len({a}) + 1), "
+            "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+_PQ_SQL = f"""
+src AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+sub AS (
+  SELECT vec_id, s.sub_id,
+         vec[s.sub_id * {_PQW} + 1 : s.sub_id * {_PQW} + {_PQW}] AS subvec
+  FROM src, (SELECT CAST(unnest(range(0, {_PQM})) AS INT) AS sub_id) s),
+seeds AS (
+  SELECT sub_id,
+         CAST(row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) - 1
+              AS INT) AS code,
+         subvec AS cvec
+  FROM sub
+  QUALIFY row_number() OVER (PARTITION BY sub_id ORDER BY vec_id)
+          <= {_PQK}),
+assign0 AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT b.vec_id, b.sub_id, s.code,
+           row_number() OVER (
+             PARTITION BY b.vec_id, b.sub_id
+             ORDER BY {_PQ_L2SQ.format(a="b.subvec", b="s.cvec")}, s.code)
+             AS rn
+    FROM sub b JOIN seeds s USING (sub_id)) WHERE rn = 1),
+means AS (
+  SELECT sub.sub_id, code, CAST(t.i - 1 AS INT) AS pos,
+         CAST(SUM(CAST(subvec[t.i] AS DECIMAL(20,9))) AS DOUBLE)
+           / count(*) AS mean_val
+  FROM assign0 JOIN sub USING (vec_id, sub_id),
+       unnest(range(1, len(subvec) + 1)) AS t(i)
+  GROUP BY 1, 2, 3),
+books AS (
+  SELECT sub_id, code, list(mean_val ORDER BY pos) AS cvec
+  FROM means GROUP BY 1, 2),
+assign1 AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT b.vec_id, b.sub_id, s.code,
+           row_number() OVER (
+             PARTITION BY b.vec_id, b.sub_id
+             ORDER BY {_PQ_L2SQ.format(a="b.subvec", b="s.cvec")}, s.code)
+             AS rn
+    FROM sub b JOIN books s USING (sub_id)) WHERE rn = 1)
+"""
+_PQ_COS = ("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) "
+           "* sqrt(list_dot_product(cv, cv)))")
+
+
+@register("sim_pq_recall_eval", f"""
+WITH {_PQ_SQL},
+qsrc AS (SELECT vec_id AS query_id, vec AS qv FROM src
+         WHERE vec_id % 97 = 0),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, c.vec_id AS match_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_PQ_COS.format()} DESC, c.vec_id)
+             AS rn
+    FROM qsrc q CROSS JOIN (SELECT vec_id, vec AS cv FROM src) c
+    WHERE q.query_id != c.vec_id) WHERE rn <= 5),
+qsub AS (
+  SELECT query_id, s.sub_id,
+         qv[s.sub_id * {_PQW} + 1 : s.sub_id * {_PQW} + {_PQW}] AS subvec
+  FROM qsrc, (SELECT CAST(unnest(range(0, {_PQM})) AS INT) AS sub_id) s),
+qtab AS (
+  SELECT query_id, sub_id, code,
+         CAST({_PQ_L2SQ.format(a="subvec", b="cvec")} AS DECIMAL(27,12))
+           AS qd2
+  FROM qsub JOIN books USING (sub_id)),
+adc AS (
+  SELECT q.query_id, a.vec_id, SUM(q.qd2) AS d
+  FROM assign1 a JOIN qtab q
+    ON a.sub_id = q.sub_id AND a.code = q.code
+  GROUP BY 1, 2),
+cand6 AS (
+  SELECT query_id, vec_id AS match_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d, vec_id) AS rank
+    FROM adc) WHERE rank <= 6),
+cand AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rank) AS rn
+    FROM cand6 WHERE match_id != query_id)
+  WHERE rn <= 5),
+j AS (
+  SELECT t.query_id AS tq, c.query_id AS cq
+  FROM truth t LEFT JOIN cand c
+    ON t.query_id = c.query_id AND t.match_id = c.match_id)
+SELECT CAST(count(DISTINCT tq) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count_if(cq IS NOT NULL) AS BIGINT) AS n_hits,
+       CAST(count_if(cq IS NOT NULL) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall_at_5
+FROM j
+""")
+def sim_pq_recall_eval(spark, sf):
+    # ANN-quality scorecard for the PQ tier, fully ORACLE-PAIRED (the
+    # dedup_minhash_recall_eval pattern applied to vector search, and
+    # the registered twin of bench.py's CI-only recall block): recall@5
+    # of PQ asymmetric-distance top-k against the exact brute-force
+    # cosine truth on the same query set. Both sides are deterministic
+    # computations, so the recall itself is hash-exact — a quality gate
+    # a 100 TB embedding pipeline can assert on, not just report. The
+    # PQ side takes its top-6 and drops any self-match, so both sides
+    # compare 5 non-self candidates; recall divides exact BIGINTs once.
+    # NOTE the measured number is honest data, not a defect: this is
+    # the ORACLE-SIZED config (m=4, k=8, one Lloyd round — small enough
+    # for an unrolled SQL twin), whose recall@5 is ~0.13–0.2 at
+    # sf0.001–0.01; bench.py's recall block reports the
+    # production-sized IVF/LSH variants at 0.95+. The point of THIS
+    # entry is that the recall measurement itself is reproducible to
+    # the bit — the assertable quality-gate form.
+    from pyspark.sql.window import Window
+
+    from yougile_etl_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk_np,
+    )
+
+    emb = (load_table(spark, sf, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    truth = brute_force_topk_np(emb, queries, k=5) \
+        .select("query_id", "match_id")
+    books = pq_train(emb, m=_PQM, k=_PQK, iters=1)
+    codes = pq_encode(emb, books, m=_PQM)
+    cand6 = pq_adc_topk(codes, queries.select(
+        F.col("vec_id").alias("query_id"), "embedding"), books, k=6)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    cand = (cand6.filter(F.col("match_id") != F.col("query_id"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "match_id"))
+    j = truth.join(cand.withColumn("c", F.lit(1)),
+                   ["query_id", "match_id"], "left")
+    hit = F.col("c").isNotNull()
+    return j.agg(
+        F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.count_if(hit).cast("bigint").alias("n_hits"),
+        (F.count_if(hit).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("recall_at_5"))
+
+
+@register("events_funnel_windowed", """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+v AS (SELECT user_id, MIN(ms) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ms) AS t2
+      FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ms > v.t1 AND e.ms <= v.t1 + 3600000
+      GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ms) AS t3
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ms > c.t2 AND e.ms <= c.t2 + 3600000
+      GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_1h,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_1h,
+       (SELECT count(*) FROM c) * 1000000
+         // (SELECT count(*) FROM v) AS conv_vc_ppm,
+       (SELECT count(*) FROM p) * 1000000
+         // (SELECT count(*) FROM c) AS conv_cp_ppm
+""")
+def events_funnel_windowed(spark, sf):
+    # Time-CONSTRAINED funnel (the windowFunnel shape): view → click
+    # within 1h → purchase within 1h of the click, earliest-completion
+    # semantics — each stage anchors at the user's first qualifying
+    # event, so the result is a pure function of the event set (no
+    # path-search ambiguity). Unlike events_funnel (presence-based),
+    # this measures conversion with deadlines — the product-analytics
+    # form. Three stage aggregates chained by user-keyed equi-joins;
+    # conversions are truncating integer ppm of exact counts.
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms"))
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ms").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter((F.col("ms") > F.col("t1"))
+                 & (F.col("ms") <= F.col("t1") + 3600000))
+         .groupBy("user_id").agg(F.min("ms").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter((F.col("ms") > F.col("t2"))
+                 & (F.col("ms") <= F.col("t2") + 3600000))
+         .groupBy("user_id").agg(F.min("ms").alias("t3")))
+    counts = (v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+              .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("n_click_1h")))
+              .crossJoin(p.agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("n_purchase_1h"))))
+    return counts.select(
+        "n_view", "n_click_1h", "n_purchase_1h",
+        F.expr("n_click_1h * 1000000 div n_view").alias("conv_vc_ppm"),
+        F.expr("n_purchase_1h * 1000000 div n_click_1h")
+        .alias("conv_cp_ppm"))
+
+
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # r11 block so every entry carries a wall time + plan fingerprint.
@@ -713,4 +923,6 @@ R11_ENTRIES: list[str] = [
     "quality_lorenz_deciles",
     "stream_burst_flags",
     "events_cumulative_users",
+    "sim_pq_recall_eval",
+    "events_funnel_windowed",
 ]
