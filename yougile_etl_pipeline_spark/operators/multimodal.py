@@ -7,10 +7,11 @@ feature-extraction runs as Arrow-batched ``mapInPandas`` — the only
 places Python touches data, and they stream batch-by-batch (never a
 whole partition in memory).
 
-Decode: formats that are pure container parsing — RIFF/WAVE PCM16 and
-uncompressed 24-bpp BMP — decode FOR REAL via the pure-Python codecs
-in `operators.media_codec` (the `decode_media` default since round 6,
-retiring the original stub); compressed formats (JPEG/MP3/H.264)
+Decode: formats that decode with nothing beyond the spec — RIFF/WAVE
+PCM16, uncompressed/RLE8/palette BMP, and (since r11) zlib-DEFLATE
+PNG — decode FOR REAL via the pure-Python codecs in
+`operators.media_codec` (the `decode_media` default since round 6,
+retiring the original stub); transform-coded formats (JPEG/MP3/H.264)
 genuinely need codec libraries this environment doesn't ship and
 still raise ``NotImplementedError``. `fake_feature_extract` remains
 the format-agnostic deterministic stand-in.
@@ -35,6 +36,7 @@ __all__ = [
     "decode_media",
     "fake_feature_extract",
     "mulaw_roundtrip_stats",
+    "png_resize_stats",
     "png_stats",
     "synth_bmp_pal8_payloads",
     "synth_mulaw_payloads",
@@ -912,3 +914,39 @@ def png_stats(df: DataFrame, id_col: str = "media_id",
             })
 
     return df.mapInPandas(run, PNG_STATS_SCHEMA)
+
+
+def png_resize_stats(df: DataFrame, dst_h: int, dst_w: int,
+                     id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Decode PNG payloads (real chunk/CRC/inflate/filter path),
+    nearest-neighbor resize to a fixed thumbnail, and report exact
+    integer statistics of the RESIZED grid — the compressed-input
+    twin of `bmp_resize_stats`, proving the decode output feeds the
+    transform tier like any uncompressed grid. Map-only mapInPandas
+    pass."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        png_decode_pixels,
+        resize_nearest,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs = [png_decode_pixels(p)[0] for p in pdf[payload_col]]
+            outs = [resize_nearest(px, dst_h, dst_w) for px in srcs]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "src_w": np.array([p.shape[1] for p in srcs], "int32"),
+                "src_h": np.array([p.shape[0] for p in srcs], "int32"),
+                "out_sum": np.array(
+                    [int(o.astype(np.int64).sum()) for o in outs],
+                    "int64"),
+                "out_min": np.array([int(o.min()) for o in outs],
+                                    "int32"),
+                "out_max": np.array([int(o.max()) for o in outs],
+                                    "int32"),
+            })
+
+    return df.mapInPandas(run, BMP_RESIZE_SCHEMA)

@@ -1081,6 +1081,8 @@ _STABLE_CERTIFIED = [
     "dedup_shingle_capped",  # slot → events_cumulative_users
     "dedup_simhash",       # slot → sim_pq_recall_eval
     "dedup_simhash_pairs",  # slot → events_funnel_windowed
+    "dedup_clusters",      # slot → mm_png_resize_nearest
+    "dedup_canonical_docs",  # slot → graph_component_sizes
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -902,6 +902,78 @@ def events_funnel_windowed(spark, sf):
         .alias("conv_cp_ppm"))
 
 
+@register("mm_png_resize_nearest", """
+WITH p AS (SELECT event_id AS id,
+                  5 + event_id % 4 AS w, 3 + event_id % 4 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, 144), k ->
+    (id + 11 * (((k // 24) * h) // 6)
+        + 5 * ((((k % 24) // 3) * w) // 8)
+        + 3 * (k % 3)) % 256) AS px
+  FROM p)
+SELECT id AS media_id,
+       CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST(list_sum(px) AS BIGINT) AS out_sum,
+       CAST(list_min(px) AS INTEGER) AS out_min,
+       CAST(list_max(px) AS INTEGER) AS out_max
+FROM v
+""")
+def mm_png_resize_nearest(spark, sf):
+    # Compressed-input thumbnail preprocess under bit-exact
+    # verification: real PNG decode (CRC walk + inflate + all five
+    # filter reconstructions) feeding the nearest-neighbor 6x8 resize
+    # — proving the DEFLATE decode output enters the transform tier
+    # exactly like an uncompressed grid. Oracle states the resized
+    # grid in closed form over the synth formula (out(rr,cc,ch) =
+    # byte((rr*h) div 6, (cc*w) div 8, ch), k in range(144), rr =
+    # k div 24, cc = (k mod 24) div 3). Map-only mapInPandas pass.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        png_resize_stats,
+        synth_png_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return png_resize_stats(synth_png_payloads(ev, "event_id"), 6, 8)
+
+
+@register("graph_component_sizes", f"""
+WITH RECURSIVE d0 AS ({_D0_SQL}),
+nodes AS (SELECT DISTINCT n AS node FROM (
+  SELECT src AS n FROM d0 UNION SELECT dst FROM d0)),
+edges AS (SELECT src AS u, dst AS v FROM d0
+          UNION SELECT dst, src FROM d0),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+          FROM comp GROUP BY 1)
+SELECT sz AS component_size, CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY 1
+""")
+def graph_component_sizes(spark, sf):
+    # Connected-component size distribution — the dedup-cluster /
+    # community QA view ("is the graph one giant blob or healthy
+    # islands?"), certifying connected_components on a SECOND graph
+    # shape (the modular doc graph) beyond the shingle-pair corpus
+    # graph. Engine runs the distributed min-label propagation; the
+    # oracle's recursive closure computes the same min-reachable-label
+    # fixed point.
+    from yougile_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    e = _d0(spark, sf)
+    comp = connected_components(e, e.select(F.col("src").alias("node"))
+                                .union(e.select("dst")).distinct())
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("component_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components"))
+
+
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # r11 block so every entry carries a wall time + plan fingerprint.
@@ -925,4 +997,6 @@ R11_ENTRIES: list[str] = [
     "events_cumulative_users",
     "sim_pq_recall_eval",
     "events_funnel_windowed",
+    "mm_png_resize_nearest",
+    "graph_component_sizes",
 ]
