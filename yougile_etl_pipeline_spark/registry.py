@@ -1083,6 +1083,9 @@ _STABLE_CERTIFIED = [
     "dedup_simhash_pairs",  # slot → events_funnel_windowed
     "dedup_clusters",      # slot → mm_png_resize_nearest
     "dedup_canonical_docs",  # slot → graph_component_sizes
+    "sim_ann_lsh_sized",   # slot → mart_customer_band_migration
+    "corpus_clean_pipeline",  # slot → sql_pivot_multi_agg
+    "events_funnel",       # slot → emb_dimension_profile
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -974,6 +974,127 @@ def graph_component_sizes(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_components"))
 
 
+@register("mart_customer_band_migration", """
+WITH r1 AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders WHERE epoch_ms(o_orderdate) < 883612800000 GROUP BY 1),
+r2 AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders WHERE epoch_ms(o_orderdate) >= 883612800000 GROUP BY 1),
+b1 AS (SELECT k, CASE WHEN cents >= 50000000 THEN 'large'
+                      WHEN cents >= 10000000 THEN 'medium'
+                      ELSE 'small' END AS band FROM r1),
+b2 AS (SELECT k, CASE WHEN cents >= 50000000 THEN 'large'
+                      WHEN cents >= 10000000 THEN 'medium'
+                      ELSE 'small' END AS band FROM r2),
+j AS (SELECT COALESCE(b1.band, 'none') AS from_band,
+             COALESCE(b2.band, 'none') AS to_band
+      FROM b1 FULL OUTER JOIN b2 ON b1.k = b2.k)
+SELECT from_band, to_band, CAST(count(*) AS BIGINT) AS n_customers
+FROM j GROUP BY 1, 2
+""")
+def mart_customer_band_migration(spark, sf):
+    # Customer value-band migration matrix across the corpus midpoint
+    # (epoch-ms 883612800000 = 1998-01-01 UTC): per-period exact-cents
+    # spend banded small/<$100k/medium/<$500k/large, FULL OUTER joined
+    # on customer so appear/churn surface as 'none' rows — the
+    # growth-accounting Markov view of the customer base. Integer
+    # epoch-ms comparison (no calendar/TZ surface); two customer-keyed
+    # aggregates + one key join.
+    ev = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        F.unix_millis("o_orderdate").alias("ms"),
+        F.col("o_totalprice").cast("decimal(20,2)").alias("p"))
+    cents = (F.sum(F.col("p") * 100)).cast("bigint").alias("cents")
+    band = (F.when(F.col("cents") >= 50000000, "large")
+            .when(F.col("cents") >= 10000000, "medium")
+            .otherwise("small"))
+    b1 = (ev.filter(F.col("ms") < 883612800000)
+          .groupBy(F.col("o_custkey").alias("k")).agg(cents)
+          .select("k", band.alias("band1")))
+    b2 = (ev.filter(F.col("ms") >= 883612800000)
+          .groupBy(F.col("o_custkey").alias("k")).agg(cents)
+          .select("k", band.alias("band2")))
+    j = b1.join(b2, "k", "full_outer")
+    return (j.select(F.coalesce("band1", F.lit("none")).alias("from_band"),
+                     F.coalesce("band2", F.lit("none")).alias("to_band"))
+            .groupBy("from_band", "to_band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers")))
+
+
+@register("sql_pivot_multi_agg", """
+SELECT o_orderpriority,
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+    THEN CAST(o_totalprice AS DECIMAL(20,2)) * 100 END), 0) AS BIGINT)
+    AS o_cents,
+  CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS o_n,
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+    THEN CAST(o_totalprice AS DECIMAL(20,2)) * 100 END), 0) AS BIGINT)
+    AS f_cents,
+  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS f_n,
+  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+    THEN CAST(o_totalprice AS DECIMAL(20,2)) * 100 END), 0) AS BIGINT)
+    AS p_cents,
+  CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS p_n
+FROM orders GROUP BY 1
+""")
+def sql_pivot_multi_agg(spark, sf):
+    # Pivot with MULTIPLE aggregates per pivot value (API surface
+    # beyond agg_pivot_status's single measure): revenue cents + order
+    # count per status column, explicit pivot values so the plan needs
+    # no discovery pass. One shuffle; Catalyst rewrites to the same
+    # CASE-conditional aggregation the oracle states.
+    o = load_table(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(20,2)") * 100).alias("c"))
+    piv = (o.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["O", "F", "P"])
+           .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
+                .alias("cents"),
+                F.count(F.lit(1)).cast("bigint").alias("n")))
+    return piv.select(
+        "o_orderpriority",
+        F.col("O_cents").alias("o_cents"), F.col("O_n").alias("o_n"),
+        F.col("F_cents").alias("f_cents"), F.col("F_n").alias("f_n"),
+        F.col("P_cents").alias("p_cents"), F.col("P_n").alias("p_n"))
+
+
+@register("emb_dimension_profile", """
+SELECT CAST(t.i - 1 AS INTEGER) AS pos,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(vec[t.i] AS DECIMAL(20,9))) AS DOUBLE) / count(*)
+         AS mean_val,
+       MIN(vec[t.i]) AS min_val,
+       MAX(vec[t.i]) AS max_val
+FROM (SELECT embedding::DOUBLE[] AS vec FROM embeddings),
+     unnest(range(1, len(vec) + 1)) AS t(i)
+GROUP BY 1
+""")
+def emb_dimension_profile(spark, sf):
+    # Embedding-table QA: per-dimension exact moments — a dead or
+    # collapsed dimension (mean pinned, zero spread) is the classic
+    # silent embedding-pipeline failure. DECIMAL-exact sums make the
+    # mean order-independent (the kmeans_update device); min/max are
+    # selections, not arithmetic. One posexplode + dimension-keyed
+    # aggregate: shuffle carries 64 rows per partition after map-side
+    # combine.
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("vec"))
+    pos = emb.select(F.posexplode("vec").alias("pos", "v"))
+    return (pos.groupBy("pos")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 (F.sum(F.col("v").cast("decimal(20,9)")).cast("double")
+                  / F.count(F.lit(1))).alias("mean_val"),
+                 F.min("v").alias("min_val"),
+                 F.max("v").alias("max_val"))
+            .select(F.col("pos").cast("int").alias("pos"),
+                    "n", "mean_val", "min_val", "max_val"))
+
+
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # r11 block so every entry carries a wall time + plan fingerprint.
@@ -999,4 +1120,7 @@ R11_ENTRIES: list[str] = [
     "events_funnel_windowed",
     "mm_png_resize_nearest",
     "graph_component_sizes",
+    "mart_customer_band_migration",
+    "sql_pivot_multi_agg",
+    "emb_dimension_profile",
 ]
