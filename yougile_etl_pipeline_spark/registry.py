@@ -1086,6 +1086,8 @@ _STABLE_CERTIFIED = [
     "sim_ann_lsh_sized",   # slot → mart_customer_band_migration
     "corpus_clean_pipeline",  # slot → sql_pivot_multi_agg
     "events_funnel",       # slot → emb_dimension_profile
+    "ivf_kmeans_step",     # slot → f_json_functions
+    "dedup_embedding_cosine_w6",  # slot → link_blocking_recall_eval
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -1095,6 +1095,103 @@ def emb_dimension_profile(spark, sf):
                     "n", "mean_val", "min_val", "max_val"))
 
 
+@register("f_json_functions", """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       json_extract_string(props, '$.missing') IS NOT NULL AS has_missing,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
+FROM events
+""")
+def f_json_functions(spark, sf):
+    # The semi-structured JSON function family over a raw JSON string
+    # column (props): path extraction (get_json_object), typed access
+    # through a parsed struct (from_json — parse ONCE, then typed
+    # field reads; the VariantType entry covers the Spark-4 binary
+    # encoding), missing-path NULL semantics, and object-key
+    # introspection. All map-only codegen expressions.
+    ev = load_table(spark, sf, "events").select("event_id", "props")
+    parsed = F.from_json("props", "k bigint")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.missing").isNotNull()
+        .alias("has_missing"),
+        F.size(F.json_object_keys("props")).alias("n_keys"),
+        (parsed.getField("k") * 2).alias("k_doubled"))
+
+
+@register("link_blocking_recall_eval", """
+WITH sub AS (
+  SELECT doc_id, substr(text, 1, 30) AS title FROM documents
+  WHERE doc_id % 3 = 0),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+  WHERE levenshtein(a.title, b.title) <= 8),
+toks AS (
+  SELECT doc_id AS id, title AS s,
+         unnest(list_distinct(string_split_regex(lower(trim(title)), ' +')))
+           AS tok
+  FROM sub),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+kept AS (
+  SELECT t.id, t.s, t.tok FROM toks t
+  JOIN dfreq d ON t.tok = d.tok WHERE d.df <= 100),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id),
+found AS (
+  SELECT id_a, id_b FROM cand WHERE levenshtein(sa, sb) <= 8),
+j AS (
+  SELECT t.id_a AS t_a, f.id_a AS f_a
+  FROM truth t LEFT JOIN found f
+    ON t.id_a = f.id_a AND t.id_b = f.id_b)
+SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count_if(f_a IS NOT NULL) AS BIGINT) AS n_found,
+       CAST(count_if(f_a IS NULL) AS BIGINT) AS n_missed,
+       CAST(count_if(f_a IS NOT NULL) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall
+FROM j
+""")
+def link_blocking_recall_eval(spark, sf):
+    # Linkage-tier quality gate (the recall-eval family applied to
+    # fuzzy record linkage): does shared-token blocking lose real
+    # matches? Truth = ALL-PAIRS levenshtein <= 8 on a deterministic
+    # 1-in-3 doc subset (the bounded-truth device every recall eval
+    # here uses — quadratic truth is affordable on the audit sample,
+    # never the corpus); found = the production blocked+capped path on
+    # the same subset. A missed pair is one sharing NO kept token —
+    # the blocking blind spot this entry measures. Exact counts, one
+    # IEEE division.
+    from yougile_etl_pipeline_spark.operators.linkage import fuzzy_self_join
+
+    titles = (load_table(spark, sf, "documents")
+              .filter(F.col("doc_id") % 3 == 0)
+              .select("doc_id", F.substring("text", 1, 30).alias("title")))
+    a = titles.select(F.col("doc_id").alias("id_a"),
+                      F.col("title").alias("ta"))
+    b = titles.select(F.col("doc_id").alias("id_b"),
+                      F.col("title").alias("tb"))
+    truth = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.levenshtein("ta", "tb") <= 8)
+             .select("id_a", "id_b"))
+    found = fuzzy_self_join(titles, "doc_id", "title",
+                            max_dist=8, max_token_df=100) \
+        .select("id_a", "id_b")
+    j = truth.join(found.withColumn("f", F.lit(1)),
+                   ["id_a", "id_b"], "left")
+    hit = F.col("f").isNotNull()
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.count_if(hit).cast("bigint").alias("n_found"),
+        F.count_if(~hit).cast("bigint").alias("n_missed"),
+        (F.count_if(hit).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("recall"))
+
+
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # r11 block so every entry carries a wall time + plan fingerprint.
@@ -1123,4 +1220,6 @@ R11_ENTRIES: list[str] = [
     "mart_customer_band_migration",
     "sql_pivot_multi_agg",
     "emb_dimension_profile",
+    "f_json_functions",
+    "link_blocking_recall_eval",
 ]
