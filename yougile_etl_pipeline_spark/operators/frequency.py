@@ -291,24 +291,32 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str, *,
 
     Scale shape: everything rides `copurchase_lift`'s plan (sorted
     per-basket arrays, per-row pair transform, NO basket self-join,
-    enforced basket cap); the two orientations are a map-side
-    union over the already-aggregated pair relation — no extra
-    shuffle."""
+    enforced basket cap); the two orientations EXPLODE map-side from
+    each scored pair row — one pass over the pair pipeline, where a
+    union of two selects would make Spark execute the whole lineage
+    twice (measured: 16 exchanges → 8)."""
     pairs = copurchase_lift(df, basket_col, item_col,
                             min_pair_count=min_pair_count,
                             max_basket_items=max_basket_items)
 
-    def orient(ante, cons, c_ante, c_cons):
-        return pairs.select(
-            F.col(ante).alias("antecedent"),
-            F.col(cons).alias("consequent"),
-            "c_ab",
-            F.col(c_ante).alias("c_ante"),
-            F.col(c_cons).alias("c_cons"),
-            "n_baskets",
-            F.expr("c_ab * 1000000L div n_baskets").alias("support_ppm"),
-            F.expr(f"c_ab * 1000000L div {c_ante}").alias("confidence_ppm"),
-            F.col("lift"))
-
-    return orient("item_a", "item_b", "c_a", "c_b").unionByName(
-        orient("item_b", "item_a", "c_b", "c_a"))
+    both = F.array(
+        F.struct(F.col("item_a").alias("antecedent"),
+                 F.col("item_b").alias("consequent"),
+                 F.col("c_a").alias("c_ante"),
+                 F.col("c_b").alias("c_cons")),
+        F.struct(F.col("item_b").alias("antecedent"),
+                 F.col("item_a").alias("consequent"),
+                 F.col("c_b").alias("c_ante"),
+                 F.col("c_a").alias("c_cons")))
+    rules = pairs.select("c_ab", "n_baskets", "lift",
+                         F.explode(both).alias("r"))
+    return rules.select(
+        F.col("r.antecedent").alias("antecedent"),
+        F.col("r.consequent").alias("consequent"),
+        "c_ab",
+        F.col("r.c_ante").alias("c_ante"),
+        F.col("r.c_cons").alias("c_cons"),
+        "n_baskets",
+        F.expr("c_ab * 1000000L div n_baskets").alias("support_ppm"),
+        F.expr("c_ab * 1000000L div r.c_ante").alias("confidence_ppm"),
+        F.col("lift"))

@@ -1126,7 +1126,7 @@ def f_json_functions(spark, sf):
 @register("link_blocking_recall_eval", """
 WITH sub AS (
   SELECT doc_id, substr(text, 1, 30) AS title FROM documents
-  WHERE doc_id % 3 = 0),
+  WHERE doc_id % 3 = 0 AND doc_id < 1500),
 truth AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sub a JOIN sub b ON a.doc_id < b.doc_id
@@ -1160,16 +1160,17 @@ def link_blocking_recall_eval(spark, sf):
     # Linkage-tier quality gate (the recall-eval family applied to
     # fuzzy record linkage): does shared-token blocking lose real
     # matches? Truth = ALL-PAIRS levenshtein <= 8 on a deterministic
-    # 1-in-3 doc subset (the bounded-truth device every recall eval
-    # here uses — quadratic truth is affordable on the audit sample,
-    # never the corpus); found = the production blocked+capped path on
-    # the same subset. A missed pair is one sharing NO kept token —
+    # FIXED-SIZE audit sample (1-in-3 ids capped at id < 1500, i.e.
+    # <= 500 docs at ANY scale — a fractional sample would keep the
+    # quadratic truth growing with the corpus and cliff at 100 TB;
+    # measured 10.6 s at sf0.1 before the cap, ~1 s after); found =
+    # the production blocked+capped path on the same sample. A missed pair is one sharing NO kept token —
     # the blocking blind spot this entry measures. Exact counts, one
     # IEEE division.
     from yougile_etl_pipeline_spark.operators.linkage import fuzzy_self_join
 
     titles = (load_table(spark, sf, "documents")
-              .filter(F.col("doc_id") % 3 == 0)
+              .filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 1500))
               .select("doc_id", F.substring("text", 1, 30).alias("title")))
     a = titles.select(F.col("doc_id").alias("id_a"),
                       F.col("title").alias("ta"))
