@@ -202,3 +202,28 @@ def test_burst_stateful_merges_split_minutes():
     assert list(fn((1,), iter([pd.DataFrame({"ms": [], "event_id": []})]),
                    state)) == []
     assert state.get == (2, 1, 4)
+
+
+def test_stream_first_seen_matches_batch_min(spark):
+    """stateful.first_seen_stateful — one row per user, equal to the
+    batch MIN(epoch-day) aggregate, emitted exactly once (the parity
+    chain stream_cumulative_users' shared oracle rests on)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from yougile_etl_pipeline_spark.sources.tables import load_table
+    from yougile_etl_pipeline_spark.streaming.stateful import (
+        run_first_seen_available_now,
+    )
+
+    got = run_first_seen_available_now(
+        spark, SF_SMOKE, table_name="t_stream_first_seen_parity")
+    stream_rows = {(r["user_id"], r["first_day"]) for r in got.collect()}
+    assert len(stream_rows) == got.count()  # exactly once per user
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", F.expr("unix_millis(ts) div 86400000").alias("d"))
+    batch = ev.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    batch_rows = {(r["user_id"], r["first_day"]) for r in batch.collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0

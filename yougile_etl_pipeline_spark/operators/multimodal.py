@@ -36,6 +36,7 @@ __all__ = [
     "decode_media",
     "fake_feature_extract",
     "mulaw_roundtrip_stats",
+    "png_flip_crop_stats",
     "png_resize_stats",
     "png_stats",
     "synth_bmp_pal8_payloads",
@@ -947,6 +948,51 @@ def png_resize_stats(df: DataFrame, dst_h: int, dst_w: int,
                                     "int32"),
                 "out_max": np.array([int(o.max()) for o in outs],
                                     "int32"),
+            })
+
+    return df.mapInPandas(run, BMP_RESIZE_SCHEMA)
+
+
+def png_flip_crop_stats(df: DataFrame, crop_h: int, crop_w: int,
+                        id_col: str = "media_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Horizontal mirror + centered crop over REAL-decoded PNGs — the
+    augmentation pair of `bmp_flip_crop_stats` fed by the
+    DEFLATE-compressed decode path (CRC walk, inflate, all five
+    scanline filters). Same pure index arithmetic (flip: c' = w−1−c;
+    crop offset (dim − crop) div 2), so the transformed grid stays
+    bit-exactly oracle-pairable. Map-only streaming pass; raises if
+    any image is smaller than the crop."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        png_decode_pixels,
+    )
+
+    def one(payload: bytes) -> tuple[int, int, int, int, int]:
+        px, _kinds = png_decode_pixels(payload)
+        h, w = px.shape[0], px.shape[1]
+        if h < crop_h or w < crop_w:
+            raise ValueError(
+                f"image {w}x{h} smaller than crop {crop_w}x{crop_h}")
+        r0 = (h - crop_h) // 2
+        c0 = (w - crop_w) // 2
+        out = px[:, ::-1][r0:r0 + crop_h, c0:c0 + crop_w]
+        o64 = out.astype(np.int64)
+        return (w, h, int(o64.sum()), int(out.min()), int(out.max()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "src_w": np.array([r[0] for r in rows], "int32"),
+                "src_h": np.array([r[1] for r in rows], "int32"),
+                "out_sum": np.array([r[2] for r in rows], "int64"),
+                "out_min": np.array([r[3] for r in rows], "int32"),
+                "out_max": np.array([r[4] for r in rows], "int32"),
             })
 
     return df.mapInPandas(run, BMP_RESIZE_SCHEMA)

@@ -1088,6 +1088,9 @@ _STABLE_CERTIFIED = [
     "events_funnel",       # slot → emb_dimension_profile
     "ivf_kmeans_step",     # slot → f_json_functions
     "dedup_embedding_cosine_w6",  # slot → link_blocking_recall_eval
+    "dedup_embedding_cosine",  # slot → stream_cumulative_users
+    "mm_frame_sample",     # slot → mm_png_flip_crop
+    "text_zscore_by_lang",  # slot → events_zscore_anomaly_days
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

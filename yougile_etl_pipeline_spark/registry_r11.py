@@ -1193,6 +1193,121 @@ def link_blocking_recall_eval(spark, sf):
          / F.count(F.lit(1)).cast("double")).alias("recall"))
 
 
+@register("stream_cumulative_users", """
+WITH f AS (
+  SELECT user_id, MIN(epoch_ms(ts) // 86400000) AS d0
+  FROM events GROUP BY 1),
+per_day AS (
+  SELECT d0 AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM per_day
+""")
+def stream_cumulative_users(spark, sf):
+    # Streaming twin of events_cumulative_users: a stateful
+    # first-touch detector (streaming/stateful.py::first_seen_stateful
+    # — ONE int64 of state per known user, a (user, first_day) row
+    # emitted exactly once) drained with availableNow, then rolled up
+    # in batch to new-users-per-day + running cumulative. Shares the
+    # batch entry's oracle VERBATIM — under the single-batch drain the
+    # emitted first days equal the batch MIN aggregate exactly.
+    from pyspark.sql.window import Window
+
+    from yougile_etl_pipeline_spark.streaming.stateful import (
+        run_first_seen_available_now,
+    )
+
+    first = run_first_seen_available_now(
+        spark, sf, table_name="stream_first_seen_r11")
+    per_day = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_day.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"))
+
+
+@register("mm_png_flip_crop", """
+WITH p AS (SELECT event_id AS id,
+                  5 + event_id % 4 AS w, 3 + event_id % 4 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, 18), k ->
+    (id + 11 * ((h - 2) // 2 + k // 9)
+        + 5 * (w - 1 - ((w - 3) // 2 + (k % 9) // 3))
+        + 3 * (k % 3)) % 256) AS px
+  FROM p)
+SELECT id AS media_id,
+       CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST(list_sum(px) AS BIGINT) AS out_sum,
+       CAST(list_min(px) AS INTEGER) AS out_min,
+       CAST(list_max(px) AS INTEGER) AS out_max
+FROM v
+""")
+def mm_png_flip_crop(spark, sf):
+    # Augmentation pair (mirror + centered 2x3 crop) fed by the REAL
+    # DEFLATE decode — the PNG sibling of the certified
+    # mm_bmp_flip_crop, same closed-form transformed-grid oracle over
+    # the PNG synth formula (k in range(18): rr = k div 9, cc =
+    # (k mod 9) div 3, ch = k mod 3; flip c' = w-1-c, crop offsets
+    # (dim-crop) div 2). Map-only mapInPandas pass.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        png_flip_crop_stats,
+        synth_png_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return png_flip_crop_stats(synth_png_payloads(ev, "event_id"), 2, 3)
+
+
+@register("events_zscore_anomaly_days", """
+WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(SUM(n * n) AS BIGINT) AS ssq FROM d)
+SELECT day, n,
+  CAST(nd * n - tot AS DOUBLE)
+    / sqrt(CAST(nd AS DOUBLE)
+           * (CAST(nd * ssq - tot * tot AS DOUBLE)
+              / CAST(nd - 1 AS DOUBLE))) AS z,
+  abs(CAST(nd * n - tot AS DOUBLE))
+    > 2 * sqrt(CAST(nd AS DOUBLE)
+               * (CAST(nd * ssq - tot * tot AS DOUBLE)
+                  / CAST(nd - 1 AS DOUBLE))) AS is_anomaly
+FROM d CROSS JOIN s
+""")
+def events_zscore_anomaly_days(spark, sf):
+    # Daily-volume anomaly flags by global z-score — the monitoring
+    # twin of the per-key MAD gate, hash-exact for a REAL-VALUED
+    # statistic via the engine's sufficient-stats device: counts and
+    # squared counts stay exact BIGINTs, z materializes in ONE
+    # fixed-operand-order double expression (z = (nd·n − tot) /
+    # sqrt(nd · (nd·ssq − tot²)/(nd−1)) — the numerator/denominator
+    # are scaled by nd so no intermediate division happens), and the
+    # |z| > 2 flag compares the same pre-scaled operands. sqrt is
+    # IEEE-correctly-rounded on both engines (the agg_corr_exact
+    # lesson). Day aggregate + a 1-row broadcast of the stats.
+    ev = load_table(spark, sf, "events").select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"))
+    d = ev.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"),
+              F.sum("n").cast("bigint").alias("tot"),
+              F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ssq"))
+    j = d.crossJoin(F.broadcast(s))
+    num = (F.col("nd") * F.col("n") - F.col("tot")).cast("double")
+    den = F.sqrt(F.col("nd").cast("double")
+                 * ((F.col("nd") * F.col("ssq")
+                     - F.col("tot") * F.col("tot")).cast("double")
+                    / (F.col("nd") - 1).cast("double")))
+    return j.select("day", "n", (num / den).alias("z"),
+                    (F.abs(num) > 2 * den).alias("is_anomaly"))
+
+
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # r11 block so every entry carries a wall time + plan fingerprint.
@@ -1223,4 +1338,7 @@ R11_ENTRIES: list[str] = [
     "emb_dimension_profile",
     "f_json_functions",
     "link_blocking_recall_eval",
+    "stream_cumulative_users",
+    "mm_png_flip_crop",
+    "events_zscore_anomaly_days",
 ]

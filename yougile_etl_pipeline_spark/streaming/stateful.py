@@ -26,7 +26,9 @@ from pyspark.sql import types as T
 
 __all__ = ["sessionize_stateful", "SESSION_SCHEMA",
            "ewma_stateful", "run_ewma_available_now", "EWMA_SCHEMA",
-           "burst_stateful", "run_burst_available_now", "BURST_SCHEMA"]
+           "burst_stateful", "run_burst_available_now", "BURST_SCHEMA",
+           "first_seen_stateful", "run_first_seen_available_now",
+           "FIRST_SEEN_SCHEMA"]
 
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
@@ -565,6 +567,71 @@ def run_burst_available_now(
     )
 
     q = (burst_stateful(read_events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
+FIRST_SEEN_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("first_day", T.LongType()),
+])
+
+_FIRST_SEEN_STATE_SCHEMA = T.StructType([
+    T.StructField("first_day", T.LongType()),
+])
+
+
+def first_seen_stateful(events: DataFrame) -> DataFrame:
+    """Streaming first-touch detector: per user the state is ONE int64
+    — the epoch-day of their first event — and a (user, first_day) row
+    emits exactly ONCE, when the user is first seen (later batches
+    emit nothing for known users). The streaming building block of
+    growth accounting: the drained output feeds the same
+    new-users-per-day → running-sum rollup as the batch
+    `events_cumulative_users`, whose oracle the registry twin shares
+    verbatim. O(known users) state, one int64 each — the minimal
+    identity-dedup state any unbounded new-user metric needs."""
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        if state.exists:
+            return
+        pdf = pd.concat(frames)
+        state.update((int(pdf["d"].min()),))
+        yield pd.DataFrame({"user_id": [user_id],
+                            "first_day": [int(pdf["d"].min())]})
+
+    from pyspark.sql import functions as F
+
+    base = events.select("user_id",
+                         F.expr("unix_millis(ts) div 86400000").alias("d"))
+    return base.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType=_FIRST_SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_first_seen_available_now(
+        spark, sf_dir: str,
+        table_name: str = "stream_first_seen") -> DataFrame:
+    """Drain the events stream once through the first-touch detector
+    into a memory sink; returns one (user_id, first_day) row per
+    distinct user."""
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        read_events_stream,
+    )
+
+    q = (first_seen_stateful(read_events_stream(spark, sf_dir))
          .writeStream.format("memory").queryName(table_name)
          .outputMode("append")
          .trigger(availableNow=True)
