@@ -73,3 +73,32 @@ def test_blocking_profile_duckdb_parity(spark):
                                    block_cols=["lang"])
     con = duck_connect(SF_SMOKE)
     assert compare(got, con, _ORACLE) == []
+
+
+# ---------------------------------------------------------------------------
+# minhash_bucket_profile (round 11, r12 bank)
+# ---------------------------------------------------------------------------
+
+def test_minhash_bucket_profile_consistency(spark):
+    """The bucket-size histogram must account for every (doc, band)
+    assignment exactly: sum(bucket_size * n_buckets) == n_docs * bands,
+    and the pair-volume column must equal the binomial per size."""
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_bucket_profile,
+    )
+    from yougile_etl_pipeline_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    rows = minhash_bucket_profile(docs, "doc_id", "text",
+                                  n_hashes=8, bands=4, cap=64).collect()
+    assert sum(r["bucket_size"] * r["n_buckets"] for r in rows) \
+        == n_docs * 4
+    for r in rows:
+        assert r["pair_volume"] == (r["bucket_size"]
+                                    * (r["bucket_size"] - 1) // 2
+                                    * r["n_buckets"])
+        assert r["over_cap"] == (r["bucket_size"] > 64)
+    assert len(rows) > 0

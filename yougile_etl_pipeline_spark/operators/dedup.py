@@ -615,3 +615,44 @@ def shingle_blocking_profile(df: DataFrame, id_col: str, text_col: str,
     if block_cols:
         return docs.join(agg, block_cols)
     return docs.crossJoin(agg)
+
+
+def minhash_bucket_profile(df: DataFrame, id_col: str, text_col: str,
+                           *, n_hashes: int = 8, bands: int = 4,
+                           shingle_n: int = 3,
+                           cap: int = 64) -> DataFrame:
+    """Capacity-planning view of the LSH bucket distribution: how many
+    (band, key) buckets exist at each size, and which sizes the
+    `max_bucket_size` mega-cluster cap would drop. This is the input
+    you look at BEFORE picking the cap — bucket size c emits c·(c−1)/2
+    candidate pairs, so the histogram IS the pair-volume forecast.
+
+    Same signature/banding construction as `minhash_lsh_pairs`
+    (deliberately restated rather than refactored out of the certified
+    operator); one (band, key)-keyed count — the shuffle carries
+    bucket keys, never documents — then a size-keyed rollup of that
+    already-tiny relation."""
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = minhash_signature(df, id_col, text_col,
+                            n_hashes=n_hashes, shingle_n=shingle_n)
+    band_keys = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}")
+                                     for r in range(rows)])).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    buckets = sig.select("doc", F.explode(band_keys).alias("bk")) \
+                 .select(F.col("bk.band").alias("band"),
+                         F.col("bk.key").alias("key"))
+    sizes = buckets.groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"))
+    return (sizes.groupBy(F.col("sz").alias("bucket_size"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+            .select("bucket_size", "n_buckets",
+                    (F.col("bucket_size") > cap).alias("over_cap"),
+                    F.expr("bucket_size * (bucket_size - 1) div 2 "
+                           "* n_buckets").cast("bigint")
+                    .alias("pair_volume")))

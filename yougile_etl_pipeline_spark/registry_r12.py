@@ -10,15 +10,11 @@ never-certified queries at the round boundary
 ROUND-12 START, wire it with one line at the bottom of
 registry_ext.py next to the registry_r06–r11 imports.
 
-NOTE: genuinely new operators built in round 11 should PREFER direct
-registration in registry_r11.py (swapping a held-out filler back into
-_STABLE_CERTIFIED one-for-one) so they certify THIS round — this bank
-is for overflow beyond the swappable slots. Same staging contract as
-the previous banks: every entry lands here only with its DuckDB
-oracle proven bit-identical at sf0.001 AND sf0.01
-(scripts/check_staged.py) and a recorded sf0.1 wall time (bench.py's
-`staged` block is manifest-driven off R12_ENTRIES — automatic once
-the entry and its parity test exist).
+Same staging contract as the previous banks: every entry lands here
+only with its DuckDB oracle proven bit-identical at sf0.001 AND
+sf0.01 (scripts/check_staged.py) and a recorded sf0.1 wall time
+(bench.py's `staged` block is manifest-driven off R12_ENTRIES —
+automatic once the entry and its parity test exist).
 
 tests/test_registry_r12_staged.py smoke-imports this module in a
 SUBPROCESS (so the round-11 window stays untouched) and verifies every
@@ -26,6 +22,408 @@ entry registers with an oracle and runs green at sf0.001.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.registry import register
+from yougile_etl_pipeline_spark.sources.tables import load_table
+
+# Local copies of shared oracle fragments (registry_ext._toks /
+# _shingles_sql / _MH_* and registry_r10._D0_EDGES_SQL): banks must
+# not import sibling modules mid-initialization — the circular entry
+# path can reach this module while they are partially initialized.
+_TOKS = "string_split(text, ' ')"
+_SHINGLES = ("list_distinct(list_transform("
+             f"range(1, greatest(len({_TOKS}) - 2, 0) + 1), "
+             f"i -> array_to_string({_TOKS}[i:i+2], ' ')))")
+_MH_MINS = ", ".join(
+    f"min(substr(md5(sh) || md5(sh), {1 + 4 * i}, 16)) AS mh{i}"
+    for i in range(8))
+_MH_BANDS = " UNION ALL ".join(
+    f"SELECT doc, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS key "
+    f"FROM sig"
+    for b in range(4)
+)
+_D0_SQL = """
+  SELECT DISTINCT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
+  FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40"""
+
+
+@register("dedup_lsh_bucket_profile", f"""
+WITH ex AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS sh FROM documents
+), sig AS (
+  SELECT doc, {_MH_MINS} FROM ex GROUP BY doc
+), bk AS (
+  {_MH_BANDS}
+), sizes AS (
+  SELECT band, key, CAST(count(*) AS BIGINT) AS sz
+  FROM bk GROUP BY 1, 2)
+SELECT sz AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets,
+       sz > 64 AS over_cap,
+       CAST(sz * (sz - 1) // 2 * count(*) AS BIGINT) AS pair_volume
+FROM sizes GROUP BY 1
+""")
+def dedup_lsh_bucket_profile(spark, sf):
+    # Capacity planning for the mega-cluster cap: the LSH bucket-size
+    # histogram with each size's candidate-pair volume (c·(c−1)/2 per
+    # bucket) and the would-drop flag at cap 64 — the data you look at
+    # BEFORE choosing max_bucket_size (operators/dedup.py::
+    # minhash_bucket_profile). Shuffles carry bucket keys, never
+    # documents.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_bucket_profile,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_bucket_profile(docs, "doc_id", "text",
+                                  n_hashes=8, bands=4, cap=64)
+
+
+@register("dedup_lsh_band_hist", f"""
+WITH ex AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS sh FROM documents
+), sig AS (
+  SELECT doc, {_MH_MINS} FROM ex GROUP BY doc
+), bk AS (
+  {_MH_BANDS}
+), pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_bands
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                     AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT n_bands, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+""")
+def dedup_lsh_band_hist(spark, sf):
+    # Banding-confidence distribution: how many candidate pairs agree
+    # on 1, 2, 3, or all 4 bands — the shape that says whether the
+    # LSH threshold sits where the duplicate mass is (pairs at
+    # n_bands=4 are near-certain duplicates; a fat n_bands=1 tail
+    # means the verifier will discard most candidates). Rolls up the
+    # certified dedup_minhash_lsh pair relation.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                              n_hashes=8, bands=4)
+    return pairs.groupBy("n_bands").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+@register("graph_bfs_layer_hist", f"""
+WITH d0 AS ({_D0_SQL}),
+e0 AS (SELECT src AS a, dst AS b FROM d0 UNION SELECT dst, src FROM d0),
+l0 AS (SELECT DISTINCT doc_id % 40 AS node FROM documents
+       WHERE (doc_id % 40) % 10 = 0),
+l1 AS (
+  SELECT DISTINCT e0.b AS node FROM e0 JOIN l0 ON e0.a = l0.node
+  WHERE e0.b NOT IN (SELECT node FROM l0)),
+l2 AS (
+  SELECT DISTINCT e0.b AS node FROM e0 JOIN l1 ON e0.a = l1.node
+  WHERE e0.b NOT IN (SELECT node FROM l0)
+    AND e0.b NOT IN (SELECT node FROM l1)),
+l3 AS (
+  SELECT DISTINCT e0.b AS node FROM e0 JOIN l2 ON e0.a = l2.node
+  WHERE e0.b NOT IN (SELECT node FROM l0)
+    AND e0.b NOT IN (SELECT node FROM l1)
+    AND e0.b NOT IN (SELECT node FROM l2)),
+layers AS (
+  SELECT node, 0 AS layer FROM l0
+  UNION ALL SELECT node, 1 FROM l1
+  UNION ALL SELECT node, 2 FROM l2
+  UNION ALL SELECT node, 3 FROM l3)
+SELECT layer, CAST(count(*) AS BIGINT) AS n_nodes
+FROM layers GROUP BY 1
+""")
+def graph_bfs_layer_hist(spark, sf):
+    # Reachability growth curve: node count per BFS layer from the
+    # seed set — the expansion profile that distinguishes a
+    # small-world graph (layers explode) from a chain (layers flat).
+    # Rolls up the certified graph_bfs_layers frontier computation.
+    from yougile_etl_pipeline_spark.operators.graph import bfs_layers
+
+    d = load_table(spark, sf, "documents")
+    edges = d.select((F.col("doc_id") % 40).alias("src"),
+                     ((F.col("doc_id") * 7 + 3) % 40).alias("dst")) \
+        .filter(F.col("src") != F.col("dst")).distinct()
+    und = edges.union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    seeds = (d.select((F.col("doc_id") % 40).alias("node"))
+             .filter((F.col("node") % 10) == 0).distinct())
+    layers = bfs_layers(und, seeds, rounds=3)
+    return layers.groupBy("layer").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+
+@register("train_packing_efficiency", f"""
+WITH chunks AS (
+  SELECT d.source,
+    CAST(least(32, len({_TOKS}) - s + 1) AS BIGINT) AS chunk_tokens
+  FROM documents d, unnest(range(1, greatest(len({_TOKS}), 1) + 1, 24))
+       AS t(s)
+), agg AS (
+  SELECT source, CAST(SUM(chunk_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_chunks
+  FROM chunks GROUP BY 1)
+SELECT source, total_tokens, n_chunks,
+       total_tokens // 256 + 1 AS n_sequences,
+       total_tokens * 1000000 // ((total_tokens // 256 + 1) * 256)
+         AS utilization_ppm
+FROM agg
+""")
+def train_packing_efficiency(spark, sf):
+    # Packing-efficiency audit of the certified stream packer: per
+    # source, how many 256-token sequences the chunk stream fills and
+    # the exact utilization in ppm (stream packing wastes only the
+    # final partial sequence, so utilization → 1 as the shard grows —
+    # the number that justifies stream packing over per-doc padding,
+    # where waste would be per-document). Pure aggregate over the
+    # chunker output; integer ppm.
+    from yougile_etl_pipeline_spark.operators import text as TX
+
+    docs = load_table(spark, sf, "documents")
+    chunks = (TX.chunk_documents(docs, chunk_size=32, stride=24)
+              .join(docs.select("doc_id", "source"), "doc_id")
+              .select("source", F.col("chunk_tokens").cast("bigint")
+                      .alias("chunk_tokens")))
+    agg = chunks.groupBy("source").agg(
+        F.sum("chunk_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"))
+    return agg.select(
+        "source", "total_tokens", "n_chunks",
+        F.expr("total_tokens div 256 + 1").alias("n_sequences"),
+        F.expr("total_tokens * 1000000 div "
+               "((total_tokens div 256 + 1) * 256)")
+        .alias("utilization_ppm"))
+
+
+@register("train_pack_fragmentation", f"""
+WITH chunks AS (
+  SELECT d.doc_id, d.source,
+    CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+    CAST(least(32, len({_TOKS}) - s + 1) AS INTEGER) AS chunk_tokens
+  FROM documents d, unnest(range(1, greatest(len({_TOKS}), 1) + 1, 24))
+       AS t(s)
+), packed AS (
+  SELECT doc_id, source,
+    CAST(COALESCE(CAST(SUM(chunk_tokens) OVER w AS BIGINT), 0) // 256
+         AS BIGINT) AS seq_id
+  FROM chunks
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), per_seq AS (
+  SELECT source, seq_id,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM packed GROUP BY 1, 2)
+SELECT n_docs AS docs_per_sequence,
+       CAST(count(*) AS BIGINT) AS n_sequences
+FROM per_seq GROUP BY 1
+""")
+def train_pack_fragmentation(spark, sf):
+    # Attention-fragmentation histogram: how many distinct documents
+    # land in each packed training sequence (the certified
+    # train_pack_sequences assignment rolled up) — the cost signal for
+    # cross-document attention contamination that decides whether the
+    # packer needs boundary resets. One extra distinct-count over the
+    # pack output.
+    from yougile_etl_pipeline_spark.operators import text as TX
+
+    docs = load_table(spark, sf, "documents")
+    chunks = (TX.chunk_documents(docs, chunk_size=32, stride=24)
+              .join(docs.select("doc_id", "source"), "doc_id")
+              .select("doc_id", "source", "chunk_idx", "chunk_tokens"))
+    packed = TX.pack_chunks(chunks, seq_tokens=256)
+    per_seq = packed.groupBy("source", "seq_id").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    return per_seq.groupBy(F.col("n_docs").alias("docs_per_sequence")) \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sequences"))
+
+
+@register("text_ttr_by_source", f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS distinct_terms,
+       CAST(count(DISTINCT tok) AS BIGINT) * 1000000 // count(*)
+         AS ttr_ppm
+FROM toks GROUP BY 1
+""")
+def text_ttr_by_source(spark, sf):
+    # Type-token ratio per source — the lexical-diversity screen
+    # (template/boilerplate farms show pathologically low TTR; OCR
+    # noise shows pathologically high). Exact distinct + total token
+    # counts, truncating-ppm ratio; one (source, token) shuffle with
+    # map-side partial distincts.
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok"))
+    return (toks.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+                 F.count_distinct("tok").cast("bigint")
+                 .alias("distinct_terms"))
+            .select("source", "total_tokens", "distinct_terms",
+                    F.expr("distinct_terms * 1000000 div total_tokens")
+                    .alias("ttr_ppm")))
+
+
+@register("mm_wav_rms_bands", """
+WITH p AS (SELECT event_id AS id, 50 + event_id % 100 AS n FROM events),
+s AS (SELECT id, n,
+  list_transform(range(0, CAST(n AS BIGINT)),
+    i -> abs((id * 31 + i * 17) % 65536 - 32768)) AS a FROM p),
+q AS (SELECT id, n,
+  CAST(list_sum(list_transform(a, x -> x * x)) AS BIGINT) AS sum_sq
+  FROM s),
+b AS (SELECT id,
+  CASE WHEN sum_sq >= 26843545600 * n THEN 'loud'
+       WHEN sum_sq >= 6710886400 * n THEN 'mid'
+       ELSE 'quiet' END AS band
+  FROM q)
+SELECT band, CAST(count(*) AS BIGINT) AS n_clips
+FROM b GROUP BY 1
+""")
+def mm_wav_rms_bands(spark, sf):
+    # Loudness routing for an audio corpus: per-clip RMS band from the
+    # REAL WAV decode, banded WITHOUT any sqrt or division — rms >= T
+    # iff sum_sq >= T²·n, so the comparison cross-multiplies exact
+    # int64s (T = 163840/81920 in sample units → T² = 26843545600 /
+    # 6710886400). The closed-form signal oracle states the same
+    # integer comparison; the whole op is one map-side decode + a
+    # 3-row aggregate.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        synth_wav_payloads,
+        wav_stats,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    st = wav_stats(synth_wav_payloads(ev, "event_id"))
+    band = (F.when(F.col("sum_sq") >= 26843545600 * F.col("n_frames"),
+                   "loud")
+            .when(F.col("sum_sq") >= 6710886400 * F.col("n_frames"),
+                  "mid")
+            .otherwise("quiet"))
+    return (st.select(band.alias("band"))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clips")))
+
+
+@register("mart_supplier_scorecard", """
+WITH s AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(20,6)) * 10000) AS BIGINT)
+           AS revenue_x10000,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY revenue_x10000 DESC,
+                                   suppkey) AS rev_rank
+      FROM s)
+SELECT suppkey, revenue_x10000, n_orders, n_parts, n_lines,
+       CAST(rev_rank AS BIGINT) AS rev_rank
+FROM r WHERE rev_rank <= 25
+""")
+def mart_supplier_scorecard(spark, sf):
+    # Top-25 supplier league table: exact discounted revenue scaled
+    # x10000 so the 4-decimal discount product becomes INTEGRAL before
+    # the BIGINT cast (Spark truncates that cast, DuckDB rounds — on
+    # an integral decimal both are exact),
+    # distinct order/part breadth, line volume, deterministic revenue
+    # rank. The ranking window runs over the SUPPLIER aggregate
+    # (dimension-sized); TakeOrdered semantics via rank <= 25.
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf, "lineitem")
+    s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        (F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount) "
+                      "AS DECIMAL(20,6)) * 10000")))
+        .cast("bigint").alias("revenue_x10000"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    w = Window.orderBy(F.col("revenue_x10000").desc(), "suppkey")
+    return (s.withColumn("rev_rank",
+                         F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rev_rank") <= 25))
+
+
+@register("events_error_rate_daily", """
+WITH d AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors
+  FROM events GROUP BY 1)
+SELECT day, n_events, n_errors,
+       n_errors * 1000000 // n_events AS error_ppm,
+       n_errors * 1000000 // n_events >= 450000 AS breach
+FROM d
+""")
+def events_error_rate_daily(spark, sf):
+    # SLO burn view: daily error share in exact integer ppm with the
+    # 45% breach flag (the synthetic corpus runs ~40% errors, so the
+    # threshold exercises both sides). Single day-keyed aggregate —
+    # the conditional count combines map-side.
+    ev = load_table(spark, sf, "events").select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        "event_type")
+    d = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_if(F.col("event_type") == "error").cast("bigint")
+        .alias("n_errors"))
+    return d.select(
+        "day", "n_events", "n_errors",
+        F.expr("n_errors * 1000000 div n_events").alias("error_ppm"),
+        F.expr("n_errors * 1000000 div n_events >= 450000")
+        .alias("breach"))
+
+
+@register("f_higher_order_array_funcs", """
+WITH base AS (
+  SELECT o_orderkey,
+         range(1, 2 + o_orderkey % 7) AS arr
+  FROM orders)
+SELECT o_orderkey,
+  array_to_string(list_transform(arr, x -> x * x), ',') AS squares,
+  COALESCE(array_to_string(list_filter(arr, x -> x % 2 = 0), ','),
+           '') AS evens,
+  CAST(list_sum(list_transform(arr, x -> x * 3)) AS BIGINT)
+    AS tripled_sum,
+  len(list_filter(arr, x -> x > 3)) > 0 AS any_gt3,
+  len(list_filter(arr, x -> NOT (x < 100))) = 0 AS all_lt100,
+  array_to_string(list_reverse_sort(arr), ',') AS desc_sorted,
+  COALESCE(array_to_string(arr[2:3], ','), '') AS middle_slice
+FROM base
+""")
+def f_higher_order_array_funcs(spark, sf):
+    # The higher-order array-function family as a certified API
+    # surface: transform, filter, aggregate (fold), exists, forall,
+    # reverse sort, slice — the building blocks most custom operators
+    # here compose (shingles, signatures, span logic). Array outputs
+    # cross the oracle boundary stringified (set-op lesson); everything
+    # is map-only codegen. Spark sequence(1, n) == DuckDB
+    # range(1, n + 1) — both inclusive-start, the END convention
+    # differs and is pinned here.
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.expr("sequence(1L, 1L + o_orderkey % 7)").alias("arr"))
+    return o.select(
+        "o_orderkey",
+        F.array_join(F.transform("arr", lambda x: x * x), ",")
+        .alias("squares"),
+        F.array_join(F.filter("arr", lambda x: x % 2 == 0), ",")
+        .alias("evens"),
+        F.aggregate("arr", F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x * 3).alias("tripled_sum"),
+        F.exists("arr", lambda x: x > 3).alias("any_gt3"),
+        F.forall("arr", lambda x: x < 100).alias("all_lt100"),
+        F.array_join(F.sort_array("arr", asc=False), ",")
+        .alias("desc_sorted"),
+        F.array_join(F.slice("arr", 2, 2), ",").alias("middle_slice"))
 
 
 # Order-independence guard (same as the other registry_* modules): if
@@ -42,4 +440,15 @@ if hasattr(_registry_mod, "_rotate_certification_window"):
 # tests/test_registry_r12_staged.py and consumed by bench.py's
 # `staged` block so every bank entry carries a wall time + plan
 # fingerprint before it ever certifies.
-R12_ENTRIES: list[str] = []
+R12_ENTRIES: list[str] = [
+    "dedup_lsh_bucket_profile",
+    "dedup_lsh_band_hist",
+    "graph_bfs_layer_hist",
+    "train_packing_efficiency",
+    "train_pack_fragmentation",
+    "text_ttr_by_source",
+    "mm_wav_rms_bands",
+    "mart_supplier_scorecard",
+    "events_error_rate_daily",
+    "f_higher_order_array_funcs",
+]
