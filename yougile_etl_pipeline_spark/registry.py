@@ -1091,6 +1091,8 @@ _STABLE_CERTIFIED = [
     "dedup_embedding_cosine",  # slot → stream_cumulative_users
     "mm_frame_sample",     # slot → mm_png_flip_crop
     "text_zscore_by_lang",  # slot → events_zscore_anomaly_days
+    "agg_pivot_status",    # slot → mart_repeat_purchase_curve
+    "agg_cube",            # slot → events_attribution_gap_bands
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

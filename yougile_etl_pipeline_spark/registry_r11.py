@@ -1308,6 +1308,97 @@ def events_zscore_anomaly_days(spark, sf):
                     (F.abs(num) > 2 * den).alias("is_anomaly"))
 
 
+@register("mart_repeat_purchase_curve", """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM per_cust),
+banded AS (
+  SELECT CASE WHEN n_orders >= 20 THEN 'ge_20'
+              WHEN n_orders >= 10 THEN '10_19'
+              WHEN n_orders >= 5 THEN '5_9'
+              WHEN n_orders >= 2 THEN '2_4'
+              ELSE '1' END AS order_band,
+         n_orders
+  FROM per_cust)
+SELECT order_band,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       count(*) * 1000000 // MAX(tot.n_cust) AS customer_share_ppm
+FROM banded CROSS JOIN tot GROUP BY 1
+""")
+def mart_repeat_purchase_curve(spark, sf):
+    # Repeat-purchase frequency curve: customers banded by lifetime
+    # order count with exact ppm shares — the loyalty-mix view next to
+    # the band-migration matrix. One customer aggregate + a 5-row
+    # rollup; the grand total rides a 1-row broadcast.
+    o = load_table(spark, sf, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    band = (F.when(F.col("n_orders") >= 20, "ge_20")
+            .when(F.col("n_orders") >= 10, "10_19")
+            .when(F.col("n_orders") >= 5, "5_9")
+            .when(F.col("n_orders") >= 2, "2_4")
+            .otherwise("1"))
+    return (per.select(band.alias("order_band"), "n_orders")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("order_band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.sum("n_orders").cast("bigint").alias("n_orders"),
+                 F.expr("count(1) * 1000000 div max(n_cust)")
+                 .alias("customer_share_ppm")))
+
+
+@register("events_attribution_gap_bands", """
+WITH j AS (
+  SELECT epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND epoch_ms(p.ts) > epoch_ms(c.ts)
+   AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 300000
+  WHERE c.event_type = 'click' AND p.event_type = 'purchase'),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+b AS (SELECT CASE WHEN gap_ms < 60000 THEN 'lt_1m'
+                  WHEN gap_ms < 180000 THEN '1_3m'
+                  ELSE '3_5m' END AS gap_band
+      FROM j)
+SELECT gap_band, CAST(count(*) AS BIGINT) AS n_pairs,
+       count(*) * 1000000 // MAX(tot.n) AS share_ppm
+FROM b CROSS JOIN tot GROUP BY 1
+""")
+def events_attribution_gap_bands(spark, sf):
+    # Attribution-latency mix over the certified interval join: how
+    # fast conversions follow clicks, banded with exact ppm shares —
+    # the decay-curve input a weighted-attribution model starts from.
+    # Reuses the banded-rewrite interval join (never the naive
+    # inequality join the oracle states); the band rollup rides its
+    # output.
+    from yougile_etl_pipeline_spark.operators.relational import (
+        interval_join,
+    )
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ms", F.unix_millis("ts"))
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", F.col("event_id").alias("click_id"), "ms")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("event_id").alias("purchase_id"), "ms")
+    j = interval_join(clicks, buys, keys=["user_id"],
+                      left_ts="ms", right_ts="ms", max_gap_ms=300000) \
+        .select((F.col("ms_r") - F.col("ms")).alias("gap_ms"))
+    tot = j.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    band = (F.when(F.col("gap_ms") < 60000, "lt_1m")
+            .when(F.col("gap_ms") < 180000, "1_3m")
+            .otherwise("3_5m"))
+    return (j.select(band.alias("gap_band"))
+            .crossJoin(F.broadcast(tot))
+            .groupBy("gap_band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.expr("count(1) * 1000000 div max(n)")
+                 .alias("share_ppm")))
+
+
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # r11 block so every entry carries a wall time + plan fingerprint.
@@ -1341,4 +1432,6 @@ R11_ENTRIES: list[str] = [
     "stream_cumulative_users",
     "mm_png_flip_crop",
     "events_zscore_anomaly_days",
+    "mart_repeat_purchase_curve",
+    "events_attribution_gap_bands",
 ]
