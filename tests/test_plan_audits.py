@@ -839,3 +839,62 @@ def test_margin_audit_broadcasts_queries_no_cartesian(spark):
     plan = _formatted(spark, QUERIES["sim_margin_audit"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-11 mid-round registrations: max-shuffle budgets (measured at
+# sf0.001 with 2x slack — these exist to catch the extra-shuffle /
+# join-flip regression class, not plan jitter). Entries whose plan
+# legitimately contains a BroadcastNestedLoopJoin are the documented
+# 1-row broadcast-stats cross joins (totals attach) plus
+# link_blocking_recall_eval, whose all-pairs TRUTH side is a
+# deliberate bounded cross join over the FIXED <=500-doc audit sample
+# (the entry's whole point is comparing the blocked path against that
+# bounded quadratic truth).
+# ---------------------------------------------------------------------------
+
+_R11_PLAN_BUDGETS = {
+    "mm_png_stats": 2,
+    "events_holt_linear": 2,
+    "freq_association_rules": 16,
+    "quality_lorenz_deciles": 8,
+    "events_cumulative_users": 6,
+    "sim_pq_recall_eval": 16,
+    "events_funnel_windowed": 16,
+    "mm_png_resize_nearest": 2,
+    "graph_component_sizes": 12,
+    "mart_customer_band_migration": 6,
+    "sql_pivot_multi_agg": 4,
+    "emb_dimension_profile": 2,
+    "f_json_functions": 0,
+    "link_blocking_recall_eval": 12,
+    "mm_png_flip_crop": 2,
+    "events_zscore_anomaly_days": 6,
+    "mart_repeat_purchase_curve": 8,
+    "events_attribution_gap_bands": 4,
+}
+
+_R11_BNLJ_OK = {"freq_association_rules", "quality_lorenz_deciles",
+                "events_funnel_windowed", "link_blocking_recall_eval",
+                "events_zscore_anomaly_days", "mart_repeat_purchase_curve",
+                "events_attribution_gap_bands"}
+
+
+@pytest.mark.parametrize("name", sorted(_R11_PLAN_BUDGETS))
+def test_r11_plan_within_budget(spark, name):
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        plan_profile,
+    )
+
+    p = plan_profile(QUERIES[name](spark, SF_SMOKE))
+    assert p["shuffle_exchanges"] <= _R11_PLAN_BUDGETS[name], (
+        f"{name}: {p['shuffle_exchanges']} shuffle exchanges, budget "
+        f"{_R11_PLAN_BUDGETS[name]} — a new shuffle crept in")
+    if name not in _R11_BNLJ_OK:
+        assert not p["has_nested_loop_join"], (
+            f"{name}: nested-loop join appeared in the plan")
+    # No global-sort assertion: several entries rank/accumulate over a
+    # DIMENSION- or DAY-sized aggregate with an ungrouped window
+    # (lorenz deciles, cumulative users), which plans as a
+    # single-partition sort of a tiny relation — by design, documented
+    # at each definition site.
