@@ -164,3 +164,36 @@ def test_holt_linear_rejects_bad_smoothing_params(spark):
     with _pt.raises(ValueError):
         holt_linear_fixed_point(df, "k", ["t"], "value",
                                 beta_num=0, beta_den=5)
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_trend (round 11)
+# ---------------------------------------------------------------------------
+
+def test_mann_kendall_hand_checked(spark):
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+    rows = []
+    # key 'up': strictly increasing 10 points → S = 45, no ties
+    rows += [("up", t, t * 2) for t in range(10)]
+    # key 'flat': constant → S = 0 and the tie term zeroes var18
+    rows += [("flat", t, 7) for t in range(10)]
+    # key 'down': strictly decreasing → S = -45
+    rows += [("down", t, 100 - 3 * t) for t in range(10)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = {r["k"]: r for r in
+           mann_kendall_trend(df, "k", "t", "v").collect()}
+    n = 10
+    var18 = n * (n - 1) * (2 * n + 5)  # no ties
+    assert out["up"]["s"] == 45 and out["down"]["s"] == -45
+    assert out["up"]["var18_num"] == var18
+    assert out["up"]["significant"] and out["down"]["significant"]
+    assert out["up"]["z"] == 44 / (var18 / 18.0) ** 0.5
+    assert out["down"]["z"] == -44 / (var18 / 18.0) ** 0.5
+    # constant series: S = 0; tie correction removes the whole
+    # variance (one group of 10 ties) → z = 0, not significant
+    assert out["flat"]["s"] == 0
+    assert out["flat"]["var18_num"] == var18 - 10 * 9 * 25
+    assert out["flat"]["z"] == 0.0 or out["flat"]["var18_num"] > 0
+    assert not out["flat"]["significant"]

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["ewma_fixed_point", "holt_linear_fixed_point",
-           "theil_sen_slope", "cusum_fixed_point",
+           "theil_sen_slope", "cusum_fixed_point", "mann_kendall_trend",
            "rolling_slope", "seasonal_baseline"]
 
 
@@ -414,3 +414,57 @@ def holt_linear_fixed_point(
           for i, c in enumerate(order_cols)],
         (F.col("z.__ls").cast("double") / denom).alias("level"),
         (F.col("z.__bs").cast("double") / denom).alias("trend"))
+
+
+def mann_kendall_trend(df: DataFrame, key_col: str, time_col: str,
+                       value_col: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test per key, exact where the
+    statistic is integral: S = Σ sign(x_j − x_i) over time-ordered
+    pairs, the tie-corrected variance numerator
+    18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the normal
+    approximation z = (S ∓ 1)/sqrt(var) — S and the variance numerator
+    are exact int64, z is ONE fixed-operand-order double expression
+    (divide-then-sqrt, both IEEE-correctly-rounded), so even the
+    real-valued z hash-pairs (the agg_corr_exact device).
+
+    The pairwise sum runs on the per-key TIME-AGGREGATED relation
+    (e.g. daily counts — hundreds of rows per key), never the raw
+    events: the self-join is quadratic in *periods per key*, which is
+    the bounded axis. Non-parametric (rank-based): the robust trend
+    gate for drift monitoring where OLS slope is outlier-fragile —
+    `theil_sen_slope` estimates the magnitude, this tests the
+    direction."""
+    a = df.select(F.col(key_col).alias("__k"),
+                  F.col(time_col).alias("__t"),
+                  F.col(value_col).alias("__v"))
+    b = a.select(F.col("__k"), F.col("__t").alias("__t2"),
+                 F.col("__v").alias("__v2"))
+    pairs = a.join(b, "__k").filter(F.col("__t") < F.col("__t2"))
+    s = pairs.groupBy("__k").agg(
+        F.sum(F.signum(F.col("__v2") - F.col("__v")).cast("bigint"))
+        .cast("bigint").alias("s"))
+    n = a.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (a.groupBy("__k", "__v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .groupBy("__k")
+            .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+                 .cast("bigint").alias("tie_term")))
+    j = n.join(s, "__k").join(ties, "__k")
+    var18 = (F.expr("n * (n - 1) * (2 * n + 5)") - F.col("tie_term")) \
+        .cast("bigint")
+    s_adj = (F.when(F.col("s") > 0, F.col("s") - 1)
+             .when(F.col("s") < 0, F.col("s") + 1)
+             .otherwise(F.lit(0))).cast("bigint")
+    z = F.when(F.col("var18_num") > 0,
+               F.col("s_adj").cast("double")
+               / F.sqrt(F.col("var18_num").cast("double") / 18.0)) \
+        .otherwise(F.lit(0.0))
+    return (j.select("__k", "n", "s", var18.alias("var18_num"),
+                     s_adj.alias("s_adj"))
+            .select(F.col("__k").alias(key_col), "n", "s", "var18_num",
+                    z.alias("z"),
+                    (F.abs(F.col("s_adj").cast("double"))
+                     > F.lit(1.96)
+                     * F.sqrt(F.col("var18_num").cast("double") / 18.0))
+                    .alias("significant")))

@@ -1093,6 +1093,7 @@ _STABLE_CERTIFIED = [
     "text_zscore_by_lang",  # slot → events_zscore_anomaly_days
     "agg_pivot_status",    # slot → mart_repeat_purchase_curve
     "agg_cube",            # slot → events_attribution_gap_bands
+    "text_token_stats",    # slot → events_mann_kendall_trend
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

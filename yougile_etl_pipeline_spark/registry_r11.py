@@ -1399,6 +1399,61 @@ def events_attribution_gap_bands(spark, sf):
                  .alias("share_ppm")))
 
 
+@register("events_mann_kendall_trend", """
+WITH d AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1),
+ties AS (
+  SELECT event_type, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+           AS tie_term
+  FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+        FROM d GROUP BY 1, 2) GROUP BY 1),
+j AS (
+  SELECT n.event_type, n.n, p.s,
+         CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term
+              AS BIGINT) AS var18_num,
+         CAST(CASE WHEN p.s > 0 THEN p.s - 1
+                   WHEN p.s < 0 THEN p.s + 1 ELSE 0 END
+              AS BIGINT) AS s_adj
+  FROM n JOIN p USING (event_type) JOIN ties USING (event_type))
+SELECT event_type, n, s, var18_num,
+       CASE WHEN var18_num > 0
+            THEN CAST(s_adj AS DOUBLE)
+                 / sqrt(CAST(var18_num AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z,
+       abs(CAST(s_adj AS DOUBLE))
+         > 1.96 * sqrt(CAST(var18_num AS DOUBLE) / 18.0) AS significant
+FROM j
+""")
+def events_mann_kendall_trend(spark, sf):
+    # Mann–Kendall monotone-trend test over daily volumes per event
+    # type — the non-parametric drift gate (theil_sen estimates the
+    # slope, this tests the direction): S and the tie-corrected
+    # variance numerator stay exact int64, z and the 5% significance
+    # flag materialize in one divide-then-sqrt fixed-operand
+    # expression, so even the test decision hash-pairs. Pairwise sum
+    # runs on the DAY-level aggregate (quadratic in days-per-type,
+    # never in events) — operators/timeseries.py::mann_kendall_trend.
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day"))
+    d = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"))
+    return mann_kendall_trend(d, "event_type", "day", "v")
+
+
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # r11 block so every entry carries a wall time + plan fingerprint.
@@ -1434,4 +1489,5 @@ R11_ENTRIES: list[str] = [
     "events_zscore_anomaly_days",
     "mart_repeat_purchase_curve",
     "events_attribution_gap_bands",
+    "events_mann_kendall_trend",
 ]
