@@ -873,6 +873,7 @@ _R11_PLAN_BUDGETS = {
     "mart_repeat_purchase_curve": 8,
     "events_attribution_gap_bands": 4,
     "events_mann_kendall_trend": 10,
+    "dedup_cluster_purity_eval": 18,
 }
 
 _R11_BNLJ_OK = {"freq_association_rules", "quality_lorenz_deciles",

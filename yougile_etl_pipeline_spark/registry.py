@@ -1094,6 +1094,7 @@ _STABLE_CERTIFIED = [
     "agg_pivot_status",    # slot → mart_repeat_purchase_curve
     "agg_cube",            # slot → events_attribution_gap_bands
     "text_token_stats",    # slot → events_mann_kendall_trend
+    "text_lang_id",        # slot → dedup_cluster_purity_eval
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

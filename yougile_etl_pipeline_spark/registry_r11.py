@@ -1454,6 +1454,123 @@ def events_mann_kendall_trend(spark, sf):
     return mann_kendall_trend(d, "event_type", "day", "v")
 
 
+# Local copies of the minhash-LSH + connected-components oracle
+# fragments (registry_ext._shingles_sql/_MH_*/_CC_EDGES) — same
+# no-sibling-imports rule as _D0_SQL above.
+_R11_TOKS = "string_split(text, ' ')"
+_R11_SHINGLES = ("list_distinct(list_transform("
+                 f"range(1, greatest(len({_R11_TOKS}) - 2, 0) + 1), "
+                 f"i -> array_to_string({_R11_TOKS}[i:i+2], ' ')))")
+_R11_MH_MINS = ", ".join(
+    f"min(substr(md5(sh) || md5(sh), {1 + 4 * i}, 16)) AS mh{i}"
+    for i in range(8))
+_R11_MH_BANDS = " UNION ALL ".join(
+    f"SELECT doc, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS key "
+    f"FROM sig"
+    for b in range(4)
+)
+
+
+@register("dedup_cluster_purity_eval", f"""
+WITH RECURSIVE ex AS (
+  SELECT doc_id AS doc, unnest({_R11_SHINGLES}) AS sh FROM documents
+), sig AS (
+  SELECT doc, {_R11_MH_MINS} FROM ex GROUP BY doc
+), bk AS (
+  {_R11_MH_BANDS}
+), pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                     AND a.doc < b.doc
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+), fp AS (
+  SELECT doc_id, md5(substr(text, 1, 120)) AS fp
+  FROM documents
+), truth AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+), cpairs AS (
+  SELECT a.node AS pa, b.node AS pb
+  FROM comp a JOIN comp b
+    ON a.component = b.component AND a.node < b.node
+), j AS (
+  SELECT t.pa AS ta, c.pa AS ca
+  FROM truth t FULL OUTER JOIN cpairs c
+    ON t.pa = c.pa AND t.pb = c.pb
+)
+SELECT CAST(count_if(ta IS NOT NULL) AS BIGINT) AS n_truth,
+       CAST(count_if(ca IS NOT NULL) AS BIGINT) AS n_cluster_pairs,
+       CAST(count_if(ta IS NOT NULL AND ca IS NOT NULL) AS BIGINT)
+         AS n_hits,
+       CAST(count_if(ta IS NOT NULL AND ca IS NOT NULL) AS DOUBLE)
+         / CAST(count_if(ta IS NOT NULL) AS DOUBLE) AS recall,
+       CAST(count_if(ta IS NOT NULL AND ca IS NOT NULL) AS DOUBLE)
+         / CAST(count_if(ca IS NOT NULL) AS DOUBLE) AS precision
+FROM j
+""")
+def dedup_cluster_purity_eval(spark, sf):
+    # The dedup-tier CLUSTERING scorecard, fully oracle-paired: truth
+    # = documents sharing a 120-char PREFIX fingerprint (the
+    # mirrored-page / syndicated-lead duplication this corpus actually
+    # contains — it has NO full-text exact dups, so a full-fingerprint
+    # truth would be vacuously empty), measured against the LSH
+    # near-dup connected components. Recall reads how much
+    # prefix-level duplication the shingle clustering captures (<1 by
+    # design: a shared lead with a divergent tail can fall under the
+    # Jaccard threshold); precision how far clusters extend beyond it.
+    # Truth pairs enumerate per fingerprint group, cluster pairs per
+    # component — both bounded by group size, never corpus-quadratic.
+    from pyspark.sql.window import Window  # noqa: F401
+
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from yougile_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                              n_hashes=8, bands=4)
+    comp = connected_components(pairs, docs.select("doc_id"),
+                                src="doc_a", dst="doc_b",
+                                node_col="doc_id")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 120)).alias("fp"))
+    t_a = fp.select(F.col("doc_id").alias("pa"), "fp")
+    t_b = fp.select(F.col("doc_id").alias("pb"), "fp")
+    truth = (t_a.join(t_b, "fp")
+             .filter(F.col("pa") < F.col("pb"))
+             .select("pa", "pb"))
+    c_a = comp.select(F.col("node").alias("pa"), "component")
+    c_b = comp.select(F.col("node").alias("pb"), "component")
+    cpairs = (c_a.join(c_b, "component")
+              .filter(F.col("pa") < F.col("pb"))
+              .select("pa", "pb"))
+    j = truth.withColumn("t", F.lit(1)).join(
+        cpairs.withColumn("c", F.lit(1)), ["pa", "pb"], "full_outer")
+    t_has = F.col("t").isNotNull()
+    c_has = F.col("c").isNotNull()
+    return j.agg(
+        F.count_if(t_has).cast("bigint").alias("n_truth"),
+        F.count_if(c_has).cast("bigint").alias("n_cluster_pairs"),
+        F.count_if(t_has & c_has).cast("bigint").alias("n_hits"),
+        (F.count_if(t_has & c_has).cast("double")
+         / F.count_if(t_has).cast("double")).alias("recall"),
+        (F.count_if(t_has & c_has).cast("double")
+         / F.count_if(c_has).cast("double")).alias("precision"))
+
+
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # r11 block so every entry carries a wall time + plan fingerprint.
@@ -1490,4 +1607,5 @@ R11_ENTRIES: list[str] = [
     "mart_repeat_purchase_curve",
     "events_attribution_gap_bands",
     "events_mann_kendall_trend",
+    "dedup_cluster_purity_eval",
 ]
