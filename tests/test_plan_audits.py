@@ -874,6 +874,7 @@ _R11_PLAN_BUDGETS = {
     "events_attribution_gap_bands": 4,
     "events_mann_kendall_trend": 10,
     "dedup_cluster_purity_eval": 18,
+    "sim_ivf_recall_eval": 12,
 }
 
 _R11_BNLJ_OK = {"freq_association_rules", "quality_lorenz_deciles",

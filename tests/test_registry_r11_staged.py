@@ -27,7 +27,7 @@ import sys
 from tests.conftest import SF_SMOKE
 from tests.oracle_compare import compare, duck_connect
 
-_EXPECTED = 32  # grows with every mid-round r11 registration
+_EXPECTED = 33  # grows with every mid-round r11 registration
 
 
 def test_registry_imports_r11():

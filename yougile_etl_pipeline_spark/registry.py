@@ -1095,6 +1095,7 @@ _STABLE_CERTIFIED = [
     "agg_cube",            # slot → events_attribution_gap_bands
     "text_token_stats",    # slot → events_mann_kendall_trend
     "text_lang_id",        # slot → dedup_cluster_purity_eval
+    "text_quality_score",  # slot → sim_ivf_recall_eval
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

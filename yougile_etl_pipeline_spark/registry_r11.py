@@ -1571,6 +1571,105 @@ def dedup_cluster_purity_eval(spark, sf):
          / F.count_if(c_has).cast("double")).alias("precision"))
 
 
+# Local copies of the IVF oracle fragments (registry_ext._IVF_* /
+# _CSIM) — same no-sibling-imports rule as the fragments above.
+_R11_IVF_NCENT = ("(SELECT CAST(round(sqrt(count(*))) AS BIGINT) "
+                  "FROM embeddings)")
+_R11_IVF_CENT = ("SELECT vec_id AS centroid_id, "
+                 "embedding::DOUBLE[] AS cent_vec "
+                 f"FROM embeddings WHERE vec_id < {_R11_IVF_NCENT}")
+_R11_CSIM = ("list_dot_product({a}, {b}) / "
+             "(sqrt(list_dot_product({a}, {a})) * "
+             "sqrt(list_dot_product({b}, {b})))")
+
+
+def _r11_ivf_assign_sql(src: str, idc: str, vecc: str,
+                        nprobe: int = 1) -> str:
+    sim = _R11_CSIM.format(a=vecc, b="cent_vec")
+    return f"""
+  SELECT {idc}, {vecc}, centroid_id FROM (
+    SELECT {idc}, {vecc}, centroid_id,
+           row_number() OVER (PARTITION BY {idc}
+                              ORDER BY {sim} DESC, centroid_id) AS rn
+    FROM {src} CROSS JOIN ({_R11_IVF_CENT})
+  ) WHERE rn <= {nprobe}"""
+
+
+@register("sim_ivf_recall_eval", f"""
+WITH qsrc AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 41 = 0),
+csrc AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv
+         FROM embeddings),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_R11_CSIM.format(a='qv', b='cv')}
+                                DESC, match_id) AS rn
+    FROM qsrc CROSS JOIN csrc WHERE query_id != match_id)
+  WHERE rn <= 5),
+qa AS ({_r11_ivf_assign_sql('qsrc', 'query_id', 'qv')}),
+ca AS ({_r11_ivf_assign_sql('csrc', 'match_id', 'cv')}),
+cand AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_R11_CSIM.format(a='qv', b='cv')}
+                                DESC, match_id) AS rank
+    FROM qa JOIN ca USING (centroid_id)
+    WHERE query_id != match_id)
+  WHERE rank <= 5),
+j AS (
+  SELECT t.query_id AS tq, c.query_id AS cq
+  FROM truth t LEFT JOIN cand c
+    ON t.query_id = c.query_id AND t.match_id = c.match_id)
+SELECT CAST(count(DISTINCT tq) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count_if(cq IS NOT NULL) AS BIGINT) AS n_hits,
+       CAST(count_if(cq IS NOT NULL) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall_at_5
+FROM j
+""")
+def sim_ivf_recall_eval(spark, sf):
+    # The PRODUCTION ANN path's assertable quality gate (completing
+    # the recall-eval family next to sim_pq_recall_eval): recall@5 of
+    # the √N-adaptive IVF search against the exact brute-force cosine
+    # truth on a deterministic 1-in-41 query set — both sides
+    # deterministic, so the recall number itself is a hash-exact,
+    # CI-assertable query. Misses are exactly the neighbors living in
+    # a list the single probe never visits — the number nprobe trades
+    # against. As with sim_pq_recall_eval, the measured value at the
+    # certification scales (~0.2 — √500 ≈ 22 centroids, nprobe=1, a
+    # 500-vector corpus) is honest data for THIS oracle-sized config;
+    # bench.py's recall block reports the sf0.1 production sizing at
+    # 0.975/1.0. The entry's point is that the measurement reproduces
+    # to the bit.
+    import math
+
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk_np,
+        ivf_topk_np,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 41 == 0)
+    centroids = emb.filter(
+        F.col("vec_id") < int(round(math.sqrt(emb.count()))))
+    truth = brute_force_topk_np(emb, queries, k=5) \
+        .select("query_id", "match_id")
+    cand = ivf_topk_np(emb, queries, centroids, k=5) \
+        .select("query_id", "match_id")
+    j = truth.join(cand.withColumn("c", F.lit(1)),
+                   ["query_id", "match_id"], "left")
+    hit = F.col("c").isNotNull()
+    return j.agg(
+        F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.count_if(hit).cast("bigint").alias("n_hits"),
+        (F.count_if(hit).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("recall_at_5"))
+
+
 # Manifest of this module's registrations — pinned by
 # tests/test_registry_r11_staged.py and consumed by bench.py's
 # r11 block so every entry carries a wall time + plan fingerprint.
@@ -1608,4 +1707,5 @@ R11_ENTRIES: list[str] = [
     "events_attribution_gap_bands",
     "events_mann_kendall_trend",
     "dedup_cluster_purity_eval",
+    "sim_ivf_recall_eval",
 ]
