@@ -1248,6 +1248,35 @@ _STABLE_CERTIFIED = [
 # 5. Re-run: pytest (expect ~768 passed / 1 skipped at r06 end),
 #    scripts/check_queries.py (new window at sf0.01), and the full
 #    registry sweep before the first commit.
+# ROUND-12 ROTATION PLAN — execute at r12 start (the r07/r10/r11
+# precedent; each step has a worked example in git history):
+# 1. Read CORRECTNESS_r11.json. Promote every green window row into
+#    _STABLE_CERTIFIED above, in window order (the window held 33
+#    R11_ENTRIES + stream_click_attribution + graph_pagerank_
+#    convergence + 15 recert fillers). Note any red rows instead of
+#    promoting them — they stay in the r12 window to re-certify.
+# 2. Wire the bank: add
+#        from yougile_etl_pipeline_spark import registry_r12  # noqa
+#    at the BOTTOM of registry_ext.py next to the r06–r11 imports
+#    (NOT here — the ext-bottom position survives the circular entry
+#    path). registry_r12.py holds 10 entries, each oracle-proven at
+#    sf0.001 AND sf0.01 in round 11.
+# 3. Hold out 40 recertification fillers (50 − 10 bank): the OLDEST
+#    cert vintages after the r11 promotions are the r05-era entries
+#    (last official row CORRECTNESS_r05 — the sim_cosine_topk /
+#    events_asof_join / TPC-H-completion block and the agg_*/win_*
+#    r05 additions; 43 candidates, pick 40 and note the 3 left
+#    stable). Swap them back one-for-one as r12 registrations land.
+# 4. Flip tests/test_registry_r11_staged.py to the post-promotion
+#    limbo shape and tests/test_registry_r12_staged.py to the wired
+#    shape; seed registry_r13.py (empty staged bank + subprocess
+#    smoke, _EXPECTED = 0); repoint scripts/check_staged.py and
+#    bench.py's `staged` block at r13; add a manifest-driven r12
+#    block to bench.py.
+# 5. Re-run: full pytest (expect ~1020 passed at r11 end),
+#    scripts/check_queries.py (new window at sf0.01 — testdata is
+#    regenerated between rounds; check for parquet type drift), and
+#    the full registry sweep before the first commit.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
