@@ -140,7 +140,10 @@ def main() -> None:
     # round-11 registrations (the registry_r11 bank, live since the
     # r11 rotation, plus mid-round direct additions): same treatment.
     out["r11"], out["r11_plans"] = _r11_timings(spark, sf_dir)
-    # r12 staging bank: same single-warmed-run + fingerprint treatment,
+    # round-12 registrations (the registry_r12 bank, live since the
+    # r12 rotation, plus mid-round direct additions): same treatment.
+    out["r12"], out["r12_plans"] = _r12_timings(spark, sf_dir)
+    # r13 staging bank: same single-warmed-run + fingerprint treatment,
     # so nothing registers untimed at the next rotation (the staging
     # contract's own lesson — the 22.7 s rolling-distinct catch).
     out["staged"], out["staged_plans"] = _staged_timings(spark, sf_dir)
@@ -269,19 +272,30 @@ def _r11_timings(
                              skip=set(HEADLINE))
 
 
+def _r12_timings(
+        spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    """Per-round perf/plan record for the round-12 registrations (the
+    registry_r12 bank, live since the r12 rotation, plus mid-round
+    direct additions)."""
+    from yougile_etl_pipeline_spark.registry_r12 import R12_ENTRIES
+
+    return _manifest_timings(spark, sf_dir, R12_ENTRIES,
+                             skip=set(HEADLINE))
+
+
 def _staged_timings(
         spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
-    """Wall time + plan fingerprint for every round-12 BANK entry,
-    driven off registry_r12's own registrations. Importing the bank
+    """Wall time + plan fingerprint for every round-13 BANK entry,
+    driven off registry_r13's own registrations. Importing the bank
     module registers its entries IN THIS PROCESS ONLY — they insert
     after the live window's 50 entries and the module's tail guard
     re-rotates, so the certified window set bench measures is
     untouched (the driver's correctness process never imports the
-    bank; tests/test_registry_r12_staged.py proves non-import on the
+    bank; tests/test_registry_r13_staged.py proves non-import on the
     canonical path)."""
-    from yougile_etl_pipeline_spark import registry_r12
+    from yougile_etl_pipeline_spark import registry_r13
 
-    return _manifest_timings(spark, sf_dir, registry_r12.R12_ENTRIES)
+    return _manifest_timings(spark, sf_dir, registry_r13.R13_ENTRIES)
 
 
 def _sf1_block(spark, sf1_dir: str,

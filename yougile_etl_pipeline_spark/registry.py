@@ -882,9 +882,6 @@ _STABLE_CERTIFIED = [
     # promoted here when `mart_abc_parts` (the VERDICT #6 rework)
     # registered mid-round and took its slot. (r07: f_hash_functions
     # moved to the held-out recert set with its f_* siblings.)
-    "text_line_dedup", "text_bm25_scores", "text_self_dedup",
-    "sample_quality_quota", "dedup_minhash_recall_eval",
-    "sim_cosine_topk", "events_asof_join", "events_asof_forward",
     # r11 note: stream_click_attribution is NOT listed despite its
     # rows-only green history — VERDICT r10 #2 retires the engine's
     # last rows-only entry by giving it the hash-exact
@@ -893,21 +890,10 @@ _STABLE_CERTIFIED = [
     # exactly the batch events_interval_join row-set, which the parity
     # test asserts literally). Changed oracle ⇒ back into the r11
     # window for official recertification.
-    "emb_quantize_int8", "sim_topk_int8",
-    "sql_q3_shipping_priority", "sql_q14_promo_share",
-    "sql_q16_supplier_cnt", "sql_q22_dormant_rich", "sql_parameterized",
-    "win_first_last_ignorenulls", "agg_median_split",
-    "win_time_range_frame", "sql_q10_returned_items",
-    "agg_sufficient_stats", "agg_listagg", "agg_mode_per_group",
-    "sql_q2_min_cost_supplier", "sql_q6_forecast_revenue",
-    "sql_q7_nation_volume", "sql_q9_product_profit",
-    "sql_q12_late_lines_priority", "sql_q13_order_distribution",
-    "sql_q15_top_supplier", "sql_q18_large_orders",
-    "sql_q20_excess_suppliers", "sql_q21_waiting_suppliers",
+ "sql_parameterized",
+ "agg_listagg",
     "agg_minby_maxby",
-    "agg_corr_exact", "agg_weighted_avg", "win_moving_avg",
-    "win_event_gaps", "win_pct_change_daily", "events_bigram_transitions",
-    "text_ngram_topk", "dedup_normalized_exact", "graph_triangle_count",
+ "agg_weighted_avg", "win_moving_avg",
     "j_cross",
     # r06 driver HASH-green (CORRECTNESS_r06: 48/50 hash-matched; the
     # two rows-only streaming rows stay in the window to receive their
@@ -1096,6 +1082,65 @@ _STABLE_CERTIFIED = [
     "text_token_stats",    # slot → events_mann_kendall_trend
     "text_lang_id",        # slot → dedup_cluster_purity_eval
     "text_quality_score",  # slot → sim_ivf_recall_eval
+    # r12 rotation: the 47 CORRECTNESS_r11 hash-greens promoted here in
+    # window order (50/50 green; the other 3 — sql_pivot_multi_agg,
+    # stream_burst_flags, stream_cumulative_users — are HELD inside the
+    # r12 window for planned ADVICE-r11 changes: post-pivot coalesce and
+    # single-batch-drain hardening). 37 r05-era vintages (last official
+    # row CORRECTNESS_r05: the sim_cosine_topk / events_asof_join /
+    # TPC-H-completion block and the agg_*/win_* r05 additions) are
+    # HELD OUT of this list (not un-certified — recertifying) to fill
+    # the 37 non-bank window slots; j_cross, sql_parameterized,
+    # agg_listagg, agg_minby_maxby, agg_weighted_avg, win_moving_avg
+    # stay stable (the 6 cheapest of the 43 candidates — recert in
+    # r13). Swapped back one-for-one as r12 registrations land.
+    "mart_flagship",
+    "j1_left_broadcast_dim",
+    "j2_left_fact_child",
+    "a1_dedup_by_key",
+    "agg_pricing_summary",
+    "agg_topk_revenue",
+    "agg_rollup",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "mm_binary_metadata",
+    "mm_decode_features",
+    "events_hourly_snapshot",
+    "events_json_flatten",
+    "events_sessionize",
+    "stream_click_attribution",
+    "graph_pagerank_convergence",
+    "mm_bmp_flip_crop",
+    "graph_harmonic_r2",
+    "text_term_burstiness",
+    "agg_weekend_revenue_share",
+    "events_interarrival_bands",
+    "train_split_leakage_audit",
+    "stream_interarrival_bands",
+    "mm_wav_peak_normalize",
+    "events_burst_flag_audit",
+    "sample_temperature_mixture",
+    "mm_png_stats",
+    "events_holt_linear",
+    "freq_association_rules",
+    "quality_lorenz_deciles",
+    "events_cumulative_users",
+    "sim_pq_recall_eval",
+    "events_funnel_windowed",
+    "mm_png_resize_nearest",
+    "graph_component_sizes",
+    "mart_customer_band_migration",
+    "emb_dimension_profile",
+    "f_json_functions",
+    "link_blocking_recall_eval",
+    "mm_png_flip_crop",
+    "events_zscore_anomaly_days",
+    "mart_repeat_purchase_curve",
+    "events_attribution_gap_bands",
+    "events_mann_kendall_trend",
+    "dedup_cluster_purity_eval",
+    "sim_ivf_recall_eval",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

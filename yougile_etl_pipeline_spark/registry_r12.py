@@ -1,24 +1,25 @@
-"""Round-12 query registrations — STAGING BANK, NOT YET WIRED.
+"""Round-12 query registrations — WIRED at the r12 rotation.
 
-Do NOT import this module in round 11: the r11 certification window is
-exactly full (the ten registry_r11 bank entries, the two
-planned-change holds, and the held-out recertification fillers, with
-mid-round registrations swapping fillers back one-for-one), and
-registering past the driver's 50-slot window would leave
-never-certified queries at the round boundary
-(tests/test_certification_window.py enforces the accounting). At
-ROUND-12 START, wire it with one line at the bottom of
-registry_ext.py next to the registry_r06–r11 imports.
+Round-11 state (preserved in git history): this was the staged bank —
+ten entries built and oracle-proven in round 11 (sf0.001 AND sf0.01
+parity + recorded sf0.1 wall times), deliberately unimported so the
+exactly-full r11 window could not strand a never-certified query. The
+r12 rotation wired it at registry_ext.py's bottom; the ten entries
+now sit inside the driver's 50-slot certification window next to 37
+held-out r05-era recertification fillers and the three planned-change
+holds (sql_pivot_multi_agg's post-pivot coalesce, the single-batch
+drain hardening of stream_burst_flags / stream_cumulative_users —
+ADVICE r11). Genuinely new round-12 operators register directly into
+this module mid-round, each swapping one held-out filler back into
+_STABLE_CERTIFIED (registry.py) so the window stays at exactly 50
+non-stable entries (tests/test_certification_window.py enforces the
+accounting; the wired-state guards live in
+tests/test_registry_r12_staged.py).
 
-Same staging contract as the previous banks: every entry lands here
-only with its DuckDB oracle proven bit-identical at sf0.001 AND
-sf0.01 (scripts/check_staged.py) and a recorded sf0.1 wall time
-(bench.py's `staged` block is manifest-driven off R12_ENTRIES —
-automatic once the entry and its parity test exist).
-
-tests/test_registry_r12_staged.py smoke-imports this module in a
-SUBPROCESS (so the round-11 window stays untouched) and verifies every
-entry registers with an oracle and runs green at sf0.001.
+Staging contract for every entry, unchanged from the r06–r11 banks:
+DuckDB oracle proven bit-identical at sf0.001 AND sf0.01 before
+registration, sf0.1 wall time + plan fingerprint recorded by
+bench.py's manifest-driven r12 block.
 """
 
 from __future__ import annotations
