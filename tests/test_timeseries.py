@@ -197,3 +197,21 @@ def test_mann_kendall_hand_checked(spark):
     assert out["flat"]["var18_num"] == var18 - 10 * 9 * 25
     assert out["flat"]["z"] == 0.0 or out["flat"]["var18_num"] > 0
     assert not out["flat"]["significant"]
+
+
+def test_mann_kendall_single_observation_key_surfaces(spark):
+    """A key with ONE observation has no pairwise rows; it must still
+    appear in the output as n=1, s=0, var18_num=0, z=0, not
+    significant (ADVICE r11 — the inner join used to drop it)."""
+    from yougile_etl_pipeline_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+    rows = [("multi", t, t) for t in range(5)] + [("lone", 0, 42)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = {r["k"]: r for r in
+           mann_kendall_trend(df, "k", "t", "v").collect()}
+    assert "lone" in out
+    lone = out["lone"]
+    assert (lone["n"], lone["s"], lone["var18_num"]) == (1, 0, 0)
+    assert lone["z"] == 0.0 and not lone["significant"]
+    assert out["multi"]["s"] == 10  # the multi-point key is untouched

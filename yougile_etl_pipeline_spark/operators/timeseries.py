@@ -433,7 +433,12 @@ def mann_kendall_trend(df: DataFrame, key_col: str, time_col: str,
     the bounded axis. Non-parametric (rank-based): the robust trend
     gate for drift monitoring where OLS slope is outlier-fragile —
     `theil_sen_slope` estimates the magnitude, this tests the
-    direction."""
+    direction.
+
+    Keys with a single observation produce NO pairwise rows; they
+    still surface (ADVICE r11) via a left join with s coalesced to 0
+    — the output row reads n=1, s=0, var18_num=0, z=0,
+    significant=false rather than silently vanishing."""
     a = df.select(F.col(key_col).alias("__k"),
                   F.col(time_col).alias("__t"),
                   F.col(value_col).alias("__v"))
@@ -450,7 +455,9 @@ def mann_kendall_trend(df: DataFrame, key_col: str, time_col: str,
             .groupBy("__k")
             .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
                  .cast("bigint").alias("tie_term")))
-    j = n.join(s, "__k").join(ties, "__k")
+    j = (n.join(s, "__k", "left").join(ties, "__k")
+         .withColumn("s", F.coalesce(F.col("s"),
+                                     F.lit(0).cast("bigint"))))
     var18 = (F.expr("n * (n - 1) * (2 * n + 5)") - F.col("tie_term")) \
         .cast("bigint")
     s_adj = (F.when(F.col("s") > 0, F.col("s") - 1)

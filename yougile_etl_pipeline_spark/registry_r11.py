@@ -638,16 +638,19 @@ def stream_burst_flags(spark, sf):
     # THREE int64s of state per user (open minute bucket, its count,
     # max so far — streaming/stateful.py::burst_stateful), drained
     # with availableNow, then banded in batch. Shares the batch
-    # entry's oracle VERBATIM — the sorted single-batch drain emits
-    # exactly one (user, burst) row equal to the batch
-    # MAX-over-(user, minute) aggregate, so the abuse screen stays
-    # hash-exact even as a stateful stream.
+    # entry's oracle VERBATIM. Each micro-batch emits the user's
+    # REFRESHED peak (monotone non-decreasing), so the MAX-per-user
+    # rollup below equals the final peak at ANY micro-batch slicing —
+    # the entry no longer leans on the single-batch drain assumption
+    # (ADVICE r11).
     from yougile_etl_pipeline_spark.streaming.stateful import (
         run_burst_available_now,
     )
 
-    bursts = run_burst_available_now(spark, sf,
-                                     table_name="stream_bursts_r11")
+    bursts = (run_burst_available_now(spark, sf,
+                                      table_name="stream_bursts_r11")
+              .groupBy("user_id")
+              .agg(F.max("burst").alias("burst")))
     band = (F.when(F.col("burst") >= 10, "ge_10")
             .when(F.col("burst") >= 5, "5_9").otherwise("lt_5"))
     return (bursts.select(band.alias("burst_band"), "burst")
@@ -1053,14 +1056,17 @@ def sql_pivot_multi_agg(spark, sf):
         (F.col("o_totalprice").cast("decimal(20,2)") * 100).alias("c"))
     piv = (o.groupBy("o_orderpriority")
            .pivot("o_orderstatus", ["O", "F", "P"])
-           .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
-                .alias("cents"),
+           .agg(F.sum("c").cast("bigint").alias("cents"),
                 F.count(F.lit(1)).cast("bigint").alias("n")))
+    # Coalesce AFTER the pivot: an absent (priority, status) cell
+    # reaches this select as NULL (the pre-pivot aggregate never runs
+    # for missing groups), while the oracle's COALESCE/count_if emit 0.
+    z = lambda c, a: F.coalesce(F.col(c), F.lit(0).cast("bigint")).alias(a)  # noqa: E731
     return piv.select(
         "o_orderpriority",
-        F.col("O_cents").alias("o_cents"), F.col("O_n").alias("o_n"),
-        F.col("F_cents").alias("f_cents"), F.col("F_n").alias("f_n"),
-        F.col("P_cents").alias("p_cents"), F.col("P_n").alias("p_n"))
+        z("O_cents", "o_cents"), z("O_n", "o_n"),
+        z("F_cents", "f_cents"), z("F_n", "f_n"),
+        z("P_cents", "p_cents"), z("P_n", "p_n"))
 
 
 @register("emb_dimension_profile", """
@@ -1418,13 +1424,14 @@ ties AS (
   FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
         FROM d GROUP BY 1, 2) GROUP BY 1),
 j AS (
-  SELECT n.event_type, n.n, p.s,
+  SELECT n.event_type, n.n,
+         CAST(COALESCE(p.s, 0) AS BIGINT) AS s,
          CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term
               AS BIGINT) AS var18_num,
-         CAST(CASE WHEN p.s > 0 THEN p.s - 1
-                   WHEN p.s < 0 THEN p.s + 1 ELSE 0 END
+         CAST(CASE WHEN COALESCE(p.s, 0) > 0 THEN p.s - 1
+                   WHEN COALESCE(p.s, 0) < 0 THEN p.s + 1 ELSE 0 END
               AS BIGINT) AS s_adj
-  FROM n JOIN p USING (event_type) JOIN ties USING (event_type))
+  FROM n LEFT JOIN p USING (event_type) JOIN ties USING (event_type))
 SELECT event_type, n, s, var18_num,
        CASE WHEN var18_num > 0
             THEN CAST(s_adj AS DOUBLE)

@@ -170,8 +170,8 @@ WITH chunks AS (
          CAST(count(*) AS BIGINT) AS n_chunks
   FROM chunks GROUP BY 1)
 SELECT source, total_tokens, n_chunks,
-       total_tokens // 256 + 1 AS n_sequences,
-       total_tokens * 1000000 // ((total_tokens // 256 + 1) * 256)
+       (total_tokens + 255) // 256 AS n_sequences,
+       total_tokens * 1000000 // ((total_tokens + 255) // 256 * 256)
          AS utilization_ppm
 FROM agg
 """)
@@ -182,7 +182,10 @@ def train_packing_efficiency(spark, sf):
     # final partial sequence, so utilization → 1 as the shard grows —
     # the number that justifies stream packing over per-doc padding,
     # where waste would be per-document). Pure aggregate over the
-    # chunker output; integer ppm.
+    # chunker output; integer ppm. n_sequences is CEILING division
+    # ((t + 255) div 256) so an exactly-full shard counts no phantom
+    # sequence and utilization_ppm can reach 1e6 — matching
+    # pack_chunks' actual seq_id assignment (ADVICE r11).
     from yougile_etl_pipeline_spark.operators import text as TX
 
     docs = load_table(spark, sf, "documents")
@@ -195,9 +198,9 @@ def train_packing_efficiency(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"))
     return agg.select(
         "source", "total_tokens", "n_chunks",
-        F.expr("total_tokens div 256 + 1").alias("n_sequences"),
+        F.expr("(total_tokens + 255) div 256").alias("n_sequences"),
         F.expr("total_tokens * 1000000 div "
-               "((total_tokens div 256 + 1) * 256)")
+               "((total_tokens + 255) div 256 * 256)")
         .alias("utilization_ppm"))
 
 

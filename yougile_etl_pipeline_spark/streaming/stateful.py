@@ -492,6 +492,23 @@ def run_interarrival_available_now(
     return spark.table(table_name)
 
 
+def _assert_single_batch(q) -> None:
+    """Guard for drains whose emitted rows are only globally correct
+    when the availableNow drain ran as ONE micro-batch (ADVICE r11:
+    first_seen emits once per user, so a multi-batch drain could pin a
+    non-global first_day if a later file held an earlier timestamp).
+    Holds today because each sf dir is one parquet file under the
+    default maxFilesPerTrigger; this makes the assumption explicit
+    instead of implicit in a certified oracle."""
+    p = q.lastProgress
+    if p is not None and int(p.get("batchId", 0) or 0) > 0:
+        raise RuntimeError(
+            "availableNow drain ran %d micro-batches; this operator's "
+            "exactly-once emission is only globally correct for a "
+            "single-batch drain (set maxFilesPerTrigger >= file count "
+            "or use the batch twin)" % (int(p["batchId"]) + 1))
+
+
 BURST_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("burst", T.LongType()),
@@ -561,7 +578,12 @@ def run_burst_available_now(
         spark, sf_dir: str,
         table_name: str = "stream_bursts") -> DataFrame:
     """Drain the events stream once through the stateful peak counter
-    into a memory sink; returns one (user_id, burst) row per user."""
+    into a memory sink. A SINGLE-batch drain emits exactly one
+    (user_id, burst) row per user; a multi-batch drain emits one
+    refreshed-peak row per (user, batch) — peaks are monotone
+    non-decreasing across batches, so callers that need one row per
+    user take MAX(burst) per user over this output (the registry twin
+    does exactly that)."""
     from yougile_etl_pipeline_spark.streaming.snapshot import (
         read_events_stream,
     )
@@ -637,4 +659,7 @@ def run_first_seen_available_now(
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    # first_seen emits ONCE per user, so no batch-side rollup can
+    # repair an out-of-order multi-batch drain — fail loudly instead.
+    _assert_single_batch(q)
     return spark.table(table_name)
