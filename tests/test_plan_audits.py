@@ -901,3 +901,67 @@ def test_r11_plan_within_budget(spark, name):
     # (lorenz deciles, cumulative users), which plans as a
     # single-partition sort of a tiny relation — by design, documented
     # at each definition site.
+
+
+# ---------------------------------------------------------------------------
+# Round-12 registrations: same pinned-budget treatment. Budgets are
+# max shuffle exchanges observed at registration time (nothing here
+# should ever ADD a shuffle silently). graph_bfs_layer_hist's 9 is the
+# 3-round frontier expansion (3 joins + 3 distincts on a 40-node
+# relation); sim_ivf_recall_sweep's 5 covers truth + three re-probes
+# with every hit-join broadcast.
+# ---------------------------------------------------------------------------
+
+_R12_PLAN_BUDGETS = {
+    "dedup_lsh_bucket_profile": 4,
+    "dedup_lsh_band_hist": 5,
+    "graph_bfs_layer_hist": 9,
+    "train_packing_efficiency": 1,
+    "train_pack_fragmentation": 2,
+    "text_ttr_by_source": 2,
+    "mm_wav_rms_bands": 2,
+    "mart_supplier_scorecard": 2,
+    "events_error_rate_daily": 1,
+    "f_higher_order_array_funcs": 0,
+    "sim_ivf_recall_sweep": 5,
+}
+
+_R12_BNLJ_OK: set[str] = set()
+
+
+def test_r12_budgets_cover_every_entry():
+    from yougile_etl_pipeline_spark.registry_r12 import R12_ENTRIES
+
+    assert set(_R12_PLAN_BUDGETS) == set(R12_ENTRIES), (
+        "registry_r12 changed — keep _R12_PLAN_BUDGETS in lockstep")
+
+
+@pytest.mark.parametrize("name", sorted(_R12_PLAN_BUDGETS))
+def test_r12_plan_within_budget(spark, name):
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        plan_profile,
+    )
+
+    p = plan_profile(QUERIES[name](spark, SF_SMOKE))
+    assert p["shuffle_exchanges"] <= _R12_PLAN_BUDGETS[name], (
+        f"{name}: {p['shuffle_exchanges']} shuffle exchanges, budget "
+        f"{_R12_PLAN_BUDGETS[name]} — a new shuffle crept in")
+    if name not in _R12_BNLJ_OK:
+        assert not p["has_nested_loop_join"], (
+            f"{name}: nested-loop join appeared in the plan")
+
+
+def test_ivf_recall_sweep_is_monotone(spark):
+    """The sweep's whole point (VERDICT r11 #3): recall@5 must recover
+    monotonically as nprobe grows, with every row measured against the
+    SAME truth set."""
+    rows = sorted(
+        QUERIES["sim_ivf_recall_sweep"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["nprobe"])
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    assert len({(r["n_queries"], r["n_truth"]) for r in rows}) == 1
+    recalls = [r["recall_at_5"] for r in rows]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] > recalls[0], (
+        "wider probing did not recover any recall — the sweep is "
+        "measuring nothing")

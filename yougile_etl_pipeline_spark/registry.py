@@ -1141,6 +1141,10 @@ _STABLE_CERTIFIED = [
     "events_mann_kendall_trend",
     "dedup_cluster_purity_eval",
     "sim_ivf_recall_eval",
+    # r12 mid-round swaps: each genuinely new registry_r12 entry frees
+    # one window slot by promoting a held-out r05-era recert filler
+    # back here (they recertify in r13 instead).
+    "text_line_dedup",     # slot → sim_ivf_recall_sweep
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

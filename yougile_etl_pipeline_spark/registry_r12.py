@@ -430,6 +430,125 @@ def f_higher_order_array_funcs(spark, sf):
         F.array_join(F.slice("arr", 2, 2), ",").alias("middle_slice"))
 
 
+# Local copies of the IVF oracle fragments (registry_ext._IVF_* /
+# _CSIM, via registry_r11's local copies) — same no-sibling-imports
+# rule as the fragments above.
+_IVF_NCENT = ("(SELECT CAST(round(sqrt(count(*))) AS BIGINT) "
+              "FROM embeddings)")
+_IVF_CENT = ("SELECT vec_id AS centroid_id, "
+             "embedding::DOUBLE[] AS cent_vec "
+             f"FROM embeddings WHERE vec_id < {_IVF_NCENT}")
+_CSIM = ("list_dot_product({a}, {b}) / "
+         "(sqrt(list_dot_product({a}, {a})) * "
+         "sqrt(list_dot_product({b}, {b})))")
+
+
+def _ivf_assign_sql(src: str, idc: str, vecc: str, nprobe: int) -> str:
+    sim = _CSIM.format(a=vecc, b="cent_vec")
+    return f"""
+  SELECT {idc}, {vecc}, centroid_id FROM (
+    SELECT {idc}, {vecc}, centroid_id,
+           row_number() OVER (PARTITION BY {idc}
+                              ORDER BY {sim} DESC, centroid_id) AS rn
+    FROM {src} CROSS JOIN ({_IVF_CENT})
+  ) WHERE rn <= {nprobe}"""
+
+
+def _ivf_cand_sql(nprobe: int) -> str:
+    return f"""
+  SELECT {nprobe} AS nprobe, query_id, match_id FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_CSIM.format(a='qv', b='cv')}
+                                DESC, match_id) AS rank
+    FROM ({_ivf_assign_sql('qsrc', 'query_id', 'qv', nprobe)}) qa
+    JOIN ca USING (centroid_id)
+    WHERE query_id != match_id)
+  WHERE rank <= 5"""
+
+
+@register("sim_ivf_recall_sweep", f"""
+WITH qsrc AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 41 = 0),
+csrc AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv
+         FROM embeddings),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_CSIM.format(a='qv', b='cv')}
+                                DESC, match_id) AS rn
+    FROM qsrc CROSS JOIN csrc WHERE query_id != match_id)
+  WHERE rn <= 5),
+ca AS ({_ivf_assign_sql('csrc', 'match_id', 'cv', 1)}),
+cands AS ({_ivf_cand_sql(1)} UNION ALL {_ivf_cand_sql(2)}
+          UNION ALL {_ivf_cand_sql(4)}),
+tx AS (SELECT v.nprobe, t.query_id, t.match_id
+       FROM truth t CROSS JOIN (VALUES (1), (2), (4)) v(nprobe)),
+j AS (
+  SELECT tx.nprobe, tx.query_id AS tq, c.query_id AS cq
+  FROM tx LEFT JOIN cands c
+    ON tx.nprobe = c.nprobe AND tx.query_id = c.query_id
+   AND tx.match_id = c.match_id)
+SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       CAST(count(DISTINCT tq) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count_if(cq IS NOT NULL) AS BIGINT) AS n_hits,
+       CAST(count_if(cq IS NOT NULL) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall_at_5
+FROM j GROUP BY 1
+""")
+def sim_ivf_recall_sweep(spark, sf):
+    # The ACTIONABLE version of sim_ivf_recall_eval (VERDICT r11 #3):
+    # one hash-exact query that measures recall@5 at nprobe ∈ {1,2,4}
+    # against the same brute-force truth on the same fixed 1-in-41
+    # query set — the output row per nprobe shows recall rising
+    # monotonically toward the exact answer, so the ~0.2 single-probe
+    # figure at certification sizing (√500 ≈ 22 centroids) stops being
+    # a bare number and becomes the first point of a measured
+    # recall-vs-cost curve (the knob a production tuner actually
+    # turns). Truth is computed ONCE and fanned out per nprobe with an
+    # explode; candidates re-probe per nprobe by construction (more
+    # lists visited IS the work being measured). Quadratic truth stays
+    # bounded by the fixed-size query sample (the fractional-sample
+    # cliff in SCALE.md).
+    import math
+
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk_np,
+        ivf_topk_np,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 41 == 0)
+    centroids = emb.filter(
+        F.col("vec_id") < int(round(math.sqrt(emb.count()))))
+    truth = brute_force_topk_np(emb, queries, k=5) \
+        .select("query_id", "match_id")
+    cands = None
+    for np_ in (1, 2, 4):
+        c = (ivf_topk_np(emb, queries, centroids, k=5, nprobe=np_)
+             .select(F.lit(np_).cast("bigint").alias("nprobe"),
+                     "query_id", "match_id", F.lit(1).alias("c")))
+        cands = c if cands is None else cands.unionByName(c)
+    tx = (truth
+          .select(F.explode(F.array(F.lit(1), F.lit(2), F.lit(4)))
+                  .alias("np_"), "query_id", "match_id")
+          .select(F.col("np_").cast("bigint").alias("nprobe"),
+                  "query_id", "match_id"))
+    # Both sides are |Q|·k·3-bounded (|Q| is cap-enforced in
+    # brute_force_topk_np), so the hit-join broadcasts.
+    j = tx.join(F.broadcast(cands),
+                ["nprobe", "query_id", "match_id"], "left")
+    hit = F.col("c").isNotNull()
+    return j.groupBy("nprobe").agg(
+        F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.count_if(hit).cast("bigint").alias("n_hits"),
+        (F.count_if(hit).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("recall_at_5"))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -455,4 +574,6 @@ R12_ENTRIES: list[str] = [
     "mart_supplier_scorecard",
     "events_error_rate_daily",
     "f_higher_order_array_funcs",
+    # mid-round direct registrations (round 12):
+    "sim_ivf_recall_sweep",
 ]
