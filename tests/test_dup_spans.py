@@ -54,6 +54,43 @@ def test_short_docs_survive(spark):
     assert rows[0]["n_covered"] == 0  # too short to own any trigram
 
 
+def test_gram_df_cap_off_band_matches_exact(spark):
+    """With a cap no gram reaches, the capped path is bit-identical to
+    the exact path (the hashes-unchanged-at-cert-scale property)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = sorted(map(tuple, dup_span_coverage(docs, n=_N).collect()))
+    capped = sorted(map(tuple, dup_span_coverage(
+        docs, n=_N, max_gram_df=10**9).collect()))
+    assert exact == capped
+
+
+def test_gram_df_cap_hot_gram_counts_doc_fully_covered(spark):
+    """A gram above the cap marks every containing doc fully covered
+    (upper-bound boilerplate semantics); docs without it keep exact
+    span coverage."""
+    boiler = "x y z w v"          # the hot 5-token gram, in 4 docs
+    texts = [f"{boiler} a{i} b{i} c{i} d{i}" for i in range(4)]
+    texts.append("p q r s t u p2 q2")       # no hot gram, no dup: 0
+    texts.append("m n o k l shared tail0")  # "m n o k l" in 2 docs
+    texts.append("m n o k l other tail1")
+    d = _docs(spark, texts)
+    rows = {r["doc_id"]: r for r in
+            dup_span_coverage(d, n=5, max_gram_df=3).collect()}
+    for i in range(4):  # hot docs: fully covered, 9 tokens each
+        assert rows[i]["n_covered"] == rows[i]["n_tokens"] == 9
+        assert rows[i]["coverage"] == 1.0
+    assert rows[4]["n_covered"] == 0
+    # warm band (df=2 <= cap): exact 5-position span, not the full doc
+    assert rows[5]["n_covered"] == 5 and rows[5]["n_tokens"] == 7
+    assert rows[6]["n_covered"] == 5
+    # same corpus, cap off: the hot docs' EXACT coverage is only the
+    # 5-token boilerplate span — the cap intentionally upper-bounds
+    exact = {r["doc_id"]: r for r in
+             dup_span_coverage(d, n=5).collect()}
+    for i in range(4):
+        assert exact[i]["n_covered"] == 5
+
+
 _N = 5
 
 _ORACLE = f"""
