@@ -924,6 +924,7 @@ _R12_PLAN_BUDGETS = {
     "events_error_rate_daily": 1,
     "f_higher_order_array_funcs": 0,
     "sim_ivf_recall_sweep": 5,
+    "mm_gif_stats": 1,  # the ensure_parallelism repartition only
 }
 
 _R12_BNLJ_OK: set[str] = set()

@@ -36,6 +36,9 @@ __all__ = [
     "bmp_pal8_decode",
     "bmp_rle8_decode",
     "default_media_decoder",
+    "gif_decode",
+    "gif_decode_pixels",
+    "gif_encode",
     "mulaw_decode",
     "mulaw_encode",
     "pcm_resample_zoh",
@@ -516,8 +519,9 @@ def pcm_resample_zoh(samples: np.ndarray, up: int, down: int) -> np.ndarray:
 def default_media_decoder(payload: bytes, media_type: str) -> list[float]:
     """Magic-byte-dispatched decoder for `multimodal.decode_media`:
     WAV → [n_frames, sample_rate, channels, sum_sq], BMP/PNG →
-    [width, height, 3·w·h, px_sum]. Formats that need real codec
-    libraries (DCT/entropy-coded: JPEG, MP3, H.264) still raise
+    [width, height, 3·w·h, px_sum], GIF → [width, height, w·h,
+    px_sum]. Formats that need real codec libraries (DCT/
+    entropy-coded: JPEG, MP3, H.264) still raise
     ``NotImplementedError`` — honestly gated, not faked."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         d = wav_decode(payload)
@@ -531,6 +535,10 @@ def default_media_decoder(payload: bytes, media_type: str) -> list[float]:
         d = png_decode(payload)
         return [float(d["width"]), float(d["height"]),
                 float(3 * d["width"] * d["height"]), float(d["px_sum"])]
+    if payload[:6] in (b"GIF89a", b"GIF87a"):
+        d = gif_decode(payload)
+        return [float(d["width"]), float(d["height"]),
+                float(d["width"] * d["height"]), float(d["px_sum"])]
     raise NotImplementedError(
         f"no pure-Python decoder for media_type={media_type!r} "
         f"(magic={payload[:4]!r}); transform-coded formats need codec "
@@ -795,4 +803,293 @@ def png_decode(payload: bytes) -> dict:
         "px_min": int(px.min()),
         "px_max": int(px.max()),
         "n_filter_kinds": int(kinds),
+    }
+
+
+# ---------------------------------------------------------------------------
+# GIF87a/89a grayscale, REAL LZW (round 12 — the second compressed
+# class after r11's DEFLATE/PNG): a GIF image is a palette-indexed
+# pixel stream compressed with variable-width LZW (9→12-bit codes,
+# dictionary rebuilt by the decoder as it reads — the classic
+# Welch 1984 scheme). Pure integer arithmetic end to end, so the
+# "compressed formats need codec libraries" gate does not apply;
+# JPEG/MP3/H.264 (DCT/entropy-coded) still raise honestly.
+# ---------------------------------------------------------------------------
+
+_GIF_SIG = b"GIF89a"
+_LZW_MAX_CODE = 4096  # 12-bit ceiling, per spec
+
+
+def gif_encode(pixels: np.ndarray) -> bytes:
+    """Canonical grayscale GIF89a: one frame, 256-entry identity-gray
+    global color table (palette[i] = (i, i, i)), 8-bit LZW minimum
+    code size, REAL LZW compression (greedy longest-match dictionary,
+    variable code width 9→12 bits, CLEAR emitted when the table
+    fills). `pixels` is (h, w) uint8 of palette indices == gray
+    values.
+
+    The emitted code widths follow the DECODER's table trajectory
+    (which lags the encoder's by one entry — the decoder learns the
+    entry for code k only while processing code k+1), so any
+    spec-compliant decoder reads every code at the width it was
+    written."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("pixels must be (h, w) uint8 gray indices")
+    h, w = px.shape
+    if h < 1 or w < 1:
+        raise ValueError("GIF requires positive dimensions")
+
+    mcs = 8
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    bits = bytearray()
+    bitbuf, nbits = 0, 0
+
+    # decoder-trajectory width bookkeeping (see docstring)
+    state = {"size": mcs + 1, "dec_next": eoi + 1, "first": True}
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += state["size"]
+        while nbits >= 8:
+            bits.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def emit_data(code: int) -> None:
+        # a data (or EOI) code: after the decoder consumes it, it adds
+        # one table entry (except for the first code after a clear)
+        emit(code)
+        if state["first"]:
+            state["first"] = False
+        else:
+            if state["dec_next"] < _LZW_MAX_CODE:
+                state["dec_next"] += 1
+                if (state["dec_next"] == (1 << state["size"])
+                        and state["size"] < 12):
+                    state["size"] += 1
+
+    def emit_clear() -> None:
+        emit(clear)
+        state["size"] = mcs + 1
+        state["dec_next"] = eoi + 1
+        state["first"] = True
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    emit_clear()
+    cur = b""
+    for b in px.tobytes():
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        emit_data(table[cur])
+        if next_code < _LZW_MAX_CODE:
+            table[cand] = next_code
+            next_code += 1
+        if next_code == _LZW_MAX_CODE:
+            # table full: reset both sides (simple-clear policy; the
+            # decoder also supports deferred clear, tested separately)
+            emit_clear()
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+        cur = bytes([b])
+    if cur:
+        emit_data(table[cur])
+    emit_data(eoi)
+    if nbits:
+        bits.append(bitbuf & 0xFF)
+
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray()
+    out += _GIF_SIG
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0x00, 0x00])  # GCT present, 8-bit, 256 entries
+    out += palette
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([mcs])
+    for i in range(0, len(bits), 255):
+        block = bits[i:i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int,
+                    n_expected: int) -> tuple[bytes, int]:
+    """Variable-width LZW decode (GIF flavor, LSB-first bit packing).
+    Returns (index bytes, n_dict_codes) where `n_dict_codes` counts
+    consumed codes that name DICTIONARY-BUILT entries (code > EOI) —
+    the hash-checkable proof the Welch reconstruction actually ran,
+    the `n_filter_kinds` device of the PNG tier. Handles the KwKwK
+    case (a code naming the entry being defined) and deferred clear
+    (full table, no CLEAR: decoding continues with the frozen
+    table)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)]
+
+    out = bytearray()
+    table = list(base)
+    size = mcs + 1
+    prev: bytes | None = None
+    n_dict_codes = 0
+
+    bitbuf, nbits, pos = 0, 0, 0
+    while True:
+        while nbits < size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended before EOI")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << size) - 1)
+        bitbuf >>= size
+        nbits -= size
+
+        if code == clear:
+            table = list(base)
+            size = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        # codes 0..clear-1 are literals at table[code]; clear/eoi are
+        # not stored, so dictionary code k (k > eoi) lives at
+        # table[k - 2]; len(table) + 2 is the next code to be defined
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first GIF LZW code must be a literal")
+            entry = table[code]
+        else:
+            if code > eoi:
+                n_dict_codes += 1
+            idx = code if code < clear else code - 2
+            if idx < len(table):
+                entry = table[idx]
+            elif idx == len(table):
+                entry = prev + prev[:1]  # KwKwK: defined by this code
+            else:
+                raise ValueError(f"GIF LZW code {code} beyond table")
+            if len(table) + 2 < _LZW_MAX_CODE:
+                table.append(prev + entry[:1])
+                if (len(table) + 2 == (1 << size)) and size < 12:
+                    size += 1
+        out += entry
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError(
+                f"GIF LZW produced {len(out)} indices, expected "
+                f"{n_expected}")
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF LZW produced {len(out)} indices, expected {n_expected}")
+    return bytes(out), n_dict_codes
+
+
+def gif_decode_pixels(payload: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+    """Full GIF decode: header + logical screen descriptor, global
+    color table, extension-block skipping, image descriptor, REAL
+    variable-width LZW expansion, trailer check. Returns
+    ``(index grid (h, w) uint8, palette (256, 3) uint8,
+    n_dict_codes)``. Supports the profile the encoder writes (single
+    non-interlaced frame, global color table, no local table);
+    interlaced / local-table / multi-frame files raise with the
+    reason — strict, like the PNG/BMP decoders."""
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table not supported")
+    gct_n = 2 << (packed & 0x07)
+    if pos + 3 * gct_n > len(payload):
+        raise ValueError("GIF global color table truncated")
+    palette = np.frombuffer(
+        payload[pos:pos + 3 * gct_n], dtype=np.uint8).reshape(gct_n, 3)
+    pos += 3 * gct_n
+
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ended before an image descriptor")
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF extension truncated")
+                n = payload[pos]
+                pos += 1
+                if n == 0:
+                    break
+                pos += n
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+
+    if pos + 9 > len(payload):
+        raise ValueError("GIF image descriptor truncated")
+    left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
+    iflags = payload[pos + 8]
+    pos += 9
+    if iflags & 0x80:
+        raise ValueError("GIF local color tables not supported")
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    if (left, top) != (0, 0) or (w, h) != (sw, sh):
+        raise ValueError("GIF sub-rectangle frames not supported")
+    if w < 1 or h < 1:
+        raise ValueError(f"invalid GIF dimensions {w}x{h}")
+
+    if pos >= len(payload):
+        raise ValueError("GIF missing LZW minimum code size")
+    mcs = payload[pos]
+    pos += 1
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"invalid GIF LZW minimum code size {mcs}")
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF image data truncated")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        data += payload[pos:pos + n]
+        pos += n
+    if pos >= len(payload) or payload[pos] != 0x3B:
+        raise ValueError("GIF missing trailer")
+
+    idx, n_dict_codes = _gif_lzw_decode(bytes(data), mcs, w * h)
+    grid = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+    return grid, palette, n_dict_codes
+
+
+def gif_decode(payload: bytes) -> dict:
+    """Parse a GIF into exact integer statistics::
+
+        {width, height, px_sum, px_min, px_max, n_dict_codes}
+
+    Pixel values are the palette-mapped RED channel (== the gray
+    value under the encoder's identity-gray table); ``n_dict_codes``
+    counts LZW codes that named dictionary-built entries — the proof
+    the Welch reconstruction ran, not just literal passthrough."""
+    grid, palette, n_dict = gif_decode_pixels(payload)
+    gray = palette[grid, 0].astype(np.int64)
+    return {
+        "width": int(grid.shape[1]),
+        "height": int(grid.shape[0]),
+        "px_sum": int(gray.sum()),
+        "px_min": int(gray.min()),
+        "px_max": int(gray.max()),
+        "n_dict_codes": int(n_dict),
     }

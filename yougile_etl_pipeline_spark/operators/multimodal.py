@@ -36,6 +36,7 @@ __all__ = [
     "decode_media",
     "fake_feature_extract",
     "mulaw_roundtrip_stats",
+    "gif_stats",
     "png_flip_crop_stats",
     "png_resize_stats",
     "png_stats",
@@ -43,6 +44,7 @@ __all__ = [
     "synth_mulaw_payloads",
     "synth_bmp_payloads",
     "synth_bmp_rle8_payloads",
+    "synth_gif_payloads",
     "synth_png_payloads",
     "synth_wav_payloads",
     "wav_resample_stats",
@@ -996,3 +998,81 @@ def png_flip_crop_stats(df: DataFrame, crop_h: int, crop_w: int,
             })
 
     return df.mapInPandas(run, BMP_RESIZE_SCHEMA)
+
+
+GIF_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_min", T.IntegerType()),
+    T.StructField("px_max", T.IntegerType()),
+    T.StructField("used_dict", T.BooleanType()),
+])
+
+
+def synth_gif_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic grayscale GIF corpus (round 12 — the
+    LZW class, after r11's DEFLATE/PNG). Per id::
+
+        w          = 10 + id % 6
+        h          = 3 + id % 4
+        gray(r, c) = (id + 7r + 3·(c div 5)) % 256
+
+    The ``c div 5`` term builds 5-pixel runs inside every row, so the
+    LZW dictionary genuinely compresses (and the decoder's
+    dictionary-reconstruction path provably runs — `used_dict` in
+    `gif_stats`); the closed-form signal is what the SQL oracle
+    computes directly (the `synth_wav_payloads` scheme)."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import gif_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                w = int(10 + mid % 6)
+                h = int(3 + mid % 4)
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                px = ((mid + 7 * r + 3 * (c // 5)) % 256).astype(np.uint8)
+                payloads.append(gif_encode(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+def gif_stats(df: DataFrame, id_col: str = "media_id",
+              payload_col: str = "payload") -> DataFrame:
+    """Exact integer image statistics from GIF payloads — the REAL
+    decode path (`media_codec.gif_decode`: header/screen-descriptor
+    parse, global color table, variable-width LZW expansion with
+    dictionary reconstruction, trailer check). `used_dict` is true
+    when the payload's LZW stream consumed at least one
+    dictionary-built code — the per-payload proof the Welch machinery
+    ran, not just literal passthrough. Map-only streaming pass."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import gif_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [gif_decode(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "width": np.array([r["width"] for r in rows], "int32"),
+                "height": np.array([r["height"] for r in rows], "int32"),
+                "px_sum": np.array([r["px_sum"] for r in rows], "int64"),
+                "px_min": np.array([r["px_min"] for r in rows], "int32"),
+                "px_max": np.array([r["px_max"] for r in rows], "int32"),
+                "used_dict": np.array(
+                    [r["n_dict_codes"] > 0 for r in rows], "bool"),
+            })
+
+    return df.mapInPandas(run, GIF_STATS_SCHEMA)

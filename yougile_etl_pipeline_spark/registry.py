@@ -1145,6 +1145,7 @@ _STABLE_CERTIFIED = [
     # one window slot by promoting a held-out r05-era recert filler
     # back here (they recertify in r13 instead).
     "text_line_dedup",     # slot → sim_ivf_recall_sweep
+    "text_bm25_scores",    # slot → mm_gif_stats
 ]
 
 # Queries awaiting their first driver certification that could NOT fit
