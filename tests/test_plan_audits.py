@@ -925,6 +925,8 @@ _R12_PLAN_BUDGETS = {
     "f_higher_order_array_funcs": 0,
     "sim_ivf_recall_sweep": 5,
     "mm_gif_stats": 1,  # the ensure_parallelism repartition only
+    "events_ab_lift_gate": 4,
+    "quality_ks_drift_gate": 2,
 }
 
 _R12_BNLJ_OK: set[str] = set()

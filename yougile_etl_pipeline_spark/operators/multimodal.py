@@ -36,6 +36,8 @@ __all__ = [
     "decode_media",
     "fake_feature_extract",
     "mulaw_roundtrip_stats",
+    "gif_flip_crop_stats",
+    "gif_resize_stats",
     "gif_stats",
     "png_flip_crop_stats",
     "png_resize_stats",
@@ -1076,3 +1078,83 @@ def gif_stats(df: DataFrame, id_col: str = "media_id",
             })
 
     return df.mapInPandas(run, GIF_STATS_SCHEMA)
+
+
+GIF_GRID_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_min", T.IntegerType()),
+    T.StructField("px_max", T.IntegerType()),
+])
+
+
+def _gif_grid_stats(df: DataFrame, transform, out_w: int, out_h: int,
+                    id_col: str, payload_col: str) -> DataFrame:
+    """Shared map-only pass: real GIF decode → a pure-index-arithmetic
+    grid transform → exact integer stats (the PNG-tier template)."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        gif_decode_pixels,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums, mins, maxs = [], [], []
+            for p in pdf[payload_col]:
+                grid, palette, _ = gif_decode_pixels(p)
+                gray = palette[grid, 0]
+                t = transform(gray).astype(np.int64)
+                sums.append(int(t.sum()))
+                mins.append(int(t.min()))
+                maxs.append(int(t.max()))
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "width": np.full(len(pdf), out_w, "int32"),
+                "height": np.full(len(pdf), out_h, "int32"),
+                "px_sum": np.array(sums, "int64"),
+                "px_min": np.array(mins, "int32"),
+                "px_max": np.array(maxs, "int32"),
+            })
+
+    return df.mapInPandas(run, GIF_GRID_STATS_SCHEMA)
+
+
+def gif_resize_stats(df: DataFrame, dst_h: int, dst_w: int,
+                     id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Decode GIF payloads (real LZW path) and nearest-neighbor resize
+    to a fixed thumbnail — output cell (r, c) takes source cell
+    ``((r·h) div dst_h, (c·w) div dst_w)``, the same floor-index map
+    the SQL oracle states (`media_codec.resize_nearest` semantics on
+    the gray grid). Exact integer stats of the RESIZED grid."""
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        resize_nearest,
+    )
+
+    return _gif_grid_stats(
+        df, lambda g: resize_nearest(g, dst_h, dst_w),
+        dst_w, dst_h, id_col, payload_col)
+
+
+def gif_flip_crop_stats(df: DataFrame, crop_h: int, crop_w: int,
+                        id_col: str = "media_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Decode GIF payloads, mirror horizontally, then take the
+    centered (crop_h, crop_w) window — the augmentation pair of the
+    PNG tier (`mm_png_flip_crop`), on the LZW decode path. Output
+    pixel (r, c) is source ``(r0 + r, w − 1 − (c0 + c))`` with
+    ``r0 = (h − crop_h) div 2, c0 = (w − crop_w) div 2`` — pure index
+    arithmetic, so the closed-form oracle states the same cells."""
+    def t(gray):
+        h, w = gray.shape
+        if h < crop_h or w < crop_w:
+            raise ValueError(
+                f"crop {crop_h}x{crop_w} exceeds image {h}x{w}")
+        r0 = (h - crop_h) // 2
+        c0 = (w - crop_w) // 2
+        return gray[:, ::-1][r0:r0 + crop_h, c0:c0 + crop_w]
+
+    return _gif_grid_stats(df, t, crop_w, crop_h, id_col, payload_col)

@@ -1146,6 +1146,8 @@ _STABLE_CERTIFIED = [
     # back here (they recertify in r13 instead).
     "text_line_dedup",     # slot → sim_ivf_recall_sweep
     "text_bm25_scores",    # slot → mm_gif_stats
+    "text_self_dedup",     # slot → events_ab_lift_gate
+    "sample_quality_quota",  # slot → quality_ks_drift_gate
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

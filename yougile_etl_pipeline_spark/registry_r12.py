@@ -586,6 +586,165 @@ def mm_gif_stats(spark, sf):
     return gif_stats(synth_gif_payloads(ev, "event_id"))
 
 
+@register("events_ab_lift_gate", """
+WITH u AS (
+  SELECT user_id,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events)),
+c AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase'),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(c.user_id) AS BIGINT) AS conv
+  FROM u LEFT JOIN c USING (user_id) GROUP BY 1),
+s AS (SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        MAX(CASE WHEN arm = 1 THEN conv END) AS c1
+      FROM arms)
+SELECT n0, c0, n1, c1,
+       CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1
+            THEN CAST(c1 * n0 - c0 * n1 AS DOUBLE)
+                 / sqrt(((CAST(c0 + c1 AS DOUBLE)
+                          * CAST(n0 + n1 - c0 - c1 AS DOUBLE))
+                         * (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+                        / CAST(n0 + n1 AS DOUBLE))
+            ELSE 0.0 END AS z,
+       abs(CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1
+            THEN CAST(c1 * n0 - c0 * n1 AS DOUBLE)
+                 / sqrt(((CAST(c0 + c1 AS DOUBLE)
+                          * CAST(n0 + n1 - c0 - c1 AS DOUBLE))
+                         * (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+                        / CAST(n0 + n1 AS DOUBLE))
+            ELSE 0.0 END) > 1.96 AS significant
+FROM s
+""")
+def events_ab_lift_gate(spark, sf):
+    # Two-proportion z-test over the deterministic md5-bucket arms
+    # (the events_ab_assignment_audit split): did arm 1 convert
+    # (>= 1 purchase) at a different rate than arm 0? Sufficient
+    # statistics (n0, c0, n1, c1) are exact int64; the pooled-variance
+    # z materializes in ONE fixed-operand-order double expression —
+    # z = (c1·n0 − c0·n1) / sqrt(C·(N−C)·n0·n1 / N) with every factor
+    # cast to double BEFORE multiplying (n^4-scale integer products
+    # would overflow int64 near 2e5 users, so the double form IS the
+    # 100 TB form; fixed operand order keeps it engine-identical) —
+    # so z and the 5% decision hash-pair (the mann_kendall device).
+    # Null-experiment expectation: the md5 split is random, so the
+    # gate should read not-significant on healthy data; a significant
+    # readout flags assignment leakage, not a real lift.
+    from yougile_etl_pipeline_spark.operators.quality import hash_bucket
+
+    ev = load_table(spark, sf, "events")
+    u = (ev.select("user_id").distinct()
+         .select("user_id", (hash_bucket(F.col("user_id"), 2))
+                 .alias("arm")))
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id").distinct()
+            .withColumn("converted", F.lit(1)))
+    arms = (u.join(conv, "user_id", "left")
+            .groupBy("arm")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.count("converted").cast("bigint").alias("conv")))
+    s = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"))
+    z_expr = ("CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 "
+              "THEN CAST(c1 * n0 - c0 * n1 AS DOUBLE) "
+              "/ sqrt(((CAST(c0 + c1 AS DOUBLE) "
+              "* CAST(n0 + n1 - c0 - c1 AS DOUBLE)) "
+              "* (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))) "
+              "/ CAST(n0 + n1 AS DOUBLE)) ELSE 0.0D END")
+    return s.select(
+        "n0", "c0", "n1", "c1",
+        F.expr(z_expr).alias("z"),
+        (F.abs(F.expr(z_expr)) > 1.96).alias("significant"))
+
+
+@register("quality_ks_drift_gate", """
+WITH o AS (
+  SELECT epoch_ms(o_orderdate) < 883612800000 AS p1,
+         CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100 AS BIGINT)
+           // 1000000 AS band
+  FROM orders),
+b AS (SELECT band,
+        CAST(count_if(p1) AS BIGINT) AS k1,
+        CAST(count_if(NOT p1) AS BIGINT) AS k2
+      FROM o GROUP BY 1),
+c AS (SELECT band,
+        SUM(k1) OVER (ORDER BY band
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        SUM(k2) OVER (ORDER BY band
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        SUM(k1) OVER () AS n1, SUM(k2) OVER () AS n2
+      FROM b),
+s AS (SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+             CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+      FROM c)
+SELECT n1, n2, d_num,
+       CAST(d_num AS DOUBLE)
+         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d,
+       CAST(d_num AS DOUBLE)
+         > 1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        * CAST(n1 AS DOUBLE)
+                        * CAST(n2 AS DOUBLE)) AS drift
+FROM s
+""")
+def quality_ks_drift_gate(spark, sf):
+    # Two-sample Kolmogorov–Smirnov drift gate between the two corpus
+    # periods (the band-migration midpoint, epoch-ms 883612800000) on
+    # the order-value distribution, BANDED to $10k buckets so the
+    # ECDF window rides a ~55-row band relation instead of the raw
+    # value domain (at 100 TB the distinct-value ECDF would funnel
+    # into one sort task — banding is the scale form, and a banded D
+    # is a valid drift screen: it lower-bounds the exact D).
+    # Cross-multiplied integer ECDFs keep D exact:
+    # d_num = max|cum1·n2 − cum2·n1| is BIGINT (cum ≤ n, n²-scale —
+    # safe to ~3e9 rows per side); d and the Massey 5% decision
+    # (c(α)=1.358) materialize in one fixed-operand-order double
+    # expression each, so even the verdict hash-pairs.
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf, "orders").select(
+        (F.unix_millis("o_orderdate") < 883612800000).alias("p1"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100 "
+               "AS BIGINT) div 1000000").alias("band"))
+    b = o.groupBy("band").agg(
+        F.count_if(F.col("p1")).cast("bigint").alias("k1"),
+        F.count_if(~F.col("p1")).cast("bigint").alias("k2"))
+    w = (Window.orderBy("band")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = (Window.orderBy("band")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    c = b.select(
+        F.sum("k1").over(w).alias("cum1"),
+        F.sum("k2").over(w).alias("cum2"),
+        F.sum("k1").over(wall).alias("n1"),
+        F.sum("k2").over(wall).alias("n2"))
+    agg = c.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.max(F.abs(F.col("cum1") * F.col("n2")
+                    - F.col("cum2") * F.col("n1")))
+        .cast("bigint").alias("d_num"))
+    return agg.select(
+        "n1", "n2", "d_num",
+        (F.col("d_num").cast("double")
+         / (F.col("n1").cast("double") * F.col("n2").cast("double")))
+        .alias("d"),
+        (F.col("d_num").cast("double")
+         > 1.358 * F.sqrt((F.col("n1").cast("double")
+                           + F.col("n2").cast("double"))
+                          * F.col("n1").cast("double")
+                          * F.col("n2").cast("double"))).alias("drift"))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -614,4 +773,6 @@ R12_ENTRIES: list[str] = [
     # mid-round direct registrations (round 12):
     "sim_ivf_recall_sweep",
     "mm_gif_stats",
+    "events_ab_lift_gate",
+    "quality_ks_drift_gate",
 ]

@@ -23,9 +23,410 @@ entry registers with an oracle and runs green at sf0.001.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.registry import register
+from yougile_etl_pipeline_spark.sources.tables import load_table
+
+# Local copies of shared oracle fragments (no sibling registry-module
+# imports mid-initialization — the circular entry path rule).
+_TOKS = "string_split(text, ' ')"
+_DUP_N = 5
+
+
+@register("stream_error_rate_daily", """
+WITH mx AS (SELECT epoch_ms(max(ts)) AS m FROM events),
+d AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors
+  FROM events GROUP BY 1)
+SELECT day, n_events, n_errors,
+       n_errors * 1000000 // n_events AS error_ppm,
+       n_errors * 1000000 // n_events >= 450000 AS breach
+FROM d, mx WHERE (day + 1) * 86400000 <= m - 7200000
+""")
+def stream_error_rate_daily(spark, sf):
+    # Streaming twin of events_error_rate_daily (the r12 SLO-burn
+    # entry): daily tumbling windows under a 2h watermark
+    # (streaming/snapshot.py::error_rate_daily_stream — one open
+    # window of state per in-horizon day), drained with availableNow,
+    # then the ppm/breach math in batch. Deterministic-projection
+    # oracle (the stream_tumbling_counts pattern): exactly the days
+    # with window end <= max(ts) - 2h flush, with counts over ALL
+    # their events. Day ids are integer epoch-days of the UTC-aligned
+    # window start — no calendar/TZ surface.
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        run_error_rate_available_now,
+    )
+
+    d = run_error_rate_available_now(
+        spark, sf, table_name="stream_error_rate_r13").select(
+        F.expr("unix_millis(window_start) div 86400000").alias("day"),
+        "n_events", "n_errors")
+    return d.select(
+        "day", "n_events", "n_errors",
+        F.expr("n_errors * 1000000 div n_events").alias("error_ppm"),
+        F.expr("n_errors * 1000000 div n_events >= 450000")
+        .alias("breach"))
+
+
+@register("events_error_burst_runs", """
+WITH d AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         count_if(event_type = 'error') * 1000000 // count(*)
+           >= 450000 AS breach
+  FROM events GROUP BY 1),
+b AS (SELECT day, day - row_number() OVER (ORDER BY day) AS grp
+      FROM d WHERE breach),
+runs AS (SELECT grp, CAST(count(*) AS BIGINT) AS run_len
+         FROM b GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+       CAST((SELECT count(*) FROM d WHERE breach) AS BIGINT)
+         AS n_breach_days,
+       CAST(COALESCE(count(*), 0) AS BIGINT) AS n_runs,
+       CAST(COALESCE(MAX(run_len), 0) AS BIGINT) AS max_run_len
+FROM runs
+""")
+def events_error_burst_runs(spark, sf):
+    # SLO burn persistence: the longest CONSECUTIVE run of
+    # breach days (gaps-islands on the daily SLO view — day minus its
+    # breach-only row_number is constant within a run). One day-keyed
+    # aggregate; every window rides the DAY-level relation (tens of
+    # rows), never the events.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        "event_type")
+    d = ev.groupBy("day").agg(
+        F.expr("count_if(event_type = 'error') * 1000000 div count(1) "
+               ">= 450000").alias("breach"))
+    b = (d.filter("breach")
+         .withColumn("grp", F.col("day")
+                     - F.row_number().over(Window.orderBy("day"))))
+    runs = b.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.count_if(F.col("breach")).cast("bigint").alias("n_breach_days"))
+    agg = runs.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint")
+        .alias("n_runs"),
+        F.coalesce(F.max("run_len"), F.lit(0)).cast("bigint")
+        .alias("max_run_len"))
+    return tot.crossJoin(F.broadcast(agg)).select(
+        "n_days", "n_breach_days", "n_runs", "max_run_len")
+
+
+@register("train_packing_curve", f"""
+WITH chunks AS (
+  SELECT d.source,
+    CAST(least(32, len({_TOKS}) - s + 1) AS BIGINT) AS chunk_tokens
+  FROM documents d, unnest(range(1, greatest(len({_TOKS}), 1) + 1, 24))
+       AS t(s)
+), agg AS (
+  SELECT source, CAST(SUM(chunk_tokens) AS BIGINT) AS total_tokens
+  FROM chunks GROUP BY 1)
+SELECT source, CAST(v.seq AS BIGINT) AS seq_tokens, total_tokens,
+       (total_tokens + v.seq - 1) // v.seq AS n_sequences,
+       total_tokens * 1000000
+         // ((total_tokens + v.seq - 1) // v.seq * v.seq)
+         AS utilization_ppm
+FROM agg CROSS JOIN (VALUES (128), (256), (512)) v(seq)
+""")
+def train_packing_curve(spark, sf):
+    # The packing-efficiency lens swept across sequence lengths (the
+    # sim_ivf_recall_sweep device applied to train_packing_efficiency):
+    # one hash-exact query showing utilization_ppm at seq_tokens ∈
+    # {128, 256, 512} per source — the curve that prices a context-
+    # length decision in wasted tokens. The chunk aggregate is
+    # computed ONCE and fanned out with an explode; ceiling division
+    # throughout (the ADVICE r11 fix).
+    from yougile_etl_pipeline_spark.operators import text as TX
+
+    docs = load_table(spark, sf, "documents")
+    chunks = (TX.chunk_documents(docs, chunk_size=32, stride=24)
+              .join(docs.select("doc_id", "source"), "doc_id")
+              .select("source", F.col("chunk_tokens").cast("bigint")
+                      .alias("chunk_tokens")))
+    agg = chunks.groupBy("source").agg(
+        F.sum("chunk_tokens").cast("bigint").alias("total_tokens"))
+    fanned = (agg.select(
+        "source", "total_tokens",
+        F.explode(F.array(F.lit(128), F.lit(256), F.lit(512)))
+        .alias("sq")).select(
+        "source", F.col("sq").cast("bigint").alias("seq_tokens"),
+        "total_tokens"))
+    return fanned.select(
+        "source", "seq_tokens", "total_tokens",
+        F.expr("(total_tokens + seq_tokens - 1) div seq_tokens")
+        .alias("n_sequences"),
+        F.expr("total_tokens * 1000000 div "
+               "((total_tokens + seq_tokens - 1) div seq_tokens "
+               "* seq_tokens)").alias("utilization_ppm"))
+
+
+@register("quality_approx_percentile_gate", """
+WITH o AS (SELECT o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100
+                       AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_cont(cents, 0.5) AS exact_p50_cents,
+       TRUE AS within_rank_bound
+FROM o GROUP BY 1
+""")
+def quality_approx_percentile_gate(spark, sf):
+    # Error-bound gate for the sketch tier (VERDICT r11 #7 seam): per
+    # priority, Spark's approx_percentile(0.5, accuracy=100) must land
+    # within its CONTRACTUAL rank window [0.49n, 0.51n] — verified by
+    # counting the approx value's true rank interval against the
+    # exact data, so the boolean is deterministic even though the
+    # sketch's internal value is engine-specific (the value itself
+    # never crosses the oracle boundary; the exact interpolated median
+    # does). A failure here means the GK summary implementation broke
+    # its guarantee — the gate a production team wants before trusting
+    # approx quantiles at 100 TB.
+    o = load_table(spark, sf, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(20,2)") * 100)
+        .cast("bigint").alias("cents"))
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile(cents, 0.5D)").alias("exact_p50_cents"),
+        F.expr("approx_percentile(cents, 0.5D, 100)").alias("ap"))
+    ranks = (o.join(F.broadcast(g), "o_orderpriority")
+             .groupBy("o_orderpriority")
+             .agg(F.count_if(F.col("cents") < F.col("ap"))
+                  .alias("rank_lo"),
+                  F.count_if(F.col("cents") <= F.col("ap"))
+                  .alias("rank_hi")))
+    j = g.join(ranks, "o_orderpriority")
+    gate = ((F.col("rank_hi") * 100 >= F.col("n") * 49)
+            & (F.col("rank_lo") * 100 <= F.col("n") * 51))
+    return j.select("o_orderpriority", "n", "exact_p50_cents",
+                    gate.alias("within_rank_bound"))
+
+
+@register("sketch_hll_error_gate", """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+       TRUE AS within_10pct
+FROM lineitem GROUP BY 1
+""")
+def sketch_hll_error_gate(spark, sf):
+    # The HLL++ twin of the approx-percentile gate: per return flag,
+    # approx_count_distinct(rsd=0.05) must land within 10% (2×rsd) of
+    # the exact distinct count. The sketch value is deterministic for
+    # fixed data (HLL merge is commutative) but engine-specific, so
+    # only the exact count and the PASS/FAIL decision cross the oracle
+    # boundary — the assertable form of sketch_approx_distinct's
+    # accuracy claim.
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").cast("bigint")
+        .alias("exact_distinct"),
+        F.expr("approx_count_distinct(l_orderkey, 0.05)").alias("ap"))
+    gate = (F.abs(F.col("ap") - F.col("exact_distinct")) * 10
+            <= F.col("exact_distinct"))
+    return g.select("l_returnflag", "exact_distinct",
+                    gate.alias("within_10pct"))
+
+
+@register("mm_gif_resize_nearest", """
+WITH p AS (SELECT event_id AS id,
+                  10 + event_id % 6 AS w, 3 + event_id % 4 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, 28), k ->
+    (id + 7 * ((k // 7) * h // 4)
+        + 3 * (((k % 7) * w // 7) // 5)) % 256) AS px
+  FROM p)
+SELECT id AS media_id,
+       CAST(7 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(list_sum(px) AS BIGINT) AS px_sum,
+       CAST(list_min(px) AS INTEGER) AS px_min,
+       CAST(list_max(px) AS INTEGER) AS px_max
+FROM v
+""")
+def mm_gif_resize_nearest(spark, sf):
+    # GIF thumbnails: the REAL LZW decode feeding the floor-index
+    # nearest resize to a fixed 4×7 grid — output cell (r, c) takes
+    # source cell ((r·h) div 4, (c·w) div 7), which the closed-form
+    # oracle states directly on the synthetic signal. Map-only.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        gif_resize_stats,
+        synth_gif_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return gif_resize_stats(synth_gif_payloads(ev, "event_id"),
+                            dst_h=4, dst_w=7)
+
+
+@register("mm_gif_flip_crop", """
+WITH p AS (SELECT event_id AS id,
+                  10 + event_id % 6 AS w, 3 + event_id % 4 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, 8), k ->
+    (id + 7 * ((h - 2) // 2 + k // 4)
+        + 3 * ((w - 1 - ((w - 4) // 2 + k % 4)) // 5)) % 256) AS px
+  FROM p)
+SELECT id AS media_id,
+       CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+       CAST(list_sum(px) AS BIGINT) AS px_sum,
+       CAST(list_min(px) AS INTEGER) AS px_min,
+       CAST(list_max(px) AS INTEGER) AS px_max
+FROM v
+""")
+def mm_gif_flip_crop(spark, sf):
+    # GIF augmentation pair (the mm_png_flip_crop device on the LZW
+    # path): horizontal mirror then centered 2×4 crop — output pixel
+    # (r, c) is source (r0 + r, w − 1 − (c0 + c)), pure index
+    # arithmetic the oracle states in closed form. Map-only.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        gif_flip_crop_stats,
+        synth_gif_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return gif_flip_crop_stats(synth_gif_payloads(ev, "event_id"),
+                               crop_h=2, crop_w=4)
+
+
+@register("text_dup_span_cap_audit", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, s,
+         md5(array_to_string(toks[s:s+{_DUP_N - 1}], ' ')) AS fp
+  FROM t, LATERAL (SELECT unnest(range(1,
+           greatest(len(toks) - {_DUP_N} + 1, 0) + 1)) AS s) ls),
+cnt AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM ex GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_covered
+  FROM ex JOIN (SELECT fp FROM cnt) c USING (fp),
+       LATERAL (SELECT unnest(range(s, s + {_DUP_N})) AS p) lp
+  GROUP BY doc_id),
+hot AS (SELECT DISTINCT doc_id
+        FROM ex JOIN (SELECT fp FROM cnt WHERE nd > 3) h USING (fp)),
+per AS (
+  SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS exact_cov,
+         CAST(CASE WHEN hot.doc_id IS NOT NULL THEN len(t.toks)
+              ELSE COALESCE(cov.n_covered, 0) END AS BIGINT)
+           AS capped_cov
+  FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+         LEFT JOIN hot ON t.doc_id = hot.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count_if(capped_cov > exact_cov) AS BIGINT) AS n_inflated,
+       CAST(SUM(capped_cov - exact_cov) AS BIGINT) AS inflation_tokens
+FROM per
+""")
+def text_dup_span_cap_audit(spark, sf):
+    # Quality gate for the r12 max_gram_df escape hatch: run
+    # dup_span_coverage exact AND capped (cap=3) over the same corpus
+    # and measure exactly what the cap's upper-bound semantics cost —
+    # how many docs inflate to fully-covered and by how many tokens.
+    # The recall-eval pattern applied to the cap: a tuner reads this
+    # before turning the knob at 100 TB. Both paths certified against
+    # a single SQL twin that states the cap semantics independently.
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_coverage,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    exact = dup_span_coverage(docs, n=_DUP_N) \
+        .select("doc_id", F.col("n_covered").alias("exact_cov"))
+    capped = dup_span_coverage(docs, n=_DUP_N, max_gram_df=3) \
+        .select("doc_id", F.col("n_covered").alias("capped_cov"))
+    j = exact.join(capped, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("capped_cov") > F.col("exact_cov"))
+        .cast("bigint").alias("n_inflated"),
+        F.sum(F.col("capped_cov") - F.col("exact_cov"))
+        .cast("bigint").alias("inflation_tokens"))
+
+
+@register("mart_nation_trade_balance", """
+WITH sup AS (
+  SELECT s.s_nationkey AS nationkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(20,6)) * 10000) AS BIGINT)
+           AS supply_revenue_x10000,
+         CAST(count(*) AS BIGINT) AS n_supply_lines
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1),
+cust AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,2)) * 100)
+              AS BIGINT) AS customer_spend_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT n.n_name AS nation,
+       COALESCE(sup.supply_revenue_x10000, 0) AS supply_revenue_x10000,
+       COALESCE(sup.n_supply_lines, 0) AS n_supply_lines,
+       COALESCE(cust.customer_spend_cents, 0) AS customer_spend_cents,
+       COALESCE(cust.n_orders, 0) AS n_orders
+FROM nation n
+LEFT JOIN sup ON n.n_nationkey = sup.nationkey
+LEFT JOIN cust ON n.n_nationkey = cust.nationkey
+""")
+def mart_nation_trade_balance(spark, sf):
+    # Two-sided nation mart: exact supply-side discounted revenue
+    # (x10000-integral before the BIGINT cast — the supplier-scorecard
+    # device) vs customer-side spend cents, per nation. Each side is
+    # one fact aggregate keyed by a BROADCAST dim join; the final
+    # assembly joins two 25-row aggregates onto the nation dim.
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier").select("s_suppkey",
+                                                 "s_nationkey")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").select("c_custkey",
+                                                 "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    sup = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .groupBy(F.col("s_nationkey").alias("nationkey"))
+           .agg(F.sum(F.expr(
+                "CAST(l_extendedprice * (1 - l_discount) "
+                "AS DECIMAL(20,6)) * 10000")).cast("bigint")
+                .alias("supply_revenue_x10000"),
+                F.count(F.lit(1)).cast("bigint")
+                .alias("n_supply_lines")))
+    cust = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg((F.sum(F.col("o_totalprice").cast("decimal(20,2)")
+                        * 100)).cast("bigint")
+                 .alias("customer_spend_cents"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    z = lambda col: F.coalesce(F.col(col), F.lit(0).cast("bigint")).alias(col)  # noqa: E731
+    return (n.join(F.broadcast(sup),
+                   n.n_nationkey == sup.nationkey, "left")
+            .join(F.broadcast(cust),
+                  n.n_nationkey == cust.nationkey, "left")
+            .select(F.col("n_name").alias("nation"),
+                    z("supply_revenue_x10000"), z("n_supply_lines"),
+                    z("customer_spend_cents"), z("n_orders")))
+
+
 # Accumulates through round 12; every name must be oracle-proven at
 # BOTH certification scales before it lands here (the r06–r12 staging
 # discipline). Pinned by tests/test_registry_r13_staged.py and
 # consumed by bench.py's `staged` block so every bank entry carries a
 # wall time + plan fingerprint before it ever certifies.
-R13_ENTRIES: list[str] = []
+R13_ENTRIES: list[str] = [
+    "stream_error_rate_daily",
+    "events_error_burst_runs",
+    "train_packing_curve",
+    "quality_approx_percentile_gate",
+    "sketch_hll_error_gate",
+    "mm_gif_resize_nearest",
+    "mm_gif_flip_crop",
+    "text_dup_span_cap_audit",
+    "mart_nation_trade_balance",
+]

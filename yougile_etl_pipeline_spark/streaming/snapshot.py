@@ -376,3 +376,37 @@ def run_segments_available_now(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def error_rate_daily_stream(events: DataFrame,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch SLO view `events_error_rate_daily`:
+    daily tumbling windows carrying (n_events, n_errors). State is one
+    open window per day within the watermark horizon — O(1) per day,
+    with map-side partial aggregation before the keyed shuffle; append
+    mode emits each day exactly once, when the watermark passes its
+    end."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.count_if(F.col("event_type") == "error").cast("bigint")
+                  .alias("n_errors"))
+            .select(F.col("w.start").alias("window_start"),
+                    "n_events", "n_errors"))
+
+
+def run_error_rate_available_now(spark: SparkSession, sf_dir: str,
+                                 table_name: str = "stream_error_rate"
+                                 ) -> DataFrame:
+    """Drain the events stream once through the daily SLO aggregate
+    into a memory sink. Deterministic projection under availableNow:
+    exactly the days whose window end <= max(event_time) - watermark
+    flush, each with counts over ALL its events."""
+    q = (error_rate_daily_stream(read_events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
