@@ -927,6 +927,11 @@ _R12_PLAN_BUDGETS = {
     "mm_gif_stats": 1,  # the ensure_parallelism repartition only
     "events_ab_lift_gate": 4,
     "quality_ks_drift_gate": 2,
+    # calibration query: sig lineage feeds pairs + both join sides and
+    # the exact-jaccard side re-shingles — bounded by LSH candidates,
+    # not corpus-quadratic; an eval, not a headline path
+    "dedup_minhash_estimate_error": 21,
+    "corpus_dedup_rate_by_source": 2,
 }
 
 _R12_BNLJ_OK: set[str] = set()

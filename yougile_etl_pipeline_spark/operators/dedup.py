@@ -249,6 +249,7 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str,
     *, n_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    signature: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on ≥1 band of the MinHash
     signature. ``n_hashes`` must divide into ``bands`` equal rows; the
@@ -276,11 +277,17 @@ def minhash_lsh_pairs(
     as its own duplicate cluster directly (its (band, key) IS a
     cluster id) instead of materializing its quadratic pair list for
     ``connected_components`` to rediscover. The default (None)
-    preserves the exact certified `dedup_minhash_lsh` output."""
+    preserves the exact certified `dedup_minhash_lsh` output.
+
+    ``signature``: pass a precomputed `minhash_signature` result
+    (columns ``doc, mh0..mh{n_hashes-1}``) when the caller ALSO needs
+    the signatures (calibration, banding audits) — otherwise the
+    signature lineage executes once here and again at the caller
+    (the union-of-one-lineage lesson)."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    sig = minhash_signature(df, id_col, text_col,
-                            n_hashes=n_hashes, shingle_n=shingle_n)
+    sig = signature if signature is not None else minhash_signature(
+        df, id_col, text_col, n_hashes=n_hashes, shingle_n=shingle_n)
     band_keys = F.array(*[
         F.struct(
             F.lit(b).alias("band"),

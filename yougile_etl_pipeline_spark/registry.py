@@ -1148,6 +1148,8 @@ _STABLE_CERTIFIED = [
     "text_bm25_scores",    # slot → mm_gif_stats
     "text_self_dedup",     # slot → events_ab_lift_gate
     "sample_quality_quota",  # slot → quality_ks_drift_gate
+    "dedup_minhash_recall_eval",  # slot → dedup_minhash_estimate_error
+    "emb_quantize_int8",   # slot → corpus_dedup_rate_by_source
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -745,6 +745,133 @@ def quality_ks_drift_gate(spark, sf):
                           * F.col("n2").cast("double"))).alias("drift"))
 
 
+@register("dedup_minhash_estimate_error", f"""
+WITH ex AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS sh FROM documents
+), sig AS (
+  SELECT doc, {_MH_MINS} FROM ex GROUP BY doc
+), bk AS (
+  {_MH_BANDS}
+), pairs AS (
+  SELECT DISTINCT a.doc AS da, b.doc AS db
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                     AND a.doc < b.doc
+), m AS (
+  SELECT da, db,
+         (CASE WHEN s1.mh0 = s2.mh0 THEN 1 ELSE 0 END
+        + CASE WHEN s1.mh1 = s2.mh1 THEN 1 ELSE 0 END
+        + CASE WHEN s1.mh2 = s2.mh2 THEN 1 ELSE 0 END
+        + CASE WHEN s1.mh3 = s2.mh3 THEN 1 ELSE 0 END
+        + CASE WHEN s1.mh4 = s2.mh4 THEN 1 ELSE 0 END
+        + CASE WHEN s1.mh5 = s2.mh5 THEN 1 ELSE 0 END
+        + CASE WHEN s1.mh6 = s2.mh6 THEN 1 ELSE 0 END
+        + CASE WHEN s1.mh7 = s2.mh7 THEN 1 ELSE 0 END) AS n_match
+  FROM pairs JOIN sig s1 ON s1.doc = da JOIN sig s2 ON s2.doc = db
+), sz AS (SELECT doc, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY 1),
+co AS (
+  SELECT p.da, p.db, CAST(count(*) AS BIGINT) AS c
+  FROM pairs p JOIN ex ea ON ea.doc = p.da
+               JOIN ex eb ON eb.doc = p.db AND eb.sh = ea.sh
+  GROUP BY 1, 2
+), per AS (
+  SELECT m.n_match, COALESCE(co.c, 0) AS c, za.sz AS sa, zb.sz AS sb
+  FROM m LEFT JOIN co ON m.da = co.da AND m.db = co.db
+         JOIN sz za ON m.da = za.doc JOIN sz zb ON m.db = zb.doc)
+SELECT CAST(n_match AS BIGINT) AS n_match_components,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(n_match * 125000 AS BIGINT) AS est_jaccard_ppm,
+       CAST(SUM(c * 1000000 // (sa + sb - c)) // count(*) AS BIGINT)
+         AS avg_exact_jaccard_ppm
+FROM per GROUP BY n_match
+""")
+def dedup_minhash_estimate_error(spark, sf):
+    # Calibration gate for the MinHash estimator itself (completing
+    # the eval family: recall gates say WHAT the pipeline finds, this
+    # says how honest the similarity NUMBER is): for every LSH
+    # candidate pair, the signature-estimated Jaccard
+    # (matching components / 8 → ppm) against the exact
+    # distinct-shingle Jaccard, grouped by match count — the bias
+    # table a tuner reads before using estimated similarity as a
+    # dedup threshold. Exact side is computed ONLY for the LSH
+    # candidates (bucket-bounded, never corpus-quadratic); integer
+    # ppm throughout.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", signature=sig) \
+        .select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
+    s1 = sig.select(F.col("doc").alias("da"),
+                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)])
+    s2 = sig.select(F.col("doc").alias("db"),
+                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)])
+    n_match = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+                  for i in range(8))
+    m = (pairs.join(s1, "da").join(s2, "db")
+         .select("da", "db", n_match.alias("n_match")))
+    # exact side: DISTINCT shingles, candidate-restricted joins only
+    toks = F.split(F.col("text"), " ")
+    n_pos = F.size(toks) - 2
+    offs = F.when(n_pos > 0, F.sequence(F.lit(0), n_pos - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    ex = (docs.select(F.col("doc_id").alias("doc"), toks.alias("__t"),
+                      F.explode(offs).alias("__i"))
+          .select("doc", F.concat_ws(
+              " ", F.col("__t")[F.col("__i")],
+              F.col("__t")[F.col("__i") + 1],
+              F.col("__t")[F.col("__i") + 2]).alias("sh"))
+          .distinct())
+    sz = ex.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("sz"))
+    ea = ex.select(F.col("doc").alias("da"), "sh")
+    eb = ex.select(F.col("doc").alias("db"), "sh")
+    co = (pairs.join(ea, "da").join(eb, ["db", "sh"])
+          .groupBy("da", "db")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    per = (m.join(co, ["da", "db"], "left")
+           .join(sz.select(F.col("doc").alias("da"),
+                           F.col("sz").alias("sa")), "da")
+           .join(sz.select(F.col("doc").alias("db"),
+                           F.col("sz").alias("sb")), "db")
+           .select("n_match",
+                   F.coalesce(F.col("c"), F.lit(0).cast("bigint"))
+                   .alias("c"), "sa", "sb"))
+    return (per.groupBy(F.col("n_match").cast("bigint")
+                        .alias("n_match_components"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.max(F.expr("n_match * 125000")).cast("bigint")
+                 .alias("est_jaccard_ppm"),
+                 F.expr("SUM(c * 1000000 div (sa + sb - c)) "
+                        "div count(1)").cast("bigint")
+                 .alias("avg_exact_jaccard_ppm")))
+
+
+@register("corpus_dedup_rate_by_source", """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST((count(*) - count(DISTINCT md5(text))) * 1000000
+            // count(*) AS BIGINT) AS dup_ppm
+FROM documents GROUP BY 1
+""")
+def corpus_dedup_rate_by_source(spark, sf):
+    # Provenance-level dedup accounting: per source, how much of the
+    # corpus exact dedup would remove (the number a data-mixture owner
+    # tracks per crawl/source before weighting them). 16-byte
+    # fingerprints shuffle, never bodies; one source-keyed aggregate
+    # with map-side partial distincts.
+    docs = load_table(spark, sf, "documents")
+    return (docs.select("source", F.md5("text").alias("fp"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count_distinct("fp").cast("bigint").alias("n_unique"),
+                 F.expr("(count(1) - count(DISTINCT fp)) * 1000000 "
+                        "div count(1)").cast("bigint").alias("dup_ppm")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -775,4 +902,6 @@ R12_ENTRIES: list[str] = [
     "mm_gif_stats",
     "events_ab_lift_gate",
     "quality_ks_drift_gate",
+    "dedup_minhash_estimate_error",
+    "corpus_dedup_rate_by_source",
 ]
