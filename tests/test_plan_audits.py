@@ -932,6 +932,7 @@ _R12_PLAN_BUDGETS = {
     # not corpus-quadratic; an eval, not a headline path
     "dedup_minhash_estimate_error": 21,
     "corpus_dedup_rate_by_source": 2,
+    "link_er_clusters": 4,
 }
 
 _R12_BNLJ_OK: set[str] = set()

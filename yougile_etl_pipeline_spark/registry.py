@@ -1150,6 +1150,7 @@ _STABLE_CERTIFIED = [
     "sample_quality_quota",  # slot → quality_ks_drift_gate
     "dedup_minhash_recall_eval",  # slot → dedup_minhash_estimate_error
     "emb_quantize_int8",   # slot → corpus_dedup_rate_by_source
+    "sim_topk_int8",       # slot → link_er_clusters
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -872,6 +872,68 @@ def corpus_dedup_rate_by_source(spark, sf):
                         "div count(1)").cast("bigint").alias("dup_ppm")))
 
 
+@register("link_er_clusters", """
+WITH RECURSIVE titles AS (
+  SELECT doc_id, substr(text, 1, 30) AS title FROM documents
+), toks AS (
+  SELECT doc_id AS id, title AS s,
+         unnest(list_distinct(string_split_regex(lower(trim(title)), ' +')))
+           AS tok
+  FROM titles
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM toks GROUP BY tok
+), kept AS (
+  SELECT t.id, t.s, t.tok FROM toks t
+  JOIN dfreq d ON t.tok = d.tok WHERE d.df <= 100
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
+), m AS (
+  SELECT id_a, id_b FROM cand WHERE levenshtein(sa, sb) <= 4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM m UNION SELECT id_b, id_a FROM m
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS entity FROM reach GROUP BY node
+), sizes AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY 1
+)
+SELECT sz AS entity_size, CAST(count(*) AS BIGINT) AS n_entities
+FROM sizes GROUP BY 1
+""")
+def link_er_clusters(spark, sf):
+    # Entity resolution end-to-end: the blocked fuzzy match pairs
+    # (link_fuzzy_titles' machinery, tightened to levenshtein <= 4 =
+    # "same entity") closed transitively into canonical entities, then
+    # the entity-size histogram — the dedup_clusters device applied to
+    # RECORD LINKAGE, completing the ER family (pairs → blocking
+    # recall gate → clusters). Match graph is blocking-bounded;
+    # components run min-label propagation over it
+    # (operators/graph.py::connected_components), never all-pairs.
+    from yougile_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from yougile_etl_pipeline_spark.operators.linkage import (
+        fuzzy_self_join,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    titles = docs.select("doc_id",
+                         F.substring("text", 1, 30).alias("title"))
+    m = fuzzy_self_join(titles, "doc_id", "title",
+                        max_dist=4, max_token_df=100)
+    comp = connected_components(m, docs.select("doc_id"),
+                                src="id_a", dst="id_b",
+                                node_col="doc_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("entity_size"))
+    return sizes.groupBy("entity_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -904,4 +966,5 @@ R12_ENTRIES: list[str] = [
     "quality_ks_drift_gate",
     "dedup_minhash_estimate_error",
     "corpus_dedup_rate_by_source",
+    "link_er_clusters",
 ]
