@@ -933,6 +933,12 @@ _R12_PLAN_BUDGETS = {
     "dedup_minhash_estimate_error": 21,
     "corpus_dedup_rate_by_source": 2,
     "link_er_clusters": 4,
+    "mm_media_dispatch_profile": 5,
+    # returned frame is a createDataFrame of the driver fixed-point;
+    # the corpus pass (1 window shuffle + 1 count shuffle) runs at
+    # build time under the 10k-edge domain cap
+    "events_markov_stationary": 0,
+    "quality_benford_chi2_gate": 2,
 }
 
 _R12_BNLJ_OK: set[str] = set()

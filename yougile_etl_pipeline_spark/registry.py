@@ -1151,6 +1151,9 @@ _STABLE_CERTIFIED = [
     "dedup_minhash_recall_eval",  # slot → dedup_minhash_estimate_error
     "emb_quantize_int8",   # slot → corpus_dedup_rate_by_source
     "sim_topk_int8",       # slot → link_er_clusters
+    "sql_q9_product_profit",  # slot → mm_media_dispatch_profile
+    "sql_q21_waiting_suppliers",  # slot → events_markov_stationary
+    "sql_q18_large_orders",  # slot → quality_benford_chi2_gate
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -934,6 +934,250 @@ def link_er_clusters(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_entities"))
 
 
+@register("mm_media_dispatch_profile", """
+WITH ids AS (SELECT event_id AS id FROM events),
+wav AS (
+  SELECT 'wav' AS fmt,
+    CAST(50 + id % 100 AS DOUBLE) AS f0,
+    CAST(list_sum(list_transform(range(0, CAST(50 + id % 100 AS BIGINT)),
+      i -> ((id * 31 + i * 17) % 65536 - 32768)
+           * ((id * 31 + i * 17) % 65536 - 32768))) AS DOUBLE) AS f3
+  FROM ids WHERE id % 4 = 0),
+bmp AS (
+  SELECT 'bmp' AS fmt,
+    CAST(4 + id % 5 AS DOUBLE) AS f0,
+    CAST(list_sum(list_transform(
+      range(0, CAST(3 * (4 + id % 5) * (3 + id % 4) AS BIGINT)),
+      k -> (id + 7 * (k // (3 * (4 + id % 5)))
+               + 3 * ((k % (3 * (4 + id % 5))) // 3)
+               + k % 3) % 256)) AS DOUBLE) AS f3
+  FROM ids WHERE id % 4 = 1),
+png AS (
+  SELECT 'png' AS fmt,
+    CAST(5 + id % 4 AS DOUBLE) AS f0,
+    CAST(list_sum(list_transform(
+      range(0, CAST(3 * (5 + id % 4) * (3 + id % 4) AS BIGINT)),
+      k -> (id + 11 * (k // (3 * (5 + id % 4)))
+               + 5 * ((k % (3 * (5 + id % 4))) // 3)
+               + 3 * (k % 3)) % 256)) AS DOUBLE) AS f3
+  FROM ids WHERE id % 4 = 2),
+gif AS (
+  SELECT 'gif' AS fmt,
+    CAST(10 + id % 6 AS DOUBLE) AS f0,
+    CAST(list_sum(list_transform(
+      range(0, CAST((10 + id % 6) * (3 + id % 4) AS BIGINT)),
+      k -> (id + 7 * (k // (10 + id % 6))
+               + 3 * ((k % (10 + id % 6)) // 5)) % 256)) AS DOUBLE) AS f3
+  FROM ids WHERE id % 4 = 3),
+u AS (SELECT * FROM wav UNION ALL SELECT * FROM bmp
+      UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif)
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(SUM(CAST(f0 AS BIGINT)) AS DOUBLE) AS sum_f0,
+       CAST(SUM(CAST(f3 AS BIGINT)) AS DOUBLE) AS sum_f3
+FROM u GROUP BY 1
+""")
+def mm_media_dispatch_profile(spark, sf):
+    # Integration certificate for the MIXED-corpus decode path: a
+    # corpus of four real formats (WAV PCM16, BMP 24-bpp, PNG DEFLATE,
+    # GIF LZW, routed by id % 4) flows through ONE decode_media pass
+    # whose magic-byte dispatcher picks the codec per payload — the
+    # production shape where a media table is never single-format.
+    # Feature values are exact integers carried as doubles (every
+    # partial sum stays integral < 2^53, so summation order cannot
+    # matter); the oracle states each format's closed-form signal.
+    # Map-only decode; one 4-row aggregate.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        decode_media,
+        synth_bmp_payloads,
+        synth_gif_payloads,
+        synth_png_payloads,
+        synth_wav_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    parts = []
+    for mod4, synth, mt in ((0, synth_wav_payloads, "audio"),
+                            (1, synth_bmp_payloads, "image"),
+                            (2, synth_png_payloads, "image"),
+                            (3, synth_gif_payloads, "image")):
+        parts.append(
+            synth(ev.filter(F.col("event_id") % 4 == mod4), "event_id")
+            .withColumn("media_type", F.lit(mt)))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    feats = decode_media(u)
+    fmt = (F.when(F.col("media_id") % 4 == 0, "wav")
+           .when(F.col("media_id") % 4 == 1, "bmp")
+           .when(F.col("media_id") % 4 == 2, "png")
+           .otherwise("gif"))
+    return (feats.select(fmt.alias("fmt"),
+                         F.col("feature")[0].alias("f0"),
+                         F.col("feature")[3].alias("f3"))
+            .groupBy("fmt")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_media"),
+                 F.sum("f0").alias("sum_f0"),
+                 F.sum("f3").alias("sum_f3")))
+
+
+_MARKOV_S = 10**12
+_MARKOV_ITERS = 8
+
+
+def _markov_oracle() -> str:
+    base = f"""
+WITH seq AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS nxt
+  FROM events),
+tr AS (SELECT event_type AS from_type, nxt AS to_type,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT from_type, SUM(cnt) AS row_total FROM tr GROUP BY 1),
+trans AS (SELECT tr.*, rt.row_total FROM tr JOIN rt USING (from_type)),
+ns AS (SELECT count(DISTINCT from_type) AS n FROM tr),
+it0 AS (SELECT from_type AS type, {_MARKOV_S} // (SELECT n FROM ns) AS x
+        FROM (SELECT DISTINCT from_type FROM tr))"""
+    prev = "it0"
+    for k in range(1, _MARKOV_ITERS + 1):
+        base += f""",
+it{k} AS (SELECT trans.to_type AS type,
+                 CAST(SUM({prev}.x * trans.cnt // trans.row_total)
+                      AS BIGINT) AS x
+          FROM {prev} JOIN trans ON {prev}.type = trans.from_type
+          GROUP BY 1)"""
+        prev = f"it{k}"
+    return base + f"""
+SELECT type, x AS x_fixed, x * 1000000 // {_MARKOV_S} AS share_ppm
+FROM {prev}
+"""
+
+
+@register("events_markov_stationary", _markov_oracle())
+def events_markov_stationary(spark, sf):
+    # Stationary distribution of the event-type transition chain:
+    # eight fixed-point power-iteration steps (the graph_pagerank
+    # arithmetic on a TYPE-level chain) over the empirical transition
+    # matrix — where user behavior settles if the observed dynamics
+    # keep running, the steady-state complement of
+    # events_engagement_transitions' one-step view. The corpus is
+    # touched exactly ONCE (the lag window + the (from, to) count
+    # shuffle); the transition matrix is TYPE-DOMAIN-sized, so the
+    # iteration runs on collected int64s under a cap-ENFORCED domain
+    # bound (the _MAX_COLLECTED_QUERIES device — distributing a
+    # handful of rows through 8 join+agg rounds would be ~50 empty
+    # exchanges of pure overhead). x lives in 1e12 fixed point; each
+    # step is x'_j = Σ_i x_i·cnt_ij div rowtotal_i — python ints and
+    # the unrolled-CTE oracle truncate identically.
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.unix_millis("ts").alias("ms"), "event_id",
+        "event_type")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    tr = (ev.withColumn("nxt", F.lead("event_type").over(w))
+          .filter(F.col("nxt").isNotNull())
+          .groupBy(F.col("event_type").alias("from_type"),
+                   F.col("nxt").alias("to_type"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    edges = tr.collect()  # |types|²-bounded, cap-enforced below
+    if len(edges) > 10_000:
+        raise ValueError(
+            f"transition matrix has {len(edges)} edges — the type "
+            "domain is not iteration-sized; aggregate types first")
+    row_total: dict[str, int] = {}
+    for e in edges:
+        row_total[e.from_type] = row_total.get(e.from_type, 0) + e.cnt
+    states = sorted(row_total)
+    x = {t: _MARKOV_S // len(states) for t in states}
+    for _ in range(_MARKOV_ITERS):
+        nxt = {}
+        for e in edges:
+            nxt[e.to_type] = (nxt.get(e.to_type, 0)
+                              + x.get(e.from_type, 0) * e.cnt
+                              // row_total[e.from_type])
+        x = nxt
+    out = [(t, v, v * 1000000 // _MARKOV_S) for t, v in sorted(x.items())]
+    schema = T.StructType([
+        T.StructField("type", T.StringType()),
+        T.StructField("x_fixed", T.LongType()),
+        T.StructField("share_ppm", T.LongType())])
+    return spark.createDataFrame(out, schema)
+
+
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+_BENFORD_CASE = ("CASE d " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()) + " END")
+
+
+@register("quality_benford_chi2_gate", f"""
+WITH o AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100
+              AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders),
+c AS (SELECT d, CAST(count(*) AS BIGINT) AS obs,
+             CAST({_BENFORD_CASE} AS BIGINT) AS ppm
+      FROM o GROUP BY 1),
+t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM c),
+terms AS (
+  SELECT d,
+    (CAST(obs * 1000000 - t.n * ppm AS DOUBLE)
+     * CAST(obs * 1000000 - t.n * ppm AS DOUBLE))
+    / CAST(t.n * ppm * 1000000 AS DOUBLE) AS term
+  FROM c, t),
+folded AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(term ORDER BY d)), (acc, x) -> acc + x) AS chi2
+  FROM terms)
+SELECT t.n, folded.chi2, folded.chi2 > 15.507 AS reject_benford
+FROM t, folded
+""")
+def quality_benford_chi2_gate(spark, sf):
+    # Benford's-law anomaly gate on order values: leading-digit counts
+    # (taken from the INTEGER cents' decimal string — no log10 at
+    # runtime) against the Benford expectation held as integer-ppm
+    # LITERALS, scored by a chi-squared test with the 5%/8-df critical
+    # value 15.507. Each digit's term is one fixed-operand double
+    # expression; the total folds over the DIGIT-SORTED array (the
+    # EWMA left-fold device), so even the 9-term double sum is
+    # order-pinned and the verdict hash-pairs. The expected readout on
+    # this synthetic corpus is reject=true — uniform-ish generated
+    # prices are exactly what Benford screening flags; on organic
+    # financials it reads false.
+    o = load_table(spark, sf, "orders").select(
+        F.expr("CAST(substring(CAST(CAST(CAST(o_totalprice AS "
+               "DECIMAL(20,2)) * 100 AS BIGINT) AS STRING), 1, 1) "
+               "AS INT)").alias("d"))
+    ppm_map = F.create_map(*[F.lit(x) for kv in _BENFORD_PPM.items()
+                             for x in kv])
+    counts = (o.groupBy("d")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+              .withColumn("ppm", ppm_map[F.col("d")].cast("bigint")))
+    term = ("(CAST(obs * 1000000 - n * ppm AS DOUBLE) "
+            "* CAST(obs * 1000000 - n * ppm AS DOUBLE)) "
+            "/ CAST(n * ppm * 1000000 AS DOUBLE)")
+    tot = counts.agg(F.sum("obs").cast("bigint").alias("n"),
+                     F.sort_array(F.collect_list(
+                         F.struct("d", "obs", "ppm"))).alias("rows"))
+    per = (tot.select("n", F.explode("rows").alias("r"))
+           .select("n", F.col("r.d").alias("d"),
+                   F.col("r.obs").alias("obs"),
+                   F.col("r.ppm").alias("ppm"))
+           .withColumn("term", F.expr(term)))
+    folded = (per.groupBy("n")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("d", "term"))).alias("ts"))
+              .select("n", F.expr(
+                  "aggregate(ts, CAST(0.0 AS DOUBLE), "
+                  "(acc, t) -> acc + t.term)").alias("chi2")))
+    return folded.select(
+        "n", "chi2", (F.col("chi2") > 15.507).alias("reject_benford"))
+
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -967,4 +1211,7 @@ R12_ENTRIES: list[str] = [
     "dedup_minhash_estimate_error",
     "corpus_dedup_rate_by_source",
     "link_er_clusters",
+    "mm_media_dispatch_profile",
+    "events_markov_stationary",
+    "quality_benford_chi2_gate",
 ]
