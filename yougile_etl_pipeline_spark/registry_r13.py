@@ -414,6 +414,38 @@ def mart_nation_trade_balance(spark, sf):
                     z("customer_spend_cents"), z("n_orders")))
 
 
+@register("text_dedup_survivorship", """
+WITH d AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+s AS (SELECT d.*, MIN(doc_id) OVER (PARTITION BY fp) AS surv_id FROM d),
+sv AS (SELECT doc_id AS surv_id, source AS survivor_source FROM d)
+SELECT sv.survivor_source, s.source AS dup_source,
+       CAST(count(*) AS BIGINT) AS n_removed
+FROM s JOIN sv USING (surv_id)
+WHERE s.doc_id != s.surv_id
+GROUP BY 1, 2
+""")
+def text_dedup_survivorship(spark, sf):
+    # Who wins dedup: the (survivor source × removed source) matrix of
+    # exact dedup under the keep-min-id policy — the provenance
+    # question behind any cross-crawl dedup ("did crawl B lose all its
+    # overlap to crawl A?"). Fingerprint-keyed window + one key join;
+    # fingerprints shuffle, never bodies.
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    surv = d.withColumn("surv_id", F.min("doc_id").over(w))
+    sv_src = d.select(F.col("doc_id").alias("surv_id"),
+                      F.col("source").alias("survivor_source"))
+    return (surv.filter(F.col("doc_id") != F.col("surv_id"))
+            .join(sv_src, "surv_id")
+            .groupBy("survivor_source",
+                     F.col("source").alias("dup_source"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_removed")))
+
+
+
 # Accumulates through round 12; every name must be oracle-proven at
 # BOTH certification scales before it lands here (the r06–r12 staging
 # discipline). Pinned by tests/test_registry_r13_staged.py and
@@ -429,4 +461,5 @@ R13_ENTRIES: list[str] = [
     "mm_gif_flip_crop",
     "text_dup_span_cap_audit",
     "mart_nation_trade_balance",
+    "text_dedup_survivorship",
 ]
