@@ -1335,6 +1335,52 @@ _STABLE_CERTIFIED = [
 #    scripts/check_queries.py (new window at sf0.01 — testdata is
 #    regenerated between rounds; check for parquet type drift), and
 #    the full registry sweep before the first commit.
+# ROUND-13 ROTATION PLAN — execute at r13 start (the r07–r12
+# precedent; each step has a worked example in git history):
+# 1. Read CORRECTNESS_r12.json. Promote every green window row into
+#    _STABLE_CERTIFIED above, in window order. The r12 window held:
+#    3 ADVICE-r11 holds (stream_burst_flags, sql_pivot_multi_agg,
+#    stream_cumulative_users — all changed and re-proven this round),
+#    the 10-entry r12 bank, 10 mid-round registrations
+#    (sim_ivf_recall_sweep, mm_gif_stats, events_ab_lift_gate,
+#    quality_ks_drift_gate, dedup_minhash_estimate_error,
+#    corpus_dedup_rate_by_source, link_er_clusters,
+#    mm_media_dispatch_profile, events_markov_stationary,
+#    quality_benford_chi2_gate), and 27 r05-era recert fillers
+#    (sim_cosine_topk / events_asof_* / the TPC-H block / agg_* /
+#    win_* rows). Note any red rows instead of promoting them.
+# 2. Wire the bank: add
+#        from yougile_etl_pipeline_spark import registry_r13  # noqa
+#    at the BOTTOM of registry_ext.py next to the r06–r12 imports
+#    (NOT here — the ext-bottom position survives the circular entry
+#    path). registry_r13.py holds TEN entries, each oracle-proven at
+#    sf0.001 AND sf0.01 in round 12 (stream_error_rate_daily is a
+#    streaming entry — already in bench._STREAMING_SKIP).
+# 3. Hold out 40 recertification fillers (50 − 10 bank). The OLDEST
+#    vintages after the r12 promotions are the 16 entries still on
+#    their r05-era proof: the 6 left stable at the r12 rotation
+#    (j_cross, sql_parameterized, agg_listagg, agg_minby_maxby,
+#    agg_weighted_avg, win_moving_avg) and the 10 swapped back
+#    mid-r12 before the driver run (text_line_dedup, text_bm25_scores,
+#    text_self_dedup, sample_quality_quota, dedup_minhash_recall_eval,
+#    emb_quantize_int8, sim_topk_int8, sql_q9_product_profit,
+#    sql_q21_waiting_suppliers, sql_q18_large_orders). Take all 16 +
+#    the 24 oldest r06-vintage stables to reach 40; swap back
+#    one-for-one as r13 registrations land.
+# 4. BEFORE designing any new entry, grep the registry for the name
+#    AND the feature — @register silently overwrites an existing name
+#    in place (r12 near-miss: agg_grouping_sets / win_dist_functions
+#    already existed from r05).
+# 5. Flip tests/test_registry_r12_staged.py to the post-promotion
+#    shape and tests/test_registry_r13_staged.py to the wired shape;
+#    seed registry_r14.py (empty staged bank + subprocess smoke,
+#    _EXPECTED = 0); repoint scripts/check_staged.py and bench.py's
+#    `staged` block at r14; add a manifest-driven r13 block to
+#    bench.py.
+# 6. Re-run: full pytest (expect ~1083 passed at r12 end),
+#    scripts/check_queries.py (new window at sf0.01 — testdata is
+#    regenerated between rounds; check for parquet type drift), and
+#    the full registry sweep before the first commit.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
