@@ -890,11 +890,16 @@ _STABLE_CERTIFIED = [
     # exactly the batch events_interval_join row-set, which the parity
     # test asserts literally). Changed oracle ⇒ back into the r11
     # window for official recertification.
- "sql_parameterized",
- "agg_listagg",
-    "agg_minby_maxby",
- "agg_weighted_avg", "win_moving_avg",
-    "j_cross",
+    # r13 note: the 6 r05-era names that used to sit here
+    # (sql_parameterized, agg_listagg, agg_minby_maxby,
+    # agg_weighted_avg, win_moving_avg, j_cross — the "recert in r13"
+    # promise made at the r12 rotation) are HELD OUT at the r13
+    # rotation (not un-certified — recertifying): their last official
+    # driver row is CORRECTNESS_r05, the oldest green history left in
+    # the repo. With the 10 r05-era mid-r12 swap-backs and the 21
+    # oldest r06-vintage stables they fill the 37 filler slots of the
+    # r13 window (10 bank + 3 ADVICE-r12 holds + 37 = 50). They swap
+    # back one-for-one as genuinely new r13 registrations land.
     # r06 driver HASH-green (CORRECTNESS_r06: 48/50 hash-matched; the
     # two rows-only streaming rows stay in the window to receive their
     # hash-exact oracles this round — VERDICT r06 #2), code untouched
@@ -903,14 +908,19 @@ _STABLE_CERTIFIED = [
     # because VERDICT r06 #3/#4 schedule implementation changes to
     # both (iterative-plan checkpoint cadence; sorted-positions span
     # rebuild) and changed implementations recertify officially.
-    "sketch_countmin_suppliers", "events_mad_outliers",
-    "dedup_shingle_containment", "dedup_semantic", "text_domain_affinity",
-    "text_bpe_merge_step", "text_collocations", "graph_label_propagation",
-    "emb_gram_matrix", "dedup_simhash_recall_eval",
-    "quality_distribution_drift", "corpus_shard_manifest",
-    "dedup_blocking_profile", "agg_exact_median_global", "events_ewma",
-    "pq_encode", "pq_adc_topk", "ivfpq_topk", "events_rolling_users_daily",
-    "sample_stratified_exact", "events_step_latency", "events_theil_sen",
+    # r13 note: the 21 oldest r06-vintage stables that used to open
+    # this block (sketch_countmin_suppliers, events_mad_outliers,
+    # dedup_shingle_containment, dedup_semantic, text_domain_affinity,
+    # text_bpe_merge_step, text_collocations, graph_label_propagation,
+    # emb_gram_matrix, dedup_simhash_recall_eval,
+    # quality_distribution_drift, corpus_shard_manifest,
+    # dedup_blocking_profile, agg_exact_median_global, events_ewma,
+    # pq_encode, pq_adc_topk, ivfpq_topk, events_rolling_users_daily,
+    # sample_stratified_exact, events_step_latency — last official
+    # driver row CORRECTNESS_r06) are HELD OUT at the r13 rotation
+    # (not un-certified — recertifying); see the r13 note above. They
+    # swap back one-for-one as new r13 registrations land.
+    "events_theil_sen",
     "text_readability", "text_ngram_novelty", "agg_price_histogram",
     "agg_weighted_median", "quality_benford",
     "events_cusum_alarms", "events_rolling_slope",
@@ -1144,16 +1154,51 @@ _STABLE_CERTIFIED = [
     # r12 mid-round swaps: each genuinely new registry_r12 entry frees
     # one window slot by promoting a held-out r05-era recert filler
     # back here (they recertify in r13 instead).
-    "text_line_dedup",     # slot → sim_ivf_recall_sweep
-    "text_bm25_scores",    # slot → mm_gif_stats
-    "text_self_dedup",     # slot → events_ab_lift_gate
-    "sample_quality_quota",  # slot → quality_ks_drift_gate
-    "dedup_minhash_recall_eval",  # slot → dedup_minhash_estimate_error
-    "emb_quantize_int8",   # slot → corpus_dedup_rate_by_source
-    "sim_topk_int8",       # slot → link_er_clusters
-    "sql_q9_product_profit",  # slot → mm_media_dispatch_profile
-    "sql_q21_waiting_suppliers",  # slot → events_markov_stationary
-    "sql_q18_large_orders",  # slot → quality_benford_chi2_gate
+    # r13 note: the 10 r05-era mid-r12 swap-backs that used to sit
+    # here (text_line_dedup, text_bm25_scores, text_self_dedup,
+    # sample_quality_quota, dedup_minhash_recall_eval,
+    # emb_quantize_int8, sim_topk_int8, sql_q9_product_profit,
+    # sql_q21_waiting_suppliers, sql_q18_large_orders — each freed a
+    # window slot for a new r12 registration; last official driver row
+    # still CORRECTNESS_r05) are HELD OUT at the r13 rotation (not
+    # un-certified — recertifying); see the r13 notes above.
+    #
+    # ROUND-13 ROTATION — EXECUTED at r13 start: all 50 r12-window
+    # queries are CORRECTNESS_r12 green (rows + schema + hash, zero
+    # errors) — promote ALL 50 in window order EXCEPT three held
+    # INSIDE the r13 window for planned ADVICE-r12 changes (changed
+    # implementations recertify officially):
+    #   quality_benford_chi2_gate — chi² must charge every digit of
+    #     the 9-cell Benford domain its expected-count term even at
+    #     obs=0 (left-join onto a literal digit domain, both engines);
+    #   mm_media_dispatch_profile — f0/f3 sums aggregated as BIGINT
+    #     then cast, so partial sums stay exact integers at any SF
+    #     (the double running sum crossed 2^53 at ~56k wav payloads);
+    #   dedup_minhash_estimate_error — its `signature=` reuse path in
+    #     minhash_lsh_pairs gained parameter-consistency validation
+    #     (ADVICE r12 #4: a mismatched precomputed signature now
+    #     errors instead of silently mis-banding).
+    "sim_cosine_topk", "events_asof_join", "events_asof_forward",
+    "stream_burst_flags", "sql_pivot_multi_agg",
+    "stream_cumulative_users", "dedup_lsh_bucket_profile",
+    "dedup_lsh_band_hist", "graph_bfs_layer_hist",
+    "train_packing_efficiency", "train_pack_fragmentation",
+    "text_ttr_by_source", "mm_wav_rms_bands", "mart_supplier_scorecard",
+    "events_error_rate_daily", "f_higher_order_array_funcs",
+    "sim_ivf_recall_sweep", "mm_gif_stats", "events_ab_lift_gate",
+    "quality_ks_drift_gate", "corpus_dedup_rate_by_source",
+    "link_er_clusters", "events_markov_stationary",
+    "sql_q3_shipping_priority", "sql_q14_promo_share",
+    "sql_q16_supplier_cnt", "sql_q22_dormant_rich",
+    "win_first_last_ignorenulls", "agg_median_split",
+    "win_time_range_frame", "sql_q10_returned_items",
+    "agg_sufficient_stats", "agg_mode_per_group",
+    "sql_q2_min_cost_supplier", "sql_q6_forecast_revenue",
+    "sql_q7_nation_volume", "sql_q12_late_lines_priority",
+    "sql_q13_order_distribution", "sql_q15_top_supplier",
+    "sql_q20_excess_suppliers", "agg_corr_exact", "win_event_gaps",
+    "win_pct_change_daily", "events_bigram_transitions",
+    "text_ngram_topk", "dedup_normalized_exact", "graph_triangle_count",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

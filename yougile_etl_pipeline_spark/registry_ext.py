@@ -2566,6 +2566,14 @@ from yougile_etl_pipeline_spark import registry_r11  # noqa: E402,F401
 # _STABLE_CERTIFIED one-for-one.
 from yougile_etl_pipeline_spark import registry_r12  # noqa: E402,F401
 
+# Round-13 rotation (r13 start): the ten-entry bank staged in round 12
+# goes live here, in the same ext-bottom position and for the same
+# circular-entry-path reason as the imports above. Further round-13
+# operators register directly into registry_r13 mid-round, each
+# swapping a held-out recertification filler back into
+# _STABLE_CERTIFIED one-for-one.
+from yougile_etl_pipeline_spark import registry_r13  # noqa: E402,F401
+
 # Order-independence guard: if THIS module was the process's entry
 # point into the engine (e.g. `from ...registry_ext import <helper>`
 # before anything imported registry), the circular tail-import path

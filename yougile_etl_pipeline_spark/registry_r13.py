@@ -1,24 +1,26 @@
-"""Round-13 query registrations — STAGING BANK, NOT YET WIRED.
+"""Round-13 query registrations — WIRED at the r13 rotation.
 
-Do NOT import this module in round 12: the r12 certification window is
-exactly full (the ten registry_r12 bank entries, the three
-planned-change holds, and the held-out r05-era recertification
-fillers, with mid-round registrations swapping fillers back
-one-for-one), and registering past the driver's 50-slot window would
-leave never-certified queries at the round boundary
-(tests/test_certification_window.py enforces the accounting). At
-ROUND-13 START, wire it with one line at the bottom of
-registry_ext.py next to the registry_r06–r12 imports.
+Round-12 state (preserved in git history): this was the staged bank —
+ten entries built and oracle-proven in round 12 (sf0.001 AND sf0.01
+parity + recorded sf0.1 wall times), deliberately unimported so the
+exactly-full r12 window could not strand a never-certified query. The
+r13 rotation wired it at registry_ext.py's bottom; the ten entries
+now sit inside the driver's 50-slot certification window next to 37
+held-out recertification fillers (the 16 entries still on their
+r05-era proof plus the 21 oldest r06-vintage stables) and the three
+ADVICE-r12 planned-change holds (quality_benford_chi2_gate's 9-cell
+domain join, mm_media_dispatch_profile's BIGINT partial sums,
+dedup_minhash_estimate_error's validated signature reuse). Genuinely
+new round-13 operators register directly into this module mid-round,
+each swapping one held-out filler back into _STABLE_CERTIFIED
+(registry.py) so the window stays at exactly 50 non-stable entries
+(tests/test_certification_window.py enforces the accounting; the
+wired-state guards live in tests/test_registry_r13_staged.py).
 
-Same staging contract as the previous banks: every entry lands here
-only with its DuckDB oracle proven bit-identical at sf0.001 AND
-sf0.01 (scripts/check_staged.py) and a recorded sf0.1 wall time
-(bench.py's `staged` block is manifest-driven off R13_ENTRIES —
-automatic once the entry and its parity test exist).
-
-tests/test_registry_r13_staged.py smoke-imports this module in a
-SUBPROCESS (so the round-12 window stays untouched) and verifies every
-entry registers with an oracle and runs green at sf0.001.
+Staging contract for every entry, unchanged from the r06–r12 banks:
+DuckDB oracle proven bit-identical at sf0.001 AND sf0.01 before
+registration, sf0.1 wall time + plan fingerprint recorded by
+bench.py's manifest-driven r13 block.
 """
 
 from __future__ import annotations
@@ -446,11 +448,22 @@ def text_dedup_survivorship(spark, sf):
 
 
 
-# Accumulates through round 12; every name must be oracle-proven at
+# Order-independence guard (same as the other registry_* modules): if
+# this module was the process's entry point into the engine, re-run
+# the rotation so the certification-window SET is import-order
+# -independent.
+from yougile_etl_pipeline_spark import registry as _registry_mod  # noqa: E402
+
+if hasattr(_registry_mod, "_rotate_certification_window"):
+    _registry_mod._rotate_certification_window()
+
+
+# Accumulated through round 12 (the staged bank), grows with every
+# mid-round r13 registration; every name must be oracle-proven at
 # BOTH certification scales before it lands here (the r06–r12 staging
 # discipline). Pinned by tests/test_registry_r13_staged.py and
-# consumed by bench.py's `staged` block so every bank entry carries a
-# wall time + plan fingerprint before it ever certifies.
+# consumed by bench.py's `r13` block so every entry carries a
+# wall time + plan fingerprint.
 R13_ENTRIES: list[str] = [
     "stream_error_rate_daily",
     "events_error_burst_runs",
