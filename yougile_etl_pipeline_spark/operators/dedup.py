@@ -286,6 +286,22 @@ def minhash_lsh_pairs(
     (the union-of-one-lineage lesson)."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
+    if signature is not None:
+        # A signature built with different n_hashes (e.g. 16 hashes
+        # handed to an 8-hash banding) would silently band the wrong
+        # slices and emit wrong candidate pairs; shingle_n mismatches
+        # are invisible in the schema (documented contract: the caller
+        # passes the SAME parameters to both calls). Validate the
+        # column set so parameter drift errors loudly (ADVICE r12).
+        expected = {"doc"} | {f"mh{i}" for i in range(n_hashes)}
+        got = set(signature.columns)
+        if got != expected:
+            raise ValueError(
+                "precomputed `signature` does not match "
+                f"n_hashes={n_hashes}: expected columns "
+                f"{sorted(expected)}, got {sorted(got)} — rebuild it "
+                "with minhash_signature(..., n_hashes="
+                f"{n_hashes}, shingle_n={shingle_n})")
     sig = signature if signature is not None else minhash_signature(
         df, id_col, text_col, n_hashes=n_hashes, shingle_n=shingle_n)
     band_keys = F.array(*[

@@ -982,10 +982,13 @@ def mm_media_dispatch_profile(spark, sf):
     # GIF LZW, routed by id % 4) flows through ONE decode_media pass
     # whose magic-byte dispatcher picks the codec per payload — the
     # production shape where a media table is never single-format.
-    # Feature values are exact integers carried as doubles (every
-    # partial sum stays integral < 2^53, so summation order cannot
-    # matter); the oracle states each format's closed-form signal.
-    # Map-only decode; one 4-row aggregate.
+    # Feature values are exact integers carried as doubles; the sums
+    # aggregate as BIGINT and cast to double at the end, so every
+    # partial sum is an exact integer at ANY scale factor (ADVICE r12:
+    # a running DOUBLE sum of wav f3 ≈ 1.6e11/payload crosses 2^53 at
+    # ~56k wav payloads, after which summation order would leak into
+    # the hash). The oracle states each format's closed-form signal
+    # and sums the same way. Map-only decode; one 4-row aggregate.
     from yougile_etl_pipeline_spark.operators.multimodal import (
         decode_media,
         synth_bmp_payloads,
@@ -1016,8 +1019,10 @@ def mm_media_dispatch_profile(spark, sf):
                          F.col("feature")[3].alias("f3"))
             .groupBy("fmt")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_media"),
-                 F.sum("f0").alias("sum_f0"),
-                 F.sum("f3").alias("sum_f3")))
+                 F.sum(F.col("f0").cast("bigint"))
+                 .cast("double").alias("sum_f0"),
+                 F.sum(F.col("f3").cast("bigint"))
+                 .cast("double").alias("sum_f3")))
 
 
 _MARKOV_S = 10**12
@@ -1118,9 +1123,11 @@ WITH o AS (
   SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100
               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
   FROM orders),
-c AS (SELECT d, CAST(count(*) AS BIGINT) AS obs,
-             CAST({_BENFORD_CASE} AS BIGINT) AS ppm
-      FROM o GROUP BY 1),
+oc AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1),
+c AS (SELECT d, obs, CAST({_BENFORD_CASE} AS BIGINT) AS ppm FROM (
+      SELECT dom.d AS d, CAST(COALESCE(oc.cnt, 0) AS BIGINT) AS obs
+      FROM (SELECT CAST(range AS INT) AS d FROM range(1, 10)) dom
+      LEFT JOIN oc ON dom.d = oc.d)),
 t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM c),
 terms AS (
   SELECT d,
@@ -1147,14 +1154,27 @@ def quality_benford_chi2_gate(spark, sf):
     # this synthetic corpus is reject=true — uniform-ish generated
     # prices are exactly what Benford screening flags; on organic
     # financials it reads false.
+    #
+    # Pearson chi² charges EVERY cell of the 9-digit domain its
+    # expected-count term — a digit with zero observations contributes
+    # (n·ppm/1e6), which is exactly where the statistic grows when the
+    # distribution deviates most (ADVICE r12: the observed-digits-only
+    # form understated chi² and could flip reject_benford to false; the
+    # 15.507 critical value assumes all 9 cells). Both engines build
+    # the counts by LEFT-joining observations onto the literal 1–9
+    # domain with obs coalesced to 0.
     o = load_table(spark, sf, "orders").select(
         F.expr("CAST(substring(CAST(CAST(CAST(o_totalprice AS "
                "DECIMAL(20,2)) * 100 AS BIGINT) AS STRING), 1, 1) "
                "AS INT)").alias("d"))
     ppm_map = F.create_map(*[F.lit(x) for kv in _BENFORD_PPM.items()
                              for x in kv])
-    counts = (o.groupBy("d")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    dom = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    counts = (dom.join(o.groupBy("d").agg(
+                  F.count(F.lit(1)).alias("cnt")), "d", "left")
+              .select("d",
+                      F.coalesce(F.col("cnt"), F.lit(0))
+                      .cast("bigint").alias("obs"))
               .withColumn("ppm", ppm_map[F.col("d")].cast("bigint")))
     term = ("(CAST(obs * 1000000 - n * ppm AS DOUBLE) "
             "* CAST(obs * 1000000 - n * ppm AS DOUBLE)) "

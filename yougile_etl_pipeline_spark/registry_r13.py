@@ -215,26 +215,34 @@ def quality_approx_percentile_gate(spark, sf):
 @register("sketch_hll_error_gate", """
 SELECT l_returnflag,
        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
-       TRUE AS within_10pct
+       TRUE AS within_20pct
 FROM lineitem GROUP BY 1
 """)
 def sketch_hll_error_gate(spark, sf):
     # The HLL++ twin of the approx-percentile gate: per return flag,
-    # approx_count_distinct(rsd=0.05) must land within 10% (2×rsd) of
+    # approx_count_distinct(rsd=0.05) must land within 20% (4×rsd) of
     # the exact distinct count. The sketch value is deterministic for
     # fixed data (HLL merge is commutative) but engine-specific, so
     # only the exact count and the PASS/FAIL decision cross the oracle
     # boundary — the assertable form of sketch_approx_distinct's
     # accuracy claim.
+    #
+    # Why 4×rsd and not 2×: rsd is a STANDARD DEVIATION, not a
+    # contractual bound — a group can legitimately land outside ~2σ
+    # (P ≈ 4.6% per group under the normal approximation, so a 2σ gate
+    # over 3 flags flakes on ~13% of regenerated test corpora — ADVICE
+    # r12). At 4σ the per-group tail is ~6e-5; across 3 flags the
+    # accepted flake probability is ~2e-4 per testdata regeneration,
+    # below every other stochastic tolerance in the suite.
     li = load_table(spark, sf, "lineitem")
     g = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_orderkey").cast("bigint")
         .alias("exact_distinct"),
         F.expr("approx_count_distinct(l_orderkey, 0.05)").alias("ap"))
-    gate = (F.abs(F.col("ap") - F.col("exact_distinct")) * 10
+    gate = (F.abs(F.col("ap") - F.col("exact_distinct")) * 5
             <= F.col("exact_distinct"))
     return g.select("l_returnflag", "exact_distinct",
-                    gate.alias("within_10pct"))
+                    gate.alias("within_20pct"))
 
 
 @register("mm_gif_resize_nearest", """
