@@ -104,19 +104,44 @@ def test_not_png_raises():
 
 
 def test_unsupported_profile_raises():
-    # Hand-build an IHDR claiming grayscale (color_type 0): honest
-    # gate, not a guess.
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
-
+    # Hand-build IHDRs for profiles the decoder genuinely does not
+    # implement (honest gates, not guesses): 16-bit depth and
+    # palette-indexed (color_type 3). Grayscale (0) and RGBA (6)
+    # stopped raising in r13 — they decode for real now, covered by
+    # test_gray_rgba_roundtrip below.
     def chunk(ctype, data):
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
-    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-               + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
-               + chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="unsupported PNG profile"):
-        png_decode(payload)
+    for depth, ctype_i in ((16, 2), (8, 3)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype_i, 0, 0, 0)
+        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+                   + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="unsupported PNG profile"):
+            png_decode(payload)
+
+
+def test_gray_rgba_roundtrip():
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        png_decode_pixels,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(13)
+    for ch in (1, 4):
+        for seed in range(8):
+            h, w = int(rng.randint(1, 7)), int(rng.randint(1, 7))
+            px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+            back, kinds = png_decode_pixels(png_encode(px, filter_seed=seed))
+            assert back.shape == (h, w, ch)
+            assert (back == px).all()
+            assert kinds == min(h, 5)
+    # 2-D grayscale input is the (h, w, 1) shorthand
+    g = rng.randint(0, 256, size=(3, 4)).astype(np.uint8)
+    assert png_encode(g) == png_encode(g[:, :, None])
 
 
 def test_interlaced_raises():

@@ -635,24 +635,32 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
 
-def png_encode(pixels: np.ndarray, *, filter_seed: int = 0) -> bytes:
-    """Canonical PNG (8-bit truecolor RGB, non-interlaced).
+_PNG_CTYPE_BY_CHANNELS = {1: 0, 3: 2, 4: 6}  # gray / truecolor / RGBA
+_PNG_CHANNELS_BY_CTYPE = {v: k for k, v in _PNG_CTYPE_BY_CHANNELS.items()}
 
-    `pixels` is (height, width, 3) uint8 in logical order (row 0 =
-    top, channels R,G,B as PNG stores them). Row r is written through
-    spec filter ``(r + filter_seed) % 5`` — cycling all five filter
-    types so a decoder must implement every reconstruction rule, not
-    just filter 0 (the seed varies WHICH rows get Paeth across a
-    synthetic corpus). IDAT is a single zlib stream."""
+
+def png_encode(pixels: np.ndarray, *, filter_seed: int = 0) -> bytes:
+    """Canonical PNG (8-bit, non-interlaced). The color type follows
+    the channel count: (h, w) or (h, w, 1) → grayscale (color type 0),
+    (h, w, 3) → truecolor RGB (type 2, byte-identical to the r11
+    encoder), (h, w, 4) → RGBA (type 6).
+
+    `pixels` is uint8 in logical order (row 0 = top, channels in PNG
+    storage order). Row r is written through spec filter
+    ``(r + filter_seed) % 5`` — cycling all five filter types so a
+    decoder must implement every reconstruction rule, not just filter
+    0 (the seed varies WHICH rows get Paeth across a synthetic
+    corpus). IDAT is a single zlib stream."""
     import zlib
 
     px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError("pixels must be (h, w, 3) uint8")
-    h, w, _ = px.shape
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in _PNG_CTYPE_BY_CHANNELS:
+        raise ValueError("pixels must be (h, w[, 1|3|4]) uint8")
+    h, w, bpp = px.shape
     if h < 1 or w < 1:
         raise ValueError("PNG requires positive dimensions")
-    bpp = 3
     prior = bytes(w * bpp)
     lines = []
     for r in range(h):
@@ -676,7 +684,8 @@ def png_encode(pixels: np.ndarray, *, filter_seed: int = 0) -> bytes:
             out[i] = (raw[i] - pred) & 0xFF
         lines.append(bytes([ftype]) + bytes(out))
         prior = raw
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8,
+                       _PNG_CTYPE_BY_CHANNELS[bpp], 0, 0, 0)
     return (_PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
@@ -712,11 +721,13 @@ def _png_chunks(payload: bytes):
 
 
 def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
-    """Full PNG decode to the logical (h, w, 3) uint8 grid, plus the
-    count of DISTINCT filter types seen — evidence the payload
-    actually exercised the reconstruction rules. Supports the profile
-    the encoder writes (8-bit truecolor, non-interlaced); palette /
-    grayscale / alpha / interlaced files raise with the reason."""
+    """Full PNG decode to the logical (h, w, channels) uint8 grid,
+    plus the count of DISTINCT filter types seen — evidence the
+    payload actually exercised the reconstruction rules. Supports the
+    profiles the encoder writes (8-bit grayscale / truecolor / RGBA,
+    non-interlaced — the per-filter reconstruction is byte-general,
+    only `bpp` varies); palette / sub-byte depths / interlaced files
+    raise with the reason."""
     import zlib
 
     ihdr = None
@@ -737,10 +748,11 @@ def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
     if not seen_idat:
         raise ValueError("PNG has no IDAT")
     w, h, depth, ctype_i, comp, fmethod, interlace = ihdr
-    if (depth, ctype_i) != (8, 2):
+    if depth != 8 or ctype_i not in _PNG_CHANNELS_BY_CTYPE:
         raise ValueError(
             f"unsupported PNG profile (bit_depth={depth}, "
-            f"color_type={ctype_i}); only 8-bit truecolor decodes here")
+            f"color_type={ctype_i}); only 8-bit grayscale/truecolor/"
+            "RGBA decode here")
     if comp != 0 or fmethod != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if interlace != 0:
@@ -748,7 +760,7 @@ def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
     if w < 1 or h < 1:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
     raw = zlib.decompress(bytes(idat))
-    bpp = 3
+    bpp = _PNG_CHANNELS_BY_CTYPE[ctype_i]
     row_bytes = w * bpp
     if len(raw) != h * (1 + row_bytes):
         raise ValueError(
@@ -781,7 +793,7 @@ def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
             recon[i] = (filt[i] + pred) & 0xFF
         out[r] = np.frombuffer(bytes(recon), dtype=np.uint8)
         prior = bytes(recon)
-    return out.reshape(h, w, 3), len(filters_seen)
+    return out.reshape(h, w, bpp), len(filters_seen)
 
 
 def png_decode(payload: bytes) -> dict:

@@ -47,7 +47,9 @@ __all__ = [
     "synth_bmp_payloads",
     "synth_bmp_rle8_payloads",
     "synth_gif_payloads",
+    "synth_png_gray_payloads",
     "synth_png_payloads",
+    "synth_png_rgba_payloads",
     "synth_wav_payloads",
     "wav_resample_stats",
     "wav_stats",
@@ -881,6 +883,77 @@ def synth_png_payloads(df: DataFrame, id_col: str) -> DataFrame:
                 r = np.arange(h, dtype=np.int64)[:, None, None]
                 c = np.arange(w, dtype=np.int64)[None, :, None]
                 ch = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((mid + 11 * r + 5 * c + 3 * ch) % 256).astype(np.uint8)
+                payloads.append(png_encode(px, filter_seed=int(mid)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+def synth_png_gray_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic PNG corpus (8-bit GRAYSCALE, color type
+    0 — one byte per pixel, so the Sub/Paeth left-neighbor distance is
+    1 instead of 3). Per id::
+
+        w          = 6 + id % 5
+        h          = 3 + id % 3
+        byte(r,c)  = (id + 13r + 7c) % 256   (logical top-down)
+        row r filter = (r + id) % 5
+
+    Distinct dimension/signal constants from the truecolor corpus so a
+    dispatch bug between the profiles cannot alias into a hash match."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import png_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                w = int(6 + mid % 5)
+                h = int(3 + mid % 3)
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                px = ((mid + 13 * r + 7 * c) % 256).astype(np.uint8)
+                payloads.append(png_encode(px, filter_seed=int(mid)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+def synth_png_rgba_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic PNG corpus (8-bit RGBA, color type 6 —
+    four bytes per pixel; the alpha channel rides the same filter
+    reconstruction as the color bytes). Per id::
+
+        w             = 4 + id % 3
+        h             = 3 + id % 4
+        byte(r,c,ch)  = (id + 11r + 5c + 3ch) % 256   (ch ∈ 0..3)
+        row r filter  = (r + id) % 5
+    """
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import png_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                w = int(4 + mid % 3)
+                h = int(3 + mid % 4)
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(4, dtype=np.int64)[None, None, :]
                 px = ((mid + 11 * r + 5 * c + 3 * ch) % 256).astype(np.uint8)
                 payloads.append(png_encode(px, filter_seed=int(mid)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})

@@ -1199,6 +1199,12 @@ _STABLE_CERTIFIED = [
     "sql_q20_excess_suppliers", "agg_corr_exact", "win_event_gaps",
     "win_pct_change_daily", "events_bigram_transitions",
     "text_ngram_topk", "dedup_normalized_exact", "graph_triangle_count",
+    # r13 mid-round swaps: each genuinely new registry_r13 entry frees
+    # one window slot by promoting a held-out recert filler back here
+    # (youngest-history fillers return first — the r06-vintage holds —
+    # keeping the oldest r05-era rows inside the window to refresh).
+    "sketch_countmin_suppliers",  # slot → mm_png_gray_stats
+    "events_mad_outliers",        # slot → mm_png_rgba_stats
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -454,6 +454,74 @@ def text_dedup_survivorship(spark, sf):
                      F.col("source").alias("dup_source"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_removed")))
 
+@register("mm_png_gray_stats", """
+WITH p AS (SELECT event_id AS id,
+                  6 + event_id % 5 AS w, 3 + event_id % 3 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, CAST(w * h AS BIGINT)), k ->
+    (id + 13 * (k // w) + 7 * (k % w)) % 256) AS px
+  FROM p)
+SELECT id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(list_sum(px) AS BIGINT) AS px_sum,
+       CAST(list_min(px) AS INTEGER) AS px_min,
+       CAST(list_max(px) AS INTEGER) AS px_max,
+       CAST(LEAST(h, 5) AS INTEGER) AS n_filter_kinds
+FROM v
+""")
+def mm_png_gray_stats(spark, sf):
+    # PNG GRAYSCALE (color type 0) through the real decode path — the
+    # r13 notch on the compressed-decode tier (the r11 truecolor / r12
+    # GIF-LZW precedent): chunk walk with CRC32 verification, zlib
+    # inflate, all five scanline filters reconstructed at bpp=1 (the
+    # Sub/Paeth left-neighbor distance changes from 3 bytes to 1 —
+    # the exact piece the truecolor certificate could not exercise).
+    # Distinct dimension/signal constants from the truecolor corpus so
+    # profile-dispatch bugs cannot alias into a hash match. Map-only
+    # mapInPandas; closed-form signal oracle.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        png_stats,
+        synth_png_gray_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return png_stats(synth_png_gray_payloads(ev, "event_id"))
+
+
+@register("mm_png_rgba_stats", """
+WITH p AS (SELECT event_id AS id,
+                  4 + event_id % 3 AS w, 3 + event_id % 4 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, CAST(w * h * 4 AS BIGINT)), k ->
+    (id + 11 * (k // (w * 4)) + 5 * ((k % (w * 4)) // 4)
+        + 3 * (k % 4)) % 256) AS px
+  FROM p)
+SELECT id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(list_sum(px) AS BIGINT) AS px_sum,
+       CAST(list_min(px) AS INTEGER) AS px_min,
+       CAST(list_max(px) AS INTEGER) AS px_max,
+       CAST(LEAST(h, 5) AS INTEGER) AS n_filter_kinds
+FROM v
+""")
+def mm_png_rgba_stats(spark, sf):
+    # PNG RGBA (color type 6): four bytes per pixel, the alpha plane
+    # riding the same filter reconstruction as the color bytes
+    # (bpp=4 left-neighbor distance). With grayscale above, the
+    # decoder now covers every non-palette 8-bit PNG color type; the
+    # honest NotImplementedError surface shrinks to palette/sub-byte/
+    # interlaced profiles and the transform-coded formats. Map-only
+    # mapInPandas; closed-form signal oracle (k in range(w*h*4):
+    # r = k div (w*4), c = (k mod (w*4)) div 4, ch = k mod 4).
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        png_stats,
+        synth_png_rgba_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return png_stats(synth_png_rgba_payloads(ev, "event_id"))
 
 
 # Order-independence guard (same as the other registry_* modules): if
@@ -483,4 +551,7 @@ R13_ENTRIES: list[str] = [
     "text_dup_span_cap_audit",
     "mart_nation_trade_balance",
     "text_dedup_survivorship",
+    # mid-round direct registrations (round 13):
+    "mm_png_gray_stats",
+    "mm_png_rgba_stats",
 ]
