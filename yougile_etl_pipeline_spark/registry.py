@@ -1205,6 +1205,8 @@ _STABLE_CERTIFIED = [
     # keeping the oldest r05-era rows inside the window to refresh).
     "sketch_countmin_suppliers",  # slot → mm_png_gray_stats
     "events_mad_outliers",        # slot → mm_png_rgba_stats
+    "dedup_shingle_containment",  # slot → events_survival_km
+    "dedup_semantic",             # slot → quality_mann_whitney_gate
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -522,6 +522,173 @@ def mm_png_rgba_stats(spark, sf):
 
     ev = load_table(spark, sf, "events").select("event_id")
     return png_stats(synth_png_rgba_payloads(ev, "event_id"))
+@register("events_survival_km", """
+WITH RECURSIVE u AS (
+  SELECT user_id, min(epoch_ms(ts)) AS first_ms,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+           AS fp
+  FROM events GROUP BY 1),
+d AS (SELECT (fp - first_ms) // 3600000 AS dur
+      FROM u WHERE fp IS NOT NULL
+        AND (fp - first_ms) // 3600000 <= 48),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+per AS (SELECT dur, CAST(count(*) AS BIGINT) AS deaths
+        FROM d GROUP BY 1),
+risk AS (SELECT dur, deaths,
+  (SELECT n_users FROM n)
+   - CAST(COALESCE(SUM(deaths) OVER (ORDER BY dur
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+   AS at_risk
+  FROM per),
+r0 AS (SELECT dur, deaths, at_risk,
+              row_number() OVER (ORDER BY dur) AS rn
+       FROM risk),
+km AS (
+  SELECT rn, dur, deaths, at_risk,
+         1000000000 * (at_risk - deaths) // at_risk AS s
+  FROM r0 WHERE rn = 1
+  UNION ALL
+  SELECT nx.rn, nx.dur, nx.deaths, nx.at_risk,
+         km.s * (nx.at_risk - nx.deaths) // nx.at_risk
+  FROM km JOIN r0 nx ON nx.rn = km.rn + 1)
+SELECT dur, deaths, at_risk, s AS survival_fp FROM km
+""")
+def events_survival_km(spark, sf):
+    # Kaplan–Meier survival for conversion latency: duration = hours
+    # from a user's first event to their FIRST PURCHASE, with
+    # administrative censoring at the 48-hour horizon — users who
+    # have not converted by then are censored (they leave the risk
+    # set at 48h without counting as conversions; on this corpus
+    # roughly half censor, so the estimator genuinely diverges from
+    # the naive converters-only CDF, which overstates early
+    # conversion by ignoring the censored mass in at_risk). With all
+    # censoring at the fixed horizon, at_risk at death time t is
+    # n_users minus conversions strictly before t. Survival is the
+    # running product S(t) = Π (1 - d_i/r_i) over death hours in 1e9
+    # fixed point, folded in duration order — s·r stays below int64
+    # up to ~9e9 users, and Spark's slice+aggregate fold pairs
+    # bit-exactly with the oracle's recursive CTE (both truncate via
+    # integer div). Shape: one user-keyed aggregate (min/min combine
+    # map-side), one duration-keyed aggregate, then the fold runs on
+    # a DURATION-DOMAIN-sized array (≤ 49 hour buckets — bounded by
+    # the horizon, never by data volume).
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.expr("unix_millis(ts)").alias("ms"), "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.min("ms").alias("first_ms"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ms"))).alias("fp"))
+    d = (u.filter(F.col("fp").isNotNull())
+         .select(F.expr("(fp - first_ms) div 3600000").alias("dur"))
+         .filter(F.col("dur") <= 48))
+    n = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    per = d.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deaths"))
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per.join(F.broadcast(n)).select(
+        "dur", "deaths",
+        (F.col("n_users")
+         - F.coalesce(F.sum("deaths").over(w), F.lit(0)).cast("bigint"))
+        .alias("at_risk"))
+    arr = risk.agg(F.sort_array(F.collect_list(
+        F.struct("dur", "deaths", "at_risk"))).alias("a"))
+    ex = (arr.select(F.posexplode("a").alias("pos", "x"), F.col("a"))
+          .select(
+              F.col("x.dur").alias("dur"),
+              F.col("x.deaths").alias("deaths"),
+              F.col("x.at_risk").alias("at_risk"),
+              F.expr("aggregate(slice(a, 1, pos + 1), "
+                     "CAST(1000000000 AS BIGINT), (acc, e) -> "
+                     "acc * (e.at_risk - e.deaths) div e.at_risk)")
+              .alias("survival_fp")))
+    return ex
+
+
+_MW_Z = """CASE WHEN n1 > 0 AND n2 > 0
+  AND tie_t < n * n * n - n THEN
+  CAST(u1_x2 - n1 * n2 AS DOUBLE)
+  / (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+      * (CAST(n + 1 AS DOUBLE)
+         - CAST(tie_t AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))))
+  ELSE 0.0 END"""
+
+
+@register("quality_mann_whitney_gate", f"""
+WITH r AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm
+  FROM orders),
+g AS (SELECT cents, CAST(count(*) AS BIGINT) AS t,
+             CAST(count_if(arm = 1) AS BIGINT) AS t1
+      FROM r GROUP BY 1),
+c AS (SELECT cents, t, t1,
+  1 + CAST(COALESCE(SUM(t) OVER (ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+  AS lo
+  FROM g),
+s AS (SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+             CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t1 * (2 * lo + t - 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_t
+      FROM c),
+f AS (SELECT n1, n - n1 AS n2, n, tie_t,
+             r1_x2 - n1 * (n1 + 1) AS u1_x2
+      FROM s)
+SELECT n1, n2, u1_x2, tie_t, {_MW_Z} AS z,
+       abs({_MW_Z}) > 1.96 AS significant
+FROM f
+""")
+def quality_mann_whitney_gate(spark, sf):
+    # Mann–Whitney U (Wilcoxon rank-sum) between the deterministic
+    # md5-bucket arms of order values — the DISTRIBUTION-level A/B
+    # null check that complements events_ab_lift_gate's proportion
+    # test (rank-based, so one whale order can't move it the way it
+    # moves a t-test). Sufficient statistics are exact int64 kept at
+    # DOUBLED scale so tied ranks stay integral: per distinct value
+    # the doubled average rank is 2·lo + t − 1, R1·2 sums those over
+    # arm-1 members, U1·2 = R1·2 − n1(n1+1), and the tie correction
+    # Σ(t³−t) rides the same single value-keyed aggregate. z is ONE
+    # fixed-operand double expression (the ab_lift device) with the
+    # normal approximation's tie-corrected variance; |z| > 1.96 is the
+    # 5% decision. Null-experiment expectation: not significant — a
+    # significant readout flags assignment leakage. Shape: one
+    # value-keyed aggregate + a value-ordered running sum (the rank
+    # window never sees per-row data, only the distinct-value
+    # relation); no per-row ranking shuffle.
+    from yougile_etl_pipeline_spark.operators.quality import hash_bucket
+
+    r = load_table(spark, sf, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100 "
+               "AS BIGINT)").alias("cents"),
+        hash_bucket(F.col("o_orderkey"), 2).alias("arm"))
+    g = r.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.count_if(F.col("arm") == 1).cast("bigint").alias("t1"))
+    from pyspark.sql.window import Window
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "t", "t1",
+        (F.lit(1) + F.coalesce(F.sum("t").over(w), F.lit(0))
+         .cast("bigint")).alias("lo"))
+    s = c.agg(
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("t1") * (2 * F.col("lo") + F.col("t") - 1))
+        .cast("bigint").alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint").alias("tie_t"))
+    f = s.select(
+        "n1", (F.col("n") - F.col("n1")).alias("n2"), "n", "tie_t",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        .alias("u1_x2"))
+    z = F.expr(_MW_Z.replace("0.0 END", "0.0D END"))
+    return f.select("n1", "n2", "u1_x2", "tie_t", z.alias("z"),
+                    (F.abs(z) > 1.96).alias("significant"))
 
 
 # Order-independence guard (same as the other registry_* modules): if
@@ -554,4 +721,6 @@ R13_ENTRIES: list[str] = [
     # mid-round direct registrations (round 13):
     "mm_png_gray_stats",
     "mm_png_rgba_stats",
+    "events_survival_km",
+    "quality_mann_whitney_gate",
 ]
