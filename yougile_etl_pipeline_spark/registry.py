@@ -1207,6 +1207,9 @@ _STABLE_CERTIFIED = [
     "events_mad_outliers",        # slot → mm_png_rgba_stats
     "dedup_shingle_containment",  # slot → events_survival_km
     "dedup_semantic",             # slot → quality_mann_whitney_gate
+    "text_domain_affinity",       # slot → text_zipf_rank_ratio
+    "text_bpe_merge_step",        # slot → quality_tv_drift_gate
+    "text_collocations",          # slot → events_slo_burn_rates
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -689,6 +689,153 @@ def quality_mann_whitney_gate(spark, sf):
     z = F.expr(_MW_Z.replace("0.0 END", "0.0D END"))
     return f.select("n1", "n2", "u1_x2", "tie_t", z.alias("z"),
                     (F.abs(z) > 1.96).alias("significant"))
+@register("text_zipf_rank_ratio", f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+tfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+          FROM tok GROUP BY token),
+ranked AS (SELECT token, freq,
+                  CAST(row_number() OVER (ORDER BY freq DESC, token)
+                       AS BIGINT) AS rank
+           FROM tfreq),
+top1 AS (SELECT freq AS f1 FROM ranked WHERE rank = 1)
+SELECT rank, token, freq,
+       (SELECT f1 FROM top1) * 1000000 // (freq * rank)
+         AS zipf_ratio_ppm
+FROM ranked WHERE rank IN (1, 2, 4, 8, 16, 32, 64)
+""")
+def text_zipf_rank_ratio(spark, sf):
+    # Zipf's-law calibration at octave ranks, transcendental-free (the
+    # house rule: no ln/log in a hash-paired value — libm last-ulp
+    # drift across engines): under perfect Zipf, freq(1) = r·freq(r),
+    # so zipf_ratio_ppm = f1·1e6 div (freq_r · r) reads 1e6 at every
+    # probed rank; the deviation profile across octaves 1..64 is the
+    # rank-frequency curve's shape in exact integers (> 1e6 = steeper
+    # than Zipf at that depth, < 1e6 = flatter). Reuses build_vocab's
+    # certified shape: map-side-combined token counts + TakeOrdered
+    # top-V, never a global sort; the octave filter and the broadcast
+    # f1 run on the ≤64-row survivor relation.
+    from yougile_etl_pipeline_spark.operators import text as TX
+
+    docs = load_table(spark, sf, "documents")
+    vocab = TX.build_vocab(docs, top_v=64)
+    f1 = vocab.filter(F.col("rank") == 1).select(
+        F.col("freq").alias("f1"))
+    return (vocab.filter(F.col("rank").isin(1, 2, 4, 8, 16, 32, 64))
+            .join(F.broadcast(f1))
+            .select("rank", "token", "freq",
+                    F.expr("f1 * 1000000 div (freq * rank)")
+                    .alias("zipf_ratio_ppm")))
+
+
+@register("quality_tv_drift_gate", """
+WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type
+           FROM events),
+b AS (SELECT min(day) + (max(day) - min(day)) // 2 AS mid FROM e),
+p AS (SELECT event_type,
+        CAST(count_if(day <= (SELECT mid FROM b)) AS BIGINT) AS c1,
+        CAST(count_if(day >  (SELECT mid FROM b)) AS BIGINT) AS c2
+      FROM e GROUP BY 1),
+t AS (SELECT GREATEST(CAST(SUM(c1) AS BIGINT), 1) AS n1,
+             GREATEST(CAST(SUM(c2) AS BIGINT), 1) AS n2 FROM p),
+terms AS (SELECT abs(c1 * 1000000 // t.n1 - c2 * 1000000 // t.n2)
+            AS ad FROM p, t)
+SELECT (SELECT n1 FROM t) AS n_first, (SELECT n2 FROM t) AS n_second,
+       CAST(SUM(ad) // 2 AS BIGINT) AS tv_ppm,
+       SUM(ad) // 2 >= 50000 AS drifted
+FROM terms
+""")
+def quality_tv_drift_gate(spark, sf):
+    # Total-variation drift between the event-type mixes of the first
+    # and second corpus halves (split at the median day):
+    # TV = ½ Σ_types |p_t − q_t| in exact integer ppm — the
+    # CATEGORICAL-domain drift gate next to quality_ks_drift_gate's
+    # banded-value KS, and transcendental-free where PSI/KL would not
+    # be (ln is not bit-identical across engines; TV is the metric
+    # PSI approximates anyway for small drifts). The 5% gate reads
+    # not-drifted on the stationary synthetic mix. One type-keyed
+    # aggregate with map-side-combined conditional counts; the TV sum
+    # folds over the TYPE-DOMAIN-sized relation.
+    ev = load_table(spark, sf, "events").select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        "event_type")
+    b = ev.agg(F.expr("min(day) + (max(day) - min(day)) div 2")
+               .alias("mid"))
+    p = ev.join(F.broadcast(b)).groupBy("event_type").agg(
+        F.count_if(F.col("day") <= F.col("mid")).cast("bigint")
+        .alias("c1"),
+        F.count_if(F.col("day") > F.col("mid")).cast("bigint")
+        .alias("c2"))
+    t = p.agg(F.greatest(F.sum("c1").cast("bigint"), F.lit(1))
+              .alias("n1"),
+              F.greatest(F.sum("c2").cast("bigint"), F.lit(1))
+              .alias("n2"))
+    terms = p.join(F.broadcast(t)).select(
+        "n1", "n2",
+        F.abs(F.expr("c1 * 1000000 div n1 - c2 * 1000000 div n2"))
+        .alias("ad"))
+    return (terms.groupBy("n1", "n2")
+            .agg(F.expr("SUM(ad) div 2").cast("bigint").alias("tv_ppm"))
+            .select(F.col("n1").alias("n_first"),
+                    F.col("n2").alias("n_second"), "tv_ppm",
+                    (F.expr("tv_ppm >= 50000")).alias("drifted")))
+
+
+@register("events_slo_burn_rates", """
+WITH d AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count_if(event_type = 'error') AS BIGINT) AS errs
+  FROM events GROUP BY 1),
+w AS (SELECT day, n, errs,
+        CAST(SUM(errs) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS errs7,
+        CAST(SUM(n) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS n7
+      FROM d)
+SELECT day,
+       errs * 1000000 // n AS fast_ppm,
+       errs7 * 1000000 // n7 AS slow_ppm,
+       (errs * 1000000 // n) * 100
+         // GREATEST(errs7 * 1000000 // n7, 1) AS burn_x100,
+       (errs * 1000000 // n) * 10 >= (errs7 * 1000000 // n7) * 12
+         AND errs * 1000000 // n >= 450000 AS alert_fast,
+       errs7 * 1000000 // n7 >= 450000 AS alert_slow
+FROM w
+""")
+def events_slo_burn_rates(spark, sf):
+    # Multi-window SLO burn-rate alerting (the SRE-workbook shape):
+    # per day, the FAST signal is that day's error ppm, the SLOW
+    # signal the trailing-7-day ppm over a RANGE frame on the integer
+    # day key (calendar-correct across gaps, unlike a ROWS frame).
+    # burn_x100 is fast/slow in integer percent; alert_fast pages when
+    # the day runs ≥20% above its own trailing baseline AND above the
+    # 45% SLO (both-sided on the ~40%-error synthetic corpus),
+    # alert_slow tickets on the trailing window alone. Single
+    # day-keyed aggregate + one window over the DAY-DOMAIN relation.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        "event_type")
+    d = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("event_type") == "error").cast("bigint")
+        .alias("errs"))
+    w7 = Window.orderBy("day").rangeBetween(-6, 0)
+    w = d.select(
+        "day", "n", "errs",
+        F.sum("errs").over(w7).cast("bigint").alias("errs7"),
+        F.sum("n").over(w7).cast("bigint").alias("n7"))
+    fast = F.expr("errs * 1000000 div n")
+    slow = F.expr("errs7 * 1000000 div n7")
+    return w.select(
+        "day", fast.alias("fast_ppm"), slow.alias("slow_ppm"),
+        F.expr("(errs * 1000000 div n) * 100 "
+               "div GREATEST(errs7 * 1000000 div n7, 1)")
+        .alias("burn_x100"),
+        ((fast * 10 >= slow * 12) & (fast >= 450000))
+        .alias("alert_fast"),
+        (slow >= 450000).alias("alert_slow"))
 
 
 # Order-independence guard (same as the other registry_* modules): if
@@ -723,4 +870,7 @@ R13_ENTRIES: list[str] = [
     "mm_png_rgba_stats",
     "events_survival_km",
     "quality_mann_whitney_gate",
+    "text_zipf_rank_ratio",
+    "quality_tv_drift_gate",
+    "events_slo_burn_rates",
 ]
