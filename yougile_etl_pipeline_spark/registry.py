@@ -1210,6 +1210,7 @@ _STABLE_CERTIFIED = [
     "text_domain_affinity",       # slot → text_zipf_rank_ratio
     "text_bpe_merge_step",        # slot → quality_tv_drift_gate
     "text_collocations",          # slot → events_slo_burn_rates
+    "graph_label_propagation",    # slot → stream_bigram_transitions
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

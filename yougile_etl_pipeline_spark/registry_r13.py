@@ -836,6 +836,40 @@ def events_slo_burn_rates(spark, sf):
         ((fast * 10 >= slow * 12) & (fast >= 450000))
         .alias("alert_fast"),
         (slow >= 450000).alias("alert_slow"))
+@register("stream_bigram_transitions", """
+WITH nxt AS (
+  SELECT event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events)
+SELECT event_type, next_type, COUNT(*) AS n
+FROM nxt WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY n DESC, event_type, next_type
+LIMIT 20
+""")
+def stream_bigram_transitions(spark, sf):
+    # Streaming twin of events_bigram_transitions (shares its oracle
+    # VERBATIM): the per-user transition counter runs as
+    # applyInPandasWithState carrying ONE last-event row of state per
+    # user — (ms, event_id, type), two int64s + a small string
+    # (streaming/stateful.py::bigram_stateful) — so the unbounded
+    # stream never stores per-pair state; each micro-batch emits
+    # partial (from, to, n) counts with boundary transitions counted
+    # exactly once by the batch seeing the LATER event. After the
+    # availableNow drain the partials SUM to the batch lead() counts
+    # at any micro-batch slicing; the top-20 total-order tie-break is
+    # TakeOrderedAndProject on the |types|²-sized matrix.
+    from yougile_etl_pipeline_spark.streaming.stateful import (
+        run_bigram_available_now,
+    )
+
+    parts = run_bigram_available_now(
+        spark, sf, table_name="stream_bigrams_r13")
+    return (parts.groupBy("event_type", "next_type")
+            .agg(F.sum("n").alias("n"))
+            .orderBy(F.col("n").desc(), "event_type", "next_type")
+            .limit(20))
 
 
 # Order-independence guard (same as the other registry_* modules): if
@@ -873,4 +907,5 @@ R13_ENTRIES: list[str] = [
     "text_zipf_rank_ratio",
     "quality_tv_drift_gate",
     "events_slo_burn_rates",
+    "stream_bigram_transitions",
 ]

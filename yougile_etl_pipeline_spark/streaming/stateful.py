@@ -28,7 +28,9 @@ __all__ = ["sessionize_stateful", "SESSION_SCHEMA",
            "ewma_stateful", "run_ewma_available_now", "EWMA_SCHEMA",
            "burst_stateful", "run_burst_available_now", "BURST_SCHEMA",
            "first_seen_stateful", "run_first_seen_available_now",
-           "FIRST_SEEN_SCHEMA"]
+           "FIRST_SEEN_SCHEMA",
+           "bigram_stateful", "run_bigram_available_now",
+           "BIGRAM_SCHEMA"]
 
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
@@ -662,4 +664,94 @@ def run_first_seen_available_now(
     # first_seen emits ONCE per user, so no batch-side rollup can
     # repair an out-of-order multi-batch drain — fail loudly instead.
     _assert_single_batch(q)
+    return spark.table(table_name)
+
+
+BIGRAM_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("next_type", T.StringType()),
+    T.StructField("n", T.LongType()),
+])
+
+_BIGRAM_STATE_SCHEMA = T.StructType([
+    T.StructField("last_ms", T.LongType()),
+    T.StructField("last_eid", T.LongType()),
+    T.StructField("last_type", T.StringType()),
+])
+
+
+def bigram_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of the `events_bigram_transitions` transition
+    counter: per user the state is the LAST event seen — (ms,
+    event_id, type), two int64s and one small string — so an unbounded
+    stream keeps counting which-event-follows-which with O(active
+    users) state; the transition matrix itself never lives in state
+    (it is the downstream aggregation's job).
+
+    Each micro-batch emits the batch's per-user (from, to, n) partial
+    counts, with the state row prepended so transitions that straddle
+    a batch boundary are counted exactly once, by the batch that sees
+    the LATER event. Summing the partials per (from, to) after the
+    drain therefore equals the batch lead()-over-(ts, event_id)
+    transition counts at ANY micro-batch slicing, provided each
+    user's events arrive time-ordered ACROSS batches (within a batch
+    the order is restored locally) — the same cross-batch ordering
+    contract the burst/EWMA twins document."""
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(["ms", "event_id"])
+        types = pdf["event_type"].tolist()
+        if state.exists:
+            prev = [str(state.get[2])]
+        else:
+            prev = []
+        seq = prev + types
+        counts: dict[tuple[str, str], int] = {}
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        last = pdf.iloc[-1]
+        state.update((int(last["ms"]), int(last["event_id"]),
+                      str(last["event_type"])))
+        if counts:
+            ks = sorted(counts)
+            yield pd.DataFrame({
+                "event_type": [k[0] for k in ks],
+                "next_type": [k[1] for k in ks],
+                "n": [counts[k] for k in ks],
+            })
+
+    from pyspark.sql import functions as F
+
+    base = events.select("user_id", F.unix_millis("ts").alias("ms"),
+                         "event_id", "event_type")
+    return base.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=BIGRAM_SCHEMA,
+        stateStructType=_BIGRAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_bigram_available_now(
+        spark, sf_dir: str,
+        table_name: str = "stream_bigrams") -> DataFrame:
+    """Drain the events stream once through the stateful transition
+    counter into a memory sink. Partial (from, to, n) counts sum to
+    the exact batch transition matrix at any micro-batch slicing (see
+    `bigram_stateful`); callers aggregate SUM(n) per pair over this
+    output."""
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        read_events_stream,
+    )
+
+    q = (bigram_stateful(read_events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
     return spark.table(table_name)
