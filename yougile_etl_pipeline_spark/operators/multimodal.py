@@ -53,6 +53,7 @@ __all__ = [
     "synth_wav_payloads",
     "wav_resample_stats",
     "wav_stats",
+    "wav_trim_stats",
 ]
 
 # Canonical multimodal table shape: payload + typed metadata.
@@ -233,6 +234,57 @@ def wav_stats(df: DataFrame, id_col: str = "media_id",
             })
 
     return df.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+WAV_TRIM_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("first_loud", T.LongType()),
+    T.StructField("last_loud", T.LongType()),
+    T.StructField("trimmed_len", T.LongType()),
+    T.StructField("trimmed_abs_sum", T.LongType()),
+])
+
+
+def wav_trim_stats(df: DataFrame, *, threshold: int = 24576,
+                   id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Leading/trailing silence trim over REAL-decoded WAV payloads —
+    the preprocessing step every speech pipeline runs before feature
+    extraction, under bit-exact verification: frames with
+    |sample| < threshold at the edges are cut, and the op reports the
+    kept range's bounds, length, and exact |sample| sum. first/last =
+    -1 and zero lengths for all-quiet payloads (no row is dropped —
+    the caller decides the fate of silent media). Map-only
+    mapInPandas pass on the same decode path as `wav_stats`."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import wav_samples
+
+    def one(payload: bytes) -> tuple[int, int, int, int, int]:
+        _ch, _rate, s = wav_samples(payload)
+        a = np.abs(s.astype(np.int64))
+        loud = np.nonzero(a >= threshold)[0]
+        if len(loud) == 0:
+            return (len(s), -1, -1, 0, 0)
+        lo, hi = int(loud[0]), int(loud[-1])
+        return (len(s), lo, hi, hi - lo + 1,
+                int(a[lo:hi + 1].sum()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "n_frames": np.array([r[0] for r in rows], "int32"),
+                "first_loud": np.array([r[1] for r in rows], "int64"),
+                "last_loud": np.array([r[2] for r in rows], "int64"),
+                "trimmed_len": np.array([r[3] for r in rows], "int64"),
+                "trimmed_abs_sum": np.array(
+                    [r[4] for r in rows], "int64"),
+            })
+
+    return df.mapInPandas(run, WAV_TRIM_SCHEMA)
 
 
 def bmp_stats(df: DataFrame, id_col: str = "media_id",

@@ -301,6 +301,241 @@ def agg_skewness_kurtosis(spark, sf):
         F.expr("m4 / (m2 * m2) - 3.0D").alias("kurtosis_excess"))
 
 
+@register("sample_temperature_curve", """
+WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+           FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n_before) AS w_min FROM w),
+temps AS (SELECT CAST(range AS BIGINT) AS temperature
+          FROM range(1, 5) WHERE range IN (1, 2, 4)),
+r AS (SELECT lang, n_before, temperature,
+        CAST(floor(10000 * (CASE temperature
+          WHEN 1 THEN CAST(w_min AS DOUBLE) / CAST(n_before AS DOUBLE)
+          WHEN 2 THEN sqrt(CAST(w_min AS DOUBLE)
+                           / CAST(n_before AS DOUBLE))
+          ELSE sqrt(sqrt(CAST(w_min AS DOUBLE)
+                         / CAST(n_before AS DOUBLE))) END))
+             AS BIGINT) AS rate_q
+      FROM w CROSS JOIN mn CROSS JOIN temps),
+k AS (SELECT d.lang, r.temperature, CAST(count(*) AS BIGINT) AS n_after
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < r.rate_q
+      GROUP BY d.lang, r.temperature)
+SELECT r.lang, r.temperature, r.n_before, r.rate_q,
+       CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after
+FROM r LEFT JOIN k ON r.lang = k.lang
+                  AND r.temperature = k.temperature
+""")
+def sample_temperature_curve(spark, sf):
+    # The temperature-mixture KNOB CURVE: per-language keep rates and
+    # realized counts at T ∈ {1, 2, 4} in one query — T=1 is the
+    # equal-mix limit (rate = w_min/w_g), T=2 the certified
+    # sample_temperature_mixture point (sqrt), T=4 two NESTED exact
+    # sqrts ((w_min/w_g)^0.25) — so every exponent on the curve stays
+    # IEEE-exact with zero transcendentals (the pow(x, 1/T) a naive
+    # implementation reaches for is not bit-stable across engines).
+    # The md5 bucket per doc is computed ONCE and compared to the
+    # three broadcast rates; one corpus scan, one (lang, T)-keyed
+    # aggregate over ≤ 3·|langs| keys.
+    from yougile_etl_pipeline_spark.operators.quality import hash_bucket
+
+    docs = load_table(spark, sf, "documents").select("lang", "doc_id")
+    w = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    mn = w.agg(F.min("n_before").alias("w_min"))
+    temps = spark.range(1, 5).filter(F.col("id").isin(1, 2, 4)).select(
+        F.col("id").cast("bigint").alias("temperature"))
+    ratio = "CAST(w_min AS DOUBLE) / CAST(n_before AS DOUBLE)"
+    r = (w.crossJoin(F.broadcast(mn)).crossJoin(F.broadcast(temps))
+         .select("lang", "n_before", "temperature",
+                 F.expr(f"CAST(floor(10000 * (CASE temperature "
+                        f"WHEN 1 THEN {ratio} "
+                        f"WHEN 2 THEN sqrt({ratio}) "
+                        f"ELSE sqrt(sqrt({ratio})) END)) AS BIGINT)")
+                 .alias("rate_q")))
+    kept = (docs.join(F.broadcast(r), "lang")
+            .filter(hash_bucket("doc_id", 10000) < F.col("rate_q"))
+            .groupBy("lang", "temperature")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_after")))
+    return (r.join(kept, ["lang", "temperature"], "left")
+            .select("lang", "temperature", "n_before", "rate_q",
+                    F.coalesce("n_after", F.lit(0)).cast("bigint")
+                    .alias("n_after")))
+
+
+_MKV_S = 10**12
+_MKV_ITERS = 8
+_MKV_PROBE = 4
+
+
+def _markov_conv_oracle() -> str:
+    # Local copy of the r12 markov chain builder (banks never import
+    # sibling bank modules) extended to snapshot the iterate at step 4
+    # AND step 8 and emit their total-variation distance.
+    base = f"""
+WITH seq AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS nxt
+  FROM events),
+tr AS (SELECT event_type AS from_type, nxt AS to_type,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT from_type, SUM(cnt) AS row_total FROM tr GROUP BY 1),
+trans AS (SELECT tr.*, rt.row_total FROM tr JOIN rt USING (from_type)),
+ns AS (SELECT count(DISTINCT from_type) AS n FROM tr),
+it0 AS (SELECT from_type AS type, {_MKV_S} // (SELECT n FROM ns) AS x
+        FROM (SELECT DISTINCT from_type FROM tr))"""
+    prev = "it0"
+    for k in range(1, _MKV_ITERS + 1):
+        base += f""",
+it{k} AS (SELECT trans.to_type AS type,
+                 CAST(SUM({prev}.x * trans.cnt // trans.row_total)
+                      AS BIGINT) AS x
+          FROM {prev} JOIN trans ON {prev}.type = trans.from_type
+          GROUP BY 1)"""
+        prev = f"it{k}"
+    return base + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_states,
+       CAST(SUM(ABS(COALESCE(a.x, 0) - COALESCE(b.x, 0))) // 2
+            // 1000000 AS BIGINT) AS tv_probe_ppm,
+       SUM(ABS(COALESCE(a.x, 0) - COALESCE(b.x, 0))) // 2
+         // 1000000 < 5000 AS converged
+FROM it{_MKV_PROBE} a FULL OUTER JOIN it{_MKV_ITERS} b USING (type)
+"""
+
+
+@register("events_markov_convergence", _markov_conv_oracle())
+def events_markov_convergence(spark, sf):
+    # Mixing-speed gate for the behavioral transition chain: the
+    # total-variation distance (in ppm of the 1e12 fixed-point mass)
+    # between the power iterate at step 4 and at step 8 — if the
+    # chain has mixed by step 4, the stationary readout
+    # (events_markov_stationary) is trustworthy; a large gap means
+    # the 8-step fixed-point is still moving and the steady-state
+    # interpretation is premature. Same cap-ENFORCED collected
+    # iteration as the stationary entry (the type-domain matrix is a
+    # handful of int64s; distributing 8 join+agg rounds over it would
+    # be pure exchange overhead), same bit-exact integer div
+    # arithmetic as the unrolled-CTE oracle.
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.unix_millis("ts").alias("ms"), "event_id",
+        "event_type")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    tr = (ev.withColumn("nxt", F.lead("event_type").over(w))
+          .filter(F.col("nxt").isNotNull())
+          .groupBy(F.col("event_type").alias("from_type"),
+                   F.col("nxt").alias("to_type"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    edges = tr.collect()  # |types|²-bounded, cap-enforced below
+    if len(edges) > 10_000:
+        raise ValueError(
+            f"transition matrix has {len(edges)} edges — the type "
+            "domain is not iteration-sized; aggregate types first")
+    row_total: dict[str, int] = {}
+    for e in edges:
+        row_total[e.from_type] = row_total.get(e.from_type, 0) + e.cnt
+    states = sorted(row_total)
+    x = {t: _MKV_S // len(states) for t in states}
+    snap4: dict[str, int] = {}
+    for it in range(1, _MKV_ITERS + 1):
+        nxt: dict[str, int] = {}
+        for e in edges:
+            nxt[e.to_type] = (nxt.get(e.to_type, 0)
+                              + x.get(e.from_type, 0) * e.cnt
+                              // row_total[e.from_type])
+        x = nxt
+        if it == _MKV_PROBE:
+            snap4 = dict(x)
+    keys = sorted(set(snap4) | set(x))
+    tv = sum(abs(snap4.get(k, 0) - x.get(k, 0)) for k in keys) // 2
+    tv_ppm = tv // 1000000
+    schema = T.StructType([
+        T.StructField("n_states", T.LongType()),
+        T.StructField("tv_probe_ppm", T.LongType()),
+        T.StructField("converged", T.BooleanType())])
+    return spark.createDataFrame(
+        [(len(keys), tv_ppm, tv_ppm < 5000)], schema)
+
+
+@register("mm_wav_silence_trim", """
+WITH ids AS (SELECT event_id AS id FROM events),
+v AS (SELECT id, 50 + id % 100 AS n FROM ids),
+l AS (SELECT id, n,
+  list_filter(range(0, CAST(n AS BIGINT)),
+    i -> abs((id * 31 + i * 17) % 65536 - 32768) >= 24576) AS loud
+  FROM v)
+SELECT id AS media_id, CAST(n AS INTEGER) AS n_frames,
+  CAST(CASE WHEN len(loud) = 0 THEN -1 ELSE loud[1] END AS BIGINT)
+    AS first_loud,
+  CAST(CASE WHEN len(loud) = 0 THEN -1 ELSE loud[len(loud)] END
+       AS BIGINT) AS last_loud,
+  CAST(CASE WHEN len(loud) = 0 THEN 0
+       ELSE loud[len(loud)] - loud[1] + 1 END AS BIGINT) AS trimmed_len,
+  CAST(CASE WHEN len(loud) = 0 THEN 0
+       ELSE list_sum(list_transform(
+              range(loud[1], loud[len(loud)] + 1),
+              i -> abs((id * 31 + i * 17) % 65536 - 32768))) END
+       AS BIGINT) AS trimmed_abs_sum
+FROM l
+""")
+def mm_wav_silence_trim(spark, sf):
+    # Edge-silence trim over REAL WAV decodes — the speech-pipeline
+    # preprocess (cut leading/trailing frames below |24576|, ~75% of
+    # the synthetic signal's sample space, so trims are non-trivial
+    # on most payloads) with the kept range's bounds and exact
+    # |sample| sum stated in closed form by the oracle. All-quiet
+    # payloads report -1/-1/0/0 instead of vanishing. Map-only
+    # mapInPandas on the same RIFF-validated decode path as
+    # mm_wav_stats.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        synth_wav_payloads,
+        wav_trim_stats,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return wav_trim_stats(synth_wav_payloads(ev, "event_id"))
+
+
+@register("mart_discount_effectiveness", """
+WITH b AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(20,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem)
+SELECT disc_pct,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       CAST(SUM(cents * (100 - disc_pct)) AS BIGINT) AS revenue_c100,
+       CAST(SUM(qty) * 100 // count(*) AS BIGINT) AS qty_per_line_x100
+FROM b GROUP BY 1
+""")
+def mart_discount_effectiveness(spark, sf):
+    # Discount-band effectiveness mart: per discount percent, line
+    # volume, unit volume, EXACT discounted revenue in cents×100
+    # (cents · (100 − pct) — BIGINT end to end, no floating revenue),
+    # and average units per line in exact hundredths — does a deeper
+    # discount actually move more units? Single band-keyed aggregate,
+    # map-side combined; the band domain is ≤ 11 keys.
+    b = load_table(spark, sf, "lineitem").select(
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+        .alias("disc_pct"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(20,2)) * 100 "
+               "AS BIGINT)").alias("cents"))
+    return (b.groupBy("disc_pct")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.sum("qty").cast("bigint").alias("total_qty"),
+                 F.sum(F.expr("cents * (100 - disc_pct)"))
+                 .cast("bigint").alias("revenue_c100"),
+                 F.expr("SUM(qty) * 100 div count(*)")
+                 .alias("qty_per_line_x100")))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -322,4 +557,8 @@ R14_ENTRIES: list[str] = [
     "events_km_median_latency",
     "quality_benford2_chi2_gate",
     "agg_skewness_kurtosis",
+    "sample_temperature_curve",
+    "events_markov_convergence",
+    "mm_wav_silence_trim",
+    "mart_discount_effectiveness",
 ]
