@@ -536,6 +536,63 @@ def mart_discount_effectiveness(spark, sf):
                  .alias("qty_per_line_x100")))
 
 
+@register("graph_double_sweep_diameter", """
+WITH RECURSIVE d0 AS (
+  SELECT DISTINCT doc_id % 40 AS x, (doc_id * 7 + 3) % 40 AS y
+  FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40),
+e0 AS (SELECT x AS a, y AS b FROM d0 UNION SELECT y, x FROM d0),
+s0 AS (SELECT min(a) AS node FROM e0),
+b1(node, layer) AS (
+  SELECT node, 0 FROM s0
+  UNION
+  SELECT e0.b, b1.layer + 1 FROM b1 JOIN e0 ON e0.a = b1.node
+  WHERE b1.layer < 8),
+l1 AS (SELECT node, MIN(layer) AS layer FROM b1 GROUP BY 1),
+far AS (SELECT node FROM l1 ORDER BY layer DESC, node LIMIT 1),
+b2(node, layer) AS (
+  SELECT node, 0 FROM far
+  UNION
+  SELECT e0.b, b2.layer + 1 FROM b2 JOIN e0 ON e0.a = b2.node
+  WHERE b2.layer < 8),
+l2 AS (SELECT node, MIN(layer) AS layer FROM b2 GROUP BY 1)
+SELECT (SELECT node FROM s0) AS seed_node,
+       (SELECT MAX(layer) FROM l1) AS ecc_seed,
+       (SELECT node FROM far) AS far_node,
+       (SELECT MAX(layer) FROM l2) AS diameter_lb
+""")
+def graph_double_sweep_diameter(spark, sf):
+    # Double-sweep diameter lower bound (the classic BFS heuristic
+    # that is EXACT on trees and near-exact on real graphs): BFS from
+    # the minimum node id, hop to the farthest node found (tie → min
+    # id), BFS again — the second eccentricity bounds the diameter
+    # from below with exactly TWO sweeps instead of all-pairs. Both
+    # sweeps run the certified bfs_layers primitive (min-hop layers,
+    # per-round equi-join + distinct + anti-join, lineage
+    # checkpointed); the far-node pick is TakeOrdered on the
+    # node-domain relation and feeds the second sweep as a SEED
+    # DATAFRAME — no driver collect anywhere. rounds=8 caps both
+    # engines identically (the 40-node synthetic graph's true
+    # diameter is far below it).
+    from yougile_etl_pipeline_spark.operators.graph import bfs_layers
+
+    d = load_table(spark, sf, "documents")
+    edges = d.select((F.col("doc_id") % 40).alias("src"),
+                     ((F.col("doc_id") * 7 + 3) % 40).alias("dst")) \
+             .filter(F.col("src") != F.col("dst"))
+    s0 = (edges.select(F.explode(F.array("src", "dst")).alias("node"))
+          .agg(F.min("node").alias("node")))
+    l1 = bfs_layers(edges, s0, rounds=8)
+    far = (l1.orderBy(F.col("layer").desc(), "node").limit(1)
+           .select("node"))
+    l2 = bfs_layers(edges, far, rounds=8)
+    return (s0.select(F.col("node").alias("seed_node"))
+            .join(F.broadcast(l1.agg(F.max("layer").alias("ecc_seed"))))
+            .join(F.broadcast(far.select(F.col("node")
+                                         .alias("far_node"))))
+            .join(F.broadcast(l2.agg(F.max("layer")
+                                     .alias("diameter_lb")))))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -561,4 +618,5 @@ R14_ENTRIES: list[str] = [
     "events_markov_convergence",
     "mm_wav_silence_trim",
     "mart_discount_effectiveness",
+    "graph_double_sweep_diameter",
 ]
