@@ -1211,6 +1211,8 @@ _STABLE_CERTIFIED = [
     "text_bpe_merge_step",        # slot → quality_tv_drift_gate
     "text_collocations",          # slot → events_slo_burn_rates
     "graph_label_propagation",    # slot → stream_bigram_transitions
+    "emb_gram_matrix",            # slot → events_poisson_dispersion_gate
+    "dedup_simhash_recall_eval",  # slot → events_max_drawdown
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

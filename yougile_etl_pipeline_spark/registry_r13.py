@@ -870,6 +870,90 @@ def stream_bigram_transitions(spark, sf):
             .agg(F.sum("n").alias("n"))
             .orderBy(F.col("n").desc(), "event_type", "next_type")
             .limit(20))
+@register("events_poisson_dispersion_gate", """
+WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM d GROUP BY 1)
+SELECT event_type, n_days, s1, s2,
+       (n_days * s2 - s1 * s1) * 1000 // (s1 * (n_days - 1))
+         AS fano_x1000,
+       (n_days * s2 - s1 * s1) * 1000 // (s1 * (n_days - 1)) > 1500
+         AS overdispersed
+FROM s WHERE n_days > 1 AND s1 > 0
+""")
+def events_poisson_dispersion_gate(spark, sf):
+    # Poisson dispersion (Fano factor) per event type over daily
+    # counts: variance/mean in exact integer thousandths —
+    # fano ≈ 1 is the Poisson arrival hypothesis, > 1.5 flags
+    # burst/overdispersed traffic (retry storms, bots), < 1 flags
+    # rate limiting. Sample variance and mean come from BIGINT
+    # sufficient statistics (n·Σc² − (Σc)²) so the ratio is one
+    # integer division — no doubles anywhere. Two tiny keyed
+    # aggregates: (type, day) then type.
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("day"))
+    d = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("s2"))
+    fano = F.expr(
+        "(n_days * s2 - s1 * s1) * 1000 div (s1 * (n_days - 1))")
+    return (s.filter((F.col("n_days") > 1) & (F.col("s1") > 0))
+            .select("event_type", "n_days", "s1", "s2",
+                    fano.alias("fano_x1000"),
+                    (fano > 1500).alias("overdispersed")))
+
+
+@register("events_max_drawdown", """
+WITH v AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+         CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+c AS (SELECT user_id, ms, event_id,
+        SUM(cents) OVER (PARTITION BY user_id ORDER BY ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM v),
+p AS (SELECT user_id, cum,
+        MAX(cum) OVER (PARTITION BY user_id ORDER BY ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM c)
+SELECT user_id,
+       CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(cum) AS BIGINT) AS peak_cents
+FROM p GROUP BY user_id
+""")
+def events_max_drawdown(spark, sf):
+    # Per-user maximum drawdown of the cumulative value series (exact
+    # cents): running peak minus running total, maximized over the
+    # (ts, event_id)-ordered stream — the canonical
+    # trajectory-roughness statistic (how far below its own best has
+    # this account fallen?) that point aggregates cannot express. Two
+    # stacked prefix windows on the SAME (user, ms, event_id) sort
+    # order — one shuffle by user, both windows and the final
+    # aggregate ride it with no extra exchange.
+    from pyspark.sql.window import Window
+
+    v = (load_table(spark, sf, "events")
+         .filter(F.col("value").isNotNull())
+         .select("user_id", F.unix_millis("ts").alias("ms"), "event_id",
+                 F.expr("CAST(CAST(value AS DECIMAL(20,2)) * 100 "
+                        "AS BIGINT)").alias("cents")))
+    wo = (Window.partitionBy("user_id").orderBy("ms", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = v.select("user_id", "ms", "event_id",
+                 F.sum("cents").over(wo).alias("cum"))
+    p = c.select("user_id", "cum", F.max("cum").over(wo).alias("peak"))
+    return (p.groupBy("user_id")
+            .agg(F.max(F.col("peak") - F.col("cum")).cast("bigint")
+                 .alias("max_drawdown_cents"),
+                 F.max("cum").cast("bigint").alias("peak_cents")))
 
 
 # Order-independence guard (same as the other registry_* modules): if
@@ -908,4 +992,6 @@ R13_ENTRIES: list[str] = [
     "quality_tv_drift_gate",
     "events_slo_burn_rates",
     "stream_bigram_transitions",
+    "events_poisson_dispersion_gate",
+    "events_max_drawdown",
 ]
