@@ -1440,6 +1440,69 @@ _STABLE_CERTIFIED = [
 #    scripts/check_queries.py (new window at sf0.01 — testdata is
 #    regenerated between rounds; check for parquet type drift), and
 #    the full registry sweep before the first commit.
+# ROUND-14 ROTATION PLAN — execute at r14 start (the r07–r13
+# precedent; each step has a worked example in git history):
+# 1. Read CORRECTNESS_r13.json. Promote every green window row into
+#    _STABLE_CERTIFIED above, in window order. The r13 window held:
+#    the 10-entry r13 bank (stream_error_rate_daily,
+#    events_error_burst_runs, train_packing_curve,
+#    quality_approx_percentile_gate, sketch_hll_error_gate,
+#    mm_gif_resize_nearest, mm_gif_flip_crop, text_dup_span_cap_audit,
+#    mart_nation_trade_balance, text_dedup_survivorship), the 3
+#    ADVICE-r12 holds (quality_benford_chi2_gate,
+#    mm_media_dispatch_profile, dedup_minhash_estimate_error — all
+#    changed and re-proven in round 13), 10 mid-round registrations
+#    (mm_png_gray_stats, mm_png_rgba_stats, events_survival_km,
+#    quality_mann_whitney_gate, text_zipf_rank_ratio,
+#    quality_tv_drift_gate, events_slo_burn_rates,
+#    stream_bigram_transitions, events_poisson_dispersion_gate,
+#    events_max_drawdown), and 27 recert fillers (6 r05-era:
+#    sql_parameterized, agg_listagg, agg_minby_maxby, agg_weighted_avg,
+#    win_moving_avg, j_cross; 10 r05-era mid-r12 swap-backs:
+#    text_line_dedup, text_bm25_scores, text_self_dedup,
+#    sample_quality_quota, dedup_minhash_recall_eval,
+#    emb_quantize_int8, sim_topk_int8, sql_q9_product_profit,
+#    sql_q21_waiting_suppliers, sql_q18_large_orders; 11 r06-vintage:
+#    quality_distribution_drift, corpus_shard_manifest,
+#    dedup_blocking_profile, agg_exact_median_global, events_ewma,
+#    pq_encode, pq_adc_topk, ivfpq_topk, events_rolling_users_daily,
+#    sample_stratified_exact, events_step_latency). Note any red rows
+#    instead of promoting them.
+# 2. Wire the bank: add
+#        from yougile_etl_pipeline_spark import registry_r14  # noqa
+#    at the BOTTOM of registry_ext.py next to the r06–r13 imports
+#    (NOT here — the ext-bottom position survives the circular entry
+#    path). registry_r14.py holds TEN entries, each oracle-proven at
+#    sf0.001 AND sf0.01 in round 13 (no streaming entries this time —
+#    nothing to add to bench._STREAMING_SKIP).
+# 3. Hold out 40 recertification fillers (50 − 10 bank). The OLDEST
+#    vintages after the r13 promotions are the 10 r06-era entries
+#    swapped back mid-r13 (sketch_countmin_suppliers,
+#    events_mad_outliers, dedup_shingle_containment, dedup_semantic,
+#    text_domain_affinity, text_bpe_merge_step, text_collocations,
+#    graph_label_propagation, emb_gram_matrix,
+#    dedup_simhash_recall_eval — last official row CORRECTNESS_r06)
+#    and the 23 r06-vintage stables never held (events_theil_sen
+#    through mart_abc_parts in this list's r06 block). Take all 33 +
+#    the 7 oldest r07-vintage stables (stream_tumbling_counts,
+#    graph_kcore, text_dup_span_removal, stream_ewma_values,
+#    mm_wav_stats, mm_bmp_stats, quality_gini — last official row
+#    CORRECTNESS_r07) to reach 40; swap back one-for-one as r14
+#    registrations land.
+# 4. BEFORE designing any new entry, grep the registry for the name
+#    AND the feature — @register silently overwrites an existing name
+#    in place (r12 near-miss: agg_grouping_sets / win_dist_functions
+#    already existed from r05).
+# 5. Flip tests/test_registry_r13_staged.py to the post-promotion
+#    shape and tests/test_registry_r14_staged.py to the wired shape;
+#    seed registry_r15.py (empty staged bank + subprocess smoke,
+#    _EXPECTED = 0); repoint scripts/check_staged.py and bench.py's
+#    `staged` block at r15; add a manifest-driven r14 block to
+#    bench.py.
+# 6. Re-run: full pytest (expect ~1110 passed at r13 end),
+#    scripts/check_queries.py (new window at sf0.01 — testdata is
+#    regenerated between rounds; check for parquet type drift), and
+#    the full registry sweep before the first commit.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
