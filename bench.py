@@ -192,7 +192,8 @@ _STREAMING_SKIP = {"stream_ewma_values", "stream_tumbling_counts",
                    "stream_sessions_final", "stream_dedup_static_store",
                    "stream_hopping_counts", "stream_interarrival_bands",
                    "stream_burst_flags", "stream_cumulative_users",
-                   "stream_error_rate_daily", "stream_bigram_transitions"}
+                   "stream_error_rate_daily", "stream_bigram_transitions",
+                   "stream_max_drawdown"}
 
 
 def _manifest_timings(

@@ -98,3 +98,65 @@ def test_bigram_empty_batch_keeps_state(spark):
     assert list(fn((1,), iter([pd.DataFrame(
         {"ms": [], "event_id": [], "event_type": []})]), state)) == []
     assert state.get == before
+
+
+def _capture_drawdown_fn():
+    from yougile_etl_pipeline_spark.streaming import stateful as st
+
+    captured = {}
+
+    class FakeGrouped:
+        def applyInPandasWithState(self, fn, **kw):
+            captured["fn"] = fn
+            return None
+
+    class FakeDF:
+        def filter(self, *a, **kw):
+            return self
+
+        def select(self, *a, **kw):
+            return self
+
+        def groupBy(self, *a):
+            return FakeGrouped()
+
+    st.drawdown_stateful(FakeDF())
+    return captured["fn"]
+
+
+def test_drawdown_emissions_are_monotone_so_max_recovers(spark):
+    """The +10, -4, -3, +20, -1 trajectory split across three
+    micro-batches: emissions (maxdd, peak) are monotone and their MAX
+    equals the batch answer (700, 2300) — the property the registry
+    twin's MAX-per-user rollup rests on."""
+    fn = _capture_drawdown_fn()
+
+    state = _FakeState()
+    batches = [
+        pd.DataFrame({"ms": [1000, 2000], "event_id": [0, 1],
+                      "cents": [1000, -400]}),
+        pd.DataFrame({"ms": [3000], "event_id": [2], "cents": [-300]}),
+        pd.DataFrame({"ms": [4000, 5000], "event_id": [3, 4],
+                      "cents": [2000, -100]}),
+    ]
+    emitted = []
+    for b in batches:
+        (out,) = list(fn((7,), iter([b]), state))
+        emitted.append((int(out["max_drawdown_cents"].iloc[0]),
+                        int(out["peak_cents"].iloc[0])))
+    assert emitted == [(400, 1000), (700, 1000), (700, 2300)]
+    assert all(a <= b for (a, _), (b, _) in zip(emitted, emitted[1:]))
+    assert max(m for m, _ in emitted) == 700
+    assert max(p for _, p in emitted) == 2300
+
+
+def test_drawdown_negative_start_peak_is_first_cum(spark):
+    """A trajectory that only falls: peak must be the FIRST cum (the
+    batch MAX-over-prefix semantics), not zero."""
+    fn = _capture_drawdown_fn()
+    state = _FakeState()
+    (out,) = list(fn((1,), iter([pd.DataFrame(
+        {"ms": [1, 2, 3], "event_id": [0, 1, 2],
+         "cents": [-500, -200, -300]})]), state))
+    assert int(out["peak_cents"].iloc[0]) == -500
+    assert int(out["max_drawdown_cents"].iloc[0]) == 500

@@ -954,6 +954,46 @@ def events_max_drawdown(spark, sf):
             .agg(F.max(F.col("peak") - F.col("cum")).cast("bigint")
                  .alias("max_drawdown_cents"),
                  F.max("cum").cast("bigint").alias("peak_cents")))
+@register("stream_max_drawdown", """
+WITH v AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+         CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+c AS (SELECT user_id, ms, event_id,
+        SUM(cents) OVER (PARTITION BY user_id ORDER BY ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM v),
+p AS (SELECT user_id, cum,
+        MAX(cum) OVER (PARTITION BY user_id ORDER BY ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM c)
+SELECT user_id,
+       CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(cum) AS BIGINT) AS peak_cents
+FROM p GROUP BY user_id
+""")
+def stream_max_drawdown(spark, sf):
+    # Streaming twin of events_max_drawdown (shares its oracle
+    # VERBATIM): the per-user trajectory tracker runs as
+    # applyInPandasWithState carrying THREE int64s of state —
+    # running total, running peak, max drawdown so far
+    # (streaming/stateful.py::drawdown_stateful). Each micro-batch
+    # emits the refreshed (maxdd, peak); both are MONOTONE across
+    # batches, so the MAX-per-user rollup below equals the batch
+    # stacked-window computation at any micro-batch slicing (the
+    # burst_flags determinism argument). The exact-cents DECIMAL cast
+    # happens JVM-side before the pandas function.
+    from yougile_etl_pipeline_spark.streaming.stateful import (
+        run_drawdown_available_now,
+    )
+
+    parts = run_drawdown_available_now(
+        spark, sf, table_name="stream_drawdown_r13")
+    return (parts.groupBy("user_id")
+            .agg(F.max("max_drawdown_cents").cast("bigint")
+                 .alias("max_drawdown_cents"),
+                 F.max("peak_cents").cast("bigint")
+                 .alias("peak_cents")))
 
 
 # Order-independence guard (same as the other registry_* modules): if
@@ -994,4 +1034,5 @@ R13_ENTRIES: list[str] = [
     "stream_bigram_transitions",
     "events_poisson_dispersion_gate",
     "events_max_drawdown",
+    "stream_max_drawdown",
 ]

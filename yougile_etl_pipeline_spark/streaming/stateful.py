@@ -30,7 +30,9 @@ __all__ = ["sessionize_stateful", "SESSION_SCHEMA",
            "first_seen_stateful", "run_first_seen_available_now",
            "FIRST_SEEN_SCHEMA",
            "bigram_stateful", "run_bigram_available_now",
-           "BIGRAM_SCHEMA"]
+           "BIGRAM_SCHEMA",
+           "drawdown_stateful", "run_drawdown_available_now",
+           "DRAWDOWN_SCHEMA"]
 
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
@@ -749,6 +751,90 @@ def run_bigram_available_now(
     )
 
     q = (bigram_stateful(read_events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
+DRAWDOWN_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("max_drawdown_cents", T.LongType()),
+    T.StructField("peak_cents", T.LongType()),
+])
+
+_DRAWDOWN_STATE_SCHEMA = T.StructType([
+    T.StructField("cum", T.LongType()),
+    T.StructField("peak", T.LongType()),
+    T.StructField("maxdd", T.LongType()),
+])
+
+
+def drawdown_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of the `events_max_drawdown` trajectory
+    statistic: per user the state is THREE int64s — running total,
+    running peak, max drawdown so far — so an unbounded value stream
+    gets the roughness screen with O(active users) state and exact
+    cents arithmetic (the DECIMAL cents cast happens JVM-side BEFORE
+    the pandas function: pandas double·100 would round differently).
+
+    Each micro-batch emits the user's refreshed (maxdd, peak); both
+    are monotone non-decreasing across batches, so a MAX-per-user
+    rollup over the drained output equals the batch windows at any
+    micro-batch slicing (the burst_stateful determinism argument),
+    under the same cross-batch per-user time-ordering contract."""
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(["ms", "event_id"])
+        if state.exists:
+            cum, peak, maxdd = (int(state.get[0]), int(state.get[1]),
+                                int(state.get[2]))
+        else:
+            cum, peak, maxdd = 0, -(1 << 62), 0
+        for cents in pdf["cents"]:
+            cum += int(cents)
+            if cum > peak:
+                peak = cum
+            if peak - cum > maxdd:
+                maxdd = peak - cum
+        state.update((cum, peak, maxdd))
+        yield pd.DataFrame({"user_id": [user_id],
+                            "max_drawdown_cents": [maxdd],
+                            "peak_cents": [peak]})
+
+    from pyspark.sql import functions as F
+
+    base = (events.filter(F.col("value").isNotNull())
+            .select("user_id", F.unix_millis("ts").alias("ms"),
+                    "event_id",
+                    F.expr("CAST(CAST(value AS DECIMAL(20,2)) * 100 "
+                           "AS BIGINT)").alias("cents")))
+    return base.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=DRAWDOWN_SCHEMA,
+        stateStructType=_DRAWDOWN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_drawdown_available_now(
+        spark, sf_dir: str,
+        table_name: str = "stream_drawdown") -> DataFrame:
+    """Drain the events stream once through the stateful drawdown
+    tracker into a memory sink; callers take MAX per user over the
+    (monotone) emissions."""
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        read_events_stream,
+    )
+
+    q = (drawdown_stateful(read_events_stream(spark, sf_dir))
          .writeStream.format("memory").queryName(table_name)
          .outputMode("append")
          .trigger(availableNow=True)
