@@ -126,12 +126,26 @@ def test_strict_error_paths():
         gif_decode_pixels(b"JIF89a" + bytes(payload[6:]))
     with pytest.raises(ValueError, match="trailer"):
         gif_decode_pixels(bytes(payload[:-1]))
-    # interlace flag set in the image descriptor (offset: 13 header
-    # + 768 GCT + 1 separator + 8 of the descriptor)
-    bad = bytearray(payload)
-    bad[13 + 768 + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        gif_decode_pixels(bytes(bad))
+    # Interlace stopped raising in r13 — it decodes for real. A
+    # sequential payload with the flag FORCED on (offset: 13 header
+    # + 768 GCT + 1 separator + 8 of the descriptor) must decode to
+    # the Appendix-E scatter of the original rows — the exact
+    # permutation, not a guess.
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        gif_interlace_order,
+    )
+
+    forced = bytearray(payload)
+    forced[13 + 768 + 9] |= 0x40
+    grid, _pal, _nd = gif_decode_pixels(bytes(forced))
+    expect = np.empty_like(px)
+    expect[np.array(gif_interlace_order(px.shape[0]))] = px
+    assert (grid == expect).all()
+    # and the genuine interlaced roundtrip is exact
+    rt, _pal2, _nd2 = gif_decode_pixels(gif_encode(px, interlaced=True))
+    assert (rt == px).all()
     with pytest.raises(ValueError):
         gif_encode(np.zeros((0, 3), np.uint8))
     with pytest.raises(ValueError):

@@ -832,13 +832,28 @@ _GIF_SIG = b"GIF89a"
 _LZW_MAX_CODE = 4096  # 12-bit ceiling, per spec
 
 
-def gif_encode(pixels: np.ndarray) -> bytes:
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_interlace_order(h: int) -> list[int]:
+    """GIF89a Appendix E row order: pass 1 rows 0,8,16…, pass 2 rows
+    4,12…, pass 3 rows 2,6,10…, pass 4 the odd rows. Storage row j of
+    an interlaced image holds ORIGINAL row ``order[j]``."""
+    order: list[int] = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def gif_encode(pixels: np.ndarray, *, interlaced: bool = False) -> bytes:
     """Canonical grayscale GIF89a: one frame, 256-entry identity-gray
     global color table (palette[i] = (i, i, i)), 8-bit LZW minimum
     code size, REAL LZW compression (greedy longest-match dictionary,
     variable code width 9→12 bits, CLEAR emitted when the table
     fills). `pixels` is (h, w) uint8 of palette indices == gray
-    values.
+    values. With ``interlaced=True`` the rows are written in the
+    four-pass Appendix-E order and the image descriptor sets the
+    interlace flag (0x40).
 
     The emitted code widths follow the DECODER's table trajectory
     (which lags the encoder's by one entry — the decoder learns the
@@ -851,6 +866,8 @@ def gif_encode(pixels: np.ndarray) -> bytes:
     h, w = px.shape
     if h < 1 or w < 1:
         raise ValueError("GIF requires positive dimensions")
+    if interlaced:
+        px = px[np.array(gif_interlace_order(h), dtype=np.int64)]
 
     mcs = 8
     clear, eoi = 1 << mcs, (1 << mcs) + 1
@@ -921,7 +938,8 @@ def gif_encode(pixels: np.ndarray) -> bytes:
     out += struct.pack("<HH", w, h)
     out += bytes([0xF7, 0x00, 0x00])  # GCT present, 8-bit, 256 entries
     out += palette
-    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += (b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+            + bytes([0x40 if interlaced else 0x00]))
     out += bytes([mcs])
     for i in range(0, len(bits), 255):
         block = bits[i:i + 255]
@@ -1055,8 +1073,7 @@ def gif_decode_pixels(payload: bytes) -> tuple[np.ndarray, np.ndarray, int]:
     pos += 9
     if iflags & 0x80:
         raise ValueError("GIF local color tables not supported")
-    if iflags & 0x40:
-        raise ValueError("interlaced GIF not supported")
+    interlaced = bool(iflags & 0x40)
     if (left, top) != (0, 0) or (w, h) != (sw, sh):
         raise ValueError("GIF sub-rectangle frames not supported")
     if w < 1 or h < 1:
@@ -1083,6 +1100,10 @@ def gif_decode_pixels(payload: bytes) -> tuple[np.ndarray, np.ndarray, int]:
 
     idx, n_dict_codes = _gif_lzw_decode(bytes(data), mcs, w * h)
     grid = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+    if interlaced:
+        out = np.empty_like(grid)
+        out[np.array(gif_interlace_order(h), dtype=np.int64)] = grid
+        grid = out
     return grid, palette, n_dict_codes
 
 

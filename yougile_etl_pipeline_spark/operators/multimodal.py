@@ -38,6 +38,7 @@ __all__ = [
     "mulaw_roundtrip_stats",
     "gif_flip_crop_stats",
     "gif_resize_stats",
+    "gif_rowsum_stats",
     "gif_stats",
     "png_flip_crop_stats",
     "png_resize_stats",
@@ -46,6 +47,7 @@ __all__ = [
     "synth_mulaw_payloads",
     "synth_bmp_payloads",
     "synth_bmp_rle8_payloads",
+    "synth_gif_interlaced_payloads",
     "synth_gif_payloads",
     "synth_png_gray_payloads",
     "synth_png_payloads",
@@ -1173,6 +1175,90 @@ def synth_gif_payloads(df: DataFrame, id_col: str) -> DataFrame:
     from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
 
     return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+def synth_gif_interlaced_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic INTERLACED GIF corpus (Appendix-E
+    four-pass row order, image-descriptor flag 0x40). Per id::
+
+        w          = 8 + id % 5
+        h          = 5 + id % 6      (>= 5, so all four passes carry rows)
+        gray(r, c) = (id + 9r + 3·(c div 4)) % 256
+
+    The ``c div 4`` runs keep the LZW dictionary genuinely compressing
+    (the `synth_gif_payloads` device); distinct dimension/signal
+    constants from the sequential corpus so a deinterlacing bug cannot
+    alias into a hash match."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import gif_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                w = int(8 + mid % 5)
+                h = int(5 + mid % 6)
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                px = ((mid + 9 * r + 3 * (c // 4)) % 256).astype(np.uint8)
+                payloads.append(gif_encode(px, interlaced=True))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+GIF_ROWSUM_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("row_weighted_sum", T.LongType()),
+    T.StructField("used_dict", T.BooleanType()),
+])
+
+
+def gif_rowsum_stats(df: DataFrame, id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """GIF decode to ROW-SENSITIVE statistics: ``row_weighted_sum`` =
+    Σ (r+1)·gray(r, c) over the logical grid. A plain px_sum is
+    row-permutation-INVARIANT, so it cannot distinguish a correct
+    Appendix-E deinterlace from reading the storage order as-is — the
+    row weighting is exactly what makes an interlaced decode
+    hash-provable. Map-only mapInPandas pass."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        gif_decode_pixels,
+    )
+
+    def one(payload: bytes) -> tuple[int, int, int, int, bool]:
+        grid, palette, n_dict = gif_decode_pixels(payload)
+        gray = palette[grid, 0].astype(np.int64)
+        h, w = gray.shape
+        weights = np.arange(1, h + 1, dtype=np.int64)[:, None]
+        return (w, h, int(gray.sum()), int((weights * gray).sum()),
+                n_dict > 0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "width": np.array([r[0] for r in rows], "int32"),
+                "height": np.array([r[1] for r in rows], "int32"),
+                "px_sum": np.array([r[2] for r in rows], "int64"),
+                "row_weighted_sum": np.array(
+                    [r[3] for r in rows], "int64"),
+                "used_dict": [r[4] for r in rows],
+            })
+
+    return df.mapInPandas(run, GIF_ROWSUM_SCHEMA)
 
 
 def gif_stats(df: DataFrame, id_col: str = "media_id",

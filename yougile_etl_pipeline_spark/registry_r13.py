@@ -994,6 +994,43 @@ def stream_max_drawdown(spark, sf):
                  .alias("max_drawdown_cents"),
                  F.max("peak_cents").cast("bigint")
                  .alias("peak_cents")))
+@register("mm_gif_interlaced_stats", """
+WITH p AS (SELECT event_id AS id,
+                  8 + event_id % 5 AS w, 5 + event_id % 6 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, CAST(w * h AS BIGINT)), k ->
+    (id + 9 * (k // w) + 3 * ((k % w) // 4)) % 256) AS px,
+  list_transform(range(0, CAST(w * h AS BIGINT)), k ->
+    (k // w + 1) * ((id + 9 * (k // w) + 3 * ((k % w) // 4)) % 256))
+    AS wpx
+  FROM p)
+SELECT id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(list_sum(px) AS BIGINT) AS px_sum,
+       CAST(list_sum(wpx) AS BIGINT) AS row_weighted_sum,
+       TRUE AS used_dict
+FROM v
+""")
+def mm_gif_interlaced_stats(spark, sf):
+    # INTERLACED GIF (Appendix-E four-pass row order, descriptor flag
+    # 0x40) decoded for real: the LZW stream carries rows in pass
+    # order 0,8,…,4,12,…,2,6,…,1,3,… and the decoder scatters them
+    # back (media_codec.py::gif_interlace_order). The certified
+    # statistic is ROW-WEIGHTED (Σ (r+1)·gray) — a plain px_sum is
+    # row-permutation-invariant and could not tell a correct
+    # deinterlace from reading storage order as-is; the weighting is
+    # what makes the reorder hash-provable. h ≥ 5 keeps all four
+    # passes populated on every payload. Map-only mapInPandas; the
+    # honest not-supported surface shrinks to local-table/multi-frame
+    # GIFs and the transform-coded formats.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        gif_rowsum_stats,
+        synth_gif_interlaced_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return gif_rowsum_stats(synth_gif_interlaced_payloads(ev, "event_id"))
 
 
 # Order-independence guard (same as the other registry_* modules): if
@@ -1035,4 +1072,5 @@ R13_ENTRIES: list[str] = [
     "events_poisson_dispersion_gate",
     "events_max_drawdown",
     "stream_max_drawdown",
+    "mm_gif_interlaced_stats",
 ]
