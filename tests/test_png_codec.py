@@ -144,18 +144,43 @@ def test_gray_rgba_roundtrip():
     assert png_encode(g) == png_encode(g[:, :, None])
 
 
-def test_interlaced_raises():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+def test_interlaced_decodes_and_strict_paths():
+    # Adam7 stopped raising in r13 — it decodes for real.
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        png_decode_pixels,
+    )
+
+    px = _grid(6, 7)
+    back, kinds = png_decode_pixels(png_encode(px, interlaced=True))
+    assert (back == px).all()
 
     def chunk(ctype, data):
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
+    # a 2x2 truecolor Adam7 stream needs exactly 15 bytes (passes
+    # 1/6/7 = 4+4+7); 14 zero bytes must be a hard truncation error
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
     payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
                + chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="truncated|trailing"):
         png_decode(payload)
+    # and exactly 15 zero bytes decodes to an all-zero grid
+    ok = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+          + chunk(b"IDAT", zlib.compress(b"\x00" * 15))
+          + chunk(b"IEND", b""))
+    grid, _k = png_decode_pixels(ok)
+    assert grid.shape == (2, 2, 3) and int(grid.sum()) == 0
+    # unknown interlace method stays a hard error
+    bad = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
+    payload2 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 15))
+                + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlace"):
+        png_decode(payload2)
 
 
 def test_wrong_scanline_length_raises():

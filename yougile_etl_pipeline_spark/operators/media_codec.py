@@ -636,10 +636,61 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 _PNG_CTYPE_BY_CHANNELS = {1: 0, 3: 2, 4: 6}  # gray / truecolor / RGBA
+
+# Adam7 pass grid: (x-origin, y-origin, x-stride, y-stride), spec §8.2.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_filter_row(raw: bytes, prior: bytes, bpp: int,
+                    ftype: int) -> bytes:
+    """Apply spec filter `ftype` to one raw scanline (shared by the
+    sequential and Adam7 encoders — identical arithmetic)."""
+    out = bytearray(len(raw))
+    for i in range(len(raw)):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prior[i]
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            c = prior[i - bpp] if i >= bpp else 0
+            pred = _paeth(a, b, c)
+        out[i] = (raw[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_recon_row(filt: bytes, prior: bytes, bpp: int,
+                   ftype: int) -> bytes:
+    """Undo spec filter `ftype` for one scanline (shared by the
+    sequential and Adam7 decoders)."""
+    recon = bytearray(len(filt))
+    for i in range(len(filt)):
+        a = recon[i - bpp] if i >= bpp else 0
+        b = prior[i]
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            c = prior[i - bpp] if i >= bpp else 0
+            pred = _paeth(a, b, c)
+        recon[i] = (filt[i] + pred) & 0xFF
+    return bytes(recon)
 _PNG_CHANNELS_BY_CTYPE = {v: k for k, v in _PNG_CTYPE_BY_CHANNELS.items()}
 
 
-def png_encode(pixels: np.ndarray, *, filter_seed: int = 0) -> bytes:
+def png_encode(pixels: np.ndarray, *, filter_seed: int = 0,
+               interlaced: bool = False) -> bytes:
     """Canonical PNG (8-bit, non-interlaced). The color type follows
     the channel count: (h, w) or (h, w, 1) → grayscale (color type 0),
     (h, w, 3) → truecolor RGB (type 2, byte-identical to the r11
@@ -650,7 +701,12 @@ def png_encode(pixels: np.ndarray, *, filter_seed: int = 0) -> bytes:
     ``(r + filter_seed) % 5`` — cycling all five filter types so a
     decoder must implement every reconstruction rule, not just filter
     0 (the seed varies WHICH rows get Paeth across a synthetic
-    corpus). IDAT is a single zlib stream."""
+    corpus). IDAT is a single zlib stream. With ``interlaced=True``
+    the image writes as Adam7 (IHDR interlace byte 1): seven passes,
+    each an independently filtered scanline group over its
+    (x0, y0, sx, sy) sub-grid, empty passes omitted, the filter cycle
+    running on a GLOBAL scanline counter so every reconstruction rule
+    still appears."""
     import zlib
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -661,31 +717,32 @@ def png_encode(pixels: np.ndarray, *, filter_seed: int = 0) -> bytes:
     h, w, bpp = px.shape
     if h < 1 or w < 1:
         raise ValueError("PNG requires positive dimensions")
-    prior = bytes(w * bpp)
     lines = []
-    for r in range(h):
-        raw = px[r].tobytes()
-        ftype = (r + filter_seed) % 5
-        out = bytearray(len(raw))
-        for i in range(len(raw)):
-            a = raw[i - bpp] if i >= bpp else 0
-            b = prior[i]
-            if ftype == 0:
-                pred = 0
-            elif ftype == 1:
-                pred = a
-            elif ftype == 2:
-                pred = b
-            elif ftype == 3:
-                pred = (a + b) >> 1
-            else:
-                c = prior[i - bpp] if i >= bpp else 0
-                pred = _paeth(a, b, c)
-            out[i] = (raw[i] - pred) & 0xFF
-        lines.append(bytes([ftype]) + bytes(out))
-        prior = raw
+    if interlaced:
+        sl = 0  # global scanline counter drives the filter cycle
+        for ox, oy, sx, sy in _ADAM7:
+            sub = px[oy::sy, ox::sx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            prior = bytes(sub.shape[1] * bpp)
+            for r in range(sub.shape[0]):
+                raw = np.ascontiguousarray(sub[r]).tobytes()
+                ftype = (sl + filter_seed) % 5
+                lines.append(bytes([ftype])
+                             + _png_filter_row(raw, prior, bpp, ftype))
+                prior = raw
+                sl += 1
+    else:
+        prior = bytes(w * bpp)
+        for r in range(h):
+            raw = px[r].tobytes()
+            ftype = (r + filter_seed) % 5
+            lines.append(bytes([ftype])
+                         + _png_filter_row(raw, prior, bpp, ftype))
+            prior = raw
     ihdr = struct.pack(">IIBBBBB", w, h, 8,
-                       _PNG_CTYPE_BY_CHANNELS[bpp], 0, 0, 0)
+                       _PNG_CTYPE_BY_CHANNELS[bpp], 0, 0,
+                       1 if interlaced else 0)
     return (_PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
@@ -755,12 +812,40 @@ def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
             "RGBA decode here")
     if comp != 0 or fmethod != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if w < 1 or h < 1:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
     raw = zlib.decompress(bytes(idat))
     bpp = _PNG_CHANNELS_BY_CTYPE[ctype_i]
+    filters_seen: set[int] = set()
+    if interlace == 1:
+        out7 = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for ox, oy, sx, sy in _ADAM7:
+            pw = len(range(ox, w, sx))
+            ph = len(range(oy, h, sy))
+            if pw == 0 or ph == 0:
+                continue
+            rb = pw * bpp
+            prior = bytes(rb)
+            for r in range(ph):
+                if pos + 1 + rb > len(raw):
+                    raise ValueError("Adam7 scanline stream truncated")
+                ftype = raw[pos]
+                if ftype > 4:
+                    raise ValueError(f"invalid PNG filter type {ftype}")
+                filters_seen.add(ftype)
+                recon = _png_recon_row(
+                    raw[pos + 1:pos + 1 + rb], prior, bpp, ftype)
+                out7[oy + r * sy, ox::sx] = np.frombuffer(
+                    recon, dtype=np.uint8).reshape(pw, bpp)
+                prior = recon
+                pos += 1 + rb
+        if pos != len(raw):
+            raise ValueError(
+                f"Adam7 stream has {len(raw) - pos} trailing bytes")
+        return out7, len(filters_seen)
     row_bytes = w * bpp
     if len(raw) != h * (1 + row_bytes):
         raise ValueError(
@@ -768,31 +853,15 @@ def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
             f"expected {h * (1 + row_bytes)}")
     out = np.empty((h, row_bytes), dtype=np.uint8)
     prior = bytes(row_bytes)
-    filters_seen = set()
     for r in range(h):
         ftype = raw[r * (1 + row_bytes)]
         if ftype > 4:
             raise ValueError(f"invalid PNG filter type {ftype}")
         filters_seen.add(ftype)
         filt = raw[r * (1 + row_bytes) + 1:(r + 1) * (1 + row_bytes)]
-        recon = bytearray(row_bytes)
-        for i in range(row_bytes):
-            a = recon[i - bpp] if i >= bpp else 0
-            b = prior[i]
-            if ftype == 0:
-                pred = 0
-            elif ftype == 1:
-                pred = a
-            elif ftype == 2:
-                pred = b
-            elif ftype == 3:
-                pred = (a + b) >> 1
-            else:
-                c = prior[i - bpp] if i >= bpp else 0
-                pred = _paeth(a, b, c)
-            recon[i] = (filt[i] + pred) & 0xFF
-        out[r] = np.frombuffer(bytes(recon), dtype=np.uint8)
-        prior = bytes(recon)
+        recon = _png_recon_row(bytes(filt), prior, bpp, ftype)
+        out[r] = np.frombuffer(recon, dtype=np.uint8)
+        prior = recon
     return out.reshape(h, w, bpp), len(filters_seen)
 
 

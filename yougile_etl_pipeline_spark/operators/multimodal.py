@@ -41,6 +41,7 @@ __all__ = [
     "gif_rowsum_stats",
     "gif_stats",
     "png_flip_crop_stats",
+    "png_rcsum_stats",
     "png_resize_stats",
     "png_stats",
     "synth_bmp_pal8_payloads",
@@ -49,6 +50,7 @@ __all__ = [
     "synth_bmp_rle8_payloads",
     "synth_gif_interlaced_payloads",
     "synth_gif_payloads",
+    "synth_png_adam7_payloads",
     "synth_png_gray_payloads",
     "synth_png_payloads",
     "synth_png_rgba_payloads",
@@ -1017,6 +1019,90 @@ def synth_png_rgba_payloads(df: DataFrame, id_col: str) -> DataFrame:
     from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
 
     return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+def synth_png_adam7_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic ADAM7-interlaced PNG corpus (8-bit
+    grayscale, IHDR interlace byte 1 — seven independently filtered
+    pass groups). Per id::
+
+        w          = 9 + id % 4     (>= 9: every pass has columns)
+        h          = 6 + id % 5     (>= 6: every pass has rows)
+        byte(r,c)  = (id + 11r + 6c) % 256
+        scanline s filter = (s + id) % 5   (GLOBAL counter across passes)
+    """
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import png_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                w = int(9 + mid % 4)
+                h = int(6 + mid % 5)
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                px = ((mid + 11 * r + 6 * c) % 256).astype(np.uint8)
+                payloads.append(png_encode(px, filter_seed=int(mid),
+                                           interlaced=True))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+PNG_RCSUM_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("rc_weighted_sum", T.LongType()),
+    T.StructField("n_filter_kinds", T.IntegerType()),
+])
+
+
+def png_rcsum_stats(df: DataFrame, id_col: str = "media_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """PNG decode to POSITION-SENSITIVE statistics:
+    ``rc_weighted_sum`` = Σ (r+1)·(c+1)·value over every channel byte
+    of the logical grid. Adam7 permutes pixels in BOTH dimensions, so
+    neither a plain sum nor a row-weighted sum can prove the
+    seven-pass scatter landed every pixel at its true (r, c) — the
+    bilinear weighting can. Map-only mapInPandas pass."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        png_decode_pixels,
+    )
+
+    def one(payload: bytes) -> tuple[int, int, int, int, int]:
+        px, kinds = png_decode_pixels(payload)
+        g = px.astype(np.int64)
+        h, w = g.shape[0], g.shape[1]
+        rw = np.arange(1, h + 1, dtype=np.int64)[:, None, None]
+        cw = np.arange(1, w + 1, dtype=np.int64)[None, :, None]
+        return (w, h, int(g.sum()), int((rw * cw * g).sum()), kinds)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "width": np.array([r[0] for r in rows], "int32"),
+                "height": np.array([r[1] for r in rows], "int32"),
+                "px_sum": np.array([r[2] for r in rows], "int64"),
+                "rc_weighted_sum": np.array(
+                    [r[3] for r in rows], "int64"),
+                "n_filter_kinds": np.array(
+                    [r[4] for r in rows], "int32"),
+            })
+
+    return df.mapInPandas(run, PNG_RCSUM_SCHEMA)
 
 
 def png_stats(df: DataFrame, id_col: str = "media_id",

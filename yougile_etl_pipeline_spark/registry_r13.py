@@ -1031,6 +1031,44 @@ def mm_gif_interlaced_stats(spark, sf):
 
     ev = load_table(spark, sf, "events").select("event_id")
     return gif_rowsum_stats(synth_gif_interlaced_payloads(ev, "event_id"))
+@register("mm_png_adam7_stats", """
+WITH p AS (SELECT event_id AS id,
+                  9 + event_id % 4 AS w, 6 + event_id % 5 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, CAST(w * h AS BIGINT)), k ->
+    (id + 11 * (k // w) + 6 * (k % w)) % 256) AS px,
+  list_transform(range(0, CAST(w * h AS BIGINT)), k ->
+    (k // w + 1) * (k % w + 1)
+      * ((id + 11 * (k // w) + 6 * (k % w)) % 256)) AS wpx
+  FROM p)
+SELECT id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(list_sum(px) AS BIGINT) AS px_sum,
+       CAST(list_sum(wpx) AS BIGINT) AS rc_weighted_sum,
+       CAST(5 AS INTEGER) AS n_filter_kinds
+FROM v
+""")
+def mm_png_adam7_stats(spark, sf):
+    # ADAM7-interlaced PNG decoded for REAL: seven pass groups, each
+    # independently filtered over its (x0, y0, sx, sy) sub-grid
+    # (media_codec.py::_ADAM7 + the shared _png_recon_row), scattered
+    # back to the logical grid. The certified statistic is BILINEARLY
+    # weighted (Σ (r+1)(c+1)·gray) — Adam7 permutes pixels in BOTH
+    # dimensions, so plain or row-weighted sums cannot prove the
+    # scatter; the (r, c) weighting can. w ≥ 9 / h ≥ 6 keep all seven
+    # passes populated; ≥12 global scanlines cycle all five filters
+    # (n_filter_kinds = 5 exactly). With this the PNG tier covers
+    # gray/truecolor/RGBA × sequential/Adam7; the honest
+    # NotImplementedError surface is down to palette and sub-byte
+    # depths. Map-only mapInPandas pass.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        png_rcsum_stats,
+        synth_png_adam7_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return png_rcsum_stats(synth_png_adam7_payloads(ev, "event_id"))
 
 
 # Order-independence guard (same as the other registry_* modules): if
@@ -1073,4 +1111,5 @@ R13_ENTRIES: list[str] = [
     "events_max_drawdown",
     "stream_max_drawdown",
     "mm_gif_interlaced_stats",
+    "mm_png_adam7_stats",
 ]
