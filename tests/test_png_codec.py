@@ -105,15 +105,15 @@ def test_not_png_raises():
 
 def test_unsupported_profile_raises():
     # Hand-build IHDRs for profiles the decoder genuinely does not
-    # implement (honest gates, not guesses): 16-bit depth and
-    # palette-indexed (color_type 3). Grayscale (0) and RGBA (6)
+    # implement (honest gates, not guesses): 16-bit depth and an
+    # invalid color type. Grayscale (0), palette (3) and RGBA (6)
     # stopped raising in r13 — they decode for real now, covered by
-    # test_gray_rgba_roundtrip below.
+    # test_gray_rgba_roundtrip / test_palette_roundtrip below.
     def chunk(ctype, data):
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
-    for depth, ctype_i in ((16, 2), (8, 3)):
+    for depth, ctype_i in ((16, 2), (8, 5)):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype_i, 0, 0, 0)
         payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                    + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
@@ -247,3 +247,36 @@ def test_png_stats_spark(spark):
         assert row["px_min"] == int(px.min())
         assert row["px_max"] == int(px.max())
         assert row["n_filter_kinds"] == min(h, 5)
+
+
+def test_palette_roundtrip():
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        png_decode_pixels,
+        png_encode_pal8,
+    )
+
+    rng = np.random.RandomState(9)
+    pal = np.stack([(np.arange(256) * 3) % 256,
+                    (np.arange(256) * 5) % 256,
+                    (np.arange(256) * 7) % 256], axis=1).astype(np.uint8)
+    for seed in range(8):
+        h, w = int(rng.randint(1, 8)), int(rng.randint(1, 8))
+        idx = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        back, kinds = png_decode_pixels(
+            png_encode_pal8(idx, pal, filter_seed=seed))
+        assert back.shape == (h, w, 3)
+        assert (back == pal[idx]).all()
+        assert kinds == min(h, 5)
+    # an index past the palette is a hard error at encode time...
+    with pytest.raises(ValueError, match="palette"):
+        png_encode_pal8(np.array([[20]], dtype=np.uint8), pal[:16])
+    # ...and a missing PLTE at decode time
+    from yougile_etl_pipeline_spark.operators.media_codec import png_decode
+    payload = bytearray(png_encode_pal8(np.zeros((2, 2), np.uint8), pal))
+    plte_start = payload.find(b"PLTE") - 4
+    plte_len = 4 + 4 + 768 + 4
+    with pytest.raises(ValueError, match="PLTE"):
+        png_decode(bytes(payload[:plte_start]
+                         + payload[plte_start + plte_len:]))

@@ -27,7 +27,7 @@ import sys
 from tests.conftest import SF_SMOKE
 from tests.oracle_compare import compare, duck_connect
 
-_EXPECTED = 23  # grows with every mid-round r13 registration
+_EXPECTED = 24  # grows with every mid-round r13 registration
 
 
 def test_registry_imports_r13():

@@ -45,6 +45,7 @@ __all__ = [
     "png_decode",
     "png_decode_pixels",
     "png_encode",
+    "png_encode_pal8",
     "wav_decode",
     "wav_encode",
     "wav_samples",
@@ -749,6 +750,42 @@ def png_encode(pixels: np.ndarray, *, filter_seed: int = 0,
             + _png_chunk(b"IEND", b""))
 
 
+def png_encode_pal8(indices: np.ndarray, palette: np.ndarray,
+                    *, filter_seed: int = 0) -> bytes:
+    """Canonical palette-indexed PNG (color type 3, 8-bit indices,
+    non-interlaced): a PLTE chunk of RGB triples + 1-byte-per-pixel
+    scanlines through the same five-filter machinery (bpp = 1).
+    `indices` is (h, w) uint8; `palette` is (n, 3) uint8, n ≤ 256."""
+    import zlib
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("indices must be (h, w) uint8")
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError("palette must be (n<=256, 3) uint8")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("index exceeds palette size")
+    h, w = idx.shape
+    if h < 1 or w < 1:
+        raise ValueError("PNG requires positive dimensions")
+    bpp = 1
+    prior = bytes(w)
+    lines = []
+    for r in range(h):
+        raw = idx[r].tobytes()
+        ftype = (r + filter_seed) % 5
+        lines.append(bytes([ftype])
+                     + _png_filter_row(raw, prior, bpp, ftype))
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", pal.tobytes())
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
 def _png_chunks(payload: bytes):
     """Yield (type, data) for every chunk, verifying structure and
     CRC32 — a flipped bit anywhere in a chunk is a hard error, exactly
@@ -790,6 +827,7 @@ def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
     ihdr = None
     idat = bytearray()
     seen_idat = False
+    plte = None
     for ctype, data in _png_chunks(payload):
         if ihdr is None:
             if ctype != b"IHDR":
@@ -797,6 +835,10 @@ def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
             if len(data) != 13:
                 raise ValueError("PNG IHDR length must be 13")
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not 3 <= len(data) <= 768:
+                raise ValueError("PNG PLTE length invalid")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
             seen_idat = True
@@ -805,11 +847,14 @@ def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
     if not seen_idat:
         raise ValueError("PNG has no IDAT")
     w, h, depth, ctype_i, comp, fmethod, interlace = ihdr
-    if depth != 8 or ctype_i not in _PNG_CHANNELS_BY_CTYPE:
+    if depth != 8 or (ctype_i not in _PNG_CHANNELS_BY_CTYPE
+                      and ctype_i != 3):
         raise ValueError(
             f"unsupported PNG profile (bit_depth={depth}, "
             f"color_type={ctype_i}); only 8-bit grayscale/truecolor/"
-            "RGBA decode here")
+            "palette/RGBA decode here")
+    if ctype_i == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if comp != 0 or fmethod != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if interlace not in (0, 1):
@@ -817,7 +862,7 @@ def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
     if w < 1 or h < 1:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
     raw = zlib.decompress(bytes(idat))
-    bpp = _PNG_CHANNELS_BY_CTYPE[ctype_i]
+    bpp = 1 if ctype_i == 3 else _PNG_CHANNELS_BY_CTYPE[ctype_i]
     filters_seen: set[int] = set()
     if interlace == 1:
         out7 = np.zeros((h, w, bpp), dtype=np.uint8)
@@ -845,6 +890,10 @@ def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
         if pos != len(raw):
             raise ValueError(
                 f"Adam7 stream has {len(raw) - pos} trailing bytes")
+        if ctype_i == 3:
+            if int(out7.max(initial=0)) >= plte.shape[0]:
+                raise ValueError("PNG palette index out of range")
+            out7 = plte[out7[:, :, 0]]
         return out7, len(filters_seen)
     row_bytes = w * bpp
     if len(raw) != h * (1 + row_bytes):
@@ -862,7 +911,12 @@ def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
         recon = _png_recon_row(bytes(filt), prior, bpp, ftype)
         out[r] = np.frombuffer(recon, dtype=np.uint8)
         prior = recon
-    return out.reshape(h, w, bpp), len(filters_seen)
+    grid = out.reshape(h, w, bpp)
+    if ctype_i == 3:
+        if int(grid.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        grid = plte[grid[:, :, 0]]
+    return grid, len(filters_seen)
 
 
 def png_decode(payload: bytes) -> dict:

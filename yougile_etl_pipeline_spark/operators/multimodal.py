@@ -52,6 +52,7 @@ __all__ = [
     "synth_gif_payloads",
     "synth_png_adam7_payloads",
     "synth_png_gray_payloads",
+    "synth_png_pal8_payloads",
     "synth_png_payloads",
     "synth_png_rgba_payloads",
     "synth_wav_payloads",
@@ -1047,6 +1048,50 @@ def synth_png_adam7_payloads(df: DataFrame, id_col: str) -> DataFrame:
                 px = ((mid + 11 * r + 6 * c) % 256).astype(np.uint8)
                 payloads.append(png_encode(px, filter_seed=int(mid),
                                            interlaced=True))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+def synth_png_pal8_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic PALETTE PNG corpus (color type 3, PLTE
+    chunk + 1-byte-per-pixel filtered scanlines). Per id::
+
+        w            = 6 + id % 5
+        h            = 3 + id % 4
+        index(r, c)  = (id + 7r + 5c) % 256
+        palette[i]   = ((3i) % 256, (5i) % 256, (7i) % 256)
+        row r filter = (r + id) % 5
+
+    The palette is deliberately NON-identity so a decode that skips
+    the PLTE lookup (returning raw indices) cannot alias into a hash
+    match."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        png_encode_pal8,
+    )
+
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([(3 * i) % 256, (5 * i) % 256, (7 * i) % 256],
+                   axis=1).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                w = int(6 + mid % 5)
+                h = int(3 + mid % 4)
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                idx = ((mid + 7 * r + 5 * c) % 256).astype(np.uint8)
+                payloads.append(
+                    png_encode_pal8(idx, pal, filter_seed=int(mid)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     schema = T.StructType([T.StructField("media_id", T.LongType()),

@@ -1216,6 +1216,7 @@ _STABLE_CERTIFIED = [
     "quality_distribution_drift",  # slot → stream_max_drawdown
     "corpus_shard_manifest",      # slot → mm_gif_interlaced_stats
     "dedup_blocking_profile",     # slot → mm_png_adam7_stats
+    "agg_exact_median_global",    # slot → mm_png_palette_stats
 ]
 
 # Queries awaiting their first driver certification that could NOT fit
@@ -1454,21 +1455,22 @@ _STABLE_CERTIFIED = [
 #    mart_nation_trade_balance, text_dedup_survivorship), the 3
 #    ADVICE-r12 holds (quality_benford_chi2_gate,
 #    mm_media_dispatch_profile, dedup_minhash_estimate_error — all
-#    changed and re-proven in round 13), 13 mid-round registrations
+#    changed and re-proven in round 13), 14 mid-round registrations
 #    (mm_png_gray_stats, mm_png_rgba_stats, events_survival_km,
 #    quality_mann_whitney_gate, text_zipf_rank_ratio,
 #    quality_tv_drift_gate, events_slo_burn_rates,
 #    stream_bigram_transitions, events_poisson_dispersion_gate,
 #    events_max_drawdown, stream_max_drawdown — a streaming twin
-#    already in bench._STREAMING_SKIP — mm_gif_interlaced_stats and
-#    mm_png_adam7_stats), and 24 recert fillers (6 r05-era:
+#    already in bench._STREAMING_SKIP — mm_gif_interlaced_stats,
+#    mm_png_adam7_stats and mm_png_palette_stats), and 23 recert
+#    fillers (6 r05-era:
 #    sql_parameterized, agg_listagg, agg_minby_maxby, agg_weighted_avg,
 #    win_moving_avg, j_cross; 10 r05-era mid-r12 swap-backs:
 #    text_line_dedup, text_bm25_scores, text_self_dedup,
 #    sample_quality_quota, dedup_minhash_recall_eval,
 #    emb_quantize_int8, sim_topk_int8, sql_q9_product_profit,
-#    sql_q21_waiting_suppliers, sql_q18_large_orders; 8 r06-vintage:
-#    agg_exact_median_global, events_ewma,
+#    sql_q21_waiting_suppliers, sql_q18_large_orders; 7 r06-vintage:
+#    events_ewma,
 #    pq_encode, pq_adc_topk, ivfpq_topk, events_rolling_users_daily,
 #    sample_stratified_exact, events_step_latency). Note any red rows
 #    instead of promoting them.
@@ -1486,13 +1488,13 @@ _STABLE_CERTIFIED = [
 #    text_domain_affinity, text_bpe_merge_step, text_collocations,
 #    graph_label_propagation, emb_gram_matrix,
 #    dedup_simhash_recall_eval, quality_distribution_drift,
-#    corpus_shard_manifest, dedup_blocking_profile — last official
-#    row CORRECTNESS_r06) and the 23 r06-vintage stables never held
-#    (events_theil_sen through mart_abc_parts in this list's r06
-#    block). Take all 36 + the 4 oldest r07-vintage stables
-#    (stream_tumbling_counts, graph_kcore, text_dup_span_removal,
-#    stream_ewma_values — last official row CORRECTNESS_r07) to reach
-#    40; swap back one-for-one as r14 registrations land.
+#    corpus_shard_manifest, dedup_blocking_profile,
+#    agg_exact_median_global — last official row CORRECTNESS_r06) and
+#    the 23 r06-vintage stables never held (events_theil_sen through
+#    mart_abc_parts in this list's r06 block). Take all 37 + the 3
+#    oldest r07-vintage stables (stream_tumbling_counts, graph_kcore,
+#    text_dup_span_removal — last official row CORRECTNESS_r07) to
+#    reach 40; swap back one-for-one as r14 registrations land.
 # 4. BEFORE designing any new entry, grep the registry for the name
 #    AND the feature — @register silently overwrites an existing name
 #    in place (r12 near-miss: agg_grouping_sets / win_dist_functions

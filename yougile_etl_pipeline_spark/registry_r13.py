@@ -1069,6 +1069,42 @@ def mm_png_adam7_stats(spark, sf):
 
     ev = load_table(spark, sf, "events").select("event_id")
     return png_rcsum_stats(synth_png_adam7_payloads(ev, "event_id"))
+@register("mm_png_palette_stats", """
+WITH p AS (SELECT event_id AS id,
+                  6 + event_id % 5 AS w, 3 + event_id % 4 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, CAST(w * h * 3 AS BIGINT)), k ->
+    (((id + 7 * (k // (w * 3)) + 5 * ((k % (w * 3)) // 3)) % 256)
+     * (CASE k % 3 WHEN 0 THEN 3 WHEN 1 THEN 5 ELSE 7 END)) % 256)
+    AS px
+  FROM p)
+SELECT id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(list_sum(px) AS BIGINT) AS px_sum,
+       CAST(list_min(px) AS INTEGER) AS px_min,
+       CAST(list_max(px) AS INTEGER) AS px_max,
+       CAST(LEAST(h, 5) AS INTEGER) AS n_filter_kinds
+FROM v
+""")
+def mm_png_palette_stats(spark, sf):
+    # Palette-indexed PNG (color type 3) decoded for REAL: PLTE chunk
+    # parse + 1-byte-per-pixel filter reconstruction + the palette
+    # lookup mapping indices to RGB. The synth palette is NON-identity
+    # (i → (3i, 5i, 7i) mod 256) so skipping the PLTE lookup cannot
+    # alias into a hash match — the oracle states the MAPPED channel
+    # values in closed form (k: row = k div 3w, col = (k mod 3w)
+    # div 3, channel multiplier 3/5/7 by k mod 3). With this the PNG
+    # tier covers ALL four 8-bit color types (0/2/3/6); the honest
+    # raise surface is down to sub-byte/16-bit depths. Map-only
+    # mapInPandas pass.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        png_stats,
+        synth_png_pal8_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return png_stats(synth_png_pal8_payloads(ev, "event_id"))
 
 
 # Order-independence guard (same as the other registry_* modules): if
@@ -1112,4 +1148,5 @@ R13_ENTRIES: list[str] = [
     "stream_max_drawdown",
     "mm_gif_interlaced_stats",
     "mm_png_adam7_stats",
+    "mm_png_palette_stats",
 ]
