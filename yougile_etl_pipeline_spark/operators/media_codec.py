@@ -158,23 +158,27 @@ def wav_decode(payload: bytes) -> dict:
 # BMP (uncompressed 24-bpp, bottom-up, 4-byte row padding)
 # ---------------------------------------------------------------------------
 
-def bmp_encode(pixels: np.ndarray) -> bytes:
+def bmp_encode(pixels: np.ndarray, *, topdown: bool = False) -> bytes:
     """Canonical Windows BMP (BITMAPINFOHEADER, 24 bpp, BI_RGB).
 
     `pixels` is (height, width, 3) uint8 in LOGICAL order: row 0 =
     top, channels (B, G, R) as BMP stores them. The encoder writes the
     spec's bottom-up row order with rows padded to 4 bytes — exactly
-    the layout quirks a decoder must undo."""
+    the layout quirks a decoder must undo. With ``topdown=True`` it
+    writes the spec's OTHER orientation: a negative height field and
+    rows in logical order (the in-the-wild variant the decoders'
+    ``h_raw < 0`` branch exists for)."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("pixels must be (h, w, 3) uint8")
     h, w, _ = px.shape
     row_bytes = w * 3
     pad = (-row_bytes) % 4
-    rows = [px[r].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)]
+    order = range(h) if topdown else range(h - 1, -1, -1)
+    rows = [px[r].tobytes() + b"\x00" * pad for r in order]
     img = b"".join(rows)
-    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                       len(img), 2835, 2835, 0, 0)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if topdown else h,
+                       1, 24, 0, len(img), 2835, 2835, 0, 0)
     off = 14 + len(info)
     head = struct.pack("<2sIHHI", b"BM", off + len(img), 0, 0, off)
     return head + info + img

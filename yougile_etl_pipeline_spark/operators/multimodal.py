@@ -32,6 +32,7 @@ __all__ = [
     "binary_metadata",
     "bmp_pal8_stats",
     "bmp_rle8_stats",
+    "bmp_rowsum_stats",
     "bmp_stats",
     "decode_media",
     "fake_feature_extract",
@@ -45,9 +46,11 @@ __all__ = [
     "png_resize_stats",
     "png_stats",
     "synth_bmp_pal8_payloads",
+    "synth_bmp_topdown_payloads",
     "synth_mulaw_payloads",
     "synth_bmp_payloads",
     "synth_bmp_rle8_payloads",
+    "synth_wav_stereo_payloads",
     "synth_gif_interlaced_payloads",
     "synth_gif_payloads",
     "synth_png_adam7_payloads",
@@ -56,6 +59,7 @@ __all__ = [
     "synth_png_payloads",
     "synth_png_rgba_payloads",
     "synth_wav_payloads",
+    "wav_channel_stats",
     "wav_resample_stats",
     "wav_stats",
     "wav_trim_stats",
@@ -949,6 +953,164 @@ def synth_png_payloads(df: DataFrame, id_col: str) -> DataFrame:
     from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
 
     return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+def synth_bmp_topdown_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic TOP-DOWN BMP corpus (negative height
+    field, rows stored in logical order — the in-the-wild orientation
+    variant). Per id::
+
+        w             = 5 + id % 4
+        h             = 4 + id % 3
+        byte(r,c,ch)  = (id + 8r + 5c + 2ch) % 256
+    """
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import bmp_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                w = int(5 + mid % 4)
+                h = int(4 + mid % 3)
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((mid + 8 * r + 5 * c + 2 * ch) % 256).astype(np.uint8)
+                payloads.append(bmp_encode(px, topdown=True))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+BMP_ROWSUM_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("row_weighted_sum", T.LongType()),
+])
+
+
+def bmp_rowsum_stats(df: DataFrame, id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """BMP decode to ROW-SENSITIVE statistics (Σ (r+1)·byte over the
+    LOGICAL grid): a plain pixel sum cannot distinguish correct
+    orientation handling from reading the rows as stored, which is
+    precisely what the top-down/bottom-up branch changes. Map-only
+    mapInPandas pass."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import (
+        bmp_decode_pixels,
+    )
+
+    def one(payload: bytes) -> tuple[int, int, int, int]:
+        px = bmp_decode_pixels(payload).astype(np.int64)
+        h, w = px.shape[0], px.shape[1]
+        rw = np.arange(1, h + 1, dtype=np.int64)[:, None, None]
+        return (w, h, int(px.sum()), int((rw * px).sum()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "width": np.array([r[0] for r in rows], "int32"),
+                "height": np.array([r[1] for r in rows], "int32"),
+                "px_sum": np.array([r[2] for r in rows], "int64"),
+                "row_weighted_sum": np.array(
+                    [r[3] for r in rows], "int64"),
+            })
+
+    return df.mapInPandas(run, BMP_ROWSUM_SCHEMA)
+
+
+def synth_wav_stereo_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic STEREO WAV corpus (PCM16, 2 channels,
+    frame-major interleave). Per id::
+
+        n     = 40 + id % 60                      frames
+        L[i]  = (id*13 + i*11) % 65536 - 32768
+        R[i]  = (id*17 + i*23) % 65536 - 32768
+
+    Distinct per-channel formulas so a de-interleave that swaps or
+    merges channels cannot alias into a hash match."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import wav_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                n = int(40 + mid % 60)
+                i = np.arange(n, dtype=np.int64)
+                left = (mid * 13 + i * 11) % 65536 - 32768
+                right = (mid * 17 + i * 23) % 65536 - 32768
+                inter = np.empty(2 * n, dtype=np.int64)
+                inter[0::2] = left
+                inter[1::2] = right
+                payloads.append(
+                    wav_encode(inter.astype("<i2"), 16000, channels=2))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    from yougile_etl_pipeline_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema)
+
+
+WAV_CHANNEL_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("left_sum", T.LongType()),
+    T.StructField("right_sum", T.LongType()),
+    T.StructField("left_sumsq", T.LongType()),
+    T.StructField("right_sumsq", T.LongType()),
+])
+
+
+def wav_channel_stats(df: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Per-CHANNEL exact statistics over stereo WAV payloads: the
+    frame-major de-interleave (s[0::2] / s[1::2]) is what this proves
+    — `wav_stats`' whole-stream sums are interleave-invariant and
+    could not catch a channel mix-up. Map-only mapInPandas pass."""
+    import numpy as np
+
+    from yougile_etl_pipeline_spark.operators.media_codec import wav_samples
+
+    def one(payload: bytes) -> tuple[int, int, int, int, int]:
+        ch, _rate, s = wav_samples(payload)
+        if ch != 2:
+            raise ValueError(f"expected stereo payload, got {ch} channel(s)")
+        s64 = s.astype(np.int64)
+        left, right = s64[0::2], s64[1::2]
+        return (len(left), int(left.sum()), int(right.sum()),
+                int((left * left).sum()), int((right * right).sum()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "n_frames": np.array([r[0] for r in rows], "int64"),
+                "left_sum": np.array([r[1] for r in rows], "int64"),
+                "right_sum": np.array([r[2] for r in rows], "int64"),
+                "left_sumsq": np.array([r[3] for r in rows], "int64"),
+                "right_sumsq": np.array([r[4] for r in rows], "int64"),
+            })
+
+    return df.mapInPandas(run, WAV_CHANNEL_SCHEMA)
 
 
 def synth_png_gray_payloads(df: DataFrame, id_col: str) -> DataFrame:

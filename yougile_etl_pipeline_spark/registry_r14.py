@@ -593,6 +593,145 @@ def graph_double_sweep_diameter(spark, sf):
                                      .alias("diameter_lb")))))
 
 
+@register("mm_bmp_topdown_stats", """
+WITH p AS (SELECT event_id AS id,
+                  5 + event_id % 4 AS w, 4 + event_id % 3 AS h
+           FROM events),
+v AS (SELECT id, w, h,
+  list_transform(range(0, CAST(w * h * 3 AS BIGINT)), k ->
+    (id + 8 * (k // (w * 3)) + 5 * ((k % (w * 3)) // 3)
+        + 2 * (k % 3)) % 256) AS px,
+  list_transform(range(0, CAST(w * h * 3 AS BIGINT)), k ->
+    (k // (w * 3) + 1)
+      * ((id + 8 * (k // (w * 3)) + 5 * ((k % (w * 3)) // 3)
+          + 2 * (k % 3)) % 256)) AS wpx
+  FROM p)
+SELECT id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(list_sum(px) AS BIGINT) AS px_sum,
+       CAST(list_sum(wpx) AS BIGINT) AS row_weighted_sum
+FROM v
+""")
+def mm_bmp_topdown_stats(spark, sf):
+    # TOP-DOWN BMP (negative height field, rows stored in logical
+    # order — the in-the-wild orientation variant): the decoders'
+    # h_raw < 0 branch has existed since r06 but no certified entry
+    # ever exercised it. The statistic is ROW-WEIGHTED because a
+    # plain pixel sum is orientation-invariant — reading a top-down
+    # file bottom-up flips the rows and only the (r+1) weighting can
+    # tell. Map-only mapInPandas pass.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        bmp_rowsum_stats,
+        synth_bmp_topdown_payloads,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return bmp_rowsum_stats(synth_bmp_topdown_payloads(ev, "event_id"))
+
+
+@register("mm_wav_stereo_stats", """
+WITH ids AS (SELECT event_id AS id FROM events),
+v AS (SELECT id, 40 + id % 60 AS n FROM ids)
+SELECT id AS media_id, CAST(n AS BIGINT) AS n_frames,
+  CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT)),
+    i -> (id * 13 + i * 11) % 65536 - 32768)) AS BIGINT) AS left_sum,
+  CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT)),
+    i -> (id * 17 + i * 23) % 65536 - 32768)) AS BIGINT) AS right_sum,
+  CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT)),
+    i -> ((id * 13 + i * 11) % 65536 - 32768)
+         * ((id * 13 + i * 11) % 65536 - 32768))) AS BIGINT)
+    AS left_sumsq,
+  CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT)),
+    i -> ((id * 17 + i * 23) % 65536 - 32768)
+         * ((id * 17 + i * 23) % 65536 - 32768))) AS BIGINT)
+    AS right_sumsq
+FROM v
+""")
+def mm_wav_stereo_stats(spark, sf):
+    # STEREO WAV with per-channel statistics: the frame-major
+    # de-interleave (s[0::2]/s[1::2]) is what this certifies —
+    # mm_wav_stats' whole-stream sums are interleave-invariant and
+    # could not catch swapped or merged channels, so each channel
+    # carries a DISTINCT closed-form signal. Map-only mapInPandas on
+    # the same RIFF-validated decode path.
+    from yougile_etl_pipeline_spark.operators.multimodal import (
+        synth_wav_stereo_payloads,
+        wav_channel_stats,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id")
+    return wav_channel_stats(synth_wav_stereo_payloads(ev, "event_id"))
+
+
+_RT_Z = """CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+ (CAST(runs AS DOUBLE)
+  - (1.0 + 2.0 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       / CAST(n1 + n2 AS DOUBLE)))
+ / sqrt((2.0 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+    * (2.0 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       - CAST(n1 + n2 AS DOUBLE)))
+   / ((CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+      * CAST(n1 + n2 - 1 AS DOUBLE)))
+ ELSE 0.0 END"""
+
+
+@register("quality_runs_test_gate", f"""
+WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+                  CAST(count_if(event_type = 'error') AS BIGINT)
+                    * 1000000 // CAST(count(*) AS BIGINT) AS ppm
+           FROM events GROUP BY 1),
+m AS (SELECT ppm AS med FROM d ORDER BY ppm
+      OFFSET (SELECT (count(*) + 1) // 2 - 1 FROM d) LIMIT 1),
+s AS (SELECT day, ppm > (SELECT med FROM m) AS above
+      FROM d WHERE ppm <> (SELECT med FROM m)),
+r0 AS (SELECT above, lag(above) OVER (ORDER BY day) AS prev FROM s),
+st AS (SELECT
+         CAST(count_if(prev IS NULL OR above <> prev) AS BIGINT)
+           AS runs,
+         CAST(count_if(above) AS BIGINT) AS n1,
+         CAST(count_if(NOT above) AS BIGINT) AS n2
+       FROM r0)
+SELECT runs, n1, n2, {_RT_Z} AS z, abs({_RT_Z}) > 1.96 AS clustered
+FROM st
+""")
+def quality_runs_test_gate(spark, sf):
+    # Wald–Wolfowitz runs test on the daily error-rate sequence:
+    # days are classified above/below the LOWER MEDIAN ppm (an exact
+    # integer — no interpolation parity surface; ties at the median
+    # are excluded, the standard treatment) and the number of RUNS of
+    # same-side days is compared to its randomness expectation. Too
+    # few runs = error rates CLUSTER (incidents span days, the SLO
+    # assumption of independent days is wrong); too many = negative
+    # autocorrelation (overcorrecting rollbacks). Sufficient
+    # statistics are BIGINT; z is one fixed-operand double (the
+    # ab_lift device). Day-domain relation throughout — the lag
+    # window orders ~30 rows, never events.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        "event_type")
+    d = (ev.groupBy("day")
+         .agg(F.expr("CAST(count_if(event_type = 'error') AS BIGINT) "
+                     "* 1000000 div count(*)").alias("ppm")))
+    n_days = d.count()  # day-domain scalar, bounded by the time span
+    med = (d.orderBy("ppm").offset((n_days + 1) // 2 - 1).limit(1)
+           .select(F.col("ppm").alias("med")))
+    s = (d.join(F.broadcast(med))
+         .filter(F.col("ppm") != F.col("med"))
+         .select("day", (F.col("ppm") > F.col("med")).alias("above")))
+    w = Window.orderBy("day")
+    r0 = s.select("above", F.lag("above").over(w).alias("prev"))
+    st = r0.agg(
+        F.expr("CAST(count_if(prev IS NULL OR above <> prev) AS BIGINT)")
+        .alias("runs"),
+        F.count_if("above").cast("bigint").alias("n1"),
+        F.count_if(~F.col("above")).cast("bigint").alias("n2"))
+    z = F.expr(_RT_Z.replace("0.0 END", "0.0D END"))
+    return st.select("runs", "n1", "n2", z.alias("z"),
+                     (F.abs(z) > 1.96).alias("clustered"))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -619,4 +758,7 @@ R14_ENTRIES: list[str] = [
     "mm_wav_silence_trim",
     "mart_discount_effectiveness",
     "graph_double_sweep_diameter",
+    "mm_bmp_topdown_stats",
+    "mm_wav_stereo_stats",
+    "quality_runs_test_gate",
 ]
