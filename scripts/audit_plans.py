@@ -16,7 +16,27 @@ Known-benign flags (r05 audit baseline, re-check on drift):
   dedup_minhash_recall_eval (computes the exact truth set AND the LSH
   path), corpus_clean_pipeline (capstone composition).
 
-Anything OUTSIDE this list deserves a look before it ships.
+r13 baseline refresh (all 20 then-flagged queries reviewed, zero
+defects — every flag falls into the two classes above as the registry
+grew past the r05 snapshot):
+
+* One-row broadcast corpus-scalar joins (BroadcastNestedLoopJoin with
+  a 1-row build): events_zscore_anomaly_days /
+  quality_effect_size_cohens_d / events_mann_kendall_trend (global
+  mean/std/var row), quality_lorenz_deciles + mart_repeat_purchase_
+  curve + events_hour_dow_heatmap (grand-total row),
+  sample_temperature_mixture (w_min row), freq_association_rules +
+  text_collocations (n_total row), events_funnel_windowed +
+  events_attribution_gap_bands (window-bounds row),
+  graph_bfs_layer_hist (frontier-total row), quality_distribution_
+  drift / dedup_semantic / dedup_shingle_containment (threshold rows).
+* Truth-AND-candidate eval double-paths (high shuffles by design):
+  sim_pq_recall_eval, dedup_cluster_purity_eval,
+  dedup_simhash_recall_eval, link_blocking_recall_eval.
+* Unrolled iterative graph plans: graph_harmonic_r2 (two BFS depths).
+
+Anything OUTSIDE these classes deserves a look before it ships.
+Round-13's 14 new registrations produced ZERO new flags.
 
 Usage: python scripts/audit_plans.py  [env: SPARK_GRAFT_SF_DIR]
 """
