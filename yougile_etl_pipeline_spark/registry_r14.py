@@ -732,6 +732,78 @@ def quality_runs_test_gate(spark, sf):
                      (F.abs(z) > 1.96).alias("clustered"))
 
 
+# Local copies of the IVF oracle fragments (registry_ext._IVF_* /
+# _ivf_assign_sql): banks never import sibling registry modules — the
+# circular entry path can reach this module while they are partially
+# initialized.
+_IVF_NCENT = ("(SELECT CAST(round(sqrt(count(*))) AS BIGINT) "
+              "FROM embeddings)")
+_IVF_CENT = ("SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec "
+             f"FROM embeddings WHERE vec_id < {_IVF_NCENT}")
+_CSIM = ("list_dot_product({a}, {b}) / "
+         "(sqrt(list_dot_product({a}, {a})) * "
+         "sqrt(list_dot_product({b}, {b})))")
+_IVF_ASSIGN = f"""
+  SELECT v, centroid_id FROM (
+    SELECT v, centroid_id,
+           row_number() OVER (PARTITION BY v
+                              ORDER BY {_CSIM.format(a='cv', b='cent_vec')}
+                                       DESC, centroid_id) AS rn
+    FROM csrc CROSS JOIN ({_IVF_CENT})
+  ) WHERE rn <= 1"""
+
+
+@register("sim_ivf_cluster_balance", f"""
+WITH csrc AS (SELECT vec_id AS v, embedding::DOUBLE[] AS cv
+              FROM embeddings),
+ca AS ({_IVF_ASSIGN}),
+sz AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n
+       FROM ca GROUP BY 1),
+k AS (SELECT CAST({_IVF_NCENT} AS BIGINT) AS n_centroids),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM csrc)
+SELECT (SELECT n_centroids FROM k) AS n_centroids,
+       (SELECT n_vectors FROM t) AS n_vectors,
+       CAST(MIN(n) AS BIGINT) AS min_size,
+       CAST(MAX(n) AS BIGINT) AS max_size,
+       CAST(MAX(n) * (SELECT n_centroids FROM k) * 100
+            // (SELECT n_vectors FROM t) AS BIGINT) AS imbalance_x100,
+       CAST((SELECT n_centroids FROM k) - count(*) AS BIGINT)
+         AS empty_clusters
+FROM sz
+""")
+def sim_ivf_cluster_balance(spark, sf):
+    # IVF LOAD-BALANCE gate — the ANN ops metric the recall gates
+    # don't see: probe latency and partition skew follow the inverted
+    # LIST SIZES, not recall, so a production IVF needs the size
+    # distribution asserted (imbalance_x100 = max list vs the ideal
+    # n/k, ×100; empty lists waste probes). Same √N deterministic
+    # prefix centroids as the certified sim_ivf_topk family; the
+    # corpus assigns via the broadcast-argmax (struct-max, map-side —
+    # never a window over |corpus|×|centroids| rows), then one
+    # centroid-keyed count. At 100 TB this is exactly the report you
+    # run before choosing the partition layout of the posting lists.
+    import math
+
+    from yougile_etl_pipeline_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()  # footer-stat scalar (the _IVF_NCENT policy)
+    k = int(round(math.sqrt(n)))
+    cents = emb.filter(F.col("vec_id") < k)
+    asg = ivf_assign(emb, cents)
+    sz = asg.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    return sz.agg(
+        F.lit(k).cast("bigint").alias("n_centroids"),
+        F.lit(n).cast("bigint").alias("n_vectors"),
+        F.min("n").cast("bigint").alias("min_size"),
+        F.max("n").cast("bigint").alias("max_size"),
+        F.expr(f"CAST(MAX(n) * {k} * 100 div {n} AS BIGINT)")
+        .alias("imbalance_x100"),
+        (F.lit(k) - F.count(F.lit(1))).cast("bigint")
+        .alias("empty_clusters"))
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -761,4 +833,5 @@ R14_ENTRIES: list[str] = [
     "mm_bmp_topdown_stats",
     "mm_wav_stereo_stats",
     "quality_runs_test_gate",
+    "sim_ivf_cluster_balance",
 ]
