@@ -5,7 +5,7 @@ History: in round 5 this swept the 46 registry_r06 staged entries; in
 round 6 the 12 registry_r07 bank entries; in round 9 the 8 registry_r10
 bank entries; in round 10 the 10 registry_r11 bank entries; in round
 11 the 10 registry_r12 bank entries; in round 12 the 10 registry_r13
-bank entries. Those
+bank entries; in round 13 the 14 registry_r14 bank entries. Those
 banks registered at their rotations and are now covered by
 scripts/check_queries.py (the live certification window).
 MID-ROUND DIRECT REGISTRATIONS (the registry_r08-style in-window
@@ -28,16 +28,16 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# One target per staged round-14 bank sweep
-# (yougile_etl_pipeline_spark/registry_r14.py) — the bank's
-# subprocess smoke executes EVERY R14_ENTRIES member's REGISTRY copy
+# One target per staged round-15 bank sweep
+# (yougile_etl_pipeline_spark/registry_r15.py) — the bank's
+# subprocess smoke executes EVERY R15_ENTRIES member's REGISTRY copy
 # against its oracle at SPARK_GRAFT_SMOKE_DIR (this wrapper sets
 # sf0.01), so a single target covers the whole manifest; keep it in
 # sync if the bank ever splits across test files (ADVICE r09 #4: name
 # the manifest, not a subset of entries).
 PARITY_TESTS: list[str] = [
-    "tests/test_registry_r14_staged.py::"
-    "test_r14_module_registers_and_runs_in_subprocess",
+    "tests/test_registry_r15_staged.py::"
+    "test_r15_module_registers_and_runs_in_subprocess",
 ]
 
 

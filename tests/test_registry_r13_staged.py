@@ -1,20 +1,17 @@
-"""Guards for the round-13 registration module — WIRED at r13 start.
+"""Guards for the round-13 registration module — WIRED at r13 start,
+all 24 of its entries PROMOTED to _STABLE_CERTIFIED at the r14
+rotation (CORRECTNESS_r13: 50/50 rows + schema + hash, zero errors —
+the full window, bank and mid-round registrations included, went
+green with no ADVICE holds).
 
-Round-12 state (preserved in git history): registry_r13 was a staged
-ten-entry bank, deliberately unimported, and these guards enforced
-non-import plus a subprocess smoke. Round 13 wired it at
-registry_ext.py's bottom; genuinely new round-13 operators register
-directly into this module mid-round, each swapping one held-out
-recertification filler back into _STABLE_CERTIFIED so the driver's
-50-slot certification window never strands a never-certified query.
-The guards now enforce the WIRED invariants (same shape as
-tests/test_registry_r12_staged.py had while r12 was live):
+The guards now enforce the POST-PROMOTION invariants (same shape as
+tests/test_registry_r12_staged.py):
 
 1. the import is live (the bank cannot silently fall out);
-2. every r13 entry is inside ``list(QUERIES)[:50]`` (registered but
-   never-certified is the failure mode the window accounting exists
-   to prevent);
-3. every r13 entry carries an oracle unless documented rows-only;
+2. every r13 entry is either promoted to the stable list or held
+   INSIDE ``list(QUERIES)[:50]`` — "registered but never-certified"
+   remains impossible;
+3. every r13 entry carries an oracle;
 4. every entry is oracle-executed from its REGISTRY copy at SF_SMOKE,
    so transcription drift between the bank module and the per-op
    parity tests cannot ship.
@@ -27,7 +24,7 @@ import sys
 from tests.conftest import SF_SMOKE
 from tests.oracle_compare import compare, duck_connect
 
-_EXPECTED = 24  # grows with every mid-round r13 registration
+_EXPECTED = 24  # final round-13 count (frozen at the r14 rotation)
 
 
 def test_registry_imports_r13():
@@ -39,17 +36,26 @@ def test_registry_imports_r13():
 
 
 def test_r13_entries_registered_inside_window():
-    from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
+    from yougile_etl_pipeline_spark.registry import (
+        ORACLES,
+        QUERIES,
+        _STABLE_CERTIFIED,
+    )
     from yougile_etl_pipeline_spark.registry_r13 import R13_ENTRIES
 
     assert len(R13_ENTRIES) == _EXPECTED
     window = set(list(QUERIES)[:50])
     missing = [n for n in R13_ENTRIES if n not in QUERIES]
     assert not missing, f"r13 entries not registered: {missing}"
-    out = [n for n in R13_ENTRIES if n not in window]
-    assert not out, (
-        f"r13 entries pushed outside the 50-slot certification "
-        f"window: {out}")
+    # Post-r14-rotation invariant: every r13 entry is either promoted
+    # to the stable list (certified green in the r13 window,
+    # CORRECTNESS_r13 50/50) or held INSIDE the new window for
+    # recertification.
+    limbo = [n for n in R13_ENTRIES
+             if n not in window and n not in set(_STABLE_CERTIFIED)]
+    assert not limbo, (
+        f"r13 entries neither inside the certification window nor "
+        f"promoted to _STABLE_CERTIFIED: {limbo}")
     no_oracle = [n for n in R13_ENTRIES if n not in ORACLES]
     assert no_oracle == [], f"entries without oracles: {no_oracle}"
 

@@ -821,11 +821,12 @@ def _png_chunks(payload: bytes):
 def png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
     """Full PNG decode to the logical (h, w, channels) uint8 grid,
     plus the count of DISTINCT filter types seen — evidence the
-    payload actually exercised the reconstruction rules. Supports the
-    profiles the encoder writes (8-bit grayscale / truecolor / RGBA,
-    non-interlaced — the per-filter reconstruction is byte-general,
-    only `bpp` varies); palette / sub-byte depths / interlaced files
-    raise with the reason."""
+    payload actually exercised the reconstruction rules. Decodes all
+    four 8-bit color types (0 grayscale, 2 truecolor, 3 palette via
+    PLTE lookup, 6 RGBA), both sequential and Adam7-interlaced (the
+    per-filter reconstruction is byte-general, only `bpp` varies);
+    sub-byte/16-bit depths, unknown color types, and unknown
+    interlace methods raise with the reason."""
     import zlib
 
     ihdr = None

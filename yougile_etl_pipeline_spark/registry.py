@@ -839,16 +839,12 @@ _STABLE_CERTIFIED = [
     # win_range_frame, sample_deterministic, quality_profile,
     # sql_api_top_nations, sketch_approx_distinct,
     # sketch_approx_quantiles — see the r10 note above.)
-    "events_interval_join", "agg_regional_volume",
     # r04 driver HASH-green (CORRECTNESS_r04: 50/50, rows + schema +
     # hash), code untouched since — the full r04 window promotes,
     # including the three array-output queries stringified in r04
     # (text_inverted_index, agg_collect_sorted, f_array_set_ops) and
     # the retuned-and-recertified ANN trio.
-    "sim_ann_lsh_bucket", "text_inverted_index", "sim_ivf_topk",
-    "sim_ivf_multiprobe", "text_redact_pii", "decontam_ngram_overlap",
-    "text_tfidf_top_terms", "text_vocab_topv", "text_oov_rate",
-    "layout_zorder_profile", "quality_key_skew",
+    "quality_key_skew",
     "dedup_incremental_batch", "quality_train_split",
     "snapshot_diff_audit", "decontam_embedding",
     "dedup_incremental_bloom", "agg_incremental_merge",
@@ -869,7 +865,7 @@ _STABLE_CERTIFIED = [
     "sql_exists_agg", "sql_in_subquery", "agg_having",
     "freq_heavy_hitters", "sql_correlated_scalar", "sql_having_total",
     "events_session_native", "events_time_rollup", "sql_lateral_topk",
-    "sql_recursive_spine", "j_salted_skew", "sql_disjunctive_join",
+    "sql_recursive_spine", "sql_disjunctive_join",
     "sql_market_share", "agg_collect_sorted",
     # r05 driver HASH-green (CORRECTNESS_r05: 50/50 — 49 hash-matched
     # + stream_click_attribution rows-only by design), code untouched
@@ -1069,29 +1065,29 @@ _STABLE_CERTIFIED = [
     # one window slot by promoting a held-out recert filler back here
     # (youngest-history fillers return first — the r03-era holds —
     # keeping the oldest r02-era rows inside the window to refresh).
-    "text_repetition_stats",  # slot → mm_png_stats
-    "doc_chunks",          # slot → events_holt_linear
-    "sample_source_mix",   # slot → freq_association_rules
-    "train_pack_sequences",  # slot → quality_lorenz_deciles
-    "dedup_shingle_jaccard",  # slot → stream_burst_flags
-    "dedup_shingle_capped",  # slot → events_cumulative_users
-    "dedup_simhash",       # slot → sim_pq_recall_eval
-    "dedup_simhash_pairs",  # slot → events_funnel_windowed
-    "dedup_clusters",      # slot → mm_png_resize_nearest
-    "dedup_canonical_docs",  # slot → graph_component_sizes
-    "sim_ann_lsh_sized",   # slot → mart_customer_band_migration
-    "corpus_clean_pipeline",  # slot → sql_pivot_multi_agg
-    "events_funnel",       # slot → emb_dimension_profile
-    "ivf_kmeans_step",     # slot → f_json_functions
-    "dedup_embedding_cosine_w6",  # slot → link_blocking_recall_eval
-    "dedup_embedding_cosine",  # slot → stream_cumulative_users
-    "mm_frame_sample",     # slot → mm_png_flip_crop
-    "text_zscore_by_lang",  # slot → events_zscore_anomaly_days
-    "agg_pivot_status",    # slot → mart_repeat_purchase_curve
-    "agg_cube",            # slot → events_attribution_gap_bands
-    "text_token_stats",    # slot → events_mann_kendall_trend
-    "text_lang_id",        # slot → dedup_cluster_purity_eval
-    "text_quality_score",  # slot → sim_ivf_recall_eval
+    # slot → mm_png_stats
+    # slot → events_holt_linear
+    # slot → freq_association_rules
+    # slot → quality_lorenz_deciles
+    # slot → stream_burst_flags
+    # slot → events_cumulative_users
+    # slot → sim_pq_recall_eval
+    # slot → events_funnel_windowed
+    # slot → mm_png_resize_nearest
+    # slot → graph_component_sizes
+    # slot → mart_customer_band_migration
+    # slot → sql_pivot_multi_agg
+    # slot → emb_dimension_profile
+    # slot → f_json_functions
+    # slot → link_blocking_recall_eval
+    # slot → stream_cumulative_users
+    # slot → mm_png_flip_crop
+    # slot → events_zscore_anomaly_days
+    # slot → mart_repeat_purchase_curve
+    # slot → events_attribution_gap_bands
+    # slot → events_mann_kendall_trend
+    # slot → dedup_cluster_purity_eval
+    # slot → sim_ivf_recall_eval
     # r12 rotation: the 47 CORRECTNESS_r11 hash-greens promoted here in
     # window order (50/50 green; the other 3 — sql_pivot_multi_agg,
     # stream_burst_flags, stream_cumulative_users — are HELD inside the
@@ -1217,6 +1213,43 @@ _STABLE_CERTIFIED = [
     "corpus_shard_manifest",      # slot → mm_gif_interlaced_stats
     "dedup_blocking_profile",     # slot → mm_png_adam7_stats
     "agg_exact_median_global",    # slot → mm_png_palette_stats
+    # r14 note: 36 recert fillers are HELD OUT of this list (not
+    # un-certified — recertifying), picked by LAST-DRIVER-GREEN round
+    # computed from CORRECTNESS_r01..r13 (VERDICT r13 "Next round" #1:
+    # rotate by official-record age, not bank vintage). Held out:
+    # the 3 r02-last-green rows (text_token_stats, text_lang_id,
+    # text_quality_score), the 22 r03-last-green rows
+    # (events_interval_join, agg_regional_volume, text_repetition_stats,
+    # doc_chunks, sample_source_mix, train_pack_sequences,
+    # dedup_shingle_jaccard, dedup_shingle_capped, dedup_simhash,
+    # dedup_simhash_pairs, dedup_clusters, dedup_canonical_docs,
+    # sim_ann_lsh_sized, corpus_clean_pipeline, events_funnel,
+    # ivf_kmeans_step, dedup_embedding_cosine_w6, dedup_embedding_cosine,
+    # mm_frame_sample, text_zscore_by_lang, agg_pivot_status, agg_cube)
+    # and 11 of the 47 r04-last-green rows (the VERDICT-named
+    # sim_ann_lsh_bucket / sim_ivf_topk / j_salted_skew plus
+    # sim_ivf_multiprobe, text_inverted_index, text_redact_pii,
+    # decontam_ngram_overlap, text_tfidf_top_terms, text_vocab_topv,
+    # text_oov_rate, layout_zorder_profile). 14 + 36 = 50. They swap
+    # back one-for-one as genuinely new r14 registrations land
+    # mid-round (the standing mart_abc_parts precedent).
+    # r13 window promotes — CORRECTNESS_r13: 50/50 green (rows +
+    # schema + hash), in window order:
+    "text_line_dedup", "text_bm25_scores", "text_self_dedup", "sample_quality_quota",
+    "dedup_minhash_recall_eval", "emb_quantize_int8", "sim_topk_int8",
+    "events_ewma", "pq_encode", "pq_adc_topk", "ivfpq_topk", "events_rolling_users_daily",
+    "sample_stratified_exact", "events_step_latency", "dedup_minhash_estimate_error",
+    "mm_media_dispatch_profile", "quality_benford_chi2_gate", "stream_error_rate_daily",
+    "events_error_burst_runs", "train_packing_curve", "quality_approx_percentile_gate",
+    "sketch_hll_error_gate", "mm_gif_resize_nearest", "mm_gif_flip_crop",
+    "text_dup_span_cap_audit", "mart_nation_trade_balance", "text_dedup_survivorship",
+    "mm_png_gray_stats", "mm_png_rgba_stats", "events_survival_km", "quality_mann_whitney_gate",
+    "text_zipf_rank_ratio", "quality_tv_drift_gate", "events_slo_burn_rates",
+    "stream_bigram_transitions", "events_poisson_dispersion_gate", "events_max_drawdown",
+    "stream_max_drawdown", "mm_gif_interlaced_stats", "mm_png_adam7_stats",
+    "mm_png_palette_stats", "sql_parameterized", "agg_listagg", "sql_q9_product_profit",
+    "sql_q18_large_orders", "sql_q21_waiting_suppliers", "agg_minby_maxby",
+    "agg_weighted_avg", "win_moving_avg", "j_cross",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit
@@ -1444,71 +1477,73 @@ _STABLE_CERTIFIED = [
 #    scripts/check_queries.py (new window at sf0.01 — testdata is
 #    regenerated between rounds; check for parquet type drift), and
 #    the full registry sweep before the first commit.
-# ROUND-14 ROTATION PLAN — execute at r14 start (the r07–r13
+# ROUND-14 ROTATION — EXECUTED at r14 start (this round). What was
+# actually done (the staged plan's numbers were stale — ADVICE r13 #1:
+# the bank grew from 10 to 14 entries after the plan was written, so
+# the filler count is 36, not 40):
+# 1. CORRECTNESS_r13.json read: 50/50 green (rows + schema + hash,
+#    zero errors). ALL 50 window rows promoted into _STABLE_CERTIFIED
+#    above, in window order; no ADVICE holds this round (the two
+#    ADVICE-r13 low findings touch a BANK entry
+#    (events_markov_convergence — fixed before it ever certifies,
+#    inside the r14 window by construction) and a docstring).
+# 2. Bank wired: `from yougile_etl_pipeline_spark import registry_r14`
+#    at the BOTTOM of registry_ext.py next to the r06–r13 imports.
+#    registry_r14.py holds FOURTEEN entries, each oracle-proven at
+#    sf0.001 AND sf0.01 in round 13 (no streaming entries — nothing
+#    added to bench._STREAMING_SKIP).
+# 3. Held out 36 recertification fillers (50 − 14 bank), picked by
+#    LAST-DRIVER-GREEN ROUND computed from CORRECTNESS_r01..r13
+#    (VERDICT r13 #1: official-record age, NOT bank vintage — the
+#    vintage labels skipped the genuinely oldest official rows). The
+#    held-out set (see the r14 note inside _STABLE_CERTIFIED):
+#    3 × r02-last-green, 22 × r03-last-green, 11 × r04-last-green.
+#    The r06-era names the stale plan listed (sketch_countmin_suppliers
+#    etc.) all have r06 official rows — YOUNGER than these — and stay
+#    promoted; they rotate in a later window. Swap back one-for-one as
+#    r14 registrations land.
+# 4. tests/test_registry_r13_staged.py flipped to post-promotion
+#    shape; tests/test_registry_r14_staged.py to the wired shape
+#    (_EXPECTED = 14, grows with mid-round registrations);
+#    registry_r15.py seeded (empty staged bank + subprocess smoke,
+#    _EXPECTED = 0); scripts/check_staged.py and bench.py's `staged`
+#    block repointed at r15; manifest-driven r14 block added to
+#    bench.py — all in the same commit as the wiring (VERDICT r13 #8:
+#    the staged machinery must never point at a wired bank).
+# ROUND-15 ROTATION PLAN — execute at r15 start (the r07–r14
 # precedent; each step has a worked example in git history):
-# 1. Read CORRECTNESS_r13.json. Promote every green window row into
-#    _STABLE_CERTIFIED above, in window order. The r13 window held:
-#    the 10-entry r13 bank (stream_error_rate_daily,
-#    events_error_burst_runs, train_packing_curve,
-#    quality_approx_percentile_gate, sketch_hll_error_gate,
-#    mm_gif_resize_nearest, mm_gif_flip_crop, text_dup_span_cap_audit,
-#    mart_nation_trade_balance, text_dedup_survivorship), the 3
-#    ADVICE-r12 holds (quality_benford_chi2_gate,
-#    mm_media_dispatch_profile, dedup_minhash_estimate_error — all
-#    changed and re-proven in round 13), 14 mid-round registrations
-#    (mm_png_gray_stats, mm_png_rgba_stats, events_survival_km,
-#    quality_mann_whitney_gate, text_zipf_rank_ratio,
-#    quality_tv_drift_gate, events_slo_burn_rates,
-#    stream_bigram_transitions, events_poisson_dispersion_gate,
-#    events_max_drawdown, stream_max_drawdown — a streaming twin
-#    already in bench._STREAMING_SKIP — mm_gif_interlaced_stats,
-#    mm_png_adam7_stats and mm_png_palette_stats), and 23 recert
-#    fillers (6 r05-era:
-#    sql_parameterized, agg_listagg, agg_minby_maxby, agg_weighted_avg,
-#    win_moving_avg, j_cross; 10 r05-era mid-r12 swap-backs:
-#    text_line_dedup, text_bm25_scores, text_self_dedup,
-#    sample_quality_quota, dedup_minhash_recall_eval,
-#    emb_quantize_int8, sim_topk_int8, sql_q9_product_profit,
-#    sql_q21_waiting_suppliers, sql_q18_large_orders; 7 r06-vintage:
-#    events_ewma,
-#    pq_encode, pq_adc_topk, ivfpq_topk, events_rolling_users_daily,
-#    sample_stratified_exact, events_step_latency). Note any red rows
-#    instead of promoting them.
+# 1. Read CORRECTNESS_r14.json. Promote every green window row into
+#    _STABLE_CERTIFIED above, in window order; note any red rows or
+#    ADVICE-r14 holds instead of promoting them. The r14 window holds
+#    the 14-entry r14 bank + the 36 age-picked fillers (minus any
+#    mid-r14 swap-backs, plus the registrations that replaced them —
+#    consult the r14 notes above for the final composition).
 # 2. Wire the bank: add
-#        from yougile_etl_pipeline_spark import registry_r14  # noqa
-#    at the BOTTOM of registry_ext.py next to the r06–r13 imports
+#        from yougile_etl_pipeline_spark import registry_r15  # noqa
+#    at the BOTTOM of registry_ext.py next to the r06–r14 imports
 #    (NOT here — the ext-bottom position survives the circular entry
-#    path). registry_r14.py holds TEN entries, each oracle-proven at
-#    sf0.001 AND sf0.01 in round 13 (no streaming entries this time —
-#    nothing to add to bench._STREAMING_SKIP).
-# 3. Hold out 40 recertification fillers (50 − 10 bank). The OLDEST
-#    vintages after the r13 promotions are the 11 r06-era entries
-#    swapped back mid-r13 (sketch_countmin_suppliers,
-#    events_mad_outliers, dedup_shingle_containment, dedup_semantic,
-#    text_domain_affinity, text_bpe_merge_step, text_collocations,
-#    graph_label_propagation, emb_gram_matrix,
-#    dedup_simhash_recall_eval, quality_distribution_drift,
-#    corpus_shard_manifest, dedup_blocking_profile,
-#    agg_exact_median_global — last official row CORRECTNESS_r06) and
-#    the 23 r06-vintage stables never held (events_theil_sen through
-#    mart_abc_parts in this list's r06 block). Take all 37 + the 3
-#    oldest r07-vintage stables (stream_tumbling_counts, graph_kcore,
-#    text_dup_span_removal — last official row CORRECTNESS_r07) to
-#    reach 40; swap back one-for-one as r14 registrations land.
+#    path). Check registry_r15.R15_ENTRIES for the entry count and
+#    any streaming names that must join bench._STREAMING_SKIP.
+# 3. Hold out (50 − len(R15_ENTRIES)) recertification fillers, picked
+#    by LAST-DRIVER-GREEN ROUND recomputed over CORRECTNESS_r01..r14
+#    (the r14 precedent: python over the json history, not vintage
+#    labels). After the r14 recerts land, the oldest official rows
+#    are the remaining 36 × r04-last-green entries (the r04 block
+#    minus the 11 held at r14), then the r06 block.
 # 4. BEFORE designing any new entry, grep the registry for the name
 #    AND the feature — @register silently overwrites an existing name
 #    in place (r12 near-miss: agg_grouping_sets / win_dist_functions
 #    already existed from r05).
-# 5. Flip tests/test_registry_r13_staged.py to the post-promotion
-#    shape and tests/test_registry_r14_staged.py to the wired shape;
-#    seed registry_r15.py (empty staged bank + subprocess smoke,
+# 5. Flip tests/test_registry_r14_staged.py to the post-promotion
+#    shape and tests/test_registry_r15_staged.py to the wired shape;
+#    seed registry_r16.py (empty staged bank + subprocess smoke,
 #    _EXPECTED = 0); repoint scripts/check_staged.py and bench.py's
-#    `staged` block at r15; add a manifest-driven r14 block to
-#    bench.py.
-# 6. Re-run: full pytest (expect ~1110 passed at r13 end),
-#    scripts/check_queries.py (new window at sf0.01 — testdata is
-#    regenerated between rounds; check for parquet type drift), and
-#    the full registry sweep before the first commit.
+#    `staged` block at r16; add a manifest-driven r15 block to
+#    bench.py — all in the same commit as the wiring.
+# 6. Re-run: full pytest, scripts/check_queries.py (new window at
+#    sf0.01 — testdata is regenerated between rounds; check for
+#    parquet type drift), and the full registry sweep before the
+#    first commit.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 

@@ -1,24 +1,19 @@
-"""Round-14 query registrations — STAGING BANK, NOT YET WIRED.
+"""Round-14 query registrations — WIRED at r14 start.
 
-Do NOT import this module in round 13: the r13 certification window is
-exactly full (the ten registry_r13 bank entries, the three ADVICE-r12
-planned-change holds, and the held-out r05/r06-era recertification
-fillers, with mid-round registrations swapping fillers back
-one-for-one), and registering past the driver's 50-slot window would
-leave never-certified queries at the round boundary
-(tests/test_certification_window.py enforces the accounting). At
-ROUND-14 START, wire it with one line at the bottom of
-registry_ext.py next to the registry_r06–r13 imports.
+Staged and oracle-proven during round 13 (every entry's DuckDB oracle
+bit-identical at sf0.001 AND sf0.01 via scripts/check_staged.py, with
+a recorded sf0.1 wall in BENCH_r13's `staged` block); went live at the
+r14 rotation via the one-line import at the bottom of registry_ext.py
+next to the registry_r06–r13 imports. The fourteen bank entries sit
+inside the r14 certification window next to 36 held-out
+recertification fillers picked by last-driver-green age (VERDICT r13
+#1). Further round-14 operators register directly into this module
+mid-round, each swapping a held-out filler back into
+_STABLE_CERTIFIED one-for-one.
 
-Same staging contract as the previous banks: every entry lands here
-only with its DuckDB oracle proven bit-identical at sf0.001 AND
-sf0.01 (scripts/check_staged.py) and a recorded sf0.1 wall time
-(bench.py's `staged` block is manifest-driven off R14_ENTRIES —
-automatic once the entry and its parity test exist).
-
-tests/test_registry_r14_staged.py smoke-imports this module in a
-SUBPROCESS (so the round-13 window stays untouched) and verifies every
-entry registers with an oracle and runs green at sf0.001.
+tests/test_registry_r14_staged.py now enforces the WIRED invariants
+(import live, every entry inside ``list(QUERIES)[:50]``, oracle
+present, oracle-executed from the REGISTRY copy at SF_SMOKE).
 
 BEFORE designing any new entry, grep the registry for the name AND
 the feature — @register silently overwrites an existing name in
@@ -444,8 +439,16 @@ def events_markov_convergence(spark, sf):
     for it in range(1, _MKV_ITERS + 1):
         nxt: dict[str, int] = {}
         for e in edges:
+            # Mirror the oracle's recursive-CTE JOIN semantics: an
+            # edge only contributes when its from_type is present in
+            # the previous iterate's support (ADVICE r13: x.get(...,
+            # 0) would create zero-valued to_type keys for states
+            # that dropped out, diverging the it4/it8 key sets from
+            # the oracle on source-only-type corpora).
+            if e.from_type not in x:
+                continue
             nxt[e.to_type] = (nxt.get(e.to_type, 0)
-                              + x.get(e.from_type, 0) * e.cnt
+                              + x[e.from_type] * e.cnt
                               // row_total[e.from_type])
         x = nxt
         if it == _MKV_PROBE:
