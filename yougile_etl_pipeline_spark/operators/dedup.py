@@ -136,6 +136,78 @@ def shingle_jaccard_pairs(
             .select("doc_a", "doc_b", "common", "sz_a", "sz_b", "jaccard")
 
 
+def idf_weighted_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    *, n: int = 3, threshold_ppm: int = 300000,
+    block_cols: list[str] | None = None,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Near-dup pairs by IDF-WEIGHTED shingle Jaccard ≥ threshold —
+    the rarity-aware refinement of `shingle_jaccard_pairs`: a shared
+    rare shingle is strong copy evidence, a shared common one is
+    noise, so each shingle carries weight ``max(1, N div df)`` (the
+    integer IDF) and the pair score is Σw(A∩B) / Σw(A∪B) in exact
+    integer ppm — no floats anywhere, so the score hash-pairs
+    bit-for-bit with the SQL twin.
+
+    The stop-shingle cap here is MANDATORY (not optional like the
+    unweighted sibling's): shingles with df > `max_shingle_df` are
+    excluded from both the intersection and the per-doc totals —
+    they carry weight ≈1 yet generate df² candidate pairs, the worst
+    cost/signal ratio in the operator. With the cap, candidates are
+    bounded by Σ_kept df² ≤ |shingles|·cap², and the weighted score
+    is a true ratio over the informative-shingle sets.
+
+    Shape: one shingle-df aggregate (16-byte fingerprint keys), a
+    broadcast of the tiny kept-weight relation path via equi-join,
+    the blocked self-join on (block, shingle), one pair-keyed
+    aggregate, two size joins. `block_cols` (e.g. language) bound
+    the candidate space — at scale you always block."""
+    block_cols = block_cols or []
+    ex = _shingled(ensure_parallelism(df), id_col, text_col, n,
+                   block_cols)
+    nd = df.agg(F.count(F.lit(1)).cast("bigint").alias("__nd"))
+    dfreq = ex.groupBy("sh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df"))
+    w = (dfreq.filter(F.col("__df") <= max_shingle_df)
+              .crossJoin(F.broadcast(nd))
+              .select("sh",
+                      F.greatest(F.lit(1).cast("bigint"),
+                                 F.expr("__nd div __df"))
+                      .alias("__w")))
+    exw = ex.join(w, "sh").persist()
+    prev = _LAST_SHINGLE_CACHE.pop(0) if _LAST_SHINGLE_CACHE else None
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _LAST_SHINGLE_CACHE.append(exw)
+    sizes = exw.groupBy("doc").agg(
+        F.sum("__w").cast("bigint").alias("__tw"))
+    a = exw.select(F.col("doc").alias("doc_a"),
+                   *[F.col(c) for c in block_cols], "sh", "__w")
+    b = exw.select(F.col("doc").alias("doc_b"),
+                   *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+                   "sh")
+    cond = [a.sh == b.sh] + [F.col(c) == F.col(f"__b_{c}")
+                             for c in block_cols]
+    inter = (a.join(b, cond)
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.sum("__w").cast("bigint").alias("inter_w")))
+    sz_a = sizes.select(F.col("doc").alias("doc_a"),
+                        F.col("__tw").alias("__tw_a"))
+    sz_b = sizes.select(F.col("doc").alias("doc_b"),
+                        F.col("__tw").alias("__tw_b"))
+    j = (inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
+              .select("doc_a", "doc_b", "inter_w",
+                      (F.col("__tw_a") + F.col("__tw_b")
+                       - F.col("inter_w")).cast("bigint")
+                      .alias("union_w")))
+    j = j.withColumn(
+        "jaccard_w_ppm",
+        F.expr("inter_w * 1000000 div union_w").cast("bigint"))
+    return j.filter(F.col("jaccard_w_ppm") >= threshold_ppm)
+
+
 def shingle_containment_pairs(
     df: DataFrame, id_col: str, text_col: str,
     *, n: int = 3, threshold: float = 0.8,

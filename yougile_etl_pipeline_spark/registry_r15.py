@@ -28,9 +28,391 @@ already existed from r05).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.registry import register
+from yougile_etl_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity index per document (tests/test_registry_r15_bank.py)
+# ---------------------------------------------------------------------------
+
+@register("text_simpson_diversity", """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+cnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS f
+        FROM tok GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+               CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(f * (f - 1)) AS BIGINT) AS rep_pairs
+        FROM cnt GROUP BY 1)
+SELECT doc_id, n_tokens, n_distinct, rep_pairs,
+       CAST(CASE WHEN n_tokens >= 2
+            THEN rep_pairs * 1000000 // (n_tokens * (n_tokens - 1))
+            ELSE 0 END AS BIGINT) AS simpson_ppm,
+       CASE WHEN n_tokens >= 2
+            THEN rep_pairs * 1000000 // (n_tokens * (n_tokens - 1))
+            ELSE 0 END <= 200000 AS diverse_ok
+FROM agg
+""")
+def text_simpson_diversity(spark, sf):
+    # Simpson repetition index per document — the probability that
+    # two token draws (without replacement) collide: Σf(f−1) div
+    # N(N−1) in exact integer ppm. The Gopher-style repetition
+    # filters (text_repetition_stats) see only the TOP element's
+    # share and the distinct ratio; Simpson integrates the whole
+    # frequency profile, catching docs padded by several medium-
+    # frequency phrases that no single top-gram dominates. Exact
+    # BIGINT pair counts (Σf² bounded by the doc's token count
+    # squared — per-doc, never corpus-wide), one (doc, token) partial
+    # agg + one doc-keyed agg, all codegen; gate at 0.2 (a fifth of
+    # random pair draws colliding marks boilerplate).
+    toks = F.split(F.col("text"), " ")
+    cnt = (load_table(spark, sf, "documents")
+           .select("doc_id", F.explode(toks).alias("tok"))
+           .groupBy("doc_id", "tok")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("f")))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.expr("f * (f - 1)")).cast("bigint").alias("rep_pairs"))
+    ppm = F.when(
+        F.col("n_tokens") >= 2,
+        F.expr("rep_pairs * 1000000 div (n_tokens * (n_tokens - 1))")) \
+        .otherwise(F.lit(0)).cast("bigint")
+    return agg.select(
+        "doc_id", "n_tokens", "n_distinct", "rep_pairs",
+        ppm.alias("simpson_ppm"),
+        (ppm <= 200000).alias("diverse_ok"))
+
+
+# ---------------------------------------------------------------------------
+# Greedy token-budget selection (tests/test_registry_r15_bank.py)
+# ---------------------------------------------------------------------------
+
+@register("train_token_budget_select", """
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT)
+                    AS n_tokens
+           FROM documents),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM t),
+c AS (SELECT doc_id, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_tokens
+      FROM t)
+SELECT doc_id, n_tokens, cum_tokens,
+       cum_tokens * 2 <= (SELECT total FROM tot) AS selected
+FROM c
+""")
+def train_token_budget_select(spark, sf):
+    # Deterministic greedy selection under a token budget (half the
+    # corpus total, scale-free): docs ranked longest-first with the
+    # doc id as the total-order tie-break, running token prefix sum,
+    # selected while the cumulative stays within budget — the
+    # training-mix counterpart of train_shard_planner (which packs
+    # AFTER selection). Exact BIGINT prefix sums; the budget
+    # comparison is cross-multiplied (cum·2 ≤ total) so no division
+    # exists at all. Scale shape: a global prefix scan — at 100 TB
+    # this runs as the standard two-pass (per-partition token
+    # subtotals to the driver, broadcast cumulative offsets back,
+    # the same recipe train_shard_planner documents); at bench scale
+    # the single-range window expresses it directly, and the scalar
+    # total rides a one-row broadcast crossJoin.
+    from pyspark.sql.window import Window
+
+    t = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint")
+        .alias("n_tokens"))
+    total = t.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    w = (Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = t.select("doc_id", "n_tokens",
+                 F.sum("n_tokens").over(w).cast("bigint")
+                 .alias("cum_tokens"))
+    return (c.crossJoin(F.broadcast(total))
+             .select("doc_id", "n_tokens", "cum_tokens",
+                     (F.col("cum_tokens") * 2 <= F.col("total"))
+                     .alias("selected")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted bottom-k sample (tests/test_registry_r15_bank.py)
+# ---------------------------------------------------------------------------
+
+_WBK_K = 50
+
+
+@register("sample_weighted_bottomk", f"""
+WITH p AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT)
+           // greatest(n_chars, 1) AS priority
+  FROM documents)
+SELECT doc_id, n_chars, CAST(priority AS BIGINT) AS priority
+FROM p ORDER BY priority, doc_id LIMIT {_WBK_K}
+""")
+def sample_weighted_bottomk(spark, sf):
+    # Weighted bottom-k sampling, fully deterministic: priority =
+    # md5-derived 60-bit uniform integer div weight (longer docs get
+    # proportionally smaller priorities, the integer analogue of the
+    # Efraimidis–Spirakis exponential-rank trick without pow/ln —
+    # those are banned from hash-paired values), k smallest win, doc
+    # id breaks ties totally. Mergeable by construction: the bottom-k
+    # of a union is the bottom-k of the per-partition bottom-ks, so
+    # Spark executes it as per-partition TakeOrdered + a k-row driver
+    # merge — no global sort materializes at any scale. 60 bits
+    # (15 hex chars) keeps the numerator exact in int64.
+    p = load_table(spark, sf, "documents").select(
+        "doc_id", "n_chars",
+        F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+               " 16, 10) AS BIGINT) div greatest(n_chars, 1L)")
+        .alias("priority"))
+    return (p.orderBy("priority", "doc_id").limit(_WBK_K)
+             .select("doc_id", "n_chars", "priority"))
+
+
+# ---------------------------------------------------------------------------
+# Page–Hinkley drift statistic on the daily value stream
+# ---------------------------------------------------------------------------
+
+@register("events_page_hinkley_drift", """
+WITH v AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+d AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS gs,
+               CAST(SUM(n) AS BIGINT) AS gn FROM d),
+dev AS (SELECT day, s, n,
+               s * (SELECT gn FROM tot) - n * (SELECT gs FROM tot)
+                 AS dev
+        FROM d),
+c AS (SELECT day, dev,
+        SUM(dev) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dev),
+p AS (SELECT day, dev, cum,
+        MAX(cum) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM c),
+ph AS (SELECT day,
+         CAST(dev // (SELECT gn FROM tot) AS BIGINT) AS dev_cents,
+         CAST((peak - cum) // (SELECT gn FROM tot) AS BIGINT)
+           AS ph_cents
+       FROM p),
+mx AS (SELECT MAX(ph_cents) AS ph_max FROM ph)
+SELECT day, dev_cents, ph_cents,
+       ph_cents * 2 > (SELECT ph_max FROM mx) AS in_drift_half
+FROM ph
+""")
+def events_page_hinkley_drift(spark, sf):
+    # Page–Hinkley change detection over the daily value stream in
+    # EXACT integers: per-day deviation from the global mean is
+    # cross-multiplied (s·N − n·S — no division exists until the
+    # final per-event rescale), the PH statistic is the running peak
+    # of the cumulative deviation minus the current cumulative —
+    # the standard drift alarm for data-quality monitors, here as a
+    # day-keyed trajectory. The relative flag (above half the run's
+    # own PH range) exercises both outcomes at every scale, unlike a
+    # fixed cents threshold (the random-walk magnitude grows with
+    # corpus size). Overflow bound: daily-cents-sum × total-events
+    # < 2⁶³ ⇒ safe to ~3·10⁹ events of $100 average value; beyond
+    # that, pre-divide the day sums by a fixed 10³. Shape: one
+    # day-keyed aggregate, the trajectory windows ride one
+    # single-partition sort over the ~|days| relation (bounded by
+    # the calendar, never by corpus size), scalars broadcast.
+    from pyspark.sql.window import Window
+
+    v = (load_table(spark, sf, "events")
+         .filter(F.col("value").isNotNull())
+         .select(F.expr("unix_millis(ts) div 86400000").alias("day"),
+                 F.expr("CAST(CAST(value AS DECIMAL(20,2)) * 100 "
+                        "AS BIGINT)").alias("cents")))
+    d = v.groupBy("day").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = d.agg(F.sum("s").cast("bigint").alias("gs"),
+                F.sum("n").cast("bigint").alias("gn"))
+    dev = (d.crossJoin(F.broadcast(tot))
+            .select("day", "gn",
+                    F.expr("s * gn - n * gs").alias("dev")))
+    wo = (Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = dev.select("day", "gn", "dev",
+                   F.sum("dev").over(wo).alias("cum"))
+    p = c.select("day", "gn", "dev", "cum",
+                 F.max("cum").over(wo).alias("peak"))
+    ph = p.select(
+        "day",
+        F.expr("CAST(dev div gn AS BIGINT)").alias("dev_cents"),
+        F.expr("CAST((peak - cum) div gn AS BIGINT)").alias("ph_cents"))
+    mx = ph.agg(F.max("ph_cents").alias("ph_max"))
+    return (ph.crossJoin(F.broadcast(mx))
+              .select("day", "dev_cents", "ph_cents",
+                      (F.col("ph_cents") * 2 > F.col("ph_max"))
+                      .alias("in_drift_half")))
+
+
+# ---------------------------------------------------------------------------
+# Jarque–Bera normality profile per return flag
+# ---------------------------------------------------------------------------
+
+@register("quality_jarque_bera", """
+WITH b AS (SELECT l_returnflag AS flag,
+                  CAST(l_quantity AS BIGINT) AS q
+           FROM lineitem),
+s AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(q) AS BIGINT) AS s1,
+        CAST(SUM(q * q) AS BIGINT) AS s2,
+        CAST(SUM(q * q * q) AS BIGINT) AS s3,
+        CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+      FROM b GROUP BY 1),
+r AS (SELECT flag, n,
+        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM s),
+m AS (SELECT flag, n,
+        r2 - mean * mean AS m2,
+        r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+        r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+           - 3.0 * mean * mean * mean * mean AS m4
+      FROM r),
+jb AS (SELECT flag, n,
+         m3 / (m2 * sqrt(m2)) AS skewness,
+         m4 / (m2 * m2) - 3.0 AS kurt,
+         CAST(n AS DOUBLE) / 6.0
+           * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+              + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0)
+           AS jb_stat
+       FROM m),
+mx AS (SELECT MAX(jb_stat) AS jb_max FROM jb)
+SELECT flag, n, jb_stat,
+       jb_stat > 5.991464547107979 AS normal_rejected,
+       jb_stat = (SELECT jb_max FROM mx) AS most_nonnormal
+FROM jb
+""")
+def quality_jarque_bera(spark, sf):
+    # Jarque–Bera normality statistic per return flag — n/6·(S² +
+    # K²/4) composed from the SAME BIGINT raw-moment sufficient
+    # statistics and staged double expressions as
+    # agg_skewness_kurtosis (every double materializes through
+    # identical operand-ordered expressions in both engines, so the
+    # statistic hash-pairs bit-for-bit). `normal_rejected` is the
+    # χ²(2df, 95%) gate — uniformly-distributed quantities reject at
+    # any corpus size (the statistically correct answer); the argmax
+    # flag (`most_nonnormal`) exercises both boolean outcomes at
+    # every scale. One flag-keyed aggregate; the moment algebra runs
+    # on the |flags|-row relation; the max broadcasts back.
+    b = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("q"))
+    s = b.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.expr("q * q")).cast("bigint").alias("s2"),
+        F.sum(F.expr("q * q * q")).cast("bigint").alias("s3"),
+        F.sum(F.expr("q * q * q * q")).cast("bigint").alias("s4"))
+    r = s.select(
+        "flag", "n",
+        F.expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").alias("mean"),
+        F.expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)").alias("r2"),
+        F.expr("CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)").alias("r3"),
+        F.expr("CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)").alias("r4"))
+    m = r.select(
+        "flag", "n",
+        F.expr("r2 - mean * mean").alias("m2"),
+        F.expr("r3 - 3.0D * mean * r2 + 2.0D * mean * mean * mean")
+        .alias("m3"),
+        F.expr("r4 - 4.0D * mean * r3 + 6.0D * mean * mean * r2 "
+               "- 3.0D * mean * mean * mean * mean").alias("m4"))
+    jb = m.select(
+        "flag", "n",
+        F.expr("CAST(n AS DOUBLE) / 6.0D "
+               "* ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2))) "
+               "+ (m4 / (m2 * m2) - 3.0D) * (m4 / (m2 * m2) - 3.0D) "
+               "/ 4.0D)").alias("jb_stat"))
+    mx = jb.agg(F.max("jb_stat").alias("jb_max"))
+    return (jb.crossJoin(F.broadcast(mx))
+              .select("flag", "n", "jb_stat",
+                      (F.col("jb_stat") > F.lit(5.991464547107979))
+                      .alias("normal_rejected"),
+                      (F.col("jb_stat") == F.col("jb_max"))
+                      .alias("most_nonnormal")))
+
+
+# ---------------------------------------------------------------------------
+# IDF-weighted shingle Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+@register("dedup_idf_jaccard", """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, lang,
+         array_to_string(toks[s:s+2], ' ') AS sh
+  FROM t, LATERAL (SELECT unnest(range(1,
+           greatest(len(toks) - 3 + 1, 0) + 1)) AS s) ls),
+dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+w AS (SELECT sh, greatest(1, (SELECT n FROM nd) // df) AS w
+      FROM dfreq WHERE df <= 50),
+shw AS (SELECT sh.doc_id, sh.lang, sh.sh, w.w FROM sh JOIN w USING (sh)),
+dw AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS tw FROM shw GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.w) AS BIGINT) AS inter_w
+  FROM shw a JOIN shw b ON a.sh = b.sh AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b, inter_w,
+         CAST(wa.tw + wb.tw - inter_w AS BIGINT) AS union_w
+  FROM pairs JOIN dw wa ON pairs.doc_a = wa.doc_id
+             JOIN dw wb ON pairs.doc_b = wb.doc_id)
+SELECT doc_a, doc_b, inter_w, union_w,
+       CAST(inter_w * 1000000 // union_w AS BIGINT) AS jaccard_w_ppm
+FROM j WHERE inter_w * 1000000 // union_w >= 300000
+""")
+def dedup_idf_jaccard(spark, sf):
+    # Rarity-aware near-dup lens (operators/dedup.py::
+    # idf_weighted_jaccard_pairs): shared RARE shingles are copy
+    # evidence, shared common ones are noise — integer IDF weights
+    # max(1, N div df), pair score Σw(A∩B)/Σw(A∪B) in exact ppm,
+    # language-blocked, mandatory stop-shingle cap (df ≤ 50). On
+    # this corpus the unweighted Jaccard entry and this one agree on
+    # the planted wholesale copies but differ on partially-
+    # overlapping docs whose shared text is boilerplate — exactly
+    # the split the weighting exists to make.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        idf_weighted_jaccard_pairs,
+    )
+
+    return idf_weighted_jaccard_pairs(
+        load_table(spark, sf, "documents"), "doc_id", "text",
+        n=3, threshold_ppm=300000, block_cols=["lang"],
+        max_shingle_df=50)
+
+
 # Staged-entry manifest, in registration order (kept in sync by the
 # bank's subprocess smoke: every name registered by importing this
 # module must appear here, and vice versa). Also consumed by
 # bench.py's `staged` block so every bank entry carries a wall time +
 # plan fingerprint before it ever certifies.
-R15_ENTRIES: list[str] = []
+R15_ENTRIES: list[str] = [
+    "text_simpson_diversity",
+    "train_token_budget_select",
+    "sample_weighted_bottomk",
+    "events_page_hinkley_drift",
+    "quality_jarque_bera",
+    "dedup_idf_jaccard",
+]
