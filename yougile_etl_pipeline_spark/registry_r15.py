@@ -403,6 +403,142 @@ def dedup_idf_jaccard(spark, sf):
         max_shingle_df=50)
 
 
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+@register("text_heaps_curve", """
+WITH d AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY doc_id) AS rn
+           FROM documents),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+dd AS (SELECT doc_id,
+              CAST(1 + (rn - 1) * 10 // (SELECT n FROM nd) AS BIGINT)
+                AS decile
+       FROM d),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+debut AS (SELECT tok, min(doc_id) AS d0 FROM tok GROUP BY 1),
+newt AS (SELECT dd.decile,
+                CAST(count(*) AS BIGINT) AS new_tokens
+         FROM debut JOIN dd ON debut.d0 = dd.doc_id GROUP BY 1),
+docs AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+         FROM dd GROUP BY 1)
+SELECT docs.decile, docs.n_docs,
+       CAST(SUM(docs.n_docs) OVER (ORDER BY docs.decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS docs_cum,
+       CAST(COALESCE(newt.new_tokens, 0) AS BIGINT) AS new_tokens,
+       CAST(SUM(COALESCE(newt.new_tokens, 0)) OVER (ORDER BY docs.decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_cum
+FROM docs LEFT JOIN newt USING (decile)
+""")
+def text_heaps_curve(spark, sf):
+    # Heaps-law vocabulary growth in ten corpus-order deciles: each
+    # token is attributed to the decile of its DEBUT document (the
+    # min-doc-id debut aggregate the dedup family already uses), so
+    # vocab_cum(d) is exactly |vocabulary of the first d/10 of the
+    # corpus| without materializing per-prefix distinct counts — the
+    # curve that says whether a corpus is still yielding new types
+    # (steep tail) or saturating (flat tail), the standard check
+    # before deciding more data vs more epochs. Shapes: one
+    # vocab-keyed debut aggregate, a broadcast-join of debuts to doc
+    # deciles, and the final windows run on a 10-row relation. The
+    # doc ranking window is a row_number over doc ids — at 100 TB
+    # the same decile assignment comes from a count(≤id) two-pass;
+    # the SQL twin uses the identical row_number form.
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    d = docs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"))
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dd = (d.crossJoin(F.broadcast(nd))
+           .select("doc_id",
+                   F.expr("CAST(1 + (rn - 1) * 10 div n AS BIGINT)")
+                   .alias("decile")))
+    tok = docs.select("doc_id",
+                      F.explode(F.split(F.col("text"), " "))
+                      .alias("tok"))
+    debut = tok.groupBy("tok").agg(F.min("doc_id").alias("d0"))
+    newt = (debut.join(dd.withColumnRenamed("doc_id", "d0"), "d0")
+                 .groupBy("decile")
+                 .agg(F.count(F.lit(1)).cast("bigint")
+                      .alias("new_tokens")))
+    byd = dd.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    wo = (Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (byd.join(newt, "decile", "left")
+              .withColumn("new_tokens",
+                          F.coalesce("new_tokens",
+                                     F.lit(0).cast("bigint"))))
+    return out.select(
+        "decile", "n_docs",
+        F.sum("n_docs").over(wo).cast("bigint").alias("docs_cum"),
+        "new_tokens",
+        F.sum("new_tokens").over(wo).cast("bigint").alias("vocab_cum"))
+
+
+# ---------------------------------------------------------------------------
+# Pareto quality front over (length, lexical richness)
+# ---------------------------------------------------------------------------
+
+@register("quality_pareto_front", """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct
+  FROM documents),
+pts AS (SELECT n_tokens, n_distinct,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM m GROUP BY 1, 2),
+w AS (SELECT n_tokens, n_distinct, n_docs,
+        MAX(n_distinct) OVER (ORDER BY n_tokens DESC
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS best_larger
+      FROM pts)
+SELECT n_tokens, n_distinct, n_docs
+FROM w
+WHERE (best_larger IS NULL OR n_distinct > best_larger)
+""")
+def quality_pareto_front(spark, sf):
+    # Pareto-optimal (length, lexical-richness) points: a point is on
+    # the front iff no point with MORE tokens has at-least-equal
+    # distinct-token count — the multi-criteria skyline a curation
+    # pipeline reads before trading length against richness with a
+    # single weighted score. Classic skyline-by-window: sort distinct
+    # points by x descending, a point survives iff its y strictly
+    # exceeds the running max over strictly-larger x (RANGE …
+    # 1 PRECEDING keeps same-x points out of their own frame, and
+    # same-x domination resolves because only the max-y point at
+    # each x can beat the larger-x running max). The window runs on
+    # the DISTINCT-point relation (bounded by the metric domain, not
+    # the corpus); the per-doc metrics are map-only.
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col("text"), " ")
+    m = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint")
+        .alias("n_distinct"))
+    pts = m.groupBy("n_tokens", "n_distinct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = (Window.orderBy(F.col("n_tokens").desc())
+         .rangeBetween(Window.unboundedPreceding, -1))
+    scored = pts.select(
+        "n_tokens", "n_distinct", "n_docs",
+        F.max("n_distinct").over(w).alias("best_larger"))
+    return (scored.filter(F.col("best_larger").isNull()
+                          | (F.col("n_distinct")
+                             > F.col("best_larger")))
+                  .select("n_tokens", "n_distinct", "n_docs"))
+
+
 # Staged-entry manifest, in registration order (kept in sync by the
 # bank's subprocess smoke: every name registered by importing this
 # module must appear here, and vice versa). Also consumed by
@@ -415,4 +551,6 @@ R15_ENTRIES: list[str] = [
     "events_page_hinkley_drift",
     "quality_jarque_bera",
     "dedup_idf_jaccard",
+    "text_heaps_curve",
+    "quality_pareto_front",
 ]
