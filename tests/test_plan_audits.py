@@ -371,10 +371,27 @@ _HEADLINE_PLAN_BUDGETS = {
     "events_sessionize": (1, 0),
     # r06 graduates (VERDICT r05 #3): the heaviest queries certified at
     # the r06 rotation, promoted into HEADLINE with pinned budgets.
-    "text_dup_span_removal": (2, 1),
-    "text_dup_span_coverage": (3, 1),
-    "text_collocations": (4, 0),
-    "sketch_countmin_suppliers": (2, 2),
+    # r14 re-baseline: the dup-span/collocation operators grew an
+    # ensure_parallelism repartition (fires only on collapsed scans —
+    # a no-op at cluster scale) and a shared persisted gram/token
+    # stream whose cache-build exchange is now counted once by node
+    # id; coverage's exact-path count_distinct is a two-exchange
+    # aggregate, and the final left join plans as SMJ pre-AQE at
+    # smoke scale (AQE broadcasts it at runtime).
+    # (removal: 4 exchanges cold, 5 once the shared gram cache has
+    # been materialized by an earlier run in the same session — the
+    # CacheManager dedupes by logical plan and the finalized adaptive
+    # cached plan prints one more exchange.)
+    "text_dup_span_removal": (5, 0),
+    # (coverage: pushed-filter count flips 1->0 depending on whether
+    # the shared gram cache was materialized earlier in the session —
+    # the IsNotNull pushdown lives inside the cached subtree.)
+    "text_dup_span_coverage": (6, 0),
+    "text_collocations": (5, 0),
+    # r14: +1 shuffle — the pre-aggregate-by-key build (bounded
+    # supplier domain) trades one key-count exchange for depth× fewer
+    # md5 calls (19.4 s → 0.6 s at the sf1 probe).
+    "sketch_countmin_suppliers": (3, 2),
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -551,8 +568,17 @@ def test_mad_outliers_reuses_key_partitioning(spark):
 
 
 def _shuffles(body: str) -> int:
+    """Count DISTINCT shuffle-exchange nodes by formatted-plan id: a
+    cached subtree (InMemoryRelation) is PRINTED once under every
+    InMemoryTableScan that references it, but its exchange executes
+    once — raw substring counting double-bills it (r14, when the
+    dup-span operators grew a shared persisted gram stream)."""
     import re
 
+    ids = set(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \((\d+)\)",
+                         body))
+    if ids:
+        return len(ids)
     return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", body))
 
 
@@ -651,7 +677,11 @@ def test_dup_span_coverage_fingerprint_equijoins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     body = plan.split("\n\n")[0]
-    assert _shuffles(body) <= 3
+    # r14: +2 distinct exchanges — the ensure_parallelism repartition
+    # (fires only on collapsed scans) and the shared persisted gram
+    # stream's cache-build (counted once by node id; it replaces TWO
+    # full explode+md5 scans, measured 29.6 s -> 4.2 s at sf1).
+    assert _shuffles(body) <= 6
 
 
 def test_rake_no_cartesian_no_nested_loop(spark):
@@ -781,7 +811,9 @@ def test_dup_span_removal_fingerprint_equijoins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     body = plan.split("\n\n")[0]
-    assert _shuffles(body) <= 3
+    # r14: +1 repartition +1 cache-build exchange (see the coverage
+    # twin above for the rationale and measurements).
+    assert _shuffles(body) <= 5
 
 
 def test_chi2_broadcasts_marginals_single_fact_shuffle(spark):

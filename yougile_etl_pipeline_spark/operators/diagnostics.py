@@ -31,6 +31,14 @@ def formatted_plan(df: DataFrame) -> str:
             "formatted"))
 
 
+def _distinct_shuffles(body: str) -> int:
+    ids = set(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \((\d+)\)",
+                         body))
+    if ids:
+        return len(ids)
+    return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", body))
+
+
 def plan_profile(df: DataFrame) -> dict[str, object]:
     """Scale-relevant counters of `df`'s physical plan (no execution).
 
@@ -58,9 +66,12 @@ def plan_profile(df: DataFrame) -> dict[str, object]:
         # ReusedExchange (exchange reuse is common: a CTE scanned twice,
         # Q21's repeated lineitem legs) — a reused exchange is a cache
         # hit, not an extra shuffle, so match the bare node name only
-        # and report reuse as its own counter.
-        "shuffle_exchanges": len(re.findall(
-            r"(?<!Broadcast)(?<!Reused)Exchange", body)),
+        # and report reuse as its own counter. Dedupe by formatted-plan
+        # node id: a cached subtree (InMemoryRelation) is PRINTED once
+        # under every InMemoryTableScan that references it, but its
+        # exchange executes once (r14, when the dup-span operators grew
+        # a shared persisted gram stream).
+        "shuffle_exchanges": _distinct_shuffles(body),
         "broadcast_exchanges": body.count("BroadcastExchange"),
         "reused_exchanges": body.count("ReusedExchange"),
         "scans": len(re.findall(r"Scan parquet", body)),

@@ -1199,7 +1199,14 @@ _STABLE_CERTIFIED = [
     # one window slot by promoting a held-out recert filler back here
     # (youngest-history fillers return first — the r06-vintage holds —
     # keeping the oldest r05-era rows inside the window to refresh).
-    "sketch_countmin_suppliers",  # slot → mm_png_gray_stats
+    # r14: sketch_countmin_suppliers is PULLED from this list (was
+    # "slot → mm_png_gray_stats") — its build flipped to the
+    # pre-aggregate-by-key path this round (bit-identical sketch, but
+    # changed implementation ⇒ back into the window for official
+    # recertification, the graph_pagerank r08 precedent). Its window
+    # slot comes from promoting text_oov_rate back (the youngest
+    # age-picked filler after layout_zorder_profile).
+    "text_oov_rate",
     "events_mad_outliers",        # slot → mm_png_rgba_stats
     "dedup_shingle_containment",  # slot → events_survival_km
     "dedup_semantic",             # slot → quality_mann_whitney_gate

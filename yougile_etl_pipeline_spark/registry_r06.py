@@ -105,8 +105,15 @@ GROUP BY 1
 def sketch_countmin_suppliers(spark, sf):
     # Bounded mergeable frequency state: estimate every supplier's
     # lineitem count from a 256×4 sketch (operators/frequency.py).
+    # pre_aggregate=True (r14): the supplier domain is BOUNDED, so
+    # counting per key first and hashing only distinct keys builds
+    # the bit-identical sketch with depth × distinct-keys md5 calls
+    # instead of depth × rows (19.4 s → 0.6 s at the sf1 probe); the
+    # unbounded-key streams the d×w shuffle bound exists for keep
+    # the default path.
     li = load_table(spark, sf, "lineitem")
-    sk = count_min_build(li, "l_suppkey", width=_CM_W, depth=_CM_D)
+    sk = count_min_build(li, "l_suppkey", width=_CM_W, depth=_CM_D,
+                         pre_aggregate=True)
     return count_min_estimate(sk, li.select("l_suppkey"), "l_suppkey",
                               width=_CM_W, depth=_CM_D)
 
