@@ -363,8 +363,12 @@ _HEADLINE_PLAN_BUDGETS = {
     "dedup_exact": (1, 0),
     "dedup_minhash_lsh": (4, 2),
     "text_token_stats": (0, 0),
-    "sim_cosine_topk": (1, 1),
-    "sim_ann_lsh_bucket": (4, 2),
+    # r14: +1 (cosine) / +2 (lsh: corpus AND query sides) distinct
+    # exchanges — the ensure_parallelism repartition on the
+    # compute-fanning embedding paths (fires only on collapsed scans;
+    # bought slope 4.3 -> ~1 at the sf1 probe).
+    "sim_cosine_topk": (2, 1),
+    "sim_ann_lsh_bucket": (6, 2),
     "sim_ivf_topk": (1, 1),
     "mm_frame_sample": (0, 1),
     "events_hourly_snapshot": (1, 1),
@@ -955,7 +959,9 @@ _R12_PLAN_BUDGETS = {
     "mart_supplier_scorecard": 2,
     "events_error_rate_daily": 1,
     "f_higher_order_array_funcs": 0,
-    "sim_ivf_recall_sweep": 5,
+    # r14: +1 — ivf_assign's ensure_parallelism repartition (see the
+    # headline sim budgets note).
+    "sim_ivf_recall_sweep": 6,
     "mm_gif_stats": 1,  # the ensure_parallelism repartition only
     "events_ab_lift_gate": 4,
     "quality_ks_drift_gate": 2,

@@ -167,7 +167,15 @@ def hyperplane_bucket_sql(vec_expr: str, table: int,
 def _bucketed(df: DataFrame, id_alias: str, vec_alias: str,
               id_col: str, vec_col: str,
               n_tables: int, planes_per_table: int) -> DataFrame:
-    """(id, vec) → one row per LSH table with its bucket key."""
+    """(id, vec) → one row per LSH table with its bucket key.
+
+    Compute-fanning (L·P plane dots per row) ⇒ ensure_parallelism
+    guard, same rationale as `_bucketed_np`."""
+    from yougile_etl_pipeline_spark.sources.tables import (
+        ensure_parallelism,
+    )
+
+    df = ensure_parallelism(df)
     tables = F.array(*[
         F.struct(F.lit(t).alias("tbl"),
                  hyperplane_bucket(vec_col, t, n_tables=n_tables,
@@ -305,7 +313,14 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 "c_vec": pdf[vec_col].to_numpy()[oi],
             })
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    # Compute-fanning (|Q|·k dots per corpus row) ⇒ ensure_parallelism
+    # guard so a collapsed scan doesn't serialize the matmul stage.
+    from yougile_etl_pipeline_spark.sources.tables import (
+        ensure_parallelism,
+    )
+
+    cand = ensure_parallelism(corpus.select(id_col, vec_col)) \
+        .mapInPandas(score, out_schema)
     return _exact_rerank(cand, queries, k, id_col=id_col, vec_col=vec_col)
 
 
@@ -344,8 +359,19 @@ def _bucketed_np(df: DataFrame, id_alias: str, vec_alias: str,
     matmul per Arrow batch, instead of L·P interpreted HOF aggregates per
     row (the dominant LSH cost). Sign-of-dot matches the HOF/SQL keys:
     the matmul differs from the sequential sum by ~1 ulp, far below the
-    |dot| of any vector not exactly on a hyperplane."""
+    |dot| of any vector not exactly on a hyperplane.
+
+    Compute-fanning (L·P dots per row), so the input rides the
+    ensure_parallelism guard: a corpus parquet that reads as 1-2
+    splits would serialize the matmul stage on 1-2 cores (no-op at
+    cluster scale, where the scan has thousands of splits)."""
     import pandas as pd
+
+    from yougile_etl_pipeline_spark.sources.tables import (
+        ensure_parallelism,
+    )
+
+    df = ensure_parallelism(df)
 
     planes = hyperplanes(n_tables, planes_per_table)
     P = np.asarray(planes, dtype=np.float64).reshape(
@@ -469,6 +495,13 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     # centroid), so each of the |corpus|×|centroids| pairs evaluates ONE
     # dot product instead of three — same IEEE value as cosine() (the
     # norm is the identical expression, just not recomputed per pair).
+    # Compute-fanning (|centroids| dots per row) ⇒ ensure_parallelism
+    # guard on the vector side (no-op at cluster scale).
+    from yougile_etl_pipeline_spark.sources.tables import (
+        ensure_parallelism,
+    )
+
+    df = ensure_parallelism(df)
     c = F.broadcast(centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cent_vec"),
