@@ -539,6 +539,242 @@ def quality_pareto_front(spark, sf):
                   .select("n_tokens", "n_distinct", "n_docs"))
 
 
+# ---------------------------------------------------------------------------
+# Dedup cascade attribution (exact -> near-dup marginals)
+# ---------------------------------------------------------------------------
+
+@register("dedup_cascade_attribution", """
+WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+           FROM documents),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+efp AS (SELECT doc_id, md5(text) AS f FROM t),
+edeb AS (SELECT f, min(doc_id) AS d0 FROM efp GROUP BY 1),
+exact_rm AS (SELECT e.doc_id FROM efp e JOIN edeb d USING (f)
+             WHERE e.doc_id > d.d0),
+sh AS (SELECT DISTINCT doc_id, lang,
+              array_to_string(toks[s:s+2], ' ') AS sh
+       FROM t, LATERAL (SELECT unnest(range(1,
+             greatest(len(toks) - 3 + 1, 0) + 1)) AS s) ls),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+shc AS (SELECT sh.*
+        FROM sh JOIN (SELECT sh FROM sh GROUP BY sh
+                      HAVING count(*) <= 50) keep USING (sh)),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS common
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+near AS (
+  SELECT doc_b AS doc_id
+  FROM common JOIN sz za ON common.doc_a = za.doc_id
+              JOIN sz zb ON common.doc_b = zb.doc_id
+  WHERE common.common * 10 >= (za.sz + zb.sz - common.common) * 6),
+stage1 AS (SELECT DISTINCT doc_id FROM exact_rm),
+stage2 AS (SELECT DISTINCT doc_id FROM near
+           WHERE doc_id NOT IN (SELECT doc_id FROM stage1))
+SELECT * FROM (
+  SELECT 1 AS stage, 'exact' AS lens,
+         CAST((SELECT count(*) FROM stage1) AS BIGINT) AS n_removed,
+         CAST((SELECT n FROM nd)
+              - (SELECT count(*) FROM stage1) AS BIGINT) AS n_remaining
+  UNION ALL
+  SELECT 2, 'jaccard_06',
+         CAST((SELECT count(*) FROM stage2) AS BIGINT),
+         CAST((SELECT n FROM nd) - (SELECT count(*) FROM stage1)
+              - (SELECT count(*) FROM stage2) AS BIGINT))
+""")
+def dedup_cascade_attribution(spark, sf):
+    # Stage-marginal dedup accounting — the report a pipeline owner
+    # reads before ordering the lenses: how many docs each successive
+    # lens removes BEYOND the previous one (exact full-text debut
+    # dups first, then 0.6-Jaccard near-dups among the survivors,
+    # language-blocked with the standard stop-shingle cap). On this
+    # corpus exact removes zero (the planted dups are near- not
+    # byte-identical) and the near lens fires — exactly the split
+    # the attribution exists to show. Cross-multiplied threshold
+    # (common*10 >= union*6) keeps it integer-exact. Shapes are the
+    # certified exact-dedup and shingle-jaccard plans; the stage
+    # rollup runs on two scalar counts.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    nd = docs.count()
+    efp = docs.select("doc_id", F.md5("text").alias("f"))
+    edeb = efp.groupBy("f").agg(F.min("doc_id").alias("d0"))
+    stage1 = (efp.join(edeb, "f")
+                 .filter(F.col("doc_id") > F.col("d0"))
+                 .select("doc_id").distinct())
+    pairs = shingle_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                  threshold=0.6, block_cols=["lang"],
+                                  max_shingle_df=50)
+    near = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    stage2 = near.join(stage1, "doc_id", "left_anti")
+    n1 = stage1.count()
+    n2 = stage2.count()
+    return spark.createDataFrame(
+        [(1, "exact", n1, nd - n1),
+         (2, "jaccard_06", n2, nd - n1 - n2)],
+        "stage int, lens string, n_removed bigint, n_remaining bigint")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate edge (header/footer) sharing profile
+# ---------------------------------------------------------------------------
+
+@register("text_boilerplate_edges", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+h AS (SELECT doc_id,
+             md5(array_to_string(toks[1:8], ' ')) AS hfp,
+             md5(array_to_string(toks[-8:], ' ')) AS ffp
+      FROM t),
+hc AS (SELECT hfp, CAST(count(*) AS BIGINT) AS hdf FROM h GROUP BY 1),
+fc AS (SELECT ffp, CAST(count(*) AS BIGINT) AS fdf FROM h GROUP BY 1)
+SELECT h.doc_id, hc.hdf AS header_df, fc.fdf AS footer_df,
+       hc.hdf >= 2 AS shared_header, fc.fdf >= 2 AS shared_footer
+FROM h JOIN hc USING (hfp) JOIN fc USING (ffp)
+""")
+def text_boilerplate_edges(spark, sf):
+    # Header/footer boilerplate detector: docs sharing their first or
+    # last 8 tokens with another doc (site templates, license blocks,
+    # navigation) — the positional complement of line_dedup's
+    # anywhere-segments. 16-byte md5 edge fingerprints, two
+    # fingerprint-keyed aggregates joined back; everything else
+    # map-only. On this corpus headers do collide (the planted
+    # near-dups share openings) and footers do not — both columns
+    # certify the slice arithmetic (Spark slice(toks, -8, 8) vs
+    # DuckDB toks[-8:], including the shorter-than-8-token edge).
+    toks = F.split(F.col("text"), " ")
+    h = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("hfp"),
+        F.md5(F.concat_ws(
+            " ", F.slice(toks, F.greatest(F.size(toks) - 7, F.lit(1)),
+                         8))).alias("ffp"))
+    hc = h.groupBy("hfp").agg(F.count(F.lit(1)).cast("bigint")
+                              .alias("header_df"))
+    fc = h.groupBy("ffp").agg(F.count(F.lit(1)).cast("bigint")
+                              .alias("footer_df"))
+    return (h.join(hc, "hfp").join(fc, "ffp")
+             .select("doc_id", "header_df", "footer_df",
+                     (F.col("header_df") >= 2).alias("shared_header"),
+                     (F.col("footer_df") >= 2).alias("shared_footer")))
+
+
+# ---------------------------------------------------------------------------
+# Interarrival burstiness coefficient per event type
+# ---------------------------------------------------------------------------
+
+@register("events_burstiness_index", """
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ms, event_id,
+         lead(epoch_ms(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY epoch_ms(ts), event_id) AS nxt
+  FROM events),
+g AS (SELECT event_type, CAST(nxt - ms AS BIGINT) AS gap
+      FROM s WHERE nxt IS NOT NULL),
+agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(gap) AS BIGINT) AS s1,
+               CAST(SUM(gap * gap) AS BIGINT) AS s2
+        FROM g GROUP BY 1),
+m AS (SELECT event_type, n, s1, s2,
+        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2
+      FROM agg)
+SELECT event_type, n,
+       sqrt(r2 - mean * mean) AS sd,
+       mean,
+       (sqrt(r2 - mean * mean) - mean)
+         / (sqrt(r2 - mean * mean) + mean) AS burstiness
+FROM m
+""")
+def events_burstiness_index(spark, sf):
+    # Goh–Barabási burstiness coefficient B = (σ−μ)/(σ+μ) of the
+    # per-type interarrival gaps: −1 = metronome, 0 = Poisson, →1 =
+    # bursty — the single-number regularity diagnostic next to the
+    # dispersion gate (events_poisson_dispersion_gate tests counts
+    # per window; this tests the gap process itself). Exact BIGINT
+    # gap sufficient statistics (Σg² of ms gaps stays under 2⁶³ to
+    # ~10⁹ gaps/type at day-scale gaps), then the same staged
+    # double-expression discipline as agg_skewness_kurtosis — one
+    # mean, one raw second moment, one IEEE-exact sqrt, so the
+    # coefficient hash-pairs bit-for-bit. One type-keyed window
+    # (lead), one type-keyed aggregate.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.unix_millis("ts").alias("ms"), "event_id")
+    w = Window.partitionBy("event_type").orderBy("ms", "event_id")
+    g = (ev.withColumn("nxt", F.lead("ms").over(w))
+           .filter(F.col("nxt").isNotNull())
+           .select("event_type",
+                   (F.col("nxt") - F.col("ms")).cast("bigint")
+                   .alias("gap")))
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s1"),
+        F.sum(F.expr("gap * gap")).cast("bigint").alias("s2"))
+    m = agg.select(
+        "event_type", "n",
+        F.expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").alias("mean"),
+        F.expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)").alias("r2"))
+    return m.select(
+        "event_type", "n",
+        F.expr("sqrt(r2 - mean * mean)").alias("sd"),
+        "mean",
+        F.expr("(sqrt(r2 - mean * mean) - mean) "
+               "/ (sqrt(r2 - mean * mean) + mean)").alias("burstiness"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source epoch-factor plan toward a uniform training mix
+# ---------------------------------------------------------------------------
+
+@register("train_mix_epochs_plan", """
+WITH t AS (SELECT source,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                    AS tokens
+           FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_sources FROM t)
+SELECT source, tokens,
+       CAST(tokens * 1000000 // (SELECT total FROM tot) AS BIGINT)
+         AS share_ppm,
+       CAST(((SELECT total FROM tot) // (SELECT n_sources FROM tot))
+            * 1000000 // tokens AS BIGINT) AS epoch_factor_ppm,
+       ((SELECT total FROM tot) // (SELECT n_sources FROM tot))
+         * 1000000 // tokens > 1000000 AS upsampled
+FROM t
+""")
+def train_mix_epochs_plan(spark, sf):
+    # Epoch-factor plan toward a uniform per-source token mix: each
+    # source's repeat rate = target-tokens div actual-tokens in exact
+    # integer ppm (>1e6 ⇒ the source is seen more than once per
+    # epoch; <1e6 ⇒ subsampled) — the upsampling complement of
+    # corpus_mixture_rebalance's downsampling view, and the number a
+    # data-mix config actually records (the Pile/ROOTS "epochs"
+    # column). One source-keyed aggregate; scalars broadcast.
+    t = load_table(spark, sf, "documents").select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint")
+        .alias("tk"))
+    agg = t.groupBy("source").agg(
+        F.sum("tk").cast("bigint").alias("tokens"))
+    tot = agg.agg(F.sum("tokens").cast("bigint").alias("total"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_sources"))
+    out = agg.crossJoin(F.broadcast(tot))
+    return out.select(
+        "source", "tokens",
+        F.expr("CAST(tokens * 1000000 div total AS BIGINT)")
+        .alias("share_ppm"),
+        F.expr("CAST((total div n_sources) * 1000000 div tokens "
+               "AS BIGINT)").alias("epoch_factor_ppm"),
+        F.expr("(total div n_sources) * 1000000 div tokens > 1000000")
+        .alias("upsampled"))
+
+
 # Staged-entry manifest, in registration order (kept in sync by the
 # bank's subprocess smoke: every name registered by importing this
 # module must appear here, and vice versa). Also consumed by
@@ -553,4 +789,8 @@ R15_ENTRIES: list[str] = [
     "dedup_idf_jaccard",
     "text_heaps_curve",
     "quality_pareto_front",
+    "dedup_cascade_attribution",
+    "text_boilerplate_edges",
+    "events_burstiness_index",
+    "train_mix_epochs_plan",
 ]
