@@ -84,7 +84,17 @@ def pq_split(df: DataFrame, m: int, *, id_col: str = "vec_id",
     """(id, vec) → (id, sub_id, subvec): positional split into `m`
     equal contiguous subvectors (dim must divide by m — enforced
     per-row by the slice arithmetic going out of bounds otherwise).
-    Map-only; sub_id ∈ [0, m)."""
+    Map-only; sub_id ∈ [0, m).
+
+    Every PQ stage downstream fans m×k distance evaluations per row,
+    so the split rides the ensure_parallelism guard (no-op whenever
+    the scan already has cluster-scale splits — the r14 collapsed-
+    splits lesson, SCALE.md §Round 14)."""
+    from yougile_etl_pipeline_spark.sources.tables import (
+        ensure_parallelism,
+    )
+
+    df = ensure_parallelism(df)
     sub = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id")
     base = (df.select(_c(id_col).alias(id_col),
                       _c(vec_col).alias("__v"))
