@@ -54,10 +54,56 @@ KNOWN_NESTED_LOOP = {
     "text_tfidf_top_terms", "layout_zorder_profile", "quality_key_skew",
     "decontam_embedding", "text_lm_quality", "sql_having_total",
     "sql_q15_top_supplier", "dedup_minhash_recall_eval",
+    # r14 baseline ENCODED (the r13 refresh reviewed these in the
+    # docstring but left the sets stale, so "unexpected flags" had
+    # drifted to 65 and the audit was unactionable): every name below
+    # was re-reviewed r14 and is the ONE-ROW broadcast corpus-scalar
+    # pattern (global total / threshold / bounds / w_min / centroid
+    # count rows appended by a 1-row BroadcastNestedLoopJoin — a
+    # map-side constant at any scale).
+    "corpus_mixture_rebalance", "dedup_semantic",
+    "events_attribution_gap_bands", "events_error_burst_runs",
+    "events_funnel_windowed", "events_hour_dow_heatmap",
+    "events_km_median_latency", "events_ks_global",
+    "events_missing_days", "events_survival_km",
+    "events_zscore_anomaly_days", "freq_association_rules",
+    "freq_copurchase_lift", "graph_double_sweep_diameter",
+    "graph_reciprocity", "ivfpq_topk", "link_blocking_recall_eval",
+    "mart_abc_parts", "mart_pareto_coverage",
+    "mart_repeat_purchase_curve", "mart_rfm_scores", "quality_benford",
+    "quality_chi2_lang_source", "quality_cramers_v",
+    "quality_distribution_drift", "quality_effect_size_cohens_d",
+    "quality_lorenz_deciles", "quality_runs_test_gate",
+    "quality_tv_drift_gate", "sample_temperature_curve",
+    "sample_temperature_mixture", "sim_ivf_cluster_balance",
+    "sim_margin_audit", "text_collocations",
+    "text_vocab_coverage_curve", "text_zipf_rank_ratio",
 }
 KNOWN_SHUFFLE_HEAVY = {
     "graph_pagerank", "dedup_shingle_jaccard", "dedup_shingle_capped",
     "dedup_minhash_recall_eval", "corpus_clean_pipeline",
+    # r14 baseline ENCODED (see the nested-loop note): reviewed
+    # members of the two multi-stage-by-design classes — unrolled
+    # iterative graph plans (hits 41, double_sweep 39, pagerank_pers,
+    # harmonic_r2, bfs_layer_hist, clustering_coeff/link_jaccard
+    # triangle paths) and truth-AND-candidate eval double-paths /
+    # capstone compositions (recall/purity/estimate evals,
+    # cap_audit's exact+capped twin, release manifest, blocked
+    # self-join pair miners, multi-output marts).
+    "corpus_release_manifest", "dedup_cluster_purity_eval",
+    "dedup_minhash_estimate_error", "dedup_semantic",
+    "dedup_simhash_recall_eval", "events_funnel_windowed",
+    "events_km_median_latency", "events_mann_kendall_trend",
+    "events_seasonal_anomalies", "freq_association_rules",
+    "freq_copurchase_lift", "graph_bfs_layer_hist",
+    "graph_clustering_coeff", "graph_double_sweep_diameter",
+    "graph_harmonic_r2", "graph_hits_scores", "graph_link_jaccard",
+    "graph_pagerank_personalized", "ivfpq_topk", "mart_abc_parts",
+    "mart_pareto_coverage", "mart_rfm_scores",
+    "quality_distribution_drift", "sample_temperature_curve",
+    "sample_temperature_mixture", "sim_ivf_recall_eval",
+    "sim_pq_recall_eval", "text_dup_span_cap_audit",
+    "text_jaccard_topk_pairs",
 }
 SHUFFLE_BUDGET = 6
 
