@@ -775,6 +775,201 @@ def train_mix_epochs_plan(spark, sf):
         .alias("upsampled"))
 
 
+# ---------------------------------------------------------------------------
+# Single most-likely changepoint on the daily value stream
+# ---------------------------------------------------------------------------
+
+@register("events_changepoint_scan", """
+WITH v AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+d AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS gs,
+               CAST(SUM(n) AS BIGINT) AS gn FROM d),
+c AS (SELECT day, s, n,
+        SUM(s * (SELECT gn FROM tot) - n * (SELECT gs FROM tot))
+          OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cum
+      FROM d),
+cp AS (SELECT day AS cp_day FROM c
+       ORDER BY abs(cum) DESC, day LIMIT 1),
+sides AS (
+  SELECT CASE WHEN day <= (SELECT cp_day FROM cp)
+              THEN 0 ELSE 1 END AS side,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+  FROM d GROUP BY 1)
+SELECT (SELECT cp_day FROM cp) AS cp_day,
+       MAX(CASE WHEN side = 0 THEN n_days END) AS pre_days,
+       MAX(CASE WHEN side = 1 THEN n_days END) AS post_days,
+       CAST(MAX(CASE WHEN side = 0 THEN s // n END) AS BIGINT)
+         AS pre_mean_cents,
+       CAST(MAX(CASE WHEN side = 1 THEN s // n END) AS BIGINT)
+         AS post_mean_cents,
+       CAST(MAX(CASE WHEN side = 1 THEN s // n END)
+            - MAX(CASE WHEN side = 0 THEN s // n END) AS BIGINT)
+         AS shift_cents
+FROM sides
+""")
+def events_changepoint_scan(spark, sf):
+    # CUSUM-argmax changepoint: the split day maximizing the absolute
+    # cumulative deviation from the global mean (the binary-
+    # segmentation first step, and the location readout for the
+    # Page–Hinkley alarm next door — PH says WHETHER the stream
+    # drifted, this says WHERE). Same cross-multiplied integer
+    # deviations as events_page_hinkley_drift (no division until the
+    # per-side mean readout), earliest-day tie-break, pre/post means
+    # in exact cents. The argmax and the two-sided rollup run on the
+    # |days| relation.
+    from pyspark.sql.window import Window
+
+    v = (load_table(spark, sf, "events")
+         .filter(F.col("value").isNotNull())
+         .select(F.expr("unix_millis(ts) div 86400000").alias("day"),
+                 F.expr("CAST(CAST(value AS DECIMAL(20,2)) * 100 "
+                        "AS BIGINT)").alias("cents")))
+    d = v.groupBy("day").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = d.agg(F.sum("s").cast("bigint").alias("gs"),
+                F.sum("n").cast("bigint").alias("gn"))
+    wo = (Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (d.crossJoin(F.broadcast(tot))
+          .select("day", "s", "n",
+                  F.sum(F.expr("s * gn - n * gs")).over(wo)
+                  .alias("cum")))
+    cp = (c.orderBy(F.abs(F.col("cum")).desc(), F.col("day"))
+           .limit(1).select(F.col("day").alias("cp_day")))
+    sides = (d.crossJoin(F.broadcast(cp))
+              .groupBy(F.when(F.col("day") <= F.col("cp_day"), 0)
+                        .otherwise(1).alias("side"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                   F.sum("s").cast("bigint").alias("s"),
+                   F.sum("n").cast("bigint").alias("n")))
+    pre = F.max(F.when(F.col("side") == 0, F.col("n_days")))
+    post = F.max(F.when(F.col("side") == 1, F.col("n_days")))
+    pre_m = F.max(F.when(F.col("side") == 0, F.expr("s div n")))
+    post_m = F.max(F.when(F.col("side") == 1, F.expr("s div n")))
+    return (sides.crossJoin(F.broadcast(cp))
+            .groupBy("cp_day")
+            .agg(pre.alias("pre_days"), post.alias("post_days"),
+                 pre_m.cast("bigint").alias("pre_mean_cents"),
+                 post_m.cast("bigint").alias("post_mean_cents"),
+                 (post_m - pre_m).cast("bigint").alias("shift_cents")))
+
+
+# ---------------------------------------------------------------------------
+# LSH recall-vs-tables sweep (the tuning curve for the L knob)
+# ---------------------------------------------------------------------------
+
+def _lsh_union_sql(src_sql: str, id_alias: str, vec_alias: str,
+                   n_tables: int, planes_per_table: int) -> str:
+    # Local copy of registry_ext._lsh_buckets_union (banks do not
+    # import sibling registry modules; the plane generator itself is
+    # the engine's seeded hyperplane_bucket_sql).
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        hyperplane_bucket_sql,
+    )
+
+    return " UNION ALL ".join(
+        f"SELECT {id_alias}, {vec_alias}, {t} AS tbl, "
+        f"{hyperplane_bucket_sql('embedding', t, n_tables=n_tables, planes_per_table=planes_per_table)}"
+        f" AS key FROM {src_sql}"
+        for t in range(n_tables))
+
+
+_SWEEP_COS = ("list_dot_product(qv, cv) / "
+              "(sqrt(list_dot_product(qv, qv)) * "
+              "sqrt(list_dot_product(cv, cv)))")
+
+
+def _lsh_sweep_oracle() -> str:
+    base = """
+WITH qsrc AS (SELECT vec_id AS query_id, embedding,
+                     embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 8),
+csrc AS (SELECT vec_id AS match_id, embedding, embedding::DOUBLE[] AS cv
+         FROM embeddings),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, c.match_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos} DESC, c.match_id) AS rank
+    FROM qsrc q CROSS JOIN csrc c WHERE q.query_id != c.match_id)
+  WHERE rank <= 5),
+tn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth)""".format(
+        cos=_SWEEP_COS.replace("qv", "q.qv").replace("cv", "c.cv"))
+    arms = []
+    for L in (2, 6, 18):
+        base += f""",
+qb{L} AS ({_lsh_union_sql('qsrc', 'query_id', 'qv', L, 4)}),
+cb{L} AS ({_lsh_union_sql('csrc', 'match_id', 'cv', L, 4)}),
+cand{L} AS (
+  SELECT DISTINCT query_id, match_id, qv, cv
+  FROM qb{L} JOIN cb{L} USING (tbl, key) WHERE query_id != match_id),
+top{L} AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY {_SWEEP_COS} DESC, match_id) AS rank
+    FROM cand{L})
+  WHERE rank <= 5),
+hit{L} AS (SELECT CAST(count(*) AS BIGINT) AS h
+           FROM top{L} JOIN truth USING (query_id, match_id))"""
+        arms.append(
+            f"SELECT CAST({L} AS BIGINT) AS n_tables, "
+            f"(SELECT n FROM tn) AS truth_pairs, "
+            f"(SELECT h FROM hit{L}) AS hits, "
+            f"CAST((SELECT h FROM hit{L}) * 1000000 "
+            f"// (SELECT n FROM tn) AS BIGINT) AS recall_ppm")
+    return base + "\n" + " UNION ALL ".join(arms)
+
+
+@register("sim_lsh_recall_sweep", _lsh_sweep_oracle())
+def sim_lsh_recall_sweep(spark, sf):
+    # The L-knob tuning curve, hash-exact: recall@5 of the LSH bucket
+    # path at L ∈ {2, 6, 18} tables (P=4 planes) against the exact
+    # brute-force truth, in ONE certified query — the lsh analogue of
+    # sim_ivf_recall_sweep (VERDICT r11 asked recall to ride the
+    # official record, not just bench's side-channel). Monotone
+    # recovery expected as L grows (collision probability
+    # 1-(1-p^P)^L); the sf0.01 sizing reads low-to-high exactly like
+    # the collision formula predicts. Truth and every arm are
+    # deterministic (seeded planes, id tie-breaks), so the recall
+    # itself oracle-pairs bit-for-bit.
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk_np,
+        lsh_bucket_topk_np,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    truth = brute_force_topk_np(emb, queries, k=5)         .select("query_id", "match_id")
+    tn = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    arms = []
+    for L in (2, 6, 18):
+        top = lsh_bucket_topk_np(emb, queries, k=5, n_tables=L,
+                                 planes_per_table=4)             .select("query_id", "match_id")
+        h = (top.join(truth, ["query_id", "match_id"])
+                .agg(F.count(F.lit(1)).cast("bigint").alias("h")))
+        arms.append(
+            h.crossJoin(F.broadcast(tn)).select(
+                F.lit(L).cast("bigint").alias("n_tables"),
+                F.col("n").alias("truth_pairs"),
+                F.col("h").alias("hits"),
+                F.expr("CAST(h * 1000000 div n AS BIGINT)")
+                .alias("recall_ppm")))
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 # Staged-entry manifest, in registration order (kept in sync by the
 # bank's subprocess smoke: every name registered by importing this
 # module must appear here, and vice versa). Also consumed by
@@ -793,4 +988,6 @@ R15_ENTRIES: list[str] = [
     "text_boilerplate_edges",
     "events_burstiness_index",
     "train_mix_epochs_plan",
+    "events_changepoint_scan",
+    "sim_lsh_recall_sweep",
 ]
