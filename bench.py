@@ -196,7 +196,7 @@ _STREAMING_SKIP = {"stream_ewma_values", "stream_tumbling_counts",
                    "stream_hopping_counts", "stream_interarrival_bands",
                    "stream_burst_flags", "stream_cumulative_users",
                    "stream_error_rate_daily", "stream_bigram_transitions",
-                   "stream_max_drawdown"}
+                   "stream_max_drawdown", "stream_gap_burstiness"}
 
 
 def _manifest_timings(

@@ -970,6 +970,67 @@ def sim_lsh_recall_sweep(spark, sf):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Streaming twin of the burstiness sufficient statistics
+# ---------------------------------------------------------------------------
+
+@register("stream_gap_burstiness", """
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ms, event_id,
+         lead(epoch_ms(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY epoch_ms(ts), event_id) AS nxt
+  FROM events),
+g AS (SELECT event_type, CAST(nxt - ms AS BIGINT) AS gap
+      FROM s WHERE nxt IS NOT NULL),
+agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(gap) AS BIGINT) AS s1,
+               CAST(SUM(gap * gap) AS BIGINT) AS s2
+        FROM g GROUP BY 1),
+m AS (SELECT event_type, n, s1, s2,
+        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2
+      FROM agg)
+SELECT event_type, n,
+       sqrt(r2 - mean * mean) AS sd,
+       mean,
+       (sqrt(r2 - mean * mean) - mean)
+         / (sqrt(r2 - mean * mean) + mean) AS burstiness
+FROM m
+""")
+def stream_gap_burstiness(spark, sf):
+    # Streaming twin of events_burstiness_index (shares its oracle
+    # VERBATIM): the per-type gap tracker runs as
+    # applyInPandasWithState carrying FIVE int64s of state — last
+    # (ms, event_id) + the gap count and first two raw moments
+    # (streaming/stateful.py::gap_stats_stateful). Emissions are
+    # monotone, so the MAX-per-type rollup equals the batch lead()
+    # aggregate at any micro-batch slicing; the burstiness doubles
+    # are computed AFTER the rollup through the identical staged
+    # expressions (one mean, one raw second moment, one IEEE-exact
+    # sqrt), so the streaming entry hash-pairs with the batch twin's
+    # SQL bit-for-bit.
+    from yougile_etl_pipeline_spark.streaming.stateful import (
+        run_gap_stats_available_now,
+    )
+
+    parts = run_gap_stats_available_now(
+        spark, sf, table_name="stream_gap_stats_r15")
+    agg = (parts.groupBy("event_type")
+           .agg(F.max("n").cast("bigint").alias("n"),
+                F.max("s1").cast("bigint").alias("s1"),
+                F.max("s2").cast("bigint").alias("s2")))
+    m = agg.select(
+        "event_type", "n",
+        F.expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").alias("mean"),
+        F.expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)").alias("r2"))
+    return m.select(
+        "event_type", "n",
+        F.expr("sqrt(r2 - mean * mean)").alias("sd"),
+        "mean",
+        F.expr("(sqrt(r2 - mean * mean) - mean) "
+               "/ (sqrt(r2 - mean * mean) + mean)").alias("burstiness"))
+
+
 # Staged-entry manifest, in registration order (kept in sync by the
 # bank's subprocess smoke: every name registered by importing this
 # module must appear here, and vice versa). Also consumed by
@@ -990,4 +1051,5 @@ R15_ENTRIES: list[str] = [
     "train_mix_epochs_plan",
     "events_changepoint_scan",
     "sim_lsh_recall_sweep",
+    "stream_gap_burstiness",  # in bench._STREAMING_SKIP since staging
 ]

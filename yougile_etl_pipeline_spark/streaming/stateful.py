@@ -841,3 +841,92 @@ def run_drawdown_available_now(
          .start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+GAP_STATS_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("s1", T.LongType()),
+    T.StructField("s2", T.LongType()),
+])
+
+_GAP_STATS_STATE_SCHEMA = T.StructType([
+    T.StructField("last_ms", T.LongType()),
+    T.StructField("last_eid", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("s1", T.LongType()),
+    T.StructField("s2", T.LongType()),
+])
+
+
+def gap_stats_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of `events_burstiness_index`'s sufficient
+    statistics: per event type the state is FIVE int64s — the last
+    seen (ms, event_id) plus the gap count and its first two raw
+    moments (n, Σg, Σg²) — so an unbounded event stream keeps the
+    exact burstiness inputs with O(|types|) state. The boundary gap
+    between micro-batches is counted exactly once by the later batch
+    (the bigram_stateful cross-batch argument); within a batch rows
+    fold in (ms, event_id) order, matching the batch lead() window.
+
+    Emissions are the refreshed (n, s1, s2) per batch — all three
+    MONOTONE non-decreasing — so a MAX-per-type rollup over the
+    drained output equals the batch aggregate at any micro-batch
+    slicing; the burstiness doubles are computed AFTER the rollup
+    with the identical staged expressions, keeping the streaming
+    entry on the batch entry's oracle verbatim."""
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(["ms", "event_id"])
+        if state.exists:
+            last_ms, last_eid, n, s1, s2 = (int(x) for x in state.get)
+            have_last = True
+        else:
+            last_ms = last_eid = n = s1 = s2 = 0
+            have_last = False
+        for ms, eid in zip(pdf["ms"], pdf["event_id"]):
+            ms = int(ms)
+            if have_last:
+                gap = ms - last_ms
+                n += 1
+                s1 += gap
+                s2 += gap * gap
+            last_ms, last_eid, have_last = ms, int(eid), True
+        state.update((last_ms, last_eid, n, s1, s2))
+        yield pd.DataFrame({"event_type": [event_type],
+                            "n": [n], "s1": [s1], "s2": [s2]})
+
+    from pyspark.sql import functions as F
+
+    base = events.select("event_type", F.unix_millis("ts").alias("ms"),
+                         "event_id")
+    return base.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=GAP_STATS_SCHEMA,
+        stateStructType=_GAP_STATS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_gap_stats_available_now(
+        spark, sf_dir: str,
+        table_name: str = "stream_gap_stats") -> DataFrame:
+    """Drain the events stream once through the stateful gap tracker
+    into a memory sink; callers take MAX per type over the (monotone)
+    emissions."""
+    from yougile_etl_pipeline_spark.streaming.snapshot import (
+        read_events_stream,
+    )
+
+    q = (gap_stats_stateful(read_events_stream(spark, sf_dir))
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
