@@ -1534,9 +1534,12 @@ _STABLE_CERTIFIED = [
 #        from yougile_etl_pipeline_spark import registry_r15  # noqa
 #    at the BOTTOM of registry_ext.py next to the r06–r14 imports
 #    (NOT here — the ext-bottom position survives the circular entry
-#    path). Check registry_r15.R15_ENTRIES for the entry count and
-#    any streaming names that must join bench._STREAMING_SKIP.
-# 3. Hold out (50 − len(R15_ENTRIES)) recertification fillers, picked
+#    path). Check registry_r15.R15_ENTRIES for the FINAL entry count
+#    (15 as of the r14 close: twelve analytic entries + changepoint
+#    scan + LSH recall sweep + the stream_gap_burstiness twin, which
+#    is ALREADY in bench._STREAMING_SKIP — added at staging time).
+# 3. Hold out (50 − len(R15_ENTRIES)) recertification fillers (35 at
+#    the r14-close bank size), picked
 #    by LAST-DRIVER-GREEN ROUND recomputed over CORRECTNESS_r01..r14
 #    (the r14 precedent: python over the json history, not vintage
 #    labels). After the r14 recerts land, the oldest official rows
