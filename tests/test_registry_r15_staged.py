@@ -17,7 +17,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_EXPECTED = 15  # grows as round-14 stages entries for the r15 bank
+_EXPECTED = 16  # grows as round-14 stages entries for the r15 bank
 
 _SUBPROC = """
 import os, sys

@@ -1535,10 +1535,10 @@ _STABLE_CERTIFIED = [
 #    at the BOTTOM of registry_ext.py next to the r06–r14 imports
 #    (NOT here — the ext-bottom position survives the circular entry
 #    path). Check registry_r15.R15_ENTRIES for the FINAL entry count
-#    (15 as of the r14 close: twelve analytic entries + changepoint
+#    (16 as of the r14 close: thirteen analytic entries + changepoint
 #    scan + LSH recall sweep + the stream_gap_burstiness twin, which
 #    is ALREADY in bench._STREAMING_SKIP — added at staging time).
-# 3. Hold out (50 − len(R15_ENTRIES)) recertification fillers (35 at
+# 3. Hold out (50 − len(R15_ENTRIES)) recertification fillers (34 at
 #    the r14-close bank size), picked
 #    by LAST-DRIVER-GREEN ROUND recomputed over CORRECTNESS_r01..r14
 #    (the r14 precedent: python over the json history, not vintage

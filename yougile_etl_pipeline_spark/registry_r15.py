@@ -1031,6 +1031,67 @@ def stream_gap_burstiness(spark, sf):
                "/ (sqrt(r2 - mean * mean) + mean)").alias("burstiness"))
 
 
+# ---------------------------------------------------------------------------
+# Token-level dedup shrinkage rollup (post-trio staged addition)
+# ---------------------------------------------------------------------------
+
+@register("text_dup_span_shrinkage", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+ex AS (
+  SELECT doc_id, s,
+         md5(array_to_string(toks[s:s+4], ' ')) AS fp
+  FROM t, LATERAL (SELECT unnest(range(1,
+           greatest(len(toks) - 5 + 1, 0) + 1)) AS s) ls),
+debut AS (SELECT fp, min(doc_id) AS d0 FROM ex GROUP BY 1),
+cov AS (
+  SELECT doc_id, CAST(len(list_distinct(flatten(list(pr)))) AS BIGINT)
+           AS n_removed
+  FROM (
+    SELECT e.doc_id,
+           list_transform(range(e.s, e.s + 5), x -> x) AS pr
+    FROM ex e JOIN debut d USING (fp)
+    WHERE d.d0 < e.doc_id)
+  GROUP BY 1),
+per AS (
+  SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(cov.n_removed, 0) AS BIGINT) AS n_removed
+  FROM t LEFT JOIN cov USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(n_tokens - n_removed) AS BIGINT) AS tokens_after,
+       CAST(count_if(n_removed > 0) AS BIGINT) AS docs_touched,
+       CAST(SUM(n_removed) * 1000000 // SUM(n_tokens) AS BIGINT)
+         AS removed_ppm
+FROM per
+""")
+def text_dup_span_shrinkage(spark, sf):
+    # The corpus-level readout of exact-substring dedup: how many
+    # tokens the Lee-et-al removal would delete (the token-level
+    # complement of corpus_dedup_rate_report's doc-level shares) —
+    # the single inflation number a data-mix owner quotes when
+    # deciding whether span-level dedup is worth a pass. Composes the
+    # certified dup_span_removal lineage (same n=5, parallelism
+    # guard, shared gram-stream persist) and rolls it up to one row;
+    # the SQL twin restates the debut-join shape independently (local
+    # copy, the r14 markov precedent — banks do not import sibling
+    # registry modules).
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_removal,
+    )
+
+    per = dup_span_removal(load_table(spark, sf, "documents"), n=5)
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_before"),
+        F.sum(F.col("n_tokens") - F.col("n_removed")).cast("bigint")
+        .alias("tokens_after"),
+        F.count_if(F.col("n_removed") > 0).cast("bigint")
+        .alias("docs_touched"),
+        F.expr("CAST(SUM(n_removed) * 1000000 div SUM(n_tokens) "
+               "AS BIGINT)").alias("removed_ppm"))
+
+
 # Staged-entry manifest, in registration order (kept in sync by the
 # bank's subprocess smoke: every name registered by importing this
 # module must appear here, and vice versa). Also consumed by
@@ -1052,4 +1113,5 @@ R15_ENTRIES: list[str] = [
     "events_changepoint_scan",
     "sim_lsh_recall_sweep",
     "stream_gap_burstiness",  # in bench._STREAMING_SKIP since staging
+    "text_dup_span_shrinkage",
 ]
