@@ -149,7 +149,10 @@ def main() -> None:
     # round-14 registrations (the registry_r14 bank, live since the
     # r14 rotation, plus mid-round direct additions): same treatment.
     out["r14"], out["r14_plans"] = _r14_timings(spark, sf_dir)
-    # r15 staging bank: same single-warmed-run + fingerprint treatment,
+    # round-15 registrations (the registry_r15 bank, live since the
+    # r15 rotation, plus mid-round direct additions): same treatment.
+    out["r15"], out["r15_plans"] = _r15_timings(spark, sf_dir)
+    # r16 staging bank: same single-warmed-run + fingerprint treatment,
     # so nothing registers untimed at the next rotation (the staging
     # contract's own lesson — the 22.7 s rolling-distinct catch).
     out["staged"], out["staged_plans"] = _staged_timings(spark, sf_dir)
@@ -313,19 +316,30 @@ def _r14_timings(
                              skip=set(HEADLINE))
 
 
+def _r15_timings(
+        spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    """Per-round perf/plan record for the round-15 registrations (the
+    registry_r15 bank, live since the r15 rotation, plus mid-round
+    direct additions)."""
+    from yougile_etl_pipeline_spark.registry_r15 import R15_ENTRIES
+
+    return _manifest_timings(spark, sf_dir, R15_ENTRIES,
+                             skip=set(HEADLINE))
+
+
 def _staged_timings(
         spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
-    """Wall time + plan fingerprint for every round-15 BANK entry,
-    driven off registry_r15's own registrations. Importing the bank
+    """Wall time + plan fingerprint for every round-16 BANK entry,
+    driven off registry_r16's own registrations. Importing the bank
     module registers its entries IN THIS PROCESS ONLY — they insert
     after the live window's 50 entries and the module's tail guard
     re-rotates, so the certified window set bench measures is
     untouched (the driver's correctness process never imports the
-    bank; tests/test_registry_r15_staged.py proves non-import on the
+    bank; tests/test_registry_r16_staged.py proves non-import on the
     canonical path)."""
-    from yougile_etl_pipeline_spark import registry_r15
+    from yougile_etl_pipeline_spark import registry_r16
 
-    return _manifest_timings(spark, sf_dir, registry_r15.R15_ENTRIES)
+    return _manifest_timings(spark, sf_dir, registry_r16.R16_ENTRIES)
 
 
 def _sf1_block(spark, sf1_dir: str,

@@ -47,13 +47,20 @@ def main() -> int:
                 rec = {"ok": not issues, "mode": "oracle",
                        "issues": issues or None}
             else:
+                # ADVICE r14: a completed count() is always >= 0, so
+                # "ok: true" here would dilute the sweep's n_ok claim
+                # into "didn't crash". Record oracle-less entries as
+                # ok: None (a distinct third state the summary counts
+                # separately) — as of r14 the registry has ZERO such
+                # entries, so any appearance of n_rows_only > 0 in a
+                # SWEEP artifact is itself a regression signal.
                 n = df.count()
-                rec = {"ok": n >= 0, "mode": "rows_only", "rows": n}
+                rec = {"ok": None, "mode": "rows_only", "rows": n}
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             rec = {"ok": False, "mode": "error", "issues": str(e)[:500]}
         rec["wall_s"] = round(time.perf_counter() - t0, 2)
         results[name] = rec
-        if not rec["ok"]:
+        if rec["ok"] is False:
             failed += 1
             print(f"FAIL {name}: {rec.get('issues')}", flush=True)
         if (i + 1) % 25 == 0:
@@ -64,7 +71,9 @@ def main() -> int:
         "round": rnd,
         "sf_dir": SF,
         "n_queries": len(results),
-        "n_ok": sum(1 for r in results.values() if r["ok"]),
+        "n_ok": sum(1 for r in results.values() if r["ok"] is True),
+        "n_rows_only": sum(1 for r in results.values()
+                           if r["ok"] is None),
         "n_failed": failed,
         "total_wall_s": round(time.perf_counter() - t_start, 1),
         "results": results,

@@ -124,3 +124,72 @@ def test_dup_spans_duckdb_parity(spark):
     assert compare(got, con, _ORACLE) == []
     # the fixture's near-dup structure must light up the signal
     assert got.filter("n_covered > 0").count() > 0
+
+
+def test_gram_cache_is_plan_keyed_lru(spark):
+    """ADVICE r14: the old single shared slot meant a composed query
+    that built two gram-stream operators evicted the earlier persist
+    BEFORE the job ran. The cache is now keyed by plan semantics with
+    3 LRU slots: a semantic hit returns the ALREADY-persisted
+    DataFrame, misses evict oldest-first beyond capacity."""
+    from yougile_etl_pipeline_spark.operators import text as t
+
+    saved = list(t._LAST_GRAM_CACHE)
+    t._LAST_GRAM_CACHE.clear()
+    try:
+        a1 = spark.range(10).selectExpr("id * 2 as v")
+        a2 = spark.range(10).selectExpr("id * 2 as v")  # same plan
+        r1 = t._cache_gram_stream(a1)
+        r2 = t._cache_gram_stream(a2)
+        assert r2 is r1, "semantic twin must share the persisted slot"
+        assert len(t._LAST_GRAM_CACHE) == 1
+        rb = t._cache_gram_stream(spark.range(10).selectExpr("id*3 v"))
+        rc = t._cache_gram_stream(spark.range(10).selectExpr("id*5 v"))
+        assert len(t._LAST_GRAM_CACHE) == t._GRAM_CACHE_SLOTS == 3
+        # capacity exceeded: the LRU slot (r1) is evicted + unpersisted
+        rd = t._cache_gram_stream(spark.range(10).selectExpr("id*7 v"))
+        assert r1 not in t._LAST_GRAM_CACHE
+        assert not r1.storageLevel.useMemory
+        assert [x is y for x, y in
+                zip(t._LAST_GRAM_CACHE, [rb, rc, rd])] == [True] * 3
+        # a hit refreshes recency: rb moves to MRU, so rc is now LRU
+        t._cache_gram_stream(spark.range(10).selectExpr("id*3 v"))
+        assert t._LAST_GRAM_CACHE[-1] is rb
+    finally:
+        for cached in t._LAST_GRAM_CACHE:
+            cached.unpersist(blocking=False)
+        t._LAST_GRAM_CACHE.clear()
+        t._LAST_GRAM_CACHE.extend(saved)
+
+
+def test_dup_span_twins_share_one_persisted_gram_stream(spark):
+    """dup_span_coverage + dup_span_removal over the same input build
+    the identical positional-gram stream — the exact+capped cap-audit
+    composition that used to evict itself now occupies ONE shared
+    persisted slot (the ADVICE-r14 scenario)."""
+    from yougile_etl_pipeline_spark.operators import text as t
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_removal,
+    )
+
+    saved = list(t._LAST_GRAM_CACHE)
+    t._LAST_GRAM_CACHE.clear()
+    try:
+        d = _docs(spark, ["a b c d e f g", "a b c d e f g", "x y z"])
+        cov = dup_span_coverage(d)
+        rem = dup_span_removal(d)
+        assert len(t._LAST_GRAM_CACHE) == 1, (
+            "coverage+removal must share one persisted gram stream")
+        # and the shared persist must not corrupt either result
+        assert {r["doc_id"]: r["n_covered"]
+                for r in cov.collect()} == {0: 7, 1: 7, 2: 0}
+        assert {r["doc_id"]: r["n_removed"]
+                for r in rem.collect()} == {0: 0, 1: 7, 2: 0}
+        # the exact+capped removal twins share it too
+        dup_span_removal(d, max_gram_df=5)
+        assert len(t._LAST_GRAM_CACHE) == 1
+    finally:
+        for cached in t._LAST_GRAM_CACHE:
+            cached.unpersist(blocking=False)
+        t._LAST_GRAM_CACHE.clear()
+        t._LAST_GRAM_CACHE.extend(saved)

@@ -1018,3 +1018,31 @@ def test_ivf_recall_sweep_is_monotone(spark):
     assert recalls[-1] > recalls[0], (
         "wider probing did not recover any recall — the sweep is "
         "measuring nothing")
+
+
+def test_distinct_shuffles_id_collision_disambiguation():
+    """ADVICE r14: two DIFFERENT cached subtrees whose reprints carry
+    independently restarted numbering can both print "Exchange (5)" —
+    id-dedup alone would merge them. The detail body disambiguates;
+    a genuine same-subtree reprint (same id, same details) still
+    counts once."""
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        _distinct_shuffles,
+    )
+
+    tree = ("   +- Exchange (5)\n"
+            "   +- InMemoryTableScan (7)\n"
+            "         +- Exchange (5)\n")
+    # same id, ONE detail body -> one exchange (the cached-subtree
+    # reprint case the id-dedup exists for)
+    plan_same = tree + "\n\n(5) Exchange\nInput [2]: [a, b]\n"
+    assert _distinct_shuffles(tree, plan_same) == 1
+    # same id, TWO distinct detail bodies -> two distinct exchanges
+    plan_two = (tree + "\n\n(5) Exchange\nInput [2]: [a, b]\n\n"
+                "(5) Exchange\nInput [1]: [c]\n")
+    assert _distinct_shuffles(tree, plan_two) == 2
+    # no ids at all -> raw occurrence count (legacy fallback)
+    assert _distinct_shuffles("Exchange\nExchange\n", "") == 2
+    # BroadcastExchange / ReusedExchange never count
+    assert _distinct_shuffles(
+        "BroadcastExchange (3)\nReusedExchange (4)\n", "") == 0

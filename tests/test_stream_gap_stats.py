@@ -92,3 +92,23 @@ def test_gap_tie_on_ms_breaks_by_event_id(spark):
     r = outs[0].iloc[0]
     # gaps: (50,1)->(50,2)=0, (50,2)->(70,3)=20
     assert (int(r["n"]), int(r["s1"]), int(r["s2"])) == (2, 20, 400)
+
+
+def test_gap_out_of_order_batch_fails_loudly():
+    """An event OLDER than the stored last_ms would fold a negative
+    gap and silently diverge s1/s2 from the batch lead() twin — the
+    fold must raise instead (ADVICE r14: the per-key event-time-order
+    source assumption is now asserted, not assumed)."""
+    import pytest
+
+    fn = _capture_fn()
+    state = _FakeState()
+    list(fn(("x",), iter([_batch([(50, 0), (80, 1)])]), state))
+    with pytest.raises(ValueError, match="out-of-order"):
+        list(fn(("x",), iter([_batch([(40, 2)])]), state))
+    # ties with the stored boundary are NOT out of order (zero gap)
+    state2 = _FakeState()
+    list(fn(("y",), iter([_batch([(50, 0)])]), state2))
+    outs = list(fn(("y",), iter([_batch([(50, 1)])]), state2))
+    r = outs[0].iloc[0]
+    assert (int(r["n"]), int(r["s1"]), int(r["s2"])) == (1, 0, 0)

@@ -158,9 +158,13 @@ def idf_weighted_jaccard_pairs(
     bounded by Σ_kept df² ≤ |shingles|·cap², and the weighted score
     is a true ratio over the informative-shingle sets.
 
-    Shape: one shingle-df aggregate (16-byte fingerprint keys), a
-    broadcast of the tiny kept-weight relation path via equi-join,
-    the blocked self-join on (block, shingle), one pair-keyed
+    Shape: one shingle-df aggregate (16-byte fingerprint keys); the
+    kept-weight relation joins back onto the shingle stream via a
+    plain fingerprint-keyed SHUFFLE equi-join — deliberately NOT a
+    broadcast (ADVICE r14: the df-cap bounds each shingle's document
+    frequency, not the NUMBER of kept shingles, which grows with
+    corpus vocabulary — at 100 TB that relation is billions of rows);
+    then the blocked self-join on (block, shingle), one pair-keyed
     aggregate, two size joins. `block_cols` (e.g. language) bound
     the candidate space — at scale you always block."""
     block_cols = block_cols or []

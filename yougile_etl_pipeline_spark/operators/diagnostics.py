@@ -31,12 +31,27 @@ def formatted_plan(df: DataFrame) -> str:
             "formatted"))
 
 
-def _distinct_shuffles(body: str) -> int:
-    ids = set(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \((\d+)\)",
-                         body))
-    if ids:
-        return len(ids)
-    return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", body))
+def _distinct_shuffles(body: str, plan: str = "") -> int:
+    ids = re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \((\d+)\)",
+                     body)
+    if not ids:
+        return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", body))
+    # Dedupe by formatted-plan node id — but an id alone can COLLIDE:
+    # two DIFFERENT cached subtrees whose reprints carry independently
+    # restarted numbering may both contain "Exchange (5)" (ADVICE r14).
+    # Disambiguate with the node's DETAIL section "(5) Exchange\n..."
+    # from the full plan text: one id with k distinct detail bodies is
+    # k distinct exchanges. Same-id same-details stays one exchange
+    # (the genuine cached-subtree reprint this dedup exists for); ids
+    # without a detail section fall back to one each, matching the
+    # pre-r15 behavior.
+    detail_bodies: dict[str, set[str]] = {}
+    for m in re.finditer(
+            r"^\((\d+)\) Exchange(?:\n((?:(?!^\(\d+\) ).*\n?)*))?",
+            plan, flags=re.M):
+        detail_bodies.setdefault(m.group(1), set()).add(m.group(2) or "")
+    return sum(max(1, len(detail_bodies.get(i, ())))
+               for i in set(ids))
 
 
 def plan_profile(df: DataFrame) -> dict[str, object]:
@@ -67,11 +82,13 @@ def plan_profile(df: DataFrame) -> dict[str, object]:
         # Q21's repeated lineitem legs) — a reused exchange is a cache
         # hit, not an extra shuffle, so match the bare node name only
         # and report reuse as its own counter. Dedupe by formatted-plan
-        # node id: a cached subtree (InMemoryRelation) is PRINTED once
-        # under every InMemoryTableScan that references it, but its
-        # exchange executes once (r14, when the dup-span operators grew
-        # a shared persisted gram stream).
-        "shuffle_exchanges": _distinct_shuffles(body),
+        # node id + detail body: a cached subtree (InMemoryRelation) is
+        # PRINTED once under every InMemoryTableScan that references
+        # it, but its exchange executes once (r14, when the dup-span
+        # operators grew a shared persisted gram stream); the detail
+        # body disambiguates id collisions across UNRELATED cached
+        # subtrees (ADVICE r14).
+        "shuffle_exchanges": _distinct_shuffles(body, plan),
         "broadcast_exchanges": body.count("BroadcastExchange"),
         "reused_exchanges": body.count("ReusedExchange"),
         "scans": len(re.findall(r"Scan parquet", body)),

@@ -809,7 +809,7 @@ def collocation_lift(df: DataFrame, *, text_col: str = "text",
     one-row broadcast via cross join (the `bm25_scores` pattern — the
     whole plan stays lazy, no driver collect). The TOKENIZED relation
     feeds three consumers (bigram counts, unigram counts, corpus
-    totals) and is persisted through the bounded single-slot
+    totals) and is persisted through the bounded plan-keyed LRU
     `_cache_gram_stream` so the parquet scan + split run once, not
     three times (r14: 3.27 s → measured post-change in BENCH_r14; at
     cluster scale the same reuse is a staging table)."""
@@ -887,25 +887,41 @@ def readability_scores(df: DataFrame, *, id_col: str = "doc_id",
                      flesch.alias("flesch"))
 
 
-# Bounded single-slot cache for the exploded positional-gram stream
-# shared by the dup-span operators (the dedup.py _LAST_SHINGLE_CACHE
+# Bounded LRU cache for the exploded positional-gram stream shared by
+# the dup-span/collocation operators (the dedup.py _LAST_SHINGLE_CACHE
 # precedent): the stream feeds BOTH the fingerprint-frequency/debut
 # aggregation and the join-back probe side, and without a persist each
 # consumer re-runs the explode+md5 scan — measured 29.4 s → 3.8 s at
 # the 10× sf1 probe (slope 8.0 → 2.4, round 14). At cluster scale the
 # same reuse is a staging table or shuffle reuse; MEMORY_AND_DISK is
-# the local equivalent, and the single slot bounds the session's
-# footprint to one stream (each call releases the previous call's
-# blocks; in-flight consumers of an older result just recompute).
+# the local equivalent.
+#
+# Keyed by logical-plan semantics (ADVICE r14: the old SINGLE slot was
+# shared by collocation_lift, dup_span_coverage and dup_span_removal,
+# so a composed query that built two of these — e.g. the cap-audit's
+# exact+capped removal twins — evicted the earlier persist BEFORE the
+# job ran, silently reintroducing the duplicate explode+md5 scans):
+# a `sameSemantics` hit returns the ALREADY-PERSISTED DataFrame, so
+# twins that derive the same gram stream now share one persist instead
+# of stacking two identical ones; misses evict beyond 3 slots, oldest
+# first (in-flight consumers of an evicted result just recompute).
+# Single-threaded query construction is assumed, as everywhere in this
+# engine — the registry builds plans sequentially; the cache is not
+# guarded against concurrent construction.
+_GRAM_CACHE_SLOTS = 3
 _LAST_GRAM_CACHE: list[DataFrame] = []
 
 
 def _cache_gram_stream(ex: DataFrame) -> DataFrame:
+    for cached in _LAST_GRAM_CACHE:
+        if cached.sameSemantics(ex):
+            _LAST_GRAM_CACHE.remove(cached)
+            _LAST_GRAM_CACHE.append(cached)  # refresh LRU position
+            return cached
     ex = ex.persist()
-    prev = _LAST_GRAM_CACHE.pop(0) if _LAST_GRAM_CACHE else None
-    if prev is not None:
-        prev.unpersist(blocking=False)
     _LAST_GRAM_CACHE.append(ex)
+    while len(_LAST_GRAM_CACHE) > _GRAM_CACHE_SLOTS:
+        _LAST_GRAM_CACHE.pop(0).unpersist(blocking=False)
     return ex
 
 

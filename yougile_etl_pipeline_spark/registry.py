@@ -844,13 +844,7 @@ _STABLE_CERTIFIED = [
     # including the three array-output queries stringified in r04
     # (text_inverted_index, agg_collect_sorted, f_array_set_ops) and
     # the retuned-and-recertified ANN trio.
-    "quality_key_skew",
-    "dedup_incremental_batch", "quality_train_split",
-    "snapshot_diff_audit", "decontam_embedding",
-    "dedup_incremental_bloom", "agg_incremental_merge",
-    "text_lm_quality", "link_fuzzy_titles", "dim_scd2_orders",
-    "quality_expectations", "events_retention_cohorts",
-    "events_interval_merge", "events_resample_ffill",
+    "text_lm_quality", 
     # r08 note: graph_pagerank is NOT listed despite its green history —
     # it was pulled at the r08 rotation for a PLANNED checkpoint-cadence
     # change (checkpoint_every 8→2, VERDICT r07 "What's wrong" #2). The
@@ -858,15 +852,13 @@ _STABLE_CERTIFIED = [
     # it landed in round 9 (operators/graph.py:181 now 2, plan budget
     # pinned in tests/test_plan_audits.py) and the entry recertifies in
     # the r09 window with the new cadence.
-    "quality_pseudonymize", "dim_scd2_lookup",
-    "events_variant_extract", "join_incremental_delta",
-    "r_unpivot_metrics", "agg_grouping_sets", "win_dist_functions",
-    "sketch_incremental_merge", "sql_scalar_subquery",
-    "sql_exists_agg", "sql_in_subquery", "agg_having",
-    "freq_heavy_hitters", "sql_correlated_scalar", "sql_having_total",
-    "events_session_native", "events_time_rollup", "sql_lateral_topk",
-    "sql_recursive_spine", "sql_disjunctive_join",
-    "sql_market_share", "agg_collect_sorted",
+    "win_dist_functions",
+    "sql_scalar_subquery",
+    "sql_in_subquery", 
+    "sql_having_total",
+    "sql_lateral_topk",
+    "sql_recursive_spine", 
+    "sql_market_share", 
     # r05 driver HASH-green (CORRECTNESS_r05: 50/50 — 49 hash-matched
     # + stream_click_attribution rows-only by design), code untouched
     # since — the full r05 window promotes EXCEPT: f_null_functions,
@@ -920,7 +912,7 @@ _STABLE_CERTIFIED = [
     "text_readability", "text_ngram_novelty", "agg_price_histogram",
     "agg_weighted_median", "quality_benford",
     "events_cusum_alarms", "events_rolling_slope",
-    "text_dup_span_coverage", "freq_copurchase_lift", "events_mode_type",
+    "freq_copurchase_lift", "events_mode_type",
     "graph_link_jaccard", "text_rake_keyphrases", "agg_exact_quantiles",
     "events_seasonal_baseline", "quality_winsorize",
     "text_hashed_features", "mart_rfm_scores",
@@ -941,7 +933,7 @@ _STABLE_CERTIFIED = [
     # grouped_topk; registry_r07.py session oracle; streaming/
     # stateful.py drain guard) and the entries recertify in the r09
     # window with the changed code.
-    "stream_tumbling_counts", "graph_kcore", "text_dup_span_removal",
+    "stream_tumbling_counts", "graph_kcore", 
     "stream_ewma_values", "mm_wav_stats", "mm_bmp_stats",
     "quality_gini", "events_ks_global", "text_code_profile",
     "text_bpe_fertility", "graph_bfs_layers", "stream_dedup_keys",
@@ -1212,7 +1204,7 @@ _STABLE_CERTIFIED = [
     "dedup_semantic",             # slot → quality_mann_whitney_gate
     "text_domain_affinity",       # slot → text_zipf_rank_ratio
     "text_bpe_merge_step",        # slot → quality_tv_drift_gate
-    "text_collocations",          # slot → events_slo_burn_rates
+    # slot → events_slo_burn_rates
     "graph_label_propagation",    # slot → stream_bigram_transitions
     "emb_gram_matrix",            # slot → events_poisson_dispersion_gate
     "dedup_simhash_recall_eval",  # slot → events_max_drawdown
@@ -1249,7 +1241,7 @@ _STABLE_CERTIFIED = [
     "mm_media_dispatch_profile", "quality_benford_chi2_gate", "stream_error_rate_daily",
     "events_error_burst_runs", "train_packing_curve", "quality_approx_percentile_gate",
     "sketch_hll_error_gate", "mm_gif_resize_nearest", "mm_gif_flip_crop",
-    "text_dup_span_cap_audit", "mart_nation_trade_balance", "text_dedup_survivorship",
+    "mart_nation_trade_balance", "text_dedup_survivorship",
     "mm_png_gray_stats", "mm_png_rgba_stats", "events_survival_km", "quality_mann_whitney_gate",
     "text_zipf_rank_ratio", "quality_tv_drift_gate", "events_slo_burn_rates",
     "stream_bigram_transitions", "events_poisson_dispersion_gate", "events_max_drawdown",
@@ -1260,8 +1252,66 @@ _STABLE_CERTIFIED = [
     # mid-r14 swap-backs (one per genuinely new r14 registration, the
     # standing mart_abc_parts precedent; youngest-vintage filler
     # leaves the window first so the oldest official rows stay in for
-    # recertification — VERDICT r13 #1):
-    "layout_zorder_profile",  # for text_dup_span_removal_capped
+    # recertification — VERDICT r13 #1): layout_zorder_profile came
+    # back for text_dup_span_removal_capped — and is HELD OUT again at
+    # the r15 rotation as an r04-last-green filler (see the r15 note).
+    #
+    # ROUND-15 ROTATION — EXECUTED at r15 start. The r14 window was
+    # CORRECTNESS_r14 50/50 green (rows + schema + hash, zero errors);
+    # ALL 50 rows promote below in window order EXCEPT
+    # text_dup_span_removal_capped, HELD IN the r15 window for a
+    # PLANNED change (ADVICE r14 #1: the shared single-slot
+    # _LAST_GRAM_CACHE in operators/text.py becomes a small keyed LRU
+    # so exact+capped dup-span twins and cross-operator compositions
+    # keep their persist; changed implementations recertify
+    # officially). The same planned change pulls FOUR long-stable
+    # entries out of this list into the window: text_collocations,
+    # text_dup_span_coverage (both r06-last-green),
+    # text_dup_span_removal (r07-last-green) and text_dup_span_cap_audit
+    # (r13-last-green — the exact+capped composition that motivated
+    # the LRU). Window composition: 16 registry_r15 bank entries + 5
+    # gram-cache holds + 29 recertification fillers = 50. The fillers
+    # are the 29 alphabetically-first of the 38 r04-last-green rows
+    # (LAST-DRIVER-GREEN recomputed over CORRECTNESS_r01..r14 — the
+    # oldest official greens in the repo): agg_collect_sorted,
+    # agg_grouping_sets, agg_having, agg_incremental_merge,
+    # decontam_embedding, dedup_incremental_batch,
+    # dedup_incremental_bloom, dim_scd2_lookup, dim_scd2_orders,
+    # events_interval_merge, events_resample_ffill,
+    # events_retention_cohorts, events_session_native,
+    # events_time_rollup, events_variant_extract, freq_heavy_hitters,
+    # join_incremental_delta, layout_zorder_profile, link_fuzzy_titles,
+    # quality_expectations, quality_key_skew, quality_pseudonymize,
+    # quality_train_split, r_unpivot_metrics, sketch_incremental_merge,
+    # snapshot_diff_audit, sql_correlated_scalar, sql_disjunctive_join,
+    # sql_exists_agg. The 9 remaining r04 rows (sql_having_total,
+    # sql_in_subquery, sql_lateral_topk, sql_market_share,
+    # sql_recursive_spine, sql_scalar_subquery, text_lm_quality,
+    # text_oov_rate, win_dist_functions) stay promoted and are the
+    # next-oldest picks for the r16 window. Fillers swap back
+    # one-for-one as genuinely new r15 registrations land mid-round.
+    # r14 window promotes — CORRECTNESS_r14: 50/50 green, in window
+    # order (minus the one hold noted above):
+    "text_token_stats", "text_lang_id", "text_quality_score",
+    "text_repetition_stats", "doc_chunks", "sample_source_mix",
+    "train_pack_sequences", "dedup_shingle_jaccard",
+    "dedup_shingle_capped", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_clusters", "dedup_canonical_docs", "sim_ann_lsh_bucket",
+    "sim_ann_lsh_sized", "corpus_clean_pipeline", "text_inverted_index",
+    "events_funnel", "ivf_kmeans_step", "sim_ivf_topk",
+    "sim_ivf_multiprobe", "dedup_embedding_cosine_w6",
+    "dedup_embedding_cosine", "mm_frame_sample", "text_zscore_by_lang",
+    "text_redact_pii", "decontam_ngram_overlap", "text_tfidf_top_terms",
+    "text_vocab_topv", "sketch_countmin_suppliers",
+    "mm_png_gray_resize_nearest", "mm_png_rgba_flip_crop",
+    "events_km_median_latency", "quality_benford2_chi2_gate",
+    "agg_skewness_kurtosis", "sample_temperature_curve",
+    "events_markov_convergence", "mm_wav_silence_trim",
+    "mart_discount_effectiveness", "graph_double_sweep_diameter",
+    "mm_bmp_topdown_stats", "mm_wav_stereo_stats",
+    "quality_runs_test_gate", "sim_ivf_cluster_balance",
+    "agg_pivot_status", "agg_cube", "events_interval_join",
+    "agg_regional_volume", "j_salted_skew",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit
@@ -1522,38 +1572,70 @@ _STABLE_CERTIFIED = [
 #    block repointed at r15; manifest-driven r14 block added to
 #    bench.py — all in the same commit as the wiring (VERDICT r13 #8:
 #    the staged machinery must never point at a wired bank).
-# ROUND-15 ROTATION PLAN — execute at r15 start (the r07–r14
+# ROUND-15 ROTATION — EXECUTED at r15 start (this round). What was
+# actually done:
+# 1. CORRECTNESS_r14.json read: 50/50 green (rows + schema + hash,
+#    zero errors). 49 of the 50 window rows promoted into
+#    _STABLE_CERTIFIED above, in window order; text_dup_span_removal_
+#    capped HELD IN the window (plus FOUR stable pulls:
+#    text_collocations, text_dup_span_coverage, text_dup_span_removal,
+#    text_dup_span_cap_audit) for the PLANNED gram-cache LRU change —
+#    ADVICE r14 #1; see the r15 note inside _STABLE_CERTIFIED.
+# 2. Bank wired: `from yougile_etl_pipeline_spark import registry_r15`
+#    at the BOTTOM of registry_ext.py next to the r06–r14 imports.
+#    registry_r15.py holds SIXTEEN entries, each oracle-proven at
+#    sf0.001 AND sf0.01 in round 14 (stream_gap_burstiness is in
+#    bench._STREAMING_SKIP since staging).
+# 3. Held out 29 recertification fillers (50 − 16 bank − 5 gram-cache
+#    holds), picked by LAST-DRIVER-GREEN ROUND computed from
+#    CORRECTNESS_r01..r14: the 29 alphabetically-first of the 38
+#    r04-last-green rows (names in the r15 note inside
+#    _STABLE_CERTIFIED). The 9 remaining r04 rows, then the 36-row
+#    r06 block, are the next-oldest picks for r16. Swap back
+#    one-for-one as r15 registrations land.
+# 4. tests/test_registry_r14_staged.py flipped to post-promotion
+#    shape; tests/test_registry_r15_staged.py to the wired shape
+#    (_EXPECTED = 16, grows with mid-round registrations);
+#    registry_r16.py seeded (empty staged bank + subprocess smoke,
+#    _EXPECTED = 0); scripts/check_staged.py and bench.py's `staged`
+#    block repointed at r16; manifest-driven r15 block added to
+#    bench.py — all in the same commit as the wiring.
+# ROUND-16 ROTATION PLAN — execute at r16 start (the r07–r15
 # precedent; each step has a worked example in git history):
-# 1. Read CORRECTNESS_r14.json. Promote every green window row into
+# 1. Read CORRECTNESS_r15.json. Promote every green window row into
 #    _STABLE_CERTIFIED above, in window order; note any red rows or
-#    ADVICE-r14 holds instead of promoting them. The r14 window holds
-#    the 14-entry r14 bank + the 36 age-picked fillers (minus any
-#    mid-r14 swap-backs, plus the registrations that replaced them —
-#    consult the r14 notes above for the final composition).
+#    ADVICE-r15 holds instead of promoting them. The r15 window holds
+#    the 16-entry r15 bank + 5 gram-cache holds + 29 age-picked
+#    fillers (minus any mid-r15 swap-backs, plus the registrations
+#    that replaced them — consult the r15 notes above for the final
+#    composition).
 # 2. Wire the bank: add
-#        from yougile_etl_pipeline_spark import registry_r15  # noqa
-#    at the BOTTOM of registry_ext.py next to the r06–r14 imports
+#        from yougile_etl_pipeline_spark import registry_r16  # noqa
+#    at the BOTTOM of registry_ext.py next to the r06–r15 imports
 #    (NOT here — the ext-bottom position survives the circular entry
-#    path). Check registry_r15.R15_ENTRIES for the FINAL entry count
-#    (16 as of the r14 close: thirteen analytic entries + changepoint
-#    scan + LSH recall sweep + the stream_gap_burstiness twin, which
-#    is ALREADY in bench._STREAMING_SKIP — added at staging time).
-# 3. Hold out (50 − len(R15_ENTRIES)) recertification fillers (34 at
-#    the r14-close bank size), picked
-#    by LAST-DRIVER-GREEN ROUND recomputed over CORRECTNESS_r01..r14
-#    (the r14 precedent: python over the json history, not vintage
-#    labels). After the r14 recerts land, the oldest official rows
-#    are the remaining 36 × r04-last-green entries (the r04 block
-#    minus the 11 held at r14), then the r06 block.
+#    path). Check registry_r16.R16_ENTRIES for the FINAL entry count.
+#    NO media entries in the r16 bank (VERDICT r14 #7 — the media
+#    boundary declared in COVERAGE.md §E4 holds; budget goes to
+#    LLM-pipeline depth).
+# 3. Hold out (50 − len(R16_ENTRIES) − holds) recertification
+#    fillers, picked by LAST-DRIVER-GREEN ROUND recomputed over
+#    CORRECTNESS_r01..r15 (python over the json history, not vintage
+#    labels). After the r15 recerts land, the oldest official rows
+#    are the 9 remaining r04-last-green entries (sql_having_total,
+#    sql_in_subquery, sql_lateral_topk, sql_market_share,
+#    sql_recursive_spine, sql_scalar_subquery, text_lm_quality,
+#    text_oov_rate, win_dist_functions), then the 34 r06-last-green
+#    rows still promoted (the r06 block minus the two gram-cache
+#    holds).
 # 4. BEFORE designing any new entry, grep the registry for the name
 #    AND the feature — @register silently overwrites an existing name
 #    in place (r12 near-miss: agg_grouping_sets / win_dist_functions
 #    already existed from r05).
-# 5. Flip tests/test_registry_r14_staged.py to the post-promotion
-#    shape and tests/test_registry_r15_staged.py to the wired shape;
-#    seed registry_r16.py (empty staged bank + subprocess smoke,
+# 5. Flip tests/test_registry_r15_staged.py to the post-promotion
+#    shape and tests/test_registry_r16_staged.py to the wired shape;
+#    seed registry_r17.py (empty staged bank + subprocess smoke,
 #    _EXPECTED = 0); repoint scripts/check_staged.py and bench.py's
-#    `staged` block at r16; add a manifest-driven r15 block to
+#    `staged` block at r17; add a manifest-driven r16 block to
 #    bench.py — all in the same commit as the wiring.
 # 6. Re-run: full pytest, scripts/check_queries.py (new window at
 #    sf0.01 — testdata is regenerated between rounds; check for

@@ -2583,6 +2583,15 @@ from yougile_etl_pipeline_spark import registry_r13  # noqa: E402,F401
 # _STABLE_CERTIFIED one-for-one.
 from yougile_etl_pipeline_spark import registry_r14  # noqa: E402,F401
 
+# Round-15 rotation (see registry.py's ROUND-15 ROTATION note): the
+# sixteen-entry bank staged and oracle-proven during round 14 goes
+# live here, in the same ext-bottom position and for the same
+# circular-entry-path reason as the imports above. Further round-15
+# operators register directly into registry_r15 mid-round, each
+# swapping a held-out recertification filler back into
+# _STABLE_CERTIFIED one-for-one.
+from yougile_etl_pipeline_spark import registry_r15  # noqa: E402,F401
+
 # Order-independence guard: if THIS module was the process's entry
 # point into the engine (e.g. `from ...registry_ext import <helper>`
 # before anything imported registry), the circular tail-import path

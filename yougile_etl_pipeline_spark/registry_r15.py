@@ -1,24 +1,19 @@
-"""Round-15 query registrations — STAGING BANK, NOT YET WIRED.
+"""Round-15 query registrations — WIRED at r15 start.
 
-Do NOT import this module in round 14: the r14 certification window is
-exactly full (the fourteen registry_r14 bank entries plus the 36
-held-out recertification fillers picked by last-driver-green age,
-with mid-round registrations swapping fillers back one-for-one), and
-registering past the driver's 50-slot window would leave
-never-certified queries at the round boundary
-(tests/test_certification_window.py enforces the accounting). At
-ROUND-15 START, wire it with one line at the bottom of
-registry_ext.py next to the registry_r06–r14 imports.
+Staged and oracle-proven during round 14 (every entry's DuckDB oracle
+bit-identical at sf0.001 AND sf0.01 via scripts/check_staged.py, with
+a recorded sf0.1 wall in BENCH_r14's `staged` block); went live at the
+r15 rotation via the one-line import at the bottom of registry_ext.py
+next to the registry_r06–r14 imports. The sixteen bank entries sit
+inside the r15 certification window next to 5 planned-change
+gram-cache holds (ADVICE r14 #1) and 29 held-out recertification
+fillers picked by last-driver-green age. Further round-15 operators
+register directly into this module mid-round, each swapping a
+held-out filler back into _STABLE_CERTIFIED one-for-one.
 
-Same staging contract as the previous banks: every entry lands here
-only with its DuckDB oracle proven bit-identical at sf0.001 AND
-sf0.01 (scripts/check_staged.py) and a recorded sf0.1 wall time
-(bench.py's `staged` block is manifest-driven off R15_ENTRIES —
-automatic once the entry and its parity test exist).
-
-tests/test_registry_r15_staged.py smoke-imports this module in a
-SUBPROCESS (so the round-14 window stays untouched) and verifies every
-entry registers with an oracle and runs green at sf0.001.
+tests/test_registry_r15_staged.py now enforces the WIRED invariants
+(import live, every entry inside ``list(QUERIES)[:50]``, oracle
+present, oracle-executed from the REGISTRY copy at SF_SMOKE).
 
 BEFORE designing any new entry, grep the registry for the name AND
 the feature — @register silently overwrites an existing name in

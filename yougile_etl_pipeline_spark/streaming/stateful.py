@@ -891,6 +891,19 @@ def gap_stats_stateful(events: DataFrame) -> DataFrame:
         for ms, eid in zip(pdf["ms"], pdf["event_id"]):
             ms = int(ms)
             if have_last:
+                # Exactness and the MAX-rollup's monotone-emission
+                # property both assume micro-batches arrive in
+                # per-key event-time order (the standing
+                # bigram/drawdown source assumption). An event OLDER
+                # than the stored last_ms would fold a negative gap
+                # and silently diverge s1/s2 from the batch lead()
+                # twin — fail loudly instead (ADVICE r14).
+                if ms < last_ms:
+                    raise ValueError(
+                        f"gap_stats_stateful: out-of-order event for "
+                        f"key {event_type!r} (ms={ms} < stored "
+                        f"last_ms={last_ms}); the source must deliver "
+                        f"per-key event-time-ordered micro-batches")
                 gap = ms - last_ms
                 n += 1
                 s1 += gap
