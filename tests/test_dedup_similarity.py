@@ -442,3 +442,32 @@ def test_minhash_bucket_cap_kills_mega_cluster(spark):
                                    "doc_id long, text string, lang string")
     n = minhash_lsh_pairs(smalln, "doc_id", "text").count()
     assert n == 50 * 49 // 2
+
+
+def test_hyperplane_prefix_property_and_bucketed_filter_equivalence(spark):
+    """The seeded hyperplanes RNG is consumed table-by-table, so table
+    t's planes are independent of n_tables — the property that lets
+    sim_lsh_recall_sweep derive every L-table arm as ``tbl < L`` of ONE
+    18-table bucketed relation (VERDICT r14 #3). Assert it directly,
+    then assert the filtered relation equals the natively-built one."""
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        _bucketed_np,
+        hyperplanes,
+    )
+
+    assert hyperplanes(2, 4) == hyperplanes(18, 4)[:2]
+    assert hyperplanes(6, 4) == hyperplanes(18, 4)[:6]
+
+    from yougile_etl_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings") \
+        .filter("vec_id < 40")
+    full = _bucketed_np(emb, "match_id", "c_vec", "vec_id",
+                        "embedding", 18, 4)
+    native = _bucketed_np(emb, "match_id", "c_vec", "vec_id",
+                          "embedding", 6, 4)
+    a = {(r["match_id"], r["tbl"], r["key"])
+         for r in full.filter("tbl < 6").collect()}
+    b = {(r["match_id"], r["tbl"], r["key"]) for r in native.collect()}
+    assert a == b

@@ -426,15 +426,34 @@ def lsh_bucket_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     At 100 TB the cogroup's (tbl, key) clustering is exactly the layout
     the corpus is persisted in (bucketed by key), so the corpus-side
     shuffle disappears on a pre-bucketed table."""
-    import pandas as pd
-
     cb = _bucketed_np(corpus, "match_id", "c_vec", id_col, vec_col,
                       n_tables, planes_per_table)
     qb = _bucketed_np(queries, "query_id", "q_vec", id_col, vec_col,
                       n_tables, planes_per_table)
+    return lsh_topk_from_bucketed(cb, qb, queries, k,
+                                  id_col=id_col, vec_col=vec_col)
 
-    id_type = dict(corpus.dtypes)[id_col]
-    vec_type = dict(corpus.dtypes)[vec_col]
+
+def lsh_topk_from_bucketed(cb: DataFrame, qb: DataFrame,
+                           queries: DataFrame, k: int = 5,
+                           *, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """The bucket-join + cogroup-score + exact-rerank tail of
+    `lsh_bucket_topk_np`, taking PRE-BUCKETED (tbl, key) relations —
+    extracted (r15, VERDICT r14 #3) so callers that derive several
+    table-count configurations from ONE bucketed stream (the seeded
+    `hyperplanes` RNG is consumed table-by-table, so table t's planes
+    are independent of n_tables: an L-table relation is exactly
+    ``tbl < L`` of a larger one) can share the corpus bucketing pass
+    instead of recomputing it per configuration. `lsh_bucket_topk_np`
+    delegates here verbatim — pure code movement, identical plan.
+
+    `cb` must carry (match_id, c_vec, tbl, key) and `qb`
+    (query_id, q_vec, tbl, key), both as `_bucketed_np` emits them."""
+    import pandas as pd
+
+    id_type = dict(cb.dtypes)["match_id"]
+    vec_type = dict(cb.dtypes)["c_vec"]
     out_schema = (f"query_id {id_type}, match_id {id_type}, "
                   f"approx double, c_vec {vec_type}")
 

@@ -937,19 +937,40 @@ def sim_lsh_recall_sweep(spark, sf):
     # the collision formula predicts. Truth and every arm are
     # deterministic (seeded planes, id tie-breaks), so the recall
     # itself oracle-pairs bit-for-bit.
+    # Shared-stream shape (VERDICT r14 #3: the naive form rebuilt the
+    # bucketed relation per sweep leg — 2+6+18 = 26 corpus bucketing
+    # tables and FOUR brute-force truth computations). The seeded
+    # `hyperplanes` RNG is consumed table-by-table, so table t's
+    # planes are independent of n_tables (asserted in
+    # tests/test_dedup_similarity.py): the L-table relation is exactly
+    # ``tbl < L`` of the 18-table one. Bucket ONCE at L=18, persist,
+    # and filter per arm; persist the truth relation its four
+    # consumers (tn + three hit joins) share. Both persists ride a
+    # bounded two-slot cache (the dedup._LAST_SHINGLE_CACHE
+    # rationale); at cluster scale they are staging tables.
     from yougile_etl_pipeline_spark.operators.similarity import (
+        _bucketed_np,
         brute_force_topk_np,
-        lsh_bucket_topk_np,
+        lsh_topk_from_bucketed,
     )
 
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    truth = brute_force_topk_np(emb, queries, k=5)         .select("query_id", "match_id")
+    truth = _sweep_persist(
+        brute_force_topk_np(emb, queries, k=5)
+        .select("query_id", "match_id"))
     tn = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cb18 = _sweep_persist(
+        _bucketed_np(emb, "match_id", "c_vec", "vec_id", "embedding",
+                     18, 4))
+    qb18 = _bucketed_np(queries, "query_id", "q_vec", "vec_id",
+                        "embedding", 18, 4)
     arms = []
     for L in (2, 6, 18):
-        top = lsh_bucket_topk_np(emb, queries, k=5, n_tables=L,
-                                 planes_per_table=4)             .select("query_id", "match_id")
+        top = lsh_topk_from_bucketed(
+            cb18.filter(F.col("tbl") < L),
+            qb18.filter(F.col("tbl") < L),
+            queries, k=5).select("query_id", "match_id")
         h = (top.join(truth, ["query_id", "match_id"])
                 .agg(F.count(F.lit(1)).cast("bigint").alias("h")))
         arms.append(
@@ -963,6 +984,21 @@ def sim_lsh_recall_sweep(spark, sf):
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# Bounded persist slots for the sweep's two shared relations (truth +
+# the 18-table corpus bucketing): each call releases the previous
+# call's blocks, so repeated builds (bench warm/time, check scripts)
+# never stack persisted copies.
+_SWEEP_CACHE: list = []
+
+
+def _sweep_persist(df):
+    df = df.persist()
+    _SWEEP_CACHE.append(df)
+    while len(_SWEEP_CACHE) > 2:
+        _SWEEP_CACHE.pop(0).unpersist(blocking=False)
+    return df
 
 
 # ---------------------------------------------------------------------------
