@@ -32,9 +32,358 @@ already existed from r05).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from yougile_etl_pipeline_spark.registry import register
+from yougile_etl_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Per-document mean document-frequency gate (boilerplate lens)
+# ---------------------------------------------------------------------------
+
+@register("text_mean_docfreq_gate", """
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents)),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+          FROM tok GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(df * 1000000 // n) // count(*) AS BIGINT)
+         AS mean_df_ppm,
+       CAST(SUM(df * 1000000 // n) // count(*) AS BIGINT) >= 200000
+         AS boilerplate
+FROM tok JOIN dfreq USING (tok) CROSS JOIN nd
+GROUP BY doc_id, n
+""")
+def text_mean_docfreq_gate(spark, sf):
+    # Boilerplate detector orthogonal to the repetition/Simpson
+    # lenses: a template page is built from tokens that are COMMON
+    # ACROSS the corpus, so its distinct-token document-frequency
+    # ratios average high even when the page itself never repeats a
+    # token. Per distinct (doc, token): df·10⁶ div N (exact integer
+    # ppm, scale-free); the gate is the per-doc mean ≥ 0.2 (its
+    # average token appears in a fifth of all documents). Shape: one
+    # map-side array_distinct explode, one vocab-keyed partial agg,
+    # one vocab-keyed equi-join back (NOT broadcast — vocabulary
+    # grows with the corpus, the dedup_idf_jaccard rule), one
+    # doc-keyed agg; N rides a one-row broadcast. All BIGINT, no
+    # floats anywhere.
+    from yougile_etl_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+    dfreq = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per_tok = (tok.join(dfreq, "tok")
+                  .crossJoin(F.broadcast(nd))
+                  .select("doc_id",
+                          F.expr("df * 1000000 div n").alias("df_ppm")))
+    agg = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum("df_ppm").cast("bigint").alias("__s"))
+    mean = F.expr("__s div n_distinct").cast("bigint")
+    return agg.select("doc_id", "n_distinct",
+                      mean.alias("mean_df_ppm"),
+                      (mean >= 200000).alias("boilerplate"))
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter rule attribution (which rule kills what, uniquely)
+# ---------------------------------------------------------------------------
+
+@register("quality_rule_attribution", """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nc
+  FROM documents),
+top AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt FROM (
+    SELECT doc_id, tok, count(*) AS c FROM (
+      SELECT doc_id, unnest(t) AS tok FROM base) GROUP BY 1, 2)
+  GROUP BY 1),
+flags AS (
+  SELECT b.doc_id,
+         len(t) < 8 AS f_short,
+         top_cnt * 1000000 // len(t) > 200000 AS f_rep,
+         (nc - (len(t) - 1)) > 9 * len(t) AS f_long
+  FROM base b JOIN top USING (doc_id)),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS s_f,
+    CAST(SUM(CASE WHEN f_short AND NOT f_rep AND NOT f_long
+             THEN 1 ELSE 0 END) AS BIGINT) AS s_o,
+    CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS r_f,
+    CAST(SUM(CASE WHEN f_rep AND NOT f_short AND NOT f_long
+             THEN 1 ELSE 0 END) AS BIGINT) AS r_o,
+    CAST(SUM(CASE WHEN f_long THEN 1 ELSE 0 END) AS BIGINT) AS l_f,
+    CAST(SUM(CASE WHEN f_long AND NOT f_short AND NOT f_rep
+             THEN 1 ELSE 0 END) AS BIGINT) AS l_o,
+    CAST(SUM(CASE WHEN NOT f_short AND NOT f_rep AND NOT f_long
+             THEN 1 ELSE 0 END) AS BIGINT) AS p_n
+  FROM flags)
+SELECT 'short' AS rule, s_f AS n_flagged, s_o AS n_sole FROM agg
+UNION ALL SELECT 'repetitive', r_f, r_o FROM agg
+UNION ALL SELECT 'longtok', l_f, l_o FROM agg
+UNION ALL SELECT 'pass', p_n, p_n FROM agg
+""")
+def quality_rule_attribution(spark, sf):
+    # Filter-rule attribution — the readout every Gopher-style rule
+    # cascade needs before anyone tightens a threshold: per rule, how
+    # many documents it flags and how many it flags UNIQUELY (docs no
+    # other rule would catch — the rule's marginal value; a rule with
+    # zero sole kills is free to drop). Rules are exact-integer
+    # surface stats: short (< 8 tokens), repetitive (top token share
+    # > 0.2, integer ppm), longtok (mean token length > 9 chars via
+    # the separator identity nc − (n_tok − 1) > 9·n_tok). One
+    # (doc, token) partial agg for the top count, one doc-keyed join,
+    # one global conditional aggregation, stacked to four rows —
+    # map-side collapsible everywhere.
+    from yougile_etl_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    base = docs.select("doc_id", tokens("text").alias("t"),
+                       F.length("text").alias("nc"))
+    top = (base.select("doc_id", F.explode("t").alias("tok"))
+               .groupBy("doc_id", "tok")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .groupBy("doc_id")
+               .agg(F.max("c").cast("bigint").alias("top_cnt")))
+    flags = (base.join(top, "doc_id")
+                 .select(
+                     (F.size("t") < 8).alias("f_short"),
+                     (F.expr("top_cnt * 1000000 div size(t)") > 200000)
+                     .alias("f_rep"),
+                     ((F.col("nc") - (F.size("t") - 1))
+                      > 9 * F.size("t")).alias("f_long")))
+    one = F.lit(1)
+    zero = F.lit(0)
+
+    def cnt(cond):
+        return F.sum(F.when(cond, one).otherwise(zero)).cast("bigint")
+
+    s, r, ln = F.col("f_short"), F.col("f_rep"), F.col("f_long")
+    agg = flags.agg(
+        cnt(s).alias("s_f"), cnt(s & ~r & ~ln).alias("s_o"),
+        cnt(r).alias("r_f"), cnt(r & ~s & ~ln).alias("r_o"),
+        cnt(ln).alias("l_f"), cnt(ln & ~s & ~r).alias("l_o"),
+        cnt(~s & ~r & ~ln).alias("p_n"))
+    return agg.selectExpr(
+        "stack(4, 'short', s_f, s_o, 'repetitive', r_f, r_o, "
+        "'longtok', l_f, l_o, 'pass', p_n, p_n) "
+        "AS (rule, n_flagged, n_sole)")
+
+
+# ---------------------------------------------------------------------------
+# Curriculum banding (easy→hard schedule with in-band hash shuffle)
+# ---------------------------------------------------------------------------
+
+@register("train_curriculum_bands", """
+WITH banded AS (
+  SELECT doc_id,
+         CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS band,
+         CAST(concat('0x',
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS h
+  FROM documents)
+SELECT doc_id, band,
+       CAST(row_number() OVER (
+         PARTITION BY band ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM banded
+""")
+def train_curriculum_bands(spark, sf):
+    # Curriculum schedule assignment: documents split into 10 exact
+    # difficulty bands (n_chars as the difficulty proxy — shortest
+    # first, doc_id tie-break) with a DETERMINISTIC hash shuffle
+    # inside each band (md5 of the id, the house portable 60-bit
+    # integer), so a trainer can stream band 1..10 in order while
+    # each band arrives in reproducible-random order. The exact
+    # global ntile is the oracle-checkable twin; at 100 TB the band
+    # cuts come from approxQuantile / a range partitioner and the
+    # in-band order is the same hash — only the exact-decile edge
+    # assignment differs, which is the documented trade (the
+    # agg_exact_quantiles precedent for exact-selection entries).
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    wb = Window.orderBy("n_chars", "doc_id")
+    h = F.expr("conv(substring(md5(cast(doc_id as string)), 1, 15), "
+               "16, 10)").cast("bigint")
+    banded = docs.select(
+        "doc_id", h.alias("__h"),
+        F.ntile(10).over(wb).cast("bigint").alias("band"))
+    wp = Window.partitionBy("band").orderBy("__h", "doc_id")
+    return banded.select(
+        "doc_id", "band",
+        F.row_number().over(wp).cast("bigint").alias("pos"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold curve + candidate-pair degree histogram
+# ---------------------------------------------------------------------------
+
+def _pair_sql(cap: int, n: int = 3) -> str:
+    """Local copy of registry_ext._shingle_jaccard_oracle's pair CTEs
+    (banks do not import sibling registry modules), threshold-free:
+    every capped candidate pair with its exact jaccard."""
+    from yougile_etl_pipeline_spark.registry_ext import _shingles_sql
+
+    return f"""
+ex0 AS (
+  SELECT doc_id AS doc, lang, unnest({_shingles_sql('text', n)}) AS sh
+  FROM documents
+), dfc AS (
+  SELECT lang, sh, count(*) AS dfreq FROM ex0 GROUP BY 1, 2
+), ex AS (
+  SELECT ex0.doc, ex0.lang, ex0.sh
+  FROM ex0 JOIN dfc USING (lang, sh) WHERE dfreq <= {cap}
+), sizes AS (
+  SELECT doc, count(*) AS sz FROM ex GROUP BY doc
+), pr AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.lang = b.lang
+                     AND a.doc < b.doc
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+  FROM pr JOIN sizes sa ON doc_a = sa.doc
+          JOIN sizes sb ON doc_b = sb.doc
+)"""
+
+
+@register("quality_dedup_threshold_curve", f"""
+WITH {_pair_sql(1000)},
+p_agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+      AS p30,
+    CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+      AS p50,
+    CAST(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+      AS p70,
+    CAST(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+      AS p90
+  FROM pairs),
+d_agg AS (
+  SELECT
+    CAST(count(DISTINCT CASE WHEN jaccard >= 0.3 THEN doc END)
+         AS BIGINT) AS d30,
+    CAST(count(DISTINCT CASE WHEN jaccard >= 0.5 THEN doc END)
+         AS BIGINT) AS d50,
+    CAST(count(DISTINCT CASE WHEN jaccard >= 0.7 THEN doc END)
+         AS BIGINT) AS d70,
+    CAST(count(DISTINCT CASE WHEN jaccard >= 0.9 THEN doc END)
+         AS BIGINT) AS d90
+  FROM (SELECT doc_a AS doc, jaccard FROM pairs
+        UNION ALL SELECT doc_b, jaccard FROM pairs))
+SELECT CAST(300000 AS BIGINT) AS threshold_ppm, p30 AS n_pairs,
+       d30 AS n_docs FROM p_agg, d_agg
+UNION ALL SELECT 500000, p50, d50 FROM p_agg, d_agg
+UNION ALL SELECT 700000, p70, d70 FROM p_agg, d_agg
+UNION ALL SELECT 900000, p90, d90 FROM p_agg, d_agg
+""")
+def quality_dedup_threshold_curve(spark, sf):
+    # The knob-setting curve for near-dup dedup: how many candidate
+    # pairs and how many distinct documents a jaccard threshold
+    # touches, at 0.3/0.5/0.7/0.9 — computed from ONE scored pair
+    # relation with conditional aggregation (no per-threshold
+    # recomputation: the sim_lsh_recall_sweep shared-stream rule).
+    # jaccard is the exact int-ratio double both engines compute
+    # bit-identically; the thresholds are identical literals, so the
+    # comparisons agree. Output is 4 rows of exact BIGINTs.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = shingle_jaccard_pairs(docs, "doc_id", "text",
+                                  threshold=0.0, block_cols=["lang"])
+    one, zero = F.lit(1), F.lit(0)
+
+    def cnt(t):
+        return F.sum(F.when(F.col("jaccard") >= t, one)
+                     .otherwise(zero)).cast("bigint")
+
+    p_agg = pairs.agg(cnt(0.3).alias("p30"), cnt(0.5).alias("p50"),
+                      cnt(0.7).alias("p70"), cnt(0.9).alias("p90"))
+    docs_side = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc"), "jaccard")
+
+    def dcnt(t):
+        return F.count_distinct(
+            F.when(F.col("jaccard") >= t, F.col("doc"))).cast("bigint")
+
+    d_agg = docs_side.agg(dcnt(0.3).alias("d30"), dcnt(0.5).alias("d50"),
+                          dcnt(0.7).alias("d70"), dcnt(0.9).alias("d90"))
+    return (p_agg.crossJoin(F.broadcast(d_agg))
+            .selectExpr(
+                "stack(4, cast(300000 as bigint), p30, d30, "
+                "cast(500000 as bigint), p50, d50, "
+                "cast(700000 as bigint), p70, d70, "
+                "cast(900000 as bigint), p90, d90) "
+                "AS (threshold_ppm, n_pairs, n_docs)"))
+
+
+@register("dedup_pair_degree_hist", f"""
+WITH {_pair_sql(1000)},
+kept AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+deg AS (
+  SELECT doc, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT doc_a AS doc FROM kept
+    UNION ALL SELECT doc_b FROM kept) GROUP BY 1),
+hist AS (
+  SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+  FROM deg GROUP BY 1)
+SELECT degree, n_docs FROM hist
+UNION ALL
+SELECT CAST(0 AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM documents)
+       - (SELECT CAST(count(*) AS BIGINT) FROM deg)
+""")
+def dedup_pair_degree_hist(spark, sf):
+    # Near-dup pair-graph degree profile: for each document, how many
+    # ≥ 0.5-jaccard partners it has, rolled into a histogram (degree
+    # 0 row included — the untouched majority). The shape says
+    # whether duplication is pairwise (degree 1-2: crawl re-fetches)
+    # or clustered (fat tail: template farms — where transitive
+    # clustering and a bucket cap matter). Rolls up the certified
+    # capped pair relation; degrees and counts are exact BIGINTs.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    kept = shingle_jaccard_pairs(docs, "doc_id", "text",
+                                 threshold=0.5, block_cols=["lang"])
+    deg = (kept.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+               .groupBy("doc")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ntouched = deg.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    zero_row = (nd.crossJoin(F.broadcast(ntouched))
+                  .select(F.lit(0).cast("bigint").alias("degree"),
+                          (F.col("n") - F.col("t")).alias("n_docs")))
+    return hist.unionByName(zero_row)
+
+
 # Staged-entry manifest, in registration order (kept in sync by the
 # bank's subprocess smoke: every name registered by importing this
 # module must appear here, and vice versa). Also consumed by
 # bench.py's `staged` block so every bank entry carries a wall time +
 # plan fingerprint before it ever certifies.
-R16_ENTRIES: list[str] = []
+R16_ENTRIES: list[str] = [
+    "text_mean_docfreq_gate",
+    "quality_rule_attribution",
+    "train_curriculum_bands",
+    "quality_dedup_threshold_curve",
+    "dedup_pair_degree_hist",
+]
