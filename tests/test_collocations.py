@@ -78,3 +78,55 @@ def test_collocation_lift_duckdb_parity(spark):
     con = duck_connect(SF_SMOKE)
     assert compare(got, con, _ORACLE) == []
     assert got.count() > 0, "fixture produced no collocations - weak test"
+
+
+def test_skipgram_cooccurrence_window_semantics(spark):
+    """Skip pairs at d=2 and d=3 ONLY — the adjacent d=1 pair is the
+    collocation miner's job. 'a x b' contributes (a,b) at d=2;
+    'a x y b' contributes (a,b) at d=3; 'a b' contributes nothing."""
+    from yougile_etl_pipeline_spark.operators.text import (
+        skipgram_cooccurrence,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a x b") for i in range(5)]
+        + [(100 + i, "a x y b") for i in range(5)]
+        + [(200 + i, "a b") for i in range(5)],
+        "doc_id long, text string")
+    rows = {(r["tok_a"], r["tok_b"]): r
+            for r in skipgram_cooccurrence(docs, min_pair_count=5)
+            .collect()}
+    # (a,b): 5 at d=2 ('a x b') + 5 at d=3 ('a x y b') = 10
+    assert rows[("a", "b")]["c_ab"] == 10
+    # (a,y): d=2 in 'a x y b' -> 5; (x,b): d=2 in 'a x y b' -> 5
+    assert rows[("a", "y")]["c_ab"] == 5
+    assert rows[("x", "b")]["c_ab"] == 5
+    # adjacent-only pairs never appear: (a,x) is d=1 everywhere
+    assert ("a", "x") not in rows
+    # lift positive and finite
+    assert all(r["lift"] > 0 for r in rows.values())
+
+
+def test_skipgram_shares_tokenized_relation_with_collocations(spark):
+    """Same input ⇒ collocation_lift and skipgram_cooccurrence share
+    ONE persisted tokenized relation via the plan-keyed LRU."""
+    from yougile_etl_pipeline_spark.operators import text as t
+    from yougile_etl_pipeline_spark.operators.text import (
+        collocation_lift,
+        skipgram_cooccurrence,
+    )
+
+    saved = list(t._LAST_GRAM_CACHE)
+    t._LAST_GRAM_CACHE.clear()
+    try:
+        docs = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "a b c d e")],
+            "doc_id long, text string")
+        collocation_lift(docs, min_pair_count=1)
+        skipgram_cooccurrence(docs, min_pair_count=1)
+        assert len(t._LAST_GRAM_CACHE) == 1
+    finally:
+        for c in t._LAST_GRAM_CACHE:
+            c.unpersist(blocking=False)
+        t._LAST_GRAM_CACHE.clear()
+        t._LAST_GRAM_CACHE.extend(saved)

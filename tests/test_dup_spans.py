@@ -193,3 +193,40 @@ def test_dup_span_twins_share_one_persisted_gram_stream(spark):
             cached.unpersist(blocking=False)
         t._LAST_GRAM_CACHE.clear()
         t._LAST_GRAM_CACHE.extend(saved)
+
+
+def test_dup_span_source_pairs_debut_attribution(spark):
+    """Pairs run debut→later: doc 0 originates the shared 5-gram run,
+    docs 1 and 2 copy it; an unrelated doc pairs with nobody."""
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_source_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 toks
+    d = _docs(spark, [shared + " original tail",
+                      shared + " copy one",
+                      shared + " copy two",
+                      "completely different text with no overlap at all"])
+    rows = {(r["src_doc"], r["dst_doc"]): r["shared_grams"]
+            for r in dup_span_source_pairs(d).collect()}
+    # the 9-token run yields 5 shared 5-grams between 0 and each copy
+    assert rows[(0, 1)] == 5
+    assert rows[(0, 2)] == 5
+    assert all(src == 0 for src, _ in rows)
+
+
+def test_dup_span_source_pairs_df_cap_drops_boilerplate(spark):
+    """A gram in more docs than max_gram_df attributes nothing."""
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_source_pairs,
+    )
+
+    d = _docs(spark, ["w1 w2 w3 w4 w5 pad%d" % i for i in range(6)])
+    # the 5-gram 'w1..w5' is in 6 docs; cap 4 excludes it entirely
+    assert dup_span_source_pairs(
+        d, max_gram_df=4, min_shared=1).count() == 0
+    # cap 10 keeps it: debut 0 pairs with 1..5
+    rows = {(r["src_doc"], r["dst_doc"])
+            for r in dup_span_source_pairs(
+                d, max_gram_df=10, min_shared=1).collect()}
+    assert rows == {(0, i) for i in range(1, 6)}

@@ -850,6 +850,78 @@ def collocation_lift(df: DataFrame, *, text_col: str = "text",
                          lift.alias("lift"))
 
 
+def skipgram_cooccurrence(df: DataFrame, *, text_col: str = "text",
+                          skips: tuple[int, ...] = (2, 3),
+                          min_pair_count: int = 5) -> DataFrame:
+    """Window co-occurrence lift at skip distances `skips` — the
+    non-adjacent complement of `collocation_lift` (d = 1): phrase
+    templates ("new ____ times"), split named entities and
+    collocations spanning a stopword all co-occur at distance 2-3
+    while never being adjacent. Same ln-free lift as collocations,
+    over the skip-pair event space:
+
+        lift(a,b) = (c_ab / N_sp) / ((c_a / N_tok) · (c_b / N_tok))
+
+    with N_sp = Σ_docs Σ_d max(len − d, 0) — exact integer counts,
+    ONE fixed float expression, bit-portable (the collocation_lift
+    association rule; numerator/denominator written identically in
+    the SQL twin).
+
+    Scale: one tokenized relation feeding len(skips) positional
+    explodes + unigram counts + corpus totals — persisted through the
+    plan-keyed `_cache_gram_stream` LRU, so it is scanned once AND
+    shared with a collocation_lift over the same input (identical
+    base plan). Pair/unigram aggregations are vocab²/vocab-bounded
+    partial-agg shuffles; totals ride a one-row broadcast.
+
+    Output: ``(tok_a, tok_b, c_ab, c_a, c_b, lift)`` for skip pairs
+    with ``c_ab >= min_pair_count``."""
+    from yougile_etl_pipeline_spark.sources.tables import (
+        ensure_parallelism,
+    )
+
+    df = ensure_parallelism(df)
+    toks = tokens(text_col)
+    base = _cache_gram_stream(df.select(toks.alias("__t")))
+    legs = []
+    for d in skips:
+        starts = F.when(F.size("__t") > d,
+                        F.sequence(F.lit(1), F.size("__t") - d)) \
+                  .otherwise(F.array().cast("array<int>"))
+        legs.append(
+            base.select("__t", F.explode(starts).alias("__i"))
+                .select(F.element_at("__t", F.col("__i")).alias("tok_a"),
+                        F.element_at("__t", F.col("__i") + d)
+                         .alias("tok_b")))
+    sp = legs[0]
+    for leg in legs[1:]:
+        sp = sp.unionByName(leg)
+    c_ab = (sp.groupBy("tok_a", "tok_b")
+              .agg(F.count(F.lit(1)).alias("c_ab"))
+              .filter(F.col("c_ab") >= min_pair_count))
+    uni = (base.select(F.explode("__t").alias("tok"))
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    n_sp = None
+    for d in skips:
+        term = F.greatest(F.size("__t") - d, F.lit(0))
+        n_sp = term if n_sp is None else n_sp + term
+    stats = base.agg(F.sum(F.size("__t")).alias("__n_tok"),
+                     F.sum(n_sp).alias("__n_sp"))
+    scored = (c_ab
+              .join(uni.select(F.col("tok").alias("tok_a"),
+                               F.col("c").alias("c_a")), "tok_a")
+              .join(uni.select(F.col("tok").alias("tok_b"),
+                               F.col("c").alias("c_b")), "tok_b")
+              .crossJoin(F.broadcast(stats)))
+    nt = F.col("__n_tok").cast("double")
+    lift = (F.col("c_ab").cast("double") * nt * nt
+            / (F.col("__n_sp").cast("double")
+               * F.col("c_a").cast("double")
+               * F.col("c_b").cast("double")))
+    return scored.select("tok_a", "tok_b", "c_ab", "c_a", "c_b",
+                         lift.alias("lift"))
+
+
 def readability_scores(df: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Flesch-style readability per document — the classic
@@ -1025,6 +1097,60 @@ def dup_span_coverage(df: DataFrame, id_col: str = "doc_id",
         n_cov.alias("n_covered"),
         (n_cov.cast("double") / F.col("n_tokens").cast("double"))
         .alias("coverage"))
+
+
+def dup_span_source_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 5,
+                          *, max_gram_df: int = 50,
+                          min_shared: int = 3) -> DataFrame:
+    """Who-copied-whom attribution for exact-substring duplication:
+    for each duplicated word n-gram, the DEBUT document (smallest id
+    — the deterministic "original" under the same keep-first policy
+    `dup_span_removal` applies) is paired with every later document
+    containing it, and pairs sharing ≥ `min_shared` distinct grams
+    are emitted with the shared count. The per-doc coverage/removal
+    lenses say HOW MUCH is duplicated; this says BETWEEN WHOM — the
+    provenance readout behind crawl-overlap and syndication audits
+    (the survivorship matrix's near-dup analogue, at n-gram rather
+    than whole-document granularity).
+
+    The df-cap here is MANDATORY (the idf_weighted_jaccard rule): a
+    gram in d documents yields d−1 pairs, so corpus-scale boilerplate
+    would make the pair relation quadratic; grams above `max_gram_df`
+    distinct docs are dropped (they attribute nothing — boilerplate
+    has no single source).
+
+    Distributed shape: the positional gram stream (shared through the
+    plan-keyed `_cache_gram_stream` LRU with coverage/removal over
+    the same input) reduces to DISTINCT (doc, fp) — 16-byte md5
+    fingerprints shuffle, never gram text; one fp-keyed stats agg
+    (count distinct docs + min doc), one fp equi-join back, one
+    pair-keyed count. Returns ``(src_doc, dst_doc, shared_grams)``."""
+    from yougile_etl_pipeline_spark.sources.tables import (
+        ensure_parallelism,
+    )
+
+    df = ensure_parallelism(df)
+    toks = tokens(text_col)
+    gram = F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__s"), n))
+    ex = (df.select(F.col(id_col),
+                    F.explode(_ngram_starts(toks, n)).alias("__s"),
+                    toks.alias("__toks"))
+            .select(id_col, "__s", F.md5(gram).alias("__fp")))
+    ex = _cache_gram_stream(ex)
+    exd = ex.select(id_col, "__fp").distinct()
+    st = (exd.groupBy("__fp")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("__nd"),
+                  F.min(F.col(id_col)).alias("__debut"))
+             .filter((F.col("__nd") >= 2)
+                     & (F.col("__nd") <= max_gram_df)))
+    return (exd.join(st, "__fp")
+               .filter(F.col(id_col) != F.col("__debut"))
+               .groupBy(F.col("__debut").alias("src_doc"),
+                        F.col(id_col).alias("dst_doc"))
+               .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("shared_grams"))
+               .filter(F.col("shared_grams") >= min_shared))
 
 
 def rake_keyphrases(df: DataFrame, id_col: str = "doc_id",

@@ -375,6 +375,87 @@ def dedup_pair_degree_hist(spark, sf):
     return hist.unionByName(zero_row)
 
 
+# ---------------------------------------------------------------------------
+# Skip-gram window co-occurrence (the non-adjacent collocation lens)
+# ---------------------------------------------------------------------------
+
+@register("text_skipgram_cooccurrence", """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+sp AS (
+  SELECT t[u.i] AS tok_a, t[u.i + 2] AS tok_b
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+  UNION ALL
+  SELECT t[u.i], t[u.i + 3]
+  FROM toks, unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS u(i)),
+cab AS (
+  SELECT tok_a, tok_b, count(*) AS c_ab
+  FROM sp GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+stats AS (
+  SELECT SUM(len(t)) AS n_tok,
+         SUM(greatest(len(t) - 2, 0) + greatest(len(t) - 3, 0)) AS n_sp
+  FROM toks)
+SELECT tok_a, tok_b, c_ab, ua.c AS c_a, ub.c AS c_b,
+       CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE)
+         * CAST(n_tok AS DOUBLE)
+         / (CAST(n_sp AS DOUBLE) * CAST(ua.c AS DOUBLE)
+            * CAST(ub.c AS DOUBLE)) AS lift
+FROM cab
+JOIN uni ua ON tok_a = ua.tok
+JOIN uni ub ON tok_b = ub.tok, stats
+""")
+def text_skipgram_cooccurrence(spark, sf):
+    # Skip-distance 2-3 co-occurrence lift (operators/text.py::
+    # skipgram_cooccurrence) — phrase templates and stopword-split
+    # collocations that the adjacent-pair miner can't see. Shares the
+    # tokenized relation with collocation_lift through the plan-keyed
+    # LRU when both run in one session.
+    from yougile_etl_pipeline_spark.operators.text import (
+        skipgram_cooccurrence,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return skipgram_cooccurrence(docs, min_pair_count=5)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring who-copied-whom pair attribution
+# ---------------------------------------------------------------------------
+
+@register("text_dup_span_source_pairs", """
+WITH toks AS (
+  SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents),
+gd AS (
+  SELECT DISTINCT doc, gram FROM (
+    SELECT doc,
+           unnest(list_transform(
+             range(1, greatest(len(t) - 4, 0) + 1),
+             i -> array_to_string(t[i:i+4], ' '))) AS gram
+    FROM toks)),
+st AS (SELECT gram, count(*) AS nd, min(doc) AS debut
+       FROM gd GROUP BY 1),
+kept AS (SELECT gram, debut FROM st WHERE nd >= 2 AND nd <= 50)
+SELECT debut AS src_doc, doc AS dst_doc,
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM gd JOIN kept USING (gram) WHERE doc != debut
+GROUP BY 1, 2 HAVING count(*) >= 3
+""")
+def text_dup_span_source_pairs(spark, sf):
+    # Pair attribution over duplicated 5-grams (operators/text.py::
+    # dup_span_source_pairs): debut doc → later doc with the shared
+    # distinct-gram count, df-capped at 50 so boilerplate never makes
+    # the pair relation quadratic. Complements the per-doc
+    # coverage/removal lenses and the whole-doc survivorship matrix.
+    from yougile_etl_pipeline_spark.operators.text import (
+        dup_span_source_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return dup_span_source_pairs(docs)
+
+
 # Staged-entry manifest, in registration order (kept in sync by the
 # bank's subprocess smoke: every name registered by importing this
 # module must appear here, and vice versa). Also consumed by
@@ -382,6 +463,8 @@ def dedup_pair_degree_hist(spark, sf):
 # plan fingerprint before it ever certifies.
 R16_ENTRIES: list[str] = [
     "text_mean_docfreq_gate",
+    "text_skipgram_cooccurrence",
+    "text_dup_span_source_pairs",
     "quality_rule_attribution",
     "train_curriculum_bands",
     "quality_dedup_threshold_curve",
