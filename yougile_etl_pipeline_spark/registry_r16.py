@@ -228,12 +228,23 @@ def train_curriculum_bands(spark, sf):
 # Dedup threshold curve + candidate-pair degree histogram
 # ---------------------------------------------------------------------------
 
+def _shingles_sql(expr: str = "text", n: int = 3) -> str:
+    """Local copy of registry_ext._shingles_sql (banks do not import
+    sibling registry modules — the wired import path would be a
+    partially-initialized circular import; r15's _lsh_union_sql
+    precedent): DuckDB twin of operators.text.shingles."""
+    toks = f"string_split({expr}, ' ')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+
+
 def _pair_sql(cap: int, n: int = 3) -> str:
     """Local copy of registry_ext._shingle_jaccard_oracle's pair CTEs
-    (banks do not import sibling registry modules), threshold-free:
-    every capped candidate pair with its exact jaccard."""
-    from yougile_etl_pipeline_spark.registry_ext import _shingles_sql
-
+    (same no-sibling-import rule), threshold-free: every capped
+    candidate pair with its exact jaccard."""
     return f"""
 ex0 AS (
   SELECT doc_id AS doc, lang, unnest({_shingles_sql('text', n)}) AS sh
@@ -456,6 +467,129 @@ def text_dup_span_source_pairs(spark, sf):
     return dup_span_source_pairs(docs)
 
 
+# ---------------------------------------------------------------------------
+# MinHash banding sweep (the (bands, rows) knob curve, one signature)
+# ---------------------------------------------------------------------------
+
+_MH_SWEEP_MINS = ", ".join(
+    f"min(substr(md5(sh) || md5(sh), {1 + 4 * i}, 16)) AS mh{i}"
+    for i in range(8))
+
+
+def _mh_bands_sql(bands: int) -> str:
+    rows = 8 // bands
+    legs = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * rows + r}"
+                                  for r in range(rows))
+        legs.append(f"SELECT doc, {b} AS band, md5({cols}) AS key "
+                    f"FROM sig")
+    return " UNION ALL ".join(legs)
+
+
+def _mh_sweep_oracle() -> str:
+    base = f"""
+WITH {_pair_sql(1000)},
+truth AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+tn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+mex AS (SELECT doc_id AS doc, unnest({_shingles_sql()}) AS sh
+        FROM documents),
+sig AS (SELECT doc, {_MH_SWEEP_MINS} FROM mex GROUP BY doc)"""
+    arms = []
+    for b in (2, 4, 8):
+        base += f""",
+bk{b} AS ({_mh_bands_sql(b)}),
+cand{b} AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bk{b} a JOIN bk{b} b
+    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc),
+cn{b} AS (SELECT CAST(count(*) AS BIGINT) AS c FROM cand{b}),
+ht{b} AS (SELECT CAST(count(*) AS BIGINT) AS h
+          FROM cand{b} JOIN truth USING (doc_a, doc_b))"""
+        arms.append(f"""
+SELECT CAST({b} AS BIGINT) AS bands,
+       CAST({8 // b} AS BIGINT) AS rows_per_band,
+       (SELECT c FROM cn{b}) AS n_candidates,
+       (SELECT n FROM tn) AS truth_pairs,
+       (SELECT h FROM ht{b}) AS hits,
+       CAST(CASE WHEN (SELECT n FROM tn) > 0
+            THEN (SELECT h FROM ht{b}) * 1000000 // (SELECT n FROM tn)
+            ELSE 0 END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN (SELECT c FROM cn{b}) > 0
+            THEN (SELECT h FROM ht{b}) * 1000000 // (SELECT c FROM cn{b})
+            ELSE 0 END AS BIGINT) AS precision_ppm""")
+    return base + "\n" + " UNION ALL ".join(arms)
+
+
+@register("dedup_minhash_band_sweep", _mh_sweep_oracle())
+def dedup_minhash_band_sweep(spark, sf):
+    # The (bands, rows) tuning curve for MinHash-LSH — the S-curve
+    # knob every dedup pipeline sets blind: more bands (fewer rows
+    # per band) catch lower-jaccard pairs (recall up, precision
+    # down). Candidates at (2,4), (4,2), (8,1) bandings of ONE 8-hash
+    # signature vs the exact lang-blocked jaccard ≥ 0.5 truth, in one
+    # certified query — the minhash analogue of sim_lsh_recall_sweep,
+    # with the same shared-stream discipline: the signature relation
+    # is computed ONCE and persisted (minhash_lsh_pairs' `signature`
+    # parameter exists for exactly this), the truth once; each arm is
+    # a cheap banding + self-join over the shared signature. All
+    # ratios are exact-integer ppm (BIGINT div), hash-portable.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature,
+        shingle_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    sig = _r16_persist(minhash_signature(docs, "doc_id", "text"))
+    truth = _r16_persist(
+        shingle_jaccard_pairs(docs, "doc_id", "text",
+                              threshold=0.5, block_cols=["lang"])
+        .select("doc_a", "doc_b"))
+    tn = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    arms = []
+    for bands in (2, 4, 8):
+        cand = minhash_lsh_pairs(docs, "doc_id", "text", bands=bands,
+                                 signature=sig) \
+            .select("doc_a", "doc_b")
+        cn = cand.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        ht = (cand.join(truth, ["doc_a", "doc_b"])
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("h")))
+        arms.append(
+            ht.crossJoin(F.broadcast(tn)).crossJoin(F.broadcast(cn))
+              .select(
+                  F.lit(bands).cast("bigint").alias("bands"),
+                  F.lit(8 // bands).cast("bigint")
+                   .alias("rows_per_band"),
+                  F.col("c").alias("n_candidates"),
+                  F.col("n").alias("truth_pairs"),
+                  F.col("h").alias("hits"),
+                  F.expr("CASE WHEN n > 0 THEN h * 1000000 div n "
+                         "ELSE 0 END").cast("bigint")
+                   .alias("recall_ppm"),
+                  F.expr("CASE WHEN c > 0 THEN h * 1000000 div c "
+                         "ELSE 0 END").cast("bigint")
+                   .alias("precision_ppm")))
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+# Bounded persist slots for the sweep-style entries' shared relations
+# (the registry_r15._SWEEP_CACHE rationale): each call releases the
+# previous call's blocks, so repeated builds never stack persists.
+_R16_CACHE: list = []
+
+
+def _r16_persist(df):
+    df = df.persist()
+    _R16_CACHE.append(df)
+    while len(_R16_CACHE) > 2:
+        _R16_CACHE.pop(0).unpersist(blocking=False)
+    return df
+
+
 # Staged-entry manifest, in registration order (kept in sync by the
 # bank's subprocess smoke: every name registered by importing this
 # module must appear here, and vice versa). Also consumed by
@@ -465,6 +599,7 @@ R16_ENTRIES: list[str] = [
     "text_mean_docfreq_gate",
     "text_skipgram_cooccurrence",
     "text_dup_span_source_pairs",
+    "dedup_minhash_band_sweep",
     "quality_rule_attribution",
     "train_curriculum_bands",
     "quality_dedup_threshold_curve",
