@@ -576,6 +576,138 @@ def dedup_minhash_band_sweep(spark, sf):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of the two ANN scale paths (LSH + IVF)
+# ---------------------------------------------------------------------------
+
+def _lsh_union_sql_r16(src_sql: str, id_alias: str, vec_alias: str,
+                       n_tables: int, planes_per_table: int) -> str:
+    # Local copy of registry_ext._lsh_buckets_union (no sibling
+    # registry imports; the plane generator itself is the engine's
+    # seeded hyperplane_bucket_sql) — the r15 _lsh_union_sql precedent.
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        hyperplane_bucket_sql,
+    )
+
+    return " UNION ALL ".join(
+        f"SELECT {id_alias}, {vec_alias}, {t} AS tbl, "
+        f"{hyperplane_bucket_sql('embedding', t, n_tables=n_tables, planes_per_table=planes_per_table)}"
+        f" AS key FROM {src_sql}"
+        for t in range(n_tables))
+
+
+_R16_CSIM = ("list_dot_product({a}, {b}) / "
+             "(sqrt(list_dot_product({a}, {a})) * "
+             "sqrt(list_dot_product({b}, {b})))")
+_R16_IVF_CENT = (
+    "SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_vec "
+    "FROM embeddings WHERE vec_id < "
+    "(SELECT CAST(round(sqrt(count(*))) AS BIGINT) FROM embeddings)")
+
+
+def _ivf_assign_sql_r16(src: str, idc: str, vecc: str) -> str:
+    # Local copy of registry_ext._ivf_assign_sql (nprobe=1).
+    sim = _R16_CSIM.format(a=vecc, b="cent_vec")
+    return f"""
+  SELECT {idc}, {vecc}, centroid_id FROM (
+    SELECT {idc}, {vecc}, centroid_id,
+           row_number() OVER (PARTITION BY {idc}
+                              ORDER BY {sim} DESC, centroid_id) AS rn
+    FROM {src} CROSS JOIN ({_R16_IVF_CENT})
+  ) WHERE rn <= 1"""
+
+
+@register("sim_rrf_fusion", f"""
+WITH qsrc AS (SELECT vec_id AS query_id, embedding,
+                     embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 8),
+csrc AS (SELECT vec_id AS match_id, embedding,
+                embedding::DOUBLE[] AS cv
+         FROM embeddings),
+qb AS ({_lsh_union_sql_r16('qsrc', 'query_id', 'qv', 18, 4)}),
+cb AS ({_lsh_union_sql_r16('csrc', 'match_id', 'cv', 18, 4)}),
+lcand AS (
+  SELECT DISTINCT query_id, match_id, qv, cv
+  FROM qb JOIN cb USING (tbl, key) WHERE query_id != match_id),
+lsh AS (
+  SELECT query_id, match_id, rank FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY {_R16_CSIM.format(a='qv', b='cv')} DESC,
+                      match_id) AS rank
+    FROM lcand) WHERE rank <= 5),
+qa AS ({_ivf_assign_sql_r16('qsrc', 'query_id', 'qv')}),
+ca AS ({_ivf_assign_sql_r16('csrc', 'match_id', 'cv')}),
+iscored AS (
+  SELECT query_id, match_id,
+         {_R16_CSIM.format(a='qv', b='cv')} AS cos_sim
+  FROM qa JOIN ca USING (centroid_id)
+  WHERE query_id != match_id),
+ivf AS (
+  SELECT query_id, match_id, rank FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, match_id) AS rank
+    FROM iscored) WHERE rank <= 5),
+contrib AS (
+  SELECT query_id, match_id, 1000000 // (60 + rank) AS c FROM lsh
+  UNION ALL
+  SELECT query_id, match_id, 1000000 // (60 + rank) FROM ivf),
+fused AS (
+  SELECT query_id, match_id,
+         CAST(SUM(c) AS BIGINT) AS rrf_ppm,
+         CAST(count(*) AS BIGINT) AS n_rankers
+  FROM contrib GROUP BY 1, 2)
+SELECT query_id, match_id, rrf_ppm, n_rankers,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf_ppm DESC, match_id) AS rank
+      FROM fused)
+WHERE rank <= 5
+""")
+def sim_rrf_fusion(spark, sf):
+    # Reciprocal-rank fusion of the engine's two ANN scale paths —
+    # the standard ensemble that papers over each index's blind spots
+    # (an LSH miss is usually not an IVF miss: the indexes partition
+    # the space differently). Each ranker's top-5 contributes the
+    # classic RRF quotient in exact-integer ppm, 10⁶ div (60 + rank),
+    # summed per (query, match) — no floats in the fused score, so
+    # the whole readout hash-pairs bit-for-bit (the rankers' own
+    # rank sets are the ALREADY-CERTIFIED sim_ann_lsh_bucket /
+    # sim_ivf_topk semantics). Scale: both arms are the certified
+    # bucket/list plans; the fusion itself is one union + one
+    # pair-keyed partial agg + a per-query top-k window over ≤ 10
+    # rows per query.
+    import math
+
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        ivf_topk_np,
+        lsh_bucket_topk_np,
+    )
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent = emb.filter(
+        F.col("vec_id") < int(round(math.sqrt(emb.count()))))
+    lsh = lsh_bucket_topk_np(emb, queries, k=5, n_tables=18,
+                             planes_per_table=4) \
+        .select("query_id", "match_id", "rank")
+    ivf = ivf_topk_np(emb, queries, cent, k=5) \
+        .select("query_id", "match_id", "rank")
+    contrib = lsh.unionByName(ivf).select(
+        "query_id", "match_id",
+        F.expr("1000000 div (60 + rank)").alias("c"))
+    fused = contrib.groupBy("query_id", "match_id").agg(
+        F.sum("c").cast("bigint").alias("rrf_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rankers"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), F.col("match_id"))
+    return (fused.withColumn("rank",
+                             F.row_number().over(w).cast("bigint"))
+                 .filter(F.col("rank") <= 5))
+
+
 # Bounded persist slots for the sweep-style entries' shared relations
 # (the registry_r15._SWEEP_CACHE rationale): each call releases the
 # previous call's blocks, so repeated builds never stack persists.
@@ -600,6 +732,7 @@ R16_ENTRIES: list[str] = [
     "text_skipgram_cooccurrence",
     "text_dup_span_source_pairs",
     "dedup_minhash_band_sweep",
+    "sim_rrf_fusion",
     "quality_rule_attribution",
     "train_curriculum_bands",
     "quality_dedup_threshold_curve",
