@@ -471,3 +471,26 @@ def test_hyperplane_prefix_property_and_bucketed_filter_equivalence(spark):
          for r in full.filter("tbl < 6").collect()}
     b = {(r["match_id"], r["tbl"], r["key"]) for r in native.collect()}
     assert a == b
+
+
+def test_minhash_decontam_cross_corpus(spark):
+    """A train doc that is a light paraphrase of a bench doc still
+    collides on >= 1 band; an unrelated train doc never appears."""
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_decontam,
+    )
+
+    bench_text = ("alpha beta gamma delta epsilon zeta eta theta "
+                  "iota kappa lambda mu nu xi omicron pi rho sigma")
+    train = spark.createDataFrame(
+        [(0, bench_text),                      # verbatim copy
+         (1, bench_text + " extra tail"),      # light edit
+         (2, "totally unrelated words none shared at all here ok")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            minhash_decontam(train, bench, "doc_id", "text").collect()}
+    assert 0 in rows and rows[0]["max_bands"] == 4  # identical: all bands
+    assert 1 in rows and rows[1]["n_bench_docs"] == 1
+    assert 2 not in rows

@@ -405,6 +405,59 @@ def minhash_lsh_pairs(
              .agg(F.count(F.lit(1)).alias("n_bands")))
 
 
+def minhash_decontam(train: DataFrame, bench: DataFrame,
+                     id_col: str, text_col: str,
+                     *, n_hashes: int = 8, bands: int = 4,
+                     shingle_n: int = 3) -> DataFrame:
+    """Probabilistic benchmark decontamination: training documents
+    whose MinHash signature agrees with ANY benchmark document on ≥ 1
+    full band — the fuzzy complement of the exact-8-gram
+    `ngram_contamination` lens (a lightly paraphrased or truncated
+    eval answer shifts every long n-gram but keeps most shingles, so
+    its banded signature still collides). Same signature family and
+    banding as the certified `minhash_lsh_pairs`, applied CROSS-corpus
+    (train × bench) instead of self-joined.
+
+    Scale: the benchmark side is small by definition — its banded
+    bucket relation is broadcast, so the training corpus is never
+    shuffled (the ngram_contamination broadcast rule); the train side
+    pays one signature aggregation (md5-dominated, map-side combined)
+    and a map-side band explode. Returns one row per CONTAMINATED
+    train doc: ``(id_col, n_bench_docs, max_bands)`` — how many bench
+    docs it collides with and the strongest agreement."""
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig_t = minhash_signature(train, id_col, text_col,
+                              n_hashes=n_hashes, shingle_n=shingle_n)
+    sig_b = minhash_signature(bench, id_col, text_col,
+                              n_hashes=n_hashes, shingle_n=shingle_n)
+
+    def buckets(sig: DataFrame, alias: str) -> DataFrame:
+        band_keys = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}")
+                                         for r in range(rows)]))
+                 .alias("key"))
+            for b in range(bands)
+        ])
+        return (sig.select(F.col("doc").alias(alias),
+                           F.explode(band_keys).alias("bk"))
+                   .select(alias, F.col("bk.band").alias("band"),
+                           F.col("bk.key").alias("key")))
+
+    bt = buckets(sig_t, "doc")
+    bb = F.broadcast(buckets(sig_b, "bench_doc"))
+    hits = (bt.join(bb, ["band", "key"])
+              .groupBy("doc", "bench_doc")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands")))
+    return (hits.groupBy("doc")
+                .agg(F.count(F.lit(1)).cast("bigint")
+                      .alias("n_bench_docs"),
+                     F.max("n_bands").cast("bigint").alias("max_bands"))
+                .withColumnRenamed("doc", id_col))
+
+
 def _simhash_bit_votes(ex: DataFrame, h, n_bits: int,
                        out_col: str) -> DataFrame:
     """Shared SimHash core: each bit of the per-shingle hash `h` votes ±1,

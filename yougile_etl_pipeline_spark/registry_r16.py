@@ -476,14 +476,15 @@ _MH_SWEEP_MINS = ", ".join(
     for i in range(8))
 
 
-def _mh_bands_sql(bands: int) -> str:
+def _mh_bands_sql(bands: int, src: str = "sig",
+                  doc_alias: str = "doc") -> str:
     rows = 8 // bands
     legs = []
     for b in range(bands):
         cols = " || '|' || ".join(f"mh{b * rows + r}"
                                   for r in range(rows))
-        legs.append(f"SELECT doc, {b} AS band, md5({cols}) AS key "
-                    f"FROM sig")
+        legs.append(f"SELECT doc AS {doc_alias}, {b} AS band, "
+                    f"md5({cols}) AS key FROM {src}")
     return " UNION ALL ".join(legs)
 
 
@@ -708,6 +709,168 @@ def sim_rrf_fusion(spark, sf):
                  .filter(F.col("rank") <= 5))
 
 
+# ---------------------------------------------------------------------------
+# MinHash benchmark decontamination (the fuzzy 8-gram complement)
+# ---------------------------------------------------------------------------
+
+@register("decontam_minhash", f"""
+WITH tex AS (
+  SELECT doc_id AS doc, unnest({_shingles_sql()}) AS sh
+  FROM documents WHERE source NOT IN ('src0', 'src1')),
+tsig AS (SELECT doc, {_MH_SWEEP_MINS} FROM tex GROUP BY doc),
+bex AS (
+  SELECT doc_id AS doc, unnest({_shingles_sql()}) AS sh
+  FROM documents WHERE source IN ('src0', 'src1')),
+bsig AS (SELECT doc, {_MH_SWEEP_MINS} FROM bex GROUP BY doc),
+tbk AS ({_mh_bands_sql(4, 'tsig')}),
+bbk AS ({_mh_bands_sql(4, 'bsig', doc_alias='bench_doc')}),
+hits AS (
+  SELECT doc, bench_doc, CAST(count(*) AS BIGINT) AS n_bands
+  FROM tbk JOIN bbk USING (band, key) GROUP BY 1, 2)
+SELECT doc AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bench_docs,
+       CAST(max(n_bands) AS BIGINT) AS max_bands
+FROM hits GROUP BY 1
+""")
+def decontam_minhash(spark, sf):
+    # Probabilistic decontamination (operators/dedup.py::
+    # minhash_decontam): train docs banded-colliding with the
+    # src0/src1 benchmark stand-in — catches lightly-paraphrased or
+    # truncated eval text whose every long n-gram shifted (invisible
+    # to decontam_ngram_overlap's exact-8-gram lens) but whose
+    # shingle sets still collide. Bench bucket relation broadcast;
+    # the training corpus is never shuffled.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_decontam,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    is_bench = F.col("source").isin("src0", "src1")
+    return minhash_decontam(docs.filter(~is_bench),
+                            docs.filter(is_bench), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection over near-dup clusters
+# ---------------------------------------------------------------------------
+
+_CC_EDGES_R16 = f"""
+ex AS (
+  SELECT doc_id AS doc, unnest({_shingles_sql()}) AS sh FROM documents
+), sig AS (
+  SELECT doc, {_MH_SWEEP_MINS} FROM ex GROUP BY doc
+), bk AS (
+  {_mh_bands_sql(4)}
+), mpairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                     AND a.doc < b.doc
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mpairs
+  UNION SELECT doc_b, doc_a FROM mpairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)"""
+
+
+@register("dedup_quality_canonical", f"""
+WITH RECURSIVE {_CC_EDGES_R16},
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+ranked AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
+           AS cluster_size
+  FROM documents d JOIN comp c ON c.node = d.doc_id)
+SELECT doc_id, lang, n_chars, cluster_size FROM ranked WHERE rn = 1
+""")
+def dedup_quality_canonical(spark, sf):
+    # Survivor POLICY refinement of dedup_canonical_docs: instead of
+    # the min-id survivor, each near-dup cluster keeps its
+    # HIGHEST-QUALITY member (longest text, doc_id tie-break) — the
+    # policy real corpora use, since the re-crawl that kept the full
+    # page should beat the truncated first fetch. Same certified
+    # MinHash-LSH pair relation + pointer-jumping components; the
+    # selection is one window over the component key. At 100 TB the
+    # quality key would be the composite score; n_chars is the
+    # oracle-exact stand-in.
+    from pyspark.sql.window import Window
+
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from yougile_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                              n_hashes=8, bands=4)
+    comp = connected_components(pairs, docs.select("doc_id"),
+                                src="doc_a", dst="doc_b",
+                                node_col="doc_id")
+    joined = docs.select("doc_id", "lang", "n_chars").join(
+        comp.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id")
+    w = Window.partitionBy("component")
+    ranked = joined.select(
+        "doc_id", "lang", "n_chars",
+        F.row_number().over(
+            w.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+         .alias("rn"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"))
+    return ranked.filter(F.col("rn") == 1) \
+                 .select("doc_id", "lang", "n_chars", "cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup source crosstab (which crawls near-duplicate each other)
+# ---------------------------------------------------------------------------
+
+@register("dedup_neardup_source_crosstab", f"""
+WITH {_pair_sql(1000)},
+kept AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+srcs AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS s1,
+       greatest(sa.source, sb.source) AS s2,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM kept
+JOIN srcs sa ON doc_a = sa.doc_id
+JOIN srcs sb ON doc_b = sb.doc_id
+GROUP BY 1, 2
+""")
+def dedup_neardup_source_crosstab(spark, sf):
+    # The NEAR-dup analogue of corpus_source_overlap's exact-dup
+    # crosstab: which source pairs share ≥ 0.5-jaccard documents —
+    # syndication and re-crawl overlap that exact fingerprints miss.
+    # Pair relation is the certified capped jaccard join; the two
+    # source lookups are id-keyed equi-joins (at 100 TB the (id,
+    # source) projection is a bucketed staging table); least/greatest
+    # canonicalizes the unordered source pair.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    kept = shingle_jaccard_pairs(docs, "doc_id", "text",
+                                 threshold=0.5, block_cols=["lang"]) \
+        .select("doc_a", "doc_b")
+    srcs = docs.select("doc_id", "source")
+    sa = srcs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("source").alias("__sa"))
+    sb = srcs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("source").alias("__sb"))
+    return (kept.join(sa, "doc_a").join(sb, "doc_b")
+                .select(F.least("__sa", "__sb").alias("s1"),
+                        F.greatest("__sa", "__sb").alias("s2"))
+                .groupBy("s1", "s2")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+
+
 # Bounded persist slots for the sweep-style entries' shared relations
 # (the registry_r15._SWEEP_CACHE rationale): each call releases the
 # previous call's blocks, so repeated builds never stack persists.
@@ -733,6 +896,9 @@ R16_ENTRIES: list[str] = [
     "text_dup_span_source_pairs",
     "dedup_minhash_band_sweep",
     "sim_rrf_fusion",
+    "decontam_minhash",
+    "dedup_quality_canonical",
+    "dedup_neardup_source_crosstab",
     "quality_rule_attribution",
     "train_curriculum_bands",
     "quality_dedup_threshold_curve",
