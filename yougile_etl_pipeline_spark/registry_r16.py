@@ -871,6 +871,97 @@ def dedup_neardup_source_crosstab(spark, sf):
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
 
 
+# ---------------------------------------------------------------------------
+# Suffix→prefix boundary chains (split-document / pagination dedup)
+# ---------------------------------------------------------------------------
+
+@register("dedup_boundary_chain", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 5),
+fps AS (
+  SELECT doc_id,
+         md5(array_to_string(t[1:5], ' ')) AS head_fp,
+         md5(array_to_string(t[len(t)-4:len(t)], ' ')) AS tail_fp
+  FROM toks)
+SELECT a.doc_id AS prev_doc, b.doc_id AS next_doc
+FROM fps a JOIN fps b
+  ON a.tail_fp = b.head_fp AND a.doc_id != b.doc_id
+""")
+def dedup_boundary_chain(spark, sf):
+    # Split-document detection: doc A's LAST five tokens equal doc
+    # B's FIRST five — the signature of paginated articles, chunked
+    # re-uploads and crawl continuations, which whole-doc and
+    # bag-of-shingles lenses both miss (the overlap is a sliver of
+    # either doc). One map-only projection to two 16-byte md5
+    # boundary fingerprints per doc, one fp-keyed equi-join — no
+    # quadratic anything, no text shuffled. Emits (prev_doc,
+    # next_doc) chain edges; composing with connected components
+    # reassembles full chains.
+    from yougile_etl_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    t = tokens("text")
+    fps = (docs.select("doc_id", t.alias("t"))
+               .filter(F.size("t") >= 5)
+               .select(
+                   "doc_id",
+                   F.md5(F.concat_ws(" ", F.slice("t", 1, 5)))
+                    .alias("head_fp"),
+                   F.md5(F.concat_ws(
+                       " ", F.slice("t", F.size("t") - 4, 5)))
+                    .alias("tail_fp")))
+    a = fps.select(F.col("doc_id").alias("prev_doc"),
+                   F.col("tail_fp").alias("fp"))
+    b = fps.select(F.col("doc_id").alias("next_doc"),
+                   F.col("head_fp").alias("fp"))
+    return (a.join(b, "fp")
+             .filter(F.col("prev_doc") != F.col("next_doc"))
+             .select("prev_doc", "next_doc"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source language concentration (mixture purity readout)
+# ---------------------------------------------------------------------------
+
+@register("corpus_lang_concentration", """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS f
+  FROM documents GROUP BY 1, 2),
+s AS (
+  SELECT source,
+         CAST(SUM(f) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(SUM(f * f) AS BIGINT) AS ss
+  FROM c GROUP BY 1)
+SELECT source, n_docs, n_langs,
+       CAST(ss * 1000000 // (n_docs * n_docs) AS BIGINT)
+         AS concentration_ppm,
+       CAST(ss * 1000000 // (n_docs * n_docs) AS BIGINT) >= 900000
+         AS monolingual
+FROM s
+""")
+def corpus_lang_concentration(spark, sf):
+    # Mixture-purity readout per source: the Herfindahl/Simpson
+    # concentration Σ share² of its language composition in exact
+    # integer ppm (Σf²·10⁶ div n², no per-language division — one
+    # exact expression), with a ≥ 0.9 monolingual flag. The planning
+    # input for language-targeted sampling: a source at 0.99 can be
+    # routed whole, a 0.4 source needs per-doc language routing. Two
+    # tiny grouped aggregations, all map-side combinable.
+    docs = load_table(spark, sf, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f"))
+    s = c.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("ss"))
+    conc = F.expr("ss * 1000000 div (n_docs * n_docs)").cast("bigint")
+    return s.select("source", "n_docs", "n_langs",
+                    conc.alias("concentration_ppm"),
+                    (conc >= 900000).alias("monolingual"))
+
+
 # Bounded persist slots for the sweep-style entries' shared relations
 # (the registry_r15._SWEEP_CACHE rationale): each call releases the
 # previous call's blocks, so repeated builds never stack persists.
@@ -899,6 +990,8 @@ R16_ENTRIES: list[str] = [
     "decontam_minhash",
     "dedup_quality_canonical",
     "dedup_neardup_source_crosstab",
+    "dedup_boundary_chain",
+    "corpus_lang_concentration",
     "quality_rule_attribution",
     "train_curriculum_bands",
     "quality_dedup_threshold_curve",
