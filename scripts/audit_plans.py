@@ -78,6 +78,19 @@ KNOWN_NESTED_LOOP = {
     "sample_temperature_mixture", "sim_ivf_cluster_balance",
     "sim_margin_audit", "text_collocations",
     "text_vocab_coverage_curve", "text_zipf_rank_ratio",
+    # r15 rotation: the registry_r15 bank went live and its one-row
+    # broadcast corpus scalars flag as usual. Reviewed r15 (code
+    # read: every BNLJ below is a crossJoin(F.broadcast(<one-row
+    # agg>)) appending a global total / threshold / max / truth-count
+    # row — a map-side constant at any scale):
+    "train_token_budget_select",   # token-budget total row
+    "events_page_hinkley_drift",   # global mean + PH max rows
+    "quality_jarque_bera",         # moment-scalar + max rows
+    "dedup_idf_jaccard",           # N-docs row onto the weight calc
+    "text_heaps_curve",            # corpus totals onto curve points
+    "train_mix_epochs_plan",       # mixture total row
+    "events_changepoint_scan",     # global stats onto candidate scan
+    "sim_lsh_recall_sweep",        # truth-count row onto each arm
 }
 KNOWN_SHUFFLE_HEAVY = {
     "graph_pagerank", "dedup_shingle_jaccard", "dedup_shingle_capped",
@@ -104,6 +117,18 @@ KNOWN_SHUFFLE_HEAVY = {
     "sample_temperature_mixture", "sim_ivf_recall_eval",
     "sim_pq_recall_eval", "text_dup_span_cap_audit",
     "text_jaccard_topk_pairs",
+    # r15 rotation: reviewed members of the same two multi-stage-by-
+    # design classes. dedup_idf_jaccard (11) is a blocked self-join
+    # pair miner like dedup_shingle_*; sim_lsh_recall_sweep (30,
+    # was 42 before the shared-stream fix) is a truth-AND-three-arm
+    # eval double-path; events_page_hinkley_drift (8) and
+    # events_changepoint_scan (11) are per-type cumulative time-series
+    # scans (windows keyed by type, bounded by the calendar);
+    # text_heaps_curve (8) is a curve of grouped prefixes over one
+    # tokenized stream.
+    "dedup_idf_jaccard", "sim_lsh_recall_sweep",
+    "events_page_hinkley_drift", "events_changepoint_scan",
+    "text_heaps_curve",
 }
 SHUFFLE_BUDGET = 6
 
