@@ -418,15 +418,31 @@ def minhash_decontam(train: DataFrame, bench: DataFrame,
     banding as the certified `minhash_lsh_pairs`, applied CROSS-corpus
     (train × bench) instead of self-joined.
 
+    The benchmark is treated as a SET of texts: exact duplicates are
+    collapsed to one representative (smallest id) BEFORE signing, so
+    ``n_bench_docs`` counts distinct benchmark texts matched, never
+    copies — a multiset benchmark would both double-count
+    contamination and grow the collision join quadratically in the
+    duplication factor (measured: the 10× key-offset sf1 synthetic
+    drove the slope to ~11 before the collapse, ~linear after).
+
     Scale: the benchmark side is small by definition — its banded
     bucket relation is broadcast, so the training corpus is never
     shuffled (the ngram_contamination broadcast rule); the train side
     pays one signature aggregation (md5-dominated, map-side combined)
     and a map-side band explode. Returns one row per CONTAMINATED
-    train doc: ``(id_col, n_bench_docs, max_bands)`` — how many bench
-    docs it collides with and the strongest agreement."""
+    train doc: ``(id_col, n_bench_docs, max_bands)`` — how many
+    distinct bench texts it collides with and the strongest
+    agreement."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
+    bench = (bench
+             .groupBy(F.md5(F.col(text_col)).alias("__bfp"))
+             .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                 F.col(text_col).alias("t")))
+                   .alias("__s"))
+             .select(F.col("__s.i").alias(id_col),
+                     F.col("__s.t").alias(text_col)))
     sig_t = minhash_signature(train, id_col, text_col,
                               n_hashes=n_hashes, shingle_n=shingle_n)
     sig_b = minhash_signature(bench, id_col, text_col,
