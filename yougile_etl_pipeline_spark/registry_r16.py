@@ -728,9 +728,13 @@ WITH tex AS (
   SELECT doc_id AS doc, unnest({_shingles_sql()}) AS sh
   FROM documents WHERE source NOT IN ('src0', 'src1')),
 tsig AS (SELECT doc, {_MH_SWEEP_MINS} FROM tex GROUP BY doc),
+bdocs AS (
+  -- the benchmark is a SET of texts: exact duplicates collapse to
+  -- the smallest-id representative (minhash_decontam's contract)
+  SELECT min(doc_id) AS doc, text FROM documents
+  WHERE source IN ('src0', 'src1') GROUP BY text),
 bex AS (
-  SELECT doc_id AS doc, unnest({_shingles_sql()}) AS sh
-  FROM documents WHERE source IN ('src0', 'src1')),
+  SELECT doc, unnest({_shingles_sql()}) AS sh FROM bdocs),
 bsig AS (SELECT doc, {_MH_SWEEP_MINS} FROM bex GROUP BY doc),
 tbk AS ({_mh_bands_sql(4, 'tsig')}),
 bbk AS ({_mh_bands_sql(4, 'bsig', doc_alias='bench_doc')}),
