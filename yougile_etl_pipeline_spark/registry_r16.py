@@ -270,7 +270,7 @@ ex0 AS (
 
 
 @register("quality_dedup_threshold_curve", f"""
-WITH {_pair_sql(1000)},
+WITH {_pair_sql(100)},
 p_agg AS (
   SELECT
     CAST(SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
@@ -320,7 +320,8 @@ def quality_dedup_threshold_curve(spark, sf):
     # shuffles / 2.5 s at sf0.1 vs half that shared).
     pairs = _r16_persist(
         shingle_jaccard_pairs(docs, "doc_id", "text",
-                              threshold=0.0, block_cols=["lang"]))
+                              threshold=0.0, block_cols=["lang"],
+                              max_shingle_df=100))
     one, zero = F.lit(1), F.lit(0)
 
     def cnt(t):
