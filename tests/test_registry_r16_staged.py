@@ -17,7 +17,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_EXPECTED = 14
+_EXPECTED = 16
 
 _SUBPROC = """
 import os, sys

@@ -977,6 +977,111 @@ def corpus_lang_concentration(spark, sf):
                     (conc >= 900000).alias("monolingual"))
 
 
+# ---------------------------------------------------------------------------
+# Largest-remainder token apportionment (exact budget allocation)
+# ---------------------------------------------------------------------------
+
+@register("train_token_apportionment", """
+WITH c AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM c),
+base AS (
+  SELECT lang, n_tokens,
+         CAST(n_tokens * 1000000 // t AS BIGINT) AS floor_quota,
+         CAST(n_tokens * 1000000 % t AS BIGINT) AS remainder
+  FROM c CROSS JOIN tot),
+short AS (
+  SELECT CAST(1000000 - SUM(floor_quota) AS BIGINT) AS k FROM base)
+SELECT lang, n_tokens, floor_quota,
+       CAST(CASE WHEN rnk <= k THEN floor_quota + 1
+            ELSE floor_quota END AS BIGINT) AS quota
+FROM (SELECT *, row_number() OVER
+        (ORDER BY remainder DESC, lang) AS rnk
+      FROM base) CROSS JOIN short
+""")
+def train_token_apportionment(spark, sf):
+    # Exact largest-remainder (Hamilton) apportionment of a token
+    # budget across languages — the integer algorithm behind "give
+    # each language its proportional share of 1M budget units and
+    # hand the rounding leftovers to the largest remainders". Unlike
+    # ratio-rounding, the quotas SUM EXACTLY to the budget — the
+    # property a shard planner needs. All BIGINT (floor via div,
+    # remainder via mod, leftover count k = budget − Σfloor); the
+    # only ordering is a |langs|-row window. At 100 TB the per-lang
+    # token counts are one partial-agg shuffle; everything after is
+    # driver-scale.
+    from pyspark.sql.window import Window
+
+    from yougile_etl_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    c = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"))
+    tot = c.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    base = (c.crossJoin(F.broadcast(tot))
+             .select("lang", "n_tokens",
+                     F.expr("n_tokens * 1000000 div t").cast("bigint")
+                      .alias("floor_quota"),
+                     F.expr("n_tokens * 1000000 % t").cast("bigint")
+                      .alias("remainder")))
+    short = base.agg(
+        (F.lit(1000000) - F.sum("floor_quota")).cast("bigint")
+        .alias("k"))
+    w = Window.orderBy(F.col("remainder").desc(), F.col("lang"))
+    ranked = base.withColumn("rnk", F.row_number().over(w)) \
+                 .crossJoin(F.broadcast(short))
+    quota = F.when(F.col("rnk") <= F.col("k"),
+                   F.col("floor_quota") + 1) \
+             .otherwise(F.col("floor_quota")).cast("bigint")
+    return ranked.select("lang", "n_tokens", "floor_quota",
+                         quota.alias("quota"))
+
+
+# ---------------------------------------------------------------------------
+# Peak-to-mean hourly load ratio per event type
+# ---------------------------------------------------------------------------
+
+@register("events_peak_to_mean", """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         CAST(max(c) AS BIGINT) AS peak_hour,
+         CAST(SUM(c) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_hours
+  FROM h GROUP BY 1)
+SELECT event_type, peak_hour, total, n_hours,
+       CAST(peak_hour * n_hours * 1000000 // total AS BIGINT)
+         AS peak_to_mean_ppm
+FROM s
+""")
+def events_peak_to_mean(spark, sf):
+    # Capacity-planning readout: each event type's peak hourly count
+    # over its mean hourly count (active hours only), in exact
+    # integer ppm — peak·n_hours·10⁶ div total avoids ever computing
+    # the fractional mean (the benford_profile div trick). A ratio
+    # near 1 streams flat; 10+ marks bursty types that need headroom
+    # or smoothing. Two grouped aggregations, both map-side
+    # combinable; cardinality is |types| × calendar hours, never
+    # corpus-sized.
+    docs = load_table(spark, sf, "events")
+    h = docs.groupBy("event_type",
+                     F.date_trunc("hour", "ts").alias("hr")) \
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = h.groupBy("event_type").agg(
+        F.max("c").cast("bigint").alias("peak_hour"),
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"))
+    return s.select(
+        "event_type", "peak_hour", "total", "n_hours",
+        F.expr("peak_hour * n_hours * 1000000 div total")
+         .cast("bigint").alias("peak_to_mean_ppm"))
+
+
 # Bounded persist slots for the sweep-style entries' shared relations
 # (the registry_r15._SWEEP_CACHE rationale): each call releases the
 # previous call's blocks, so repeated builds never stack persists.
@@ -1011,4 +1116,6 @@ R16_ENTRIES: list[str] = [
     "train_curriculum_bands",
     "quality_dedup_threshold_curve",
     "dedup_pair_degree_hist",
+    "train_token_apportionment",
+    "events_peak_to_mean",
 ]
