@@ -149,3 +149,22 @@ def test_asof_join_forward_and_tolerance(spark):
                               tolerance=F.lit(6)).collect()}
     assert out[905] == (20, 102)      # gap 26-20=6 <= 6 -> kept
     assert out[906] == (None, None)   # gap 80 -> voided
+
+
+def test_token_apportionment_sums_exactly_to_budget(spark):
+    """Largest-remainder quotas must sum EXACTLY to the 1M budget —
+    the property plain ratio-rounding lacks — and every language's
+    quota differs from its exact share by less than one unit."""
+    import yougile_etl_pipeline_spark.registry_r16  # registers (this
+    # process only; the module tail guard re-rotates the window)
+    from yougile_etl_pipeline_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["train_token_apportionment"](
+        spark, SF_SMOKE).collect()
+    assert sum(r["quota"] for r in rows) == 1_000_000
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        exact = r["n_tokens"] * 1_000_000 / total
+        assert abs(r["quota"] - exact) < 1.0, (r, exact)
+        assert r["quota"] in (r["floor_quota"], r["floor_quota"] + 1)
