@@ -17,7 +17,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_EXPECTED = 16
+_EXPECTED = 18
 
 _SUBPROC = """
 import os, sys

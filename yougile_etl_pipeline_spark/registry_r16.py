@@ -1082,6 +1082,148 @@ def events_peak_to_mean(spark, sf):
          .cast("bigint").alias("peak_to_mean_ppm"))
 
 
+# ---------------------------------------------------------------------------
+# Session gap-threshold sweep (the 30-minute knob, made a curve)
+# ---------------------------------------------------------------------------
+
+@register("events_session_gap_sweep", """
+WITH g AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events),
+cuts AS (
+  SELECT
+    CAST(SUM(CASE WHEN gap_ms > 5  * 60000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS c5,
+    CAST(SUM(CASE WHEN gap_ms > 30 * 60000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS c30,
+    CAST(SUM(CASE WHEN gap_ms > 120 * 60000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS c120
+  FROM g WHERE gap_ms IS NOT NULL)
+SELECT CAST(5 AS BIGINT) AS gap_minutes,
+       n_users + c5 AS n_sessions,
+       CAST(n_events * 1000000 // (n_users + c5) AS BIGINT)
+         AS events_per_session_ppm
+FROM cuts, tot
+UNION ALL SELECT 30, n_users + c30,
+       CAST(n_events * 1000000 // (n_users + c30) AS BIGINT)
+FROM cuts, tot
+UNION ALL SELECT 120, n_users + c120,
+       CAST(n_events * 1000000 // (n_users + c120) AS BIGINT)
+FROM cuts, tot
+""")
+def events_session_gap_sweep(spark, sf):
+    # The 30-minute sessionization knob, made a measured curve: at
+    # gap thresholds 5/30/120 min, the session count is EXACTLY
+    # n_users + |gaps above threshold| (each user's first event opens
+    # a session; every over-threshold gap opens one more), so ONE
+    # lag() gap relation feeds all three thresholds via conditional
+    # aggregation — the shared-stream rule; no per-threshold
+    # re-sessionization. Mean session depth in exact integer ppm.
+    # Shape: one user-keyed window (the certified events_sessionize
+    # shuffle), one global conditional agg, three stacked rows.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ms", F.unix_millis("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn("gap_ms", F.col("ms") - F.lag("ms").over(w))
+    tot = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    one, zero = F.lit(1), F.lit(0)
+
+    def cnt(minutes):
+        return F.sum(
+            F.when(F.col("gap_ms") > minutes * 60000, one)
+             .otherwise(zero)).cast("bigint")
+
+    cuts = g.filter(F.col("gap_ms").isNotNull()).agg(
+        cnt(5).alias("c5"), cnt(30).alias("c30"),
+        cnt(120).alias("c120"))
+    joined = cuts.crossJoin(F.broadcast(tot))
+    legs = []
+    for minutes, c in ((5, "c5"), (30, "c30"), (120, "c120")):
+        sessions = F.col("n_users") + F.col(c)
+        legs.append(joined.select(
+            F.lit(minutes).cast("bigint").alias("gap_minutes"),
+            sessions.alias("n_sessions"),
+            F.expr(f"n_events * 1000000 div (n_users + {c})")
+             .cast("bigint").alias("events_per_session_ppm")))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Token retention after quality-canonical dedup, per source
+# ---------------------------------------------------------------------------
+
+@register("corpus_survivor_token_share", f"""
+WITH RECURSIVE {_CC_EDGES_R16},
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM documents d JOIN comp c ON c.node = d.doc_id)
+SELECT source,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) * 1000000
+            // SUM(n_tokens) AS BIGINT) AS kept_ppm
+FROM ranked GROUP BY source
+""")
+def corpus_survivor_token_share(spark, sf):
+    # The budget question behind near-dup dedup, answered per source:
+    # how many TOKENS survive the quality-canonical policy (longest
+    # member per cluster, dedup_quality_canonical's exact survivor
+    # set)? A source at 400k kept-ppm contributes mostly copies — the
+    # input for renegotiating crawl priorities. Composes the
+    # certified MinHash-LSH pair relation + components + one window;
+    # the token sums ride the same ranked relation via conditional
+    # aggregation (no second pass).
+    from pyspark.sql.window import Window
+
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from yougile_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from yougile_etl_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                              n_hashes=8, bands=4)
+    comp = connected_components(pairs, docs.select("doc_id"),
+                                src="doc_a", dst="doc_b",
+                                node_col="doc_id")
+    joined = docs.select(
+        "doc_id", "source", "n_chars",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens")) \
+        .join(comp.select(F.col("node").alias("doc_id"), "component"),
+              "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    kept = F.sum(F.when(F.col("rn") == 1, F.col("n_tokens"))
+                  .otherwise(F.lit(0))).cast("bigint")
+    return (ranked.groupBy("source")
+            .agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 kept.alias("kept_tokens"))
+            .select("source", "total_tokens", "kept_tokens",
+                    F.expr("kept_tokens * 1000000 div total_tokens")
+                     .cast("bigint").alias("kept_ppm")))
+
+
 # Bounded persist slots for the sweep-style entries' shared relations
 # (the registry_r15._SWEEP_CACHE rationale): each call releases the
 # previous call's blocks, so repeated builds never stack persists.
@@ -1118,4 +1260,6 @@ R16_ENTRIES: list[str] = [
     "dedup_pair_degree_hist",
     "train_token_apportionment",
     "events_peak_to_mean",
+    "events_session_gap_sweep",
+    "corpus_survivor_token_share",
 ]
