@@ -1613,12 +1613,17 @@ _STABLE_CERTIFIED = [
 #        from yougile_etl_pipeline_spark import registry_r16  # noqa
 #    at the BOTTOM of registry_ext.py next to the r06–r15 imports
 #    (NOT here — the ext-bottom position survives the circular entry
-#    path). Check registry_r16.R16_ENTRIES for the FINAL entry count.
-#    NO media entries in the r16 bank (VERDICT r14 #7 — the media
-#    boundary declared in COVERAGE.md §E4 holds; budget goes to
-#    LLM-pipeline depth).
+#    path). Check registry_r16.R16_ENTRIES for the FINAL entry count
+#    (18 as of the r15 close: fourteen rotation-time entries + the
+#    apportionment/peak-to-mean pair + the two post-trio additions,
+#    session gap sweep and survivor token share — each proven at
+#    sf0.001 + sf0.01 with sf0.1 walls and sf1 slopes in SCALE.md's
+#    r16-gate table). NO media entries in the r16 bank (VERDICT r14
+#    #7 — the media boundary declared in COVERAGE.md §E4 holds;
+#    budget went to LLM-pipeline depth).
 # 3. Hold out (50 − len(R16_ENTRIES) − holds) recertification
-#    fillers, picked by LAST-DRIVER-GREEN ROUND recomputed over
+#    fillers (32 at the r15-close bank size, zero holds known),
+#    picked by LAST-DRIVER-GREEN ROUND recomputed over
 #    CORRECTNESS_r01..r15 (python over the json history, not vintage
 #    labels). After the r15 recerts land, the oldest official rows
 #    are the 9 remaining r04-last-green entries (sql_having_total,
@@ -1626,7 +1631,7 @@ _STABLE_CERTIFIED = [
 #    sql_recursive_spine, sql_scalar_subquery, text_lm_quality,
 #    text_oov_rate, win_dist_functions), then the 34 r06-last-green
 #    rows still promoted (the r06 block minus the two gram-cache
-#    holds).
+#    holds) — 9 + 23 of those = the 32 fillers.
 # 4. BEFORE designing any new entry, grep the registry for the name
 #    AND the feature — @register silently overwrites an existing name
 #    in place (r12 near-miss: agg_grouping_sets / win_dist_functions
