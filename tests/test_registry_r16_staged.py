@@ -45,8 +45,19 @@ print("R16-SMOKE-OK")
 
 
 def test_round15_does_not_import_r16():
-    import yougile_etl_pipeline_spark.registry  # noqa: F401
-    assert "yougile_etl_pipeline_spark.registry_r16" not in sys.modules
+    # Checked in a SUBPROCESS so the guard tests the CANONICAL import
+    # path deterministically: other test files legitimately import
+    # registry_r16 in-process (semantics/property tests), and suite
+    # order must not decide whether this guard sees their side effect.
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "import yougile_etl_pipeline_spark.registry; "
+         "assert 'yougile_etl_pipeline_spark.registry_r16' "
+         "not in sys.modules, 'registry_r16 reachable from the "
+         "canonical import path'" % REPO],
+        cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
 
 
 def test_r16_module_registers_and_runs_in_subprocess():
