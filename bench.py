@@ -152,7 +152,10 @@ def main() -> None:
     # round-15 registrations (the registry_r15 bank, live since the
     # r15 rotation, plus mid-round direct additions): same treatment.
     out["r15"], out["r15_plans"] = _r15_timings(spark, sf_dir)
-    # r16 staging bank: same single-warmed-run + fingerprint treatment,
+    # round-16 registrations (the registry_r16 bank, live since the
+    # r16 rotation, plus mid-round direct additions): same treatment.
+    out["r16"], out["r16_plans"] = _r16_timings(spark, sf_dir)
+    # r17 staging bank: same single-warmed-run + fingerprint treatment,
     # so nothing registers untimed at the next rotation (the staging
     # contract's own lesson — the 22.7 s rolling-distinct catch).
     out["staged"], out["staged_plans"] = _staged_timings(spark, sf_dir)
@@ -166,7 +169,18 @@ def main() -> None:
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR")
     if sf1_dir:
         out["sf1"] = _sf1_block(spark, sf1_dir, timings)
-    # FULL dump first (one line, for humans / ROUNDLOG), then a COMPACT
+    # Self-contained sidecar FIRST (VERDICT r15 #2): the driver's
+    # BENCH_r{N}.json capture keeps only the stdout TAIL, which
+    # truncated away the per-round blocks in r15 (the idf/sweep
+    # reconciliation walls survived only in prose). bench.py controls
+    # what it writes, so the FULL structured output is persisted to a
+    # committed BENCH_FULL_r{N}.json the builder adds to the round's
+    # artifacts — diffable next round regardless of what the driver's
+    # capture keeps. Round number: SPARK_GRAFT_ROUND env if set, else
+    # 1 + the newest committed CORRECTNESS_r{N}.json (bench runs in
+    # round N after round N−1's correctness artifact landed).
+    _write_full_sidecar(out)
+    # FULL dump next (one line, for humans / ROUNDLOG), then a COMPACT
     # summary as the FINAL stdout line: the driver's BENCH_r{N}.json
     # capture keeps only a ~2,000-char tail, and the full dump outgrew
     # it in r05 (BENCH_r05–r07 all record `parsed: null`). The last
@@ -185,6 +199,30 @@ def main() -> None:
         "sf": out["sf"],
     }
     print(json.dumps(compact))
+
+
+def _infer_round() -> int:
+    """Current round number for the BENCH_FULL sidecar name."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [int(m.group(1))
+              for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+              if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _write_full_sidecar(out: dict) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, f"BENCH_FULL_r{_infer_round()}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"full bench output -> {path}", file=sys.stderr)
 
 
 # Streaming entries manage their own execution (the availableNow drain
@@ -327,19 +365,31 @@ def _r15_timings(
                              skip=set(HEADLINE))
 
 
+def _r16_timings(
+        spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    """Per-round perf/plan record for the round-16 registrations (the
+    registry_r16 bank, live since the r16 rotation, plus mid-round
+    direct additions)."""
+    from yougile_etl_pipeline_spark.registry_r16 import R16_ENTRIES
+
+    return _manifest_timings(spark, sf_dir, R16_ENTRIES,
+                             skip=set(HEADLINE))
+
+
 def _staged_timings(
         spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
-    """Wall time + plan fingerprint for every round-16 BANK entry,
-    driven off registry_r16's own registrations. Importing the bank
-    module registers its entries IN THIS PROCESS ONLY — they insert
-    after the live window's 50 entries and the module's tail guard
-    re-rotates, so the certified window set bench measures is
-    untouched (the driver's correctness process never imports the
-    bank; tests/test_registry_r16_staged.py proves non-import on the
-    canonical path)."""
-    from yougile_etl_pipeline_spark import registry_r16
+    """Wall time + plan fingerprint for every round-17 BANK entry,
+    driven off registry_r17's own registrations. Importing the bank
+    module registers its entries IN THIS PROCESS ONLY — they append
+    past the already-rotated stable block and the module's tail guard
+    re-rotates (registry_r17.py bottom — real since ADVICE r15 #1;
+    rotation is idempotent), so the certified window SET bench
+    measures is untouched (the driver's correctness process never
+    imports the bank; tests/test_registry_r17_staged.py proves
+    non-import on the canonical path)."""
+    from yougile_etl_pipeline_spark import registry_r17
 
-    return _manifest_timings(spark, sf_dir, registry_r16.R16_ENTRIES)
+    return _manifest_timings(spark, sf_dir, registry_r17.R17_ENTRIES)
 
 
 def _sf1_block(spark, sf1_dir: str,

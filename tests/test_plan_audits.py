@@ -1080,3 +1080,38 @@ def test_distinct_shuffles_id_collision_disambiguation():
     # BroadcastExchange / ReusedExchange never count
     assert _distinct_shuffles(
         "BroadcastExchange (3)\nReusedExchange (4)\n", "") == 0
+
+
+def test_distinct_broadcasts_dedupe_reprinted_cached_subtrees():
+    """VERDICT r15 #3: dedup_minhash_band_sweep's staged fingerprint
+    read 147 'broadcasts' because its three unioned arms each REPRINT
+    the persisted signature/truth subtrees, and every reprint carries
+    the same one-row broadcast nodes. The broadcast counter now gets
+    the same id+detail-body dedupe the shuffle counter got in r15, so
+    a reprinted broadcast counts once and the fingerprint can be read
+    at face value."""
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        _distinct_broadcasts,
+    )
+
+    # one broadcast reprinted under three cached-subtree scans
+    tree = ("   +- BroadcastExchange (9)\n"
+            "   +- InMemoryTableScan (12)\n"
+            "         +- BroadcastExchange (9)\n"
+            "   +- InMemoryTableScan (14)\n"
+            "         +- BroadcastExchange (9)\n")
+    plan_same = tree + "\n\n(9) BroadcastExchange\nInput [1]: [n]\n"
+    assert _distinct_broadcasts(tree, plan_same) == 1
+    # same id, TWO distinct detail bodies -> two distinct broadcasts
+    plan_two = (tree + "\n\n(9) BroadcastExchange\nInput [1]: [n]\n\n"
+                "(9) BroadcastExchange\nInput [2]: [a, b]\n")
+    assert _distinct_broadcasts(tree, plan_two) == 2
+    # the shuffle detail regex must NOT swallow broadcast details and
+    # vice versa ("(9) Exchange" vs "(9) BroadcastExchange")
+    assert _distinct_broadcasts(
+        "BroadcastExchange (9)\n",
+        "(9) Exchange\nInput [1]: [x]\n") == 1
+    # no ids at all -> raw occurrence count (legacy fallback)
+    assert _distinct_broadcasts("BroadcastExchange\n", "") == 1
+    # a ReusedExchange referencing a broadcast never counts
+    assert _distinct_broadcasts("ReusedExchange (4)\n", "") == 0

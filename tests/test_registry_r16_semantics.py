@@ -7,8 +7,14 @@ from __future__ import annotations
 
 
 def _register(spark):
-    import yougile_etl_pipeline_spark.registry_r16  # noqa: F401 —
-    # registers in this process only; the module tail guard re-rotates
+    # registry_r16 is WIRED since the r16 rotation (registry_ext.py
+    # bottom), so this import is a no-op on the canonical path — kept
+    # so the file also works standalone before conftest touches the
+    # registry. While the bank was staged this in-process import
+    # appended 18 entries to the global QUERIES for the rest of the
+    # pytest session (ADVICE r15 #2) — r17-bank tests must use a
+    # subprocess or snapshot/restore instead.
+    import yougile_etl_pipeline_spark.registry_r16  # noqa: F401
     from yougile_etl_pipeline_spark.registry import QUERIES
     return QUERIES
 

@@ -1,68 +1,67 @@
-"""Guards for the pre-wired round-16 registration bank.
+"""Guards for the round-16 registration module — WIRED at r16 start.
 
-Same contract the r06–r15 banks ran under while staged: (1) round 15
-must NOT import registry_r16 — the r15 window is exactly full, and an
-accidental import would strand never-certified registrations at the
-round boundary; (2) the module must actually work when wired —
-verified in a SUBPROCESS so this test session's registry stays
-untouched, with every entry oracle-executed from its REGISTRY copy at
-sf0.001 (or SPARK_GRAFT_SMOKE_DIR — the scripts/check_staged.py
-sf0.01 re-proof path)."""
+Round-15 state (preserved in git history): registry_r16 was a staged
+eighteen-entry bank, deliberately unimported, and these guards
+enforced non-import plus a subprocess smoke. Round 16 wired it at
+registry_ext.py's bottom; genuinely new round-16 operators register
+directly into this module mid-round, each swapping a held-out
+recertification filler back into _STABLE_CERTIFIED so the driver's
+50-slot certification window never strands a never-certified query.
+The guards now enforce the WIRED invariants (same shape as
+tests/test_registry_r15_staged.py had while r15 was live):
+
+1. the import is live (the bank cannot silently fall out);
+2. every r16 entry is inside ``list(QUERIES)[:50]`` (registered but
+   never-certified is the failure mode the window accounting exists
+   to prevent);
+3. every r16 entry carries an oracle unless documented rows-only;
+4. every entry is oracle-executed from its REGISTRY copy at SF_SMOKE,
+   so transcription drift between the bank module and the per-op
+   parity tests cannot ship.
+"""
 
 from __future__ import annotations
 
-import os
-import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.conftest import SF_SMOKE
+from tests.oracle_compare import compare, duck_connect
 
-_EXPECTED = 18
+_EXPECTED = 18  # grows with every mid-round r16 registration
 
-_SUBPROC = """
-import os, sys
-sys.path.insert(0, %r)
-from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
-before = set(QUERIES)
-import yougile_etl_pipeline_spark.registry_r16 as r16
-new = [k for k in QUERIES if k not in before]
-assert len(new) == %d, f"expected %d new entries, got {len(new)}: {new}"
-assert set(new) == set(r16.R16_ENTRIES), (new, r16.R16_ENTRIES)
-missing = [k for k in new if k not in ORACLES]
-assert not missing, f"entries without oracles: {missing}"
-if new:
-    from yougile_etl_pipeline_spark.session import get_spark
-    from tests.oracle_compare import compare, duck_connect
-    spark = get_spark(app_name="r16-smoke", master="local[4]")
-    spark.sparkContext.setLogLevel("ERROR")
-    sf = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
-    con = duck_connect(sf)
-    for name in new:
-        issues = compare(QUERIES[name](spark, sf), con, ORACLES[name])
+
+def test_registry_imports_r16():
+    import yougile_etl_pipeline_spark.registry  # noqa: F401
+
+    assert "yougile_etl_pipeline_spark.registry_r16" in sys.modules, (
+        "the r16 wiring import fell out of registry_ext.py — the "
+        "round-16 registrations would silently deregister")
+
+
+def test_r16_entries_registered_inside_window():
+    from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
+    from yougile_etl_pipeline_spark.registry_r16 import R16_ENTRIES
+
+    assert len(R16_ENTRIES) == _EXPECTED
+    window = set(list(QUERIES)[:50])
+    missing = [n for n in R16_ENTRIES if n not in QUERIES]
+    assert not missing, f"r16 entries not registered: {missing}"
+    out = [n for n in R16_ENTRIES if n not in window]
+    assert not out, (
+        f"r16 entries pushed outside the 50-slot certification "
+        f"window: {out}")
+    no_oracle = [n for n in R16_ENTRIES if n not in ORACLES]
+    assert no_oracle == [], f"entries without oracles: {no_oracle}"
+
+
+def test_r16_registry_entries_match_oracles(spark):
+    from yougile_etl_pipeline_spark.registry import ORACLES, QUERIES
+    from yougile_etl_pipeline_spark.registry_r16 import R16_ENTRIES
+
+    con = duck_connect(SF_SMOKE)
+    for name in R16_ENTRIES:
+        if name not in ORACLES:
+            continue
+        issues = compare(QUERIES[name](spark, SF_SMOKE),
+                         con, ORACLES[name])
         assert not issues, f"{name}: {issues}"
-print("R16-SMOKE-OK")
-"""
-
-
-def test_round15_does_not_import_r16():
-    # Checked in a SUBPROCESS so the guard tests the CANONICAL import
-    # path deterministically: other test files legitimately import
-    # registry_r16 in-process (semantics/property tests), and suite
-    # order must not decide whether this guard sees their side effect.
-    out = subprocess.run(
-        [sys.executable, "-c",
-         "import sys; sys.path.insert(0, %r); "
-         "import yougile_etl_pipeline_spark.registry; "
-         "assert 'yougile_etl_pipeline_spark.registry_r16' "
-         "not in sys.modules, 'registry_r16 reachable from the "
-         "canonical import path'" % REPO],
-        cwd=REPO, capture_output=True, text=True, timeout=120)
-    assert out.returncode == 0, out.stderr[-2000:]
-
-
-def test_r16_module_registers_and_runs_in_subprocess():
-    out = subprocess.run(
-        [sys.executable, "-c", _SUBPROC % (REPO, _EXPECTED, _EXPECTED)],
-        cwd=REPO, capture_output=True, text=True, timeout=600)
-    assert out.returncode == 0, out.stderr[-3000:]
-    assert "R16-SMOKE-OK" in out.stdout

@@ -408,7 +408,8 @@ def minhash_lsh_pairs(
 def minhash_decontam(train: DataFrame, bench: DataFrame,
                      id_col: str, text_col: str,
                      *, n_hashes: int = 8, bands: int = 4,
-                     shingle_n: int = 3) -> DataFrame:
+                     shingle_n: int = 3,
+                     max_bench_docs: int | None = None) -> DataFrame:
     """Probabilistic benchmark decontamination: training documents
     whose MinHash signature agrees with ANY benchmark document on ≥ 1
     full band — the fuzzy complement of the exact-8-gram
@@ -426,14 +427,28 @@ def minhash_decontam(train: DataFrame, bench: DataFrame,
     duplication factor (measured: the 10× key-offset sf1 synthetic
     drove the slope to ~11 before the collapse, ~linear after).
 
-    Scale: the benchmark side is small by definition — its banded
-    bucket relation is broadcast, so the training corpus is never
-    shuffled (the ngram_contamination broadcast rule); the train side
-    pays one signature aggregation (md5-dominated, map-side combined)
-    and a map-side band explode. Returns one row per CONTAMINATED
-    train doc: ``(id_col, n_bench_docs, max_bands)`` — how many
-    distinct bench texts it collides with and the strongest
-    agreement."""
+    Scale: the benchmark side is EXPECTED small — an eval suite is
+    thousands-to-millions of documents, and its banded bucket relation
+    (bands × distinct texts rows of two md5 strings) must fit the
+    broadcast budget; it is broadcast so the training corpus is never
+    shuffled (the ngram_contamination broadcast rule). That
+    expectation is a HARD precondition, not a hint: a caller that
+    passes a corpus-sized `bench` gets a driver/executor OOM from the
+    broadcast, not a graceful fallback (ADVICE r15 #4 — contrast
+    minhash_lsh_pairs, whose analogous hazard has the max_bucket_size
+    cap). Pass ``max_bench_docs`` to turn the precondition into a
+    clear error: the deduplicated benchmark is counted (one cheap
+    aggregate job over the small side at build time) and a count
+    above the cap raises ValueError instead of OOMing mid-broadcast.
+    The default (None) keeps the build lazy for callers whose bench
+    relation is small by construction (the certified registry entry
+    filters a bounded benchmark slice).
+
+    The train side pays one signature aggregation (md5-dominated,
+    map-side combined) and a map-side band explode. Returns one row
+    per CONTAMINATED train doc: ``(id_col, n_bench_docs, max_bands)``
+    — how many distinct bench texts it collides with and the
+    strongest agreement."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
     bench = (bench
@@ -443,6 +458,15 @@ def minhash_decontam(train: DataFrame, bench: DataFrame,
                    .alias("__s"))
              .select(F.col("__s.i").alias(id_col),
                      F.col("__s.t").alias(text_col)))
+    if max_bench_docs is not None:
+        n_bench = bench.count()
+        if n_bench > max_bench_docs:
+            raise ValueError(
+                f"minhash_decontam: benchmark side has {n_bench} "
+                f"distinct texts > max_bench_docs={max_bench_docs}; "
+                f"the banded bucket relation is broadcast and a "
+                f"corpus-sized bench would OOM — shrink the benchmark "
+                f"or raise the cap deliberately")
     sig_t = minhash_signature(train, id_col, text_col,
                               n_hashes=n_hashes, shingle_n=shingle_n)
     sig_b = minhash_signature(bench, id_col, text_col,

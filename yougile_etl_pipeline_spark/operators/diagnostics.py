@@ -31,27 +31,55 @@ def formatted_plan(df: DataFrame) -> str:
             "formatted"))
 
 
-def _distinct_shuffles(body: str, plan: str = "") -> int:
-    ids = re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \((\d+)\)",
-                     body)
+def _distinct_nodes(body: str, plan: str, *, tree_regex: str,
+                    fallback_regex: str, detail_name: str) -> int:
+    """Count distinct plan nodes of one type in the formatted tree.
+
+    Dedupe by formatted-plan node id — a cached subtree
+    (InMemoryRelation) is PRINTED once under every InMemoryTableScan
+    that references it, but executes once. An id alone can COLLIDE:
+    two DIFFERENT cached subtrees whose reprints carry independently
+    restarted numbering may both contain e.g. "Exchange (5)" (ADVICE
+    r14). Disambiguate with the node's DETAIL section
+    "(5) <detail_name>\\n..." from the full plan text: one id with k
+    distinct detail bodies is k distinct nodes. Same-id same-details
+    stays one node (the genuine cached-subtree reprint this dedup
+    exists for); ids without a detail section fall back to one each,
+    matching the pre-r15 behavior."""
+    ids = re.findall(tree_regex, body)
     if not ids:
-        return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", body))
-    # Dedupe by formatted-plan node id — but an id alone can COLLIDE:
-    # two DIFFERENT cached subtrees whose reprints carry independently
-    # restarted numbering may both contain "Exchange (5)" (ADVICE r14).
-    # Disambiguate with the node's DETAIL section "(5) Exchange\n..."
-    # from the full plan text: one id with k distinct detail bodies is
-    # k distinct exchanges. Same-id same-details stays one exchange
-    # (the genuine cached-subtree reprint this dedup exists for); ids
-    # without a detail section fall back to one each, matching the
-    # pre-r15 behavior.
+        return len(re.findall(fallback_regex, body))
     detail_bodies: dict[str, set[str]] = {}
     for m in re.finditer(
-            r"^\((\d+)\) Exchange(?:\n((?:(?!^\(\d+\) ).*\n?)*))?",
+            r"^\((\d+)\) " + detail_name
+            + r"(?:\n((?:(?!^\(\d+\) ).*\n?)*))?",
             plan, flags=re.M):
         detail_bodies.setdefault(m.group(1), set()).add(m.group(2) or "")
     return sum(max(1, len(detail_bodies.get(i, ())))
                for i in set(ids))
+
+
+def _distinct_shuffles(body: str, plan: str = "") -> int:
+    return _distinct_nodes(
+        body, plan,
+        tree_regex=r"(?<!Broadcast)(?<!Reused)Exchange \((\d+)\)",
+        fallback_regex=r"(?<!Broadcast)(?<!Reused)Exchange",
+        detail_name="Exchange")
+
+
+def _distinct_broadcasts(body: str, plan: str = "") -> int:
+    # Same id+detail dedupe as shuffles (VERDICT r15 #3: the band
+    # sweep's staged fingerprint read 147 "broadcasts" because its
+    # three unioned arms each REPRINT the persisted signature/truth
+    # subtrees, and every reprint carries the same one-row broadcast
+    # nodes — 147 printed occurrences, far fewer distinct exchanges;
+    # a fingerprint that exists to classify time deltas must count
+    # the latter).
+    return _distinct_nodes(
+        body, plan,
+        tree_regex=r"BroadcastExchange \((\d+)\)",
+        fallback_regex=r"BroadcastExchange",
+        detail_name="BroadcastExchange")
 
 
 def plan_profile(df: DataFrame) -> dict[str, object]:
@@ -89,7 +117,7 @@ def plan_profile(df: DataFrame) -> dict[str, object]:
         # body disambiguates id collisions across UNRELATED cached
         # subtrees (ADVICE r14).
         "shuffle_exchanges": _distinct_shuffles(body, plan),
-        "broadcast_exchanges": body.count("BroadcastExchange"),
+        "broadcast_exchanges": _distinct_broadcasts(body, plan),
         "reused_exchanges": body.count("ReusedExchange"),
         "scans": len(re.findall(r"Scan parquet", body)),
         "scans_with_pushed_filters": pushed,

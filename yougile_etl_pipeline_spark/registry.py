@@ -844,7 +844,18 @@ _STABLE_CERTIFIED = [
     # including the three array-output queries stringified in r04
     # (text_inverted_index, agg_collect_sorted, f_array_set_ops) and
     # the retuned-and-recertified ANN trio.
-    "text_lm_quality", 
+    # r16 note: the 9 r04-last-green rows that used to open this block
+    # (text_lm_quality, win_dist_functions, sql_scalar_subquery,
+    # sql_in_subquery, sql_having_total, sql_lateral_topk,
+    # sql_recursive_spine, sql_market_share, plus text_oov_rate below)
+    # are HELD OUT at the r16 rotation (not un-certified —
+    # recertifying): LAST-DRIVER-GREEN recomputed over
+    # CORRECTNESS_r01..r15 makes them the oldest official greens in
+    # the repo. With the 22 alphabetically-first r06-last-green rows
+    # noted below they fill the 31 filler slots of the r16 window
+    # (18 registry_r16 bank entries + 1 planned-change hold + 31 = 50).
+    # They swap back one-for-one as genuinely new r16 registrations
+    # land mid-round (the standing mart_abc_parts precedent).
     # r08 note: graph_pagerank is NOT listed despite its green history —
     # it was pulled at the r08 rotation for a PLANNED checkpoint-cadence
     # change (checkpoint_every 8→2, VERDICT r07 "What's wrong" #2). The
@@ -852,13 +863,6 @@ _STABLE_CERTIFIED = [
     # it landed in round 9 (operators/graph.py:181 now 2, plan budget
     # pinned in tests/test_plan_audits.py) and the entry recertifies in
     # the r09 window with the new cadence.
-    "win_dist_functions",
-    "sql_scalar_subquery",
-    "sql_in_subquery", 
-    "sql_having_total",
-    "sql_lateral_topk",
-    "sql_recursive_spine", 
-    "sql_market_share", 
     # r05 driver HASH-green (CORRECTNESS_r05: 50/50 — 49 hash-matched
     # + stream_click_attribution rows-only by design), code untouched
     # since — the full r05 window promotes EXCEPT: f_null_functions,
@@ -908,16 +912,25 @@ _STABLE_CERTIFIED = [
     # driver row CORRECTNESS_r06) are HELD OUT at the r13 rotation
     # (not un-certified — recertifying); see the r13 note above. They
     # swap back one-for-one as new r13 registrations land.
-    "events_theil_sen",
-    "text_readability", "text_ngram_novelty", "agg_price_histogram",
-    "agg_weighted_median", "quality_benford",
-    "events_cusum_alarms", "events_rolling_slope",
-    "freq_copurchase_lift", "events_mode_type",
-    "graph_link_jaccard", "text_rake_keyphrases", "agg_exact_quantiles",
-    "events_seasonal_baseline", "quality_winsorize",
+    # r16 note: 13 r06-last-green rows that used to sit in this block
+    # (events_theil_sen, agg_price_histogram, agg_weighted_median,
+    # events_cusum_alarms, events_rolling_slope, freq_copurchase_lift,
+    # events_mode_type, graph_link_jaccard, agg_exact_quantiles,
+    # events_seasonal_baseline, events_top_paths, events_dwell_time,
+    # mart_abc_parts) are HELD OUT at the r16 rotation as age-picked
+    # recertification fillers — see the r16 note at the top of this
+    # list. The other 9 r16 fillers from the r06 vintage sit in the
+    # r13-swap block below (agg_exact_median_global,
+    # corpus_shard_manifest, dedup_blocking_profile, dedup_semantic,
+    # dedup_shingle_containment, dedup_simhash_recall_eval,
+    # emb_gram_matrix, events_mad_outliers, graph_label_propagation).
+    "text_readability", "text_ngram_novelty",
+    "quality_benford",
+    "text_rake_keyphrases",
+    "quality_winsorize",
     "text_hashed_features", "mart_rfm_scores",
-    "mart_cohort_ltv", "events_top_paths", "events_dwell_time",
-    "text_lang_confusion", "mart_abc_parts",
+    "mart_cohort_ltv",
+    "text_lang_confusion",
     # (r08: f_null/f_bitwise and the six f_* families promoted back in
     # r07 moved to the held-out recert set again — see the r08 note.)
     # r08 driver HASH-green (CORRECTNESS_r07: 50/50 — rows + schema +
@@ -1198,20 +1211,26 @@ _STABLE_CERTIFIED = [
     # recertification, the graph_pagerank r08 precedent). Its window
     # slot comes from promoting text_oov_rate back (the youngest
     # age-picked filler after layout_zorder_profile).
-    "text_oov_rate",
-    "events_mad_outliers",        # slot → mm_png_rgba_stats
-    "dedup_shingle_containment",  # slot → events_survival_km
-    "dedup_semantic",             # slot → quality_mann_whitney_gate
+    # r16 note: text_oov_rate (r04-last-green) and 9 r06-last-green
+    # rows that used to sit here (events_mad_outliers,
+    # dedup_shingle_containment, dedup_semantic,
+    # graph_label_propagation, emb_gram_matrix,
+    # dedup_simhash_recall_eval, corpus_shard_manifest,
+    # dedup_blocking_profile, agg_exact_median_global) are HELD OUT at
+    # the r16 rotation as age-picked recertification fillers — see the
+    # r16 note at the top of this list. Slot provenance preserved:
+    # events_mad_outliers ← mm_png_rgba_stats, dedup_shingle_containment
+    # ← events_survival_km, dedup_semantic ← quality_mann_whitney_gate,
+    # graph_label_propagation ← stream_bigram_transitions,
+    # emb_gram_matrix ← events_poisson_dispersion_gate,
+    # dedup_simhash_recall_eval ← events_max_drawdown,
+    # corpus_shard_manifest ← mm_gif_interlaced_stats,
+    # dedup_blocking_profile ← mm_png_adam7_stats,
+    # agg_exact_median_global ← mm_png_palette_stats.
     "text_domain_affinity",       # slot → text_zipf_rank_ratio
     "text_bpe_merge_step",        # slot → quality_tv_drift_gate
     # slot → events_slo_burn_rates
-    "graph_label_propagation",    # slot → stream_bigram_transitions
-    "emb_gram_matrix",            # slot → events_poisson_dispersion_gate
-    "dedup_simhash_recall_eval",  # slot → events_max_drawdown
     "quality_distribution_drift",  # slot → stream_max_drawdown
-    "corpus_shard_manifest",      # slot → mm_gif_interlaced_stats
-    "dedup_blocking_profile",     # slot → mm_png_adam7_stats
-    "agg_exact_median_global",    # slot → mm_png_palette_stats
     # r14 note: 36 recert fillers are HELD OUT of this list (not
     # un-certified — recertifying), picked by LAST-DRIVER-GREEN round
     # computed from CORRECTNESS_r01..r13 (VERDICT r13 "Next round" #1:
@@ -1312,6 +1331,47 @@ _STABLE_CERTIFIED = [
     "quality_runs_test_gate", "sim_ivf_cluster_balance",
     "agg_pivot_status", "agg_cube", "events_interval_join",
     "agg_regional_volume", "j_salted_skew",
+    #
+    # ROUND-16 ROTATION — EXECUTED at r16 start. The r15 window was
+    # CORRECTNESS_r15 50/50 green (rows + schema + hash, zero errors);
+    # ALL 50 rows promote below in window order EXCEPT
+    # sim_lsh_recall_sweep, HELD IN the r16 window for a PLANNED
+    # change (ADVICE r15 #3: registry_r15's _SWEEP_CACHE positional
+    # 2-slot FIFO becomes a plan-keyed sameSemantics LRU — the
+    # operators/text.py::_cache_gram_stream pattern — so composed
+    # builds can no longer silently unpersist the sweep's shared
+    # signature relation; changed implementations recertify
+    # officially). Window composition: 18 registry_r16 bank entries +
+    # 1 hold + 31 recertification fillers = 50. The fillers are the 9
+    # r04-last-green rows + the 22 alphabetically-first of the 34
+    # r06-last-green rows (LAST-DRIVER-GREEN recomputed over
+    # CORRECTNESS_r01..r15) — names in the r16 notes above. Fillers
+    # swap back one-for-one as genuinely new r16 registrations land
+    # mid-round.
+    # r15 window promotes — CORRECTNESS_r15: 50/50 green, in window
+    # order (minus the one hold noted above):
+    "layout_zorder_profile", "quality_key_skew",
+    "dedup_incremental_batch", "quality_train_split",
+    "snapshot_diff_audit", "decontam_embedding",
+    "dedup_incremental_bloom", "agg_incremental_merge",
+    "link_fuzzy_titles", "dim_scd2_orders", "quality_expectations",
+    "events_retention_cohorts", "events_interval_merge",
+    "events_resample_ffill", "quality_pseudonymize", "dim_scd2_lookup",
+    "events_variant_extract", "join_incremental_delta",
+    "text_collocations", "text_dup_span_coverage",
+    "text_dup_span_removal", "text_dup_span_cap_audit",
+    "text_dup_span_removal_capped", "text_simpson_diversity",
+    "train_token_budget_select", "sample_weighted_bottomk",
+    "events_page_hinkley_drift", "quality_jarque_bera",
+    "dedup_idf_jaccard", "text_heaps_curve", "quality_pareto_front",
+    "dedup_cascade_attribution", "text_boilerplate_edges",
+    "events_burstiness_index", "train_mix_epochs_plan",
+    "events_changepoint_scan", "stream_gap_burstiness",
+    "text_dup_span_shrinkage", "r_unpivot_metrics",
+    "agg_grouping_sets", "sketch_incremental_merge", "sql_exists_agg",
+    "agg_having", "freq_heavy_hitters", "sql_correlated_scalar",
+    "events_session_native", "events_time_rollup",
+    "sql_disjunctive_join", "agg_collect_sorted",
 ]
 
 # Queries awaiting their first driver certification that could NOT fit
@@ -1600,52 +1660,79 @@ _STABLE_CERTIFIED = [
 #    _EXPECTED = 0); scripts/check_staged.py and bench.py's `staged`
 #    block repointed at r16; manifest-driven r15 block added to
 #    bench.py — all in the same commit as the wiring.
-# ROUND-16 ROTATION PLAN — execute at r16 start (the r07–r15
-# precedent; each step has a worked example in git history):
-# 1. Read CORRECTNESS_r15.json. Promote every green window row into
-#    _STABLE_CERTIFIED above, in window order; note any red rows or
-#    ADVICE-r15 holds instead of promoting them. The r15 window holds
-#    the 16-entry r15 bank + 5 gram-cache holds + 29 age-picked
-#    fillers (minus any mid-r15 swap-backs, plus the registrations
-#    that replaced them — consult the r15 notes above for the final
-#    composition).
-# 2. Wire the bank: add
-#        from yougile_etl_pipeline_spark import registry_r16  # noqa
-#    at the BOTTOM of registry_ext.py next to the r06–r15 imports
-#    (NOT here — the ext-bottom position survives the circular entry
-#    path). Check registry_r16.R16_ENTRIES for the FINAL entry count
-#    (18 as of the r15 close: fourteen rotation-time entries + the
-#    apportionment/peak-to-mean pair + the two post-trio additions,
-#    session gap sweep and survivor token share — each proven at
-#    sf0.001 + sf0.01 with sf0.1 walls and sf1 slopes in SCALE.md's
-#    r16-gate table). NO media entries in the r16 bank (VERDICT r14
-#    #7 — the media boundary declared in COVERAGE.md §E4 holds;
-#    budget went to LLM-pipeline depth).
-# 3. Hold out (50 − len(R16_ENTRIES) − holds) recertification
-#    fillers (32 at the r15-close bank size, zero holds known),
+# ROUND-16 ROTATION — EXECUTED at r16 start (this round). What was
+# actually done:
+# 1. CORRECTNESS_r15.json read: 50/50 green (rows + schema + hash,
+#    zero errors). 49 of the 50 window rows promoted into
+#    _STABLE_CERTIFIED above, in window order; sim_lsh_recall_sweep
+#    HELD IN the window for the PLANNED registry_r15._SWEEP_CACHE →
+#    plan-keyed sameSemantics LRU change (ADVICE r15 #3; see the r16
+#    note inside _STABLE_CERTIFIED).
+# 2. Bank wired: `from yougile_etl_pipeline_spark import registry_r16`
+#    at the BOTTOM of registry_ext.py next to the r06–r15 imports.
+#    registry_r16.py holds EIGHTEEN entries, each oracle-proven at
+#    sf0.001 AND sf0.01 in round 15 with sf0.1 walls and sf1 slopes
+#    in SCALE.md's r16-gate table. NO media entries (the COVERAGE.md
+#    §E4 boundary holds).
+# 3. Held out 31 recertification fillers (50 − 18 bank − 1 hold),
 #    picked by LAST-DRIVER-GREEN ROUND recomputed over
-#    CORRECTNESS_r01..r15 (python over the json history, not vintage
-#    labels). After the r15 recerts land, the oldest official rows
-#    are the 9 remaining r04-last-green entries (sql_having_total,
-#    sql_in_subquery, sql_lateral_topk, sql_market_share,
-#    sql_recursive_spine, sql_scalar_subquery, text_lm_quality,
-#    text_oov_rate, win_dist_functions), then the 34 r06-last-green
-#    rows still promoted (the r06 block minus the two gram-cache
-#    holds) — 9 + 23 of those = the 32 fillers.
+#    CORRECTNESS_r01..r15: the 9 r04-last-green rows
+#    (sql_having_total, sql_in_subquery, sql_lateral_topk,
+#    sql_market_share, sql_recursive_spine, sql_scalar_subquery,
+#    text_lm_quality, text_oov_rate, win_dist_functions) + the 22
+#    alphabetically-first of the 34 r06-last-green rows
+#    (agg_exact_median_global … mart_abc_parts; names in the r16
+#    notes inside _STABLE_CERTIFIED). The 12 remaining r06 rows are
+#    the next-oldest picks for r17. Swap back one-for-one as r16
+#    registrations land.
+# 4. tests/test_registry_r15_staged.py flipped to post-promotion
+#    shape; tests/test_registry_r16_staged.py to the wired shape
+#    (_EXPECTED = 18, grows with mid-round registrations);
+#    registry_r17.py seeded (empty staged bank + subprocess smoke,
+#    _EXPECTED = 0); scripts/check_staged.py and bench.py's `staged`
+#    block repointed at r17; manifest-driven r16 block added to
+#    bench.py — all in the same commit as the wiring.
+# ROUND-17 ROTATION PLAN — execute at r17 start (the r07–r16
+# precedent; each step has a worked example in git history):
+# 1. Read CORRECTNESS_r16.json. Promote every green window row into
+#    _STABLE_CERTIFIED above, in window order; note any red rows or
+#    ADVICE-r16 holds instead of promoting them. The r16 window holds
+#    the 18-entry r16 bank + the sim_lsh_recall_sweep hold + 31
+#    age-picked fillers (minus any mid-r16 swap-backs, plus the
+#    registrations that replaced them — consult the r16 notes above
+#    for the final composition).
+# 2. Wire the bank: add
+#        from yougile_etl_pipeline_spark import registry_r17  # noqa
+#    at the BOTTOM of registry_ext.py next to the r06–r16 imports
+#    (NOT here — the ext-bottom position survives the circular entry
+#    path). Check registry_r17.R17_ENTRIES for the FINAL entry count.
+# 3. Hold out (50 − len(R17_ENTRIES) − holds) recertification
+#    fillers, picked by LAST-DRIVER-GREEN ROUND recomputed over
+#    CORRECTNESS_r01..r16 (python over the json history, not vintage
+#    labels). After the r16 recerts land, the oldest official rows
+#    are the 12 remaining r06-last-green entries (mart_cohort_ltv,
+#    mart_rfm_scores, quality_benford, quality_distribution_drift,
+#    quality_winsorize, text_bpe_merge_step, text_domain_affinity,
+#    text_hashed_features, text_lang_confusion, text_ngram_novelty,
+#    text_rake_keyphrases, text_readability), then the r07-last-green
+#    block.
 # 4. BEFORE designing any new entry, grep the registry for the name
 #    AND the feature — @register silently overwrites an existing name
 #    in place (r12 near-miss: agg_grouping_sets / win_dist_functions
 #    already existed from r05).
-# 5. Flip tests/test_registry_r15_staged.py to the post-promotion
-#    shape and tests/test_registry_r16_staged.py to the wired shape;
-#    seed registry_r17.py (empty staged bank + subprocess smoke,
+# 5. Flip tests/test_registry_r16_staged.py to the post-promotion
+#    shape and tests/test_registry_r17_staged.py to the wired shape;
+#    seed registry_r18.py (empty staged bank + subprocess smoke,
 #    _EXPECTED = 0); repoint scripts/check_staged.py and bench.py's
-#    `staged` block at r17; add a manifest-driven r16 block to
+#    `staged` block at r18; add a manifest-driven r17 block to
 #    bench.py — all in the same commit as the wiring.
 # 6. Re-run: full pytest, scripts/check_queries.py (new window at
 #    sf0.01 — testdata is regenerated between rounds; check for
 #    parquet type drift), and the full registry sweep before the
-#    first commit.
+#    first commit. Keep SWEEP_r{N}.json + audit_plans in the FINAL
+#    trio every remaining round (VERDICT r15 #5: official windows
+#    cannot re-cover the registry by r20; the committed sweep is the
+#    compensating control).
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 

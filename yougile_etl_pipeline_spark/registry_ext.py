@@ -2592,6 +2592,12 @@ from yougile_etl_pipeline_spark import registry_r14  # noqa: E402,F401
 # _STABLE_CERTIFIED one-for-one.
 from yougile_etl_pipeline_spark import registry_r15  # noqa: E402,F401
 
+# ROUND-16 WIRING (r16 rotation, registry.py tail plan): genuinely new
+# operators register directly into registry_r16 mid-round, each
+# swapping a held-out recertification filler back into
+# _STABLE_CERTIFIED (the standing mart_abc_parts precedent).
+from yougile_etl_pipeline_spark import registry_r16  # noqa: E402,F401
+
 # Order-independence guard: if THIS module was the process's entry
 # point into the engine (e.g. `from ...registry_ext import <helper>`
 # before anything imported registry), the circular tail-import path

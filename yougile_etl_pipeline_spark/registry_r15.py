@@ -986,19 +986,25 @@ def sim_lsh_recall_sweep(spark, sf):
     return out
 
 
-# Bounded persist slots for the sweep's two shared relations (truth +
-# the 18-table corpus bucketing): each call releases the previous
-# call's blocks, so repeated builds (bench warm/time, check scripts)
-# never stack persisted copies.
-_SWEEP_CACHE: list = []
+# Bounded persist slots for the sweep's shared corpus bucketing.
+# Plan-keyed sameSemantics LRU (ADVICE r15 #3: the old positional
+# 2-slot FIFO had the same composition hazard the text.py gram cache
+# fixed in r15 — another persisting entry built before the sweep's
+# DataFrame executed could silently unpersist the still-needed
+# bucketing and reintroduce the duplicate-lineage recomputation).
+# Repeated builds (bench warm/time, check scripts) now HIT the cache
+# instead of stacking persisted copies; misses evict oldest-first.
+# This change is the reason sim_lsh_recall_sweep is HELD IN the r16
+# certification window (changed implementations recertify officially).
+from yougile_etl_pipeline_spark.operators.caching import (  # noqa: E402
+    PlanKeyedLRU,
+)
+
+_SWEEP_CACHE = PlanKeyedLRU(slots=2)
 
 
 def _sweep_persist(df):
-    df = df.persist()
-    _SWEEP_CACHE.append(df)
-    while len(_SWEEP_CACHE) > 2:
-        _SWEEP_CACHE.pop(0).unpersist(blocking=False)
-    return df
+    return _SWEEP_CACHE.persist(df)
 
 
 # ---------------------------------------------------------------------------
@@ -1146,3 +1152,15 @@ R15_ENTRIES: list[str] = [
     "stream_gap_burstiness",  # in bench._STREAMING_SKIP since staging
     "text_dup_span_shrinkage",
 ]
+
+
+# Order-independence guard (the registry_r14 tail precedent, made real
+# for r15/r16 by ADVICE r15 #1): re-rotating converges any import
+# order to the same certification-window SET; in the canonical order
+# (wired via registry_ext's bottom, mid registry import) the attribute
+# does not exist yet and registry's own tail call performs the single
+# rotation.
+from yougile_etl_pipeline_spark import registry as _registry_mod  # noqa: E402
+
+if hasattr(_registry_mod, "_rotate_certification_window"):
+    _registry_mod._rotate_certification_window()

@@ -1,28 +1,24 @@
-"""Round-16 query registrations — STAGING BANK, NOT YET WIRED.
+"""Round-16 query registrations — WIRED at r16 start.
 
-Do NOT import this module in round 15: the r15 certification window is
-exactly full (the sixteen registry_r15 bank entries plus the 5
-planned-change gram-cache holds plus the 29 held-out recertification
-fillers picked by last-driver-green age, with mid-round registrations
-swapping fillers back one-for-one), and registering past the driver's
-50-slot window would leave never-certified queries at the round
-boundary (tests/test_certification_window.py enforces the
-accounting). At ROUND-16 START, wire it with one line at the bottom
-of registry_ext.py next to the registry_r06–r15 imports.
+Round-15 state (preserved in git history): this was a staged
+eighteen-entry bank, deliberately unimported so the exactly-full r15
+certification window stayed untouched. The r16 rotation wired it at
+registry_ext.py's bottom next to the r06–r15 imports; its entries now
+sit inside ``list(QUERIES)[:50]`` (18 bank + 1 sim_lsh_recall_sweep
+hold + 31 age-picked recertification fillers = 50). Genuinely new
+round-16 operators register directly into this module mid-round, each
+swapping a held-out recertification filler back into
+_STABLE_CERTIFIED so the driver's 50-slot window never strands a
+never-certified query.
 
-Same staging contract as the previous banks: every entry lands here
-only with its DuckDB oracle proven bit-identical at sf0.001 AND
+Same staging discipline as the previous banks: every entry landed
+here only with its DuckDB oracle proven bit-identical at sf0.001 AND
 sf0.01 (scripts/check_staged.py) and a recorded sf0.1 wall time
-(bench.py's `staged` block is manifest-driven off R16_ENTRIES —
-automatic once the entry and its parity test exist).
+(bench.py's r16 block is manifest-driven off R16_ENTRIES).
 
 NO media entries in this bank (VERDICT r14 #7: the media completion
 boundary declared in COVERAGE.md §E4 holds; the new-entry budget goes
 to LLM-pipeline depth).
-
-tests/test_registry_r16_staged.py smoke-imports this module in a
-SUBPROCESS (so the round-15 window stays untouched) and verifies every
-entry registers with an oracle and runs green at sf0.001.
 
 BEFORE designing any new entry, grep the registry for the name AND
 the feature — @register silently overwrites an existing name in
@@ -34,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from yougile_etl_pipeline_spark.operators.caching import PlanKeyedLRU
 from yougile_etl_pipeline_spark.registry import register
 from yougile_etl_pipeline_spark.sources.tables import load_table
 
@@ -1224,18 +1221,21 @@ def corpus_survivor_token_share(spark, sf):
                      .cast("bigint").alias("kept_ppm")))
 
 
-# Bounded persist slots for the sweep-style entries' shared relations
-# (the registry_r15._SWEEP_CACHE rationale): each call releases the
-# previous call's blocks, so repeated builds never stack persists.
-_R16_CACHE: list = []
+# Bounded persist slots for the sweep-style entries' shared relations.
+# Plan-keyed sameSemantics LRU (ADVICE r15 #3: the old positional
+# 2-slot FIFO was shared by four r16 entries, and the band-sweep alone
+# fills two slots — sig + truth — so building any OTHER persisting
+# entry before the sweep's DataFrame executed silently unpersisted the
+# signature and reintroduced the duplicate-lineage recomputation; the
+# plan-keyed cache returns the already-persisted relation on a
+# semantics hit and evicts oldest-first only past the bound). Four
+# slots cover the worst certified composition (band-sweep's two shared
+# relations + two single-persist entries built interleaved).
+_R16_CACHE = PlanKeyedLRU(slots=4)
 
 
 def _r16_persist(df):
-    df = df.persist()
-    _R16_CACHE.append(df)
-    while len(_R16_CACHE) > 2:
-        _R16_CACHE.pop(0).unpersist(blocking=False)
-    return df
+    return _R16_CACHE.persist(df)
 
 
 # Staged-entry manifest, in registration order (kept in sync by the
@@ -1263,3 +1263,20 @@ R16_ENTRIES: list[str] = [
     "events_session_gap_sweep",
     "corpus_survivor_token_share",
 ]
+
+
+# Order-independence guard (the registry_r14 tail precedent, made real
+# for r15/r16 by ADVICE r15 #1 — the comments that referenced it used
+# to describe a mechanism only r14 had): if this module is imported
+# in-process AFTER registry.py's end-of-module rotation already ran
+# (a test importing the module directly, bench importing a bank), the
+# registrations above appended past the rotated stable block;
+# re-rotating converges any import order to the same
+# certification-window SET (rotation is idempotent: it just re-moves
+# the stable list to the tail). In the canonical order (wired via
+# registry_ext's bottom, mid registry import) the attribute does not
+# exist yet and registry's own tail call performs the single rotation.
+from yougile_etl_pipeline_spark import registry as _registry_mod  # noqa: E402
+
+if hasattr(_registry_mod, "_rotate_certification_window"):
+    _registry_mod._rotate_certification_window()
