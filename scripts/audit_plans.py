@@ -91,6 +91,17 @@ KNOWN_NESTED_LOOP = {
     "train_mix_epochs_plan",       # mixture total row
     "events_changepoint_scan",     # global stats onto candidate scan
     "sim_lsh_recall_sweep",        # truth-count row onto each arm
+    # r16 rotation: the registry_r16 bank went live and its one-row
+    # broadcast corpus scalars flag as usual. Reviewed r16 (code
+    # read: every BNLJ below is a crossJoin(F.broadcast(<one-row
+    # agg>)) appending a global total / count / budget row — a
+    # map-side constant at any scale):
+    "quality_dedup_threshold_curve",  # p_agg x d_agg one-row cross
+    "dedup_pair_degree_hist",      # nd x ntouched zero-degree row
+    "text_skipgram_cooccurrence",  # corpus-total row
+    "dedup_minhash_band_sweep",    # tn/cn one-row pair per arm (x3)
+    "train_token_apportionment",   # total + leftover-k one-row rows
+    "events_session_gap_sweep",    # per-arm global scalar rows
 }
 KNOWN_SHUFFLE_HEAVY = {
     "graph_pagerank", "dedup_shingle_jaccard", "dedup_shingle_capped",
@@ -129,6 +140,21 @@ KNOWN_SHUFFLE_HEAVY = {
     "dedup_idf_jaccard", "sim_lsh_recall_sweep",
     "events_page_hinkley_drift", "events_changepoint_scan",
     "text_heaps_curve",
+    # r16 rotation: reviewed members of the same two multi-stage-by-
+    # design classes. dedup_minhash_band_sweep (35) is the three-arm
+    # banding sweep over one persisted signature + one persisted
+    # truth (shapes documented in SCALE.md's r16-gate table, slope
+    # argument included); quality_dedup_threshold_curve (9) and
+    # dedup_pair_degree_hist (10) aggregate one persisted blocked
+    # pair relation twice (pair- and doc-level); sim_rrf_fusion (7)
+    # fuses two certified ANN arms; dedup_neardup_source_crosstab
+    # (16) is a CC lineage like dedup_clusters;
+    # train_token_apportionment (8) and events_session_gap_sweep (12)
+    # are |langs|- and |arms|-scale windows over one keyed agg each.
+    "dedup_minhash_band_sweep", "quality_dedup_threshold_curve",
+    "dedup_pair_degree_hist", "sim_rrf_fusion",
+    "dedup_neardup_source_crosstab", "train_token_apportionment",
+    "events_session_gap_sweep",
 }
 SHUFFLE_BUDGET = 6
 

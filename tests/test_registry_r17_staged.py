@@ -20,7 +20,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_EXPECTED = 0  # grows as round-16 work stages r17-bank entries
+_EXPECTED = 10  # grows as round-16 work stages r17-bank entries
 
 _SUBPROC = """
 import os, sys
