@@ -108,6 +108,51 @@ def test_prefix_families_hand_case(spark, tmp_path):
     assert fam["length_spread_tokens"] == 3
 
 
+def test_quota_sensitivity_exact_sums_and_capstone_agreement(spark):
+    """Each budget arm's quotas must sum EXACTLY to total*pct//100
+    (Hamilton's invariant — per-lang monotonicity is deliberately NOT
+    asserted: largest-remainder admits the Alabama paradox), selection
+    must respect every quota, and the 50% arm must reproduce the
+    capstone's lang_quota exactly."""
+    cap = R17_Q["train_corpus_build"](spark, SF_SMOKE).collect()
+    total_gated = sum(r["tokens_gated"] for r in cap)
+    cap_quota = {}
+    for r in cap:
+        cap_quota[r["lang"]] = r["lang_quota"]
+    rows = R17_Q["train_quota_sensitivity"](spark, SF_SMOKE).collect()
+    by_pct: dict = {}
+    for r in rows:
+        by_pct.setdefault(r["budget_pct"], []).append(r)
+    assert sorted(by_pct) == [25, 50, 75]
+    for pct, rs in by_pct.items():
+        assert sum(r["quota"] for r in rs) == total_gated * pct // 100
+        for r in rs:
+            assert r["tokens_selected"] <= r["quota"], r
+            assert r["quota_fill_ppm"] <= 1_000_000, r
+    assert {r["lang"]: r["quota"] for r in by_pct[50]} == cap_quota
+
+
+def test_centroid_purity_hand_case(spark, tmp_path):
+    """Two orthogonal unit-vector clusters with one mislabeled vector:
+    purity must be exactly 2/3 and 1/1 with exact-ppm floors."""
+    rows_in = [
+        (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0),
+        (2, [0.0, 1.0], 0),                       # mislabeled
+        (3, [0.0, 0.9], 1)]
+    spark.createDataFrame(
+        rows_in, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["label"]: r for r in
+           R17_Q["emb_label_centroid_purity"](
+               spark, str(tmp_path)).collect()}
+    # label-0 centroid ≈ (0.633, 0.367); vec 2 is nearer the label-1
+    # centroid (0, 0.9) → 2 of 3 own-label; label 1 keeps its 1 vector
+    assert (out[0]["n_vecs"], out[0]["n_own"]) == (3, 2)
+    assert out[0]["purity_ppm"] == 2 * 1_000_000 // 3
+    assert (out[1]["n_vecs"], out[1]["n_own"]) == (1, 1)
+    assert out[1]["purity_ppm"] == 1_000_000
+
+
 def test_registry_globals_untouched_by_this_file():
     missing = [n for n in _r17.R17_ENTRIES if n in QUERIES or n in ORACLES]
     assert not missing, (

@@ -20,7 +20,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_EXPECTED = 10  # grows as round-16 work stages r17-bank entries
+_EXPECTED = 14  # grows as round-16 work stages r17-bank entries
 
 _SUBPROC = """
 import os, sys
@@ -66,6 +66,6 @@ def test_round16_does_not_import_r17():
 def test_r17_module_registers_and_runs_in_subprocess():
     out = subprocess.run(
         [sys.executable, "-c", _SUBPROC % (REPO, _EXPECTED, _EXPECTED)],
-        cwd=REPO, capture_output=True, text=True, timeout=600)
+        cwd=REPO, capture_output=True, text=True, timeout=1200)
     assert out.returncode == 0, out.stderr[-3000:]
     assert "R17-SMOKE-OK" in out.stdout

@@ -903,6 +903,316 @@ def text_source_vocab_overlap(spark, sf):
                      .cast("bigint").alias("exclusive_ppm")))
 
 
+# ---------------------------------------------------------------------------
+# 11. Per-source contamination rates (both lenses, union ppm)
+# ---------------------------------------------------------------------------
+
+@register("quality_contamination_by_source", f"""
+WITH train AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE source NOT IN ('src0', 'src1')),
+tg AS (
+  SELECT doc_id, unnest({_shingles_sql("text", 8)}) AS g FROM train),
+bg AS (
+  SELECT DISTINCT unnest({_shingles_sql("text", 8)}) AS g
+  FROM documents WHERE source IN ('src0', 'src1')),
+ng AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (g)),
+{_decontam_sql('train').lstrip()},
+mh AS (SELECT DISTINCT doc AS doc_id FROM contam),
+flags AS (
+  SELECT t.source,
+         t.doc_id IN (SELECT doc_id FROM ng) AS f_ng,
+         t.doc_id IN (SELECT doc_id FROM mh) AS f_mh
+  FROM train t)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f_ng THEN 1 ELSE 0 END) AS BIGINT) AS n_ngram,
+       CAST(SUM(CASE WHEN f_mh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_minhash,
+       CAST(SUM(CASE WHEN f_ng OR f_mh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_union,
+       CAST(SUM(CASE WHEN f_ng OR f_mh THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS contaminated_ppm
+FROM flags GROUP BY 1
+""")
+def quality_contamination_by_source(spark, sf):
+    # WHERE the leakage lives: per training source, docs flagged by
+    # the exact-8-gram lens, the MinHash lens, and their union, in
+    # exact ppm — the readout that turns "the corpus is 0.4%
+    # contaminated" into "drop src7's scrape, it is 9% benchmark
+    # text". Same broadcast-bench plans as the two certified lenses;
+    # one source-keyed conditional aggregate on top.
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_decontam,
+    )
+    from yougile_etl_pipeline_spark.operators.text import (
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    train = docs.filter(~_bench_pred())
+    bench = docs.filter(_bench_pred())
+    ng = ngram_contamination(train, bench, n=8) \
+        .select("doc_id", F.lit(True).alias("f_ng"))
+    mh = minhash_decontam(train, bench, "doc_id", "text") \
+        .select("doc_id", F.lit(True).alias("f_mh"))
+    flags = (train.select("doc_id", "source")
+             .join(ng, "doc_id", "left")
+             .join(mh, "doc_id", "left")
+             .select("source",
+                     F.coalesce("f_ng", F.lit(False)).alias("f_ng"),
+                     F.coalesce("f_mh", F.lit(False)).alias("f_mh")))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return (flags.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 cnt(F.col("f_ng")).alias("n_ngram"),
+                 cnt(F.col("f_mh")).alias("n_minhash"),
+                 cnt(F.col("f_ng") | F.col("f_mh")).alias("n_union"))
+            .select("source", "n_docs", "n_ngram", "n_minhash",
+                    "n_union",
+                    F.expr("n_union * 1000000 div n_docs")
+                     .cast("bigint").alias("contaminated_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# 12. Physical layout of the selected corpus (the capstone's write plan)
+# ---------------------------------------------------------------------------
+
+@register("train_selected_shard_manifest", f"""
+WITH RECURSIVE
+{_BUILD_PREFIX_SQL},
+sel AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS shard,
+         n_tokens
+  FROM (SELECT g.lang, g.doc_id, g.n_tokens, q.quota,
+               CAST(SUM(g.n_tokens) OVER (
+                 PARTITION BY g.lang
+                 ORDER BY g.n_tokens DESC, g.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM gated g JOIN quota q USING (lang))
+  WHERE cum <= quota)
+SELECT lang, CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM sel GROUP BY 1, 2
+""")
+def train_selected_shard_manifest(spark, sf):
+    # The capstone's WRITE plan: the selected training mix hashed into
+    # 8 per-language shards (portable md5 hash — engine hash()
+    # functions differ) with per-shard doc/token counts — what the
+    # writer would hand to a `partitionBy(lang, shard)` parquet job,
+    # and what an auditor diffs against corpus_shard_skew to confirm
+    # the selection did not concentrate tokens. Reuses the memoized
+    # canon/gated relations; the only new work is one lang-keyed
+    # window (already paid by the capstone when built together) and a
+    # (lang, shard)-keyed aggregate.
+    _train, _canon, _clean, gated = _corpus_stages(spark, sf)
+    packed = _apportion_and_pack(gated)
+    sh = packed.filter(F.col("selected")).select(
+        "lang",
+        F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), "
+               "16, 10) AS BIGINT) % 8").alias("shard"),
+        "n_tokens")
+    return (sh.groupBy("lang", "shard")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+            .select("lang", F.col("shard").cast("bigint").alias("shard"),
+                    "n_docs", "n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# 13. Embedding label-centroid purity (embedding-quality audit)
+# ---------------------------------------------------------------------------
+
+@register("emb_label_centroid_purity", """
+WITH src AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+flat AS (
+  SELECT label, CAST(t.i - 1 AS INTEGER) AS pos, vec[t.i] AS val
+  FROM src, unnest(range(1, len(vec) + 1)) AS t(i)),
+m AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(20,9))) AS DOUBLE) / count(*)
+           AS mean_val
+  FROM flat GROUP BY 1, 2),
+cent AS (
+  SELECT label AS centroid_id,
+         list(mean_val ORDER BY pos) AS cent_vec
+  FROM m GROUP BY 1),
+a AS (
+  SELECT vec_id, label, centroid_id FROM (
+    SELECT s.vec_id, s.label, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY list_dot_product(s.vec, c.cent_vec) /
+                      (sqrt(list_dot_product(s.vec, s.vec)) *
+                       sqrt(list_dot_product(c.cent_vec, c.cent_vec)))
+               DESC, c.centroid_id) AS rn
+    FROM src s CROSS JOIN cent c)
+  WHERE rn = 1)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN centroid_id = label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_own,
+       CAST(SUM(CASE WHEN centroid_id = label THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS purity_ppm
+FROM a GROUP BY 1
+""")
+def emb_label_centroid_purity(spark, sf):
+    # Embedding-quality audit: per-label centroid (fixed-point
+    # DECIMAL(20,9) per-dimension mean — kmeans_update's
+    # partition-order-independent, engine-portable arithmetic), then
+    # the fraction of vectors whose nearest centroid (cosine, label
+    # tie-break — ivf_assign's broadcast argmax) is their OWN label,
+    # in exact ppm. The standard "do the embeddings separate the
+    # classes" readout a pipeline runs before trusting embedding-based
+    # dedup/decontam. Scale shape: one (label, pos) partial aggregate
+    # (∝ labels·dim after map-side combine, not corpus size), a
+    # |labels|-row centroid broadcast, one label-keyed count — the
+    # corpus is scanned once and its vectors are never shuffled.
+    from yougile_etl_pipeline_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    flat = emb.select("label",
+                      F.posexplode("embedding").alias("pos", "val"))
+    n = F.count(F.lit(1))
+    m = (flat.groupBy("label", "pos")
+         .agg((F.sum(F.col("val").cast("double").cast("decimal(20,9)"))
+                .cast("double") / n).alias("mean_val")))
+    cent = (m.groupBy("label")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("pos", "mean_val"))).alias("__s"))
+            .select(F.col("label").alias("vec_id"),
+                    F.transform("__s", lambda x: x["mean_val"])
+                     .alias("embedding")))
+    assign = ivf_assign(emb.select("vec_id", "embedding"), cent,
+                        nprobe=1)
+    own = F.sum(F.when(F.col("centroid_id") == F.col("label"), 1)
+                 .otherwise(0)).cast("bigint")
+    return (emb.select("vec_id", "label")
+            .join(assign.select("vec_id", "centroid_id"), "vec_id")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 own.alias("n_own"))
+            .select("label", "n_vecs", "n_own",
+                    F.expr("n_own * 1000000 div n_vecs")
+                     .cast("bigint").alias("purity_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# 14. Token-budget sensitivity of the training mix (25/50/75%)
+# ---------------------------------------------------------------------------
+
+@register("train_quota_sensitivity", f"""
+WITH RECURSIVE
+{_BUILD_PREFIX_SQL},
+g2 AS MATERIALIZED (SELECT lang, doc_id, n_tokens FROM gated),
+pk AS (
+  SELECT lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY n_tokens DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM g2),
+pl AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+  FROM g2 GROUP BY 1),
+tt AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS t FROM pl),
+budgets AS (
+  SELECT CAST(pct AS BIGINT) AS pct,
+         CAST(t * pct // 100 AS BIGINT) AS b, t
+  FROM tt, (SELECT unnest([25, 50, 75]) AS pct)),
+sbase AS (
+  SELECT pct, lang, lang_tokens, b,
+         CAST(lang_tokens * b // t AS BIGINT) AS floor_quota,
+         CAST(lang_tokens * b % t AS BIGINT) AS remainder
+  FROM pl CROSS JOIN budgets),
+sshort AS (
+  SELECT pct, CAST(max(b) - SUM(floor_quota) AS BIGINT) AS k
+  FROM sbase GROUP BY 1),
+squota AS (
+  SELECT pct, lang,
+         CAST(CASE WHEN rnk <= k THEN floor_quota + 1
+              ELSE floor_quota END AS BIGINT) AS quota
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY pct ORDER BY remainder DESC, lang) AS rnk
+        FROM sbase) JOIN sshort USING (pct))
+SELECT pct AS budget_pct, lang,
+       CAST(max(q.quota) AS BIGINT) AS quota,
+       CAST(SUM(CASE WHEN p.cum <= q.quota THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN p.cum <= q.quota THEN p.n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_selected,
+       CAST(CASE WHEN max(q.quota) = 0 THEN 0
+            ELSE SUM(CASE WHEN p.cum <= q.quota THEN p.n_tokens
+                     ELSE 0 END) * 1000000 // max(q.quota)
+            END AS BIGINT) AS quota_fill_ppm
+FROM pk p JOIN squota q USING (lang)
+GROUP BY 1, 2
+""")
+def train_quota_sensitivity(spark, sf):
+    # Budget-sweep of the capstone's apportionment: the SAME gated
+    # corpus and the SAME greedy longest-first ranking, Hamilton-
+    # apportioned at 25 / 50 / 75 % of the gated tokens — per
+    # (budget, lang): quota, docs/tokens actually packed, and exact
+    # quota-fill ppm. The planning readout ("what does the mix look
+    # like if the budget doubles") a training-data team runs before
+    # committing compute. Scale shape: the per-doc prefix sum (cum) is
+    # budget-independent and computed ONCE (shared with the capstone
+    # through the memoized gated relation); each budget arm adds only
+    # a |langs|-row quota relation broadcast into one lang-keyed
+    # conditional aggregate — 3 arms cost one fact-side scan, not 3.
+    _train, _canon, _clean, gated = _corpus_stages(spark, sf)
+    packed = _apportion_and_pack(gated)
+    per_lang = gated.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("lang_tokens"))
+    tot = per_lang.agg(F.sum("lang_tokens").cast("bigint").alias("t"))
+    budgets = (tot.select(
+        F.explode(F.array(F.lit(25), F.lit(50), F.lit(75)))
+         .alias("pct"), "t")
+        .select(F.col("pct").cast("bigint").alias("pct"),
+                F.expr("t * pct div 100").cast("bigint").alias("b"),
+                "t"))
+    sbase = (per_lang.crossJoin(F.broadcast(budgets))
+             .select("pct", "lang", "lang_tokens", "b",
+                     F.expr("lang_tokens * b div t").cast("bigint")
+                      .alias("floor_quota"),
+                     F.expr("lang_tokens * b % t").cast("bigint")
+                      .alias("remainder")))
+    sshort = sbase.groupBy("pct").agg(
+        (F.max("b") - F.sum("floor_quota")).cast("bigint").alias("k"))
+    wq = Window.partitionBy("pct").orderBy(
+        F.col("remainder").desc(), F.col("lang"))
+    squota = (sbase.withColumn("rnk", F.row_number().over(wq))
+              .join(F.broadcast(sshort), "pct")
+              .select("pct", "lang",
+                      F.when(F.col("rnk") <= F.col("k"),
+                             F.col("floor_quota") + 1)
+                       .otherwise(F.col("floor_quota")).cast("bigint")
+                       .alias("quota")))
+    sel = (packed.select("lang", "n_tokens", "cum")
+           .join(F.broadcast(squota), "lang"))
+    hit = F.col("cum") <= F.col("quota")
+    return (sel.groupBy("pct", "lang")
+            .agg(F.max("quota").cast("bigint").alias("quota"),
+                 F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+                  .alias("n_selected"),
+                 F.sum(F.when(hit, F.col("n_tokens")).otherwise(0))
+                  .cast("bigint").alias("tokens_selected"))
+            .select(F.col("pct").alias("budget_pct"), "lang", "quota",
+                    "n_selected", "tokens_selected",
+                    F.expr("CASE WHEN quota = 0 THEN 0 ELSE "
+                           "tokens_selected * 1000000 div quota END")
+                     .cast("bigint").alias("quota_fill_ppm")))
+
+
 # Staged-entry manifest, in registration order (kept in sync by the
 # bank's subprocess smoke: every name registered by importing this
 # module must appear here, and vice versa). Also consumed by
@@ -919,6 +1229,10 @@ R17_ENTRIES: list[str] = [
     "corpus_shard_skew",
     "quality_rule_overlap",
     "text_source_vocab_overlap",
+    "quality_contamination_by_source",
+    "train_selected_shard_manifest",
+    "emb_label_centroid_purity",
+    "train_quota_sensitivity",
 ]
 
 
