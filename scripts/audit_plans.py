@@ -102,6 +102,10 @@ KNOWN_NESTED_LOOP = {
     "dedup_minhash_band_sweep",    # tn/cn one-row pair per arm (x3)
     "train_token_apportionment",   # total + leftover-k one-row rows
     "events_session_gap_sweep",    # per-arm global scalar rows
+    # Missed in the r16 review pass (a fresh session flags it
+    # deterministically — verified 3x; same reviewed pattern as the
+    # block above):
+    "text_mean_docfreq_gate",      # crossJoin(broadcast(nd)) N row
 }
 KNOWN_SHUFFLE_HEAVY = {
     "graph_pagerank", "dedup_shingle_jaccard", "dedup_shingle_capped",
