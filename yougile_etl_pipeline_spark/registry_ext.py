@@ -33,7 +33,10 @@ from yougile_etl_pipeline_spark.operators.similarity import (
     lsh_bucket_topk_np,
 )
 from yougile_etl_pipeline_spark.registry import register
-from yougile_etl_pipeline_spark.sources.tables import load_table
+from yougile_etl_pipeline_spark.sources.tables import (
+    load_table,
+    table_row_count,
+)
 
 # --- SQL fragment generators (twins of the Spark-side constants) -----------
 
@@ -1263,7 +1266,8 @@ def sim_ivf_topk(spark, sf):
     from yougile_etl_pipeline_spark.operators.similarity import ivf_topk_np
 
     emb = load_table(spark, sf, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < int(round(math.sqrt(emb.count()))))
+    centroids = emb.filter(F.col("vec_id") < int(round(math.sqrt(
+        table_row_count(sf, "embeddings")))))
     return ivf_topk_np(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5)
 
 
@@ -1296,7 +1300,8 @@ def sim_ivf_multiprobe(spark, sf):
     from yougile_etl_pipeline_spark.operators.similarity import ivf_topk_np
 
     emb = load_table(spark, sf, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < int(round(math.sqrt(emb.count()))))
+    centroids = emb.filter(F.col("vec_id") < int(round(math.sqrt(
+        table_row_count(sf, "embeddings")))))
     return ivf_topk_np(emb, emb.filter(F.col("vec_id") < 8), centroids, k=5,
                        nprobe=3)
 

@@ -75,7 +75,10 @@ from yougile_etl_pipeline_spark.registry_ext import (
     _marker_count_sql,
     _shingles_sql,
 )
-from yougile_etl_pipeline_spark.sources.tables import load_table
+from yougile_etl_pipeline_spark.sources.tables import (
+    load_table,
+    table_row_count,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +215,8 @@ FROM ca c LEFT JOIN dups d USING (vec_id)
 def dedup_semantic(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     cents = emb.filter(
-        F.col("vec_id") < int(round(math.sqrt(emb.count()))))
+        F.col("vec_id") < int(round(math.sqrt(
+            table_row_count(sf, "embeddings")))))
     return semantic_dedup(emb, cents, threshold=0.25)
 
 

@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from yougile_etl_pipeline_spark.registry import register
-from yougile_etl_pipeline_spark.sources.tables import load_table
+from yougile_etl_pipeline_spark.sources.tables import (
+    load_table,
+    table_row_count,
+)
 
 # Local copy of the modular doc-graph fragment (registry_r10._D0_EDGES
 # _SQL): banks must not import sibling bank modules — the circular
@@ -1661,7 +1664,8 @@ def sim_ivf_recall_eval(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 41 == 0)
     centroids = emb.filter(
-        F.col("vec_id") < int(round(math.sqrt(emb.count()))))
+        F.col("vec_id") < int(round(math.sqrt(
+            table_row_count(sf, "embeddings")))))
     truth = brute_force_topk_np(emb, queries, k=5) \
         .select("query_id", "match_id")
     cand = ivf_topk_np(emb, queries, centroids, k=5) \

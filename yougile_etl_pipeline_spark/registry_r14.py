@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from yougile_etl_pipeline_spark.registry import register
-from yougile_etl_pipeline_spark.sources.tables import load_table
+from yougile_etl_pipeline_spark.sources.tables import (
+    load_table,
+    table_row_count,
+)
 
 
 @register("mm_png_gray_resize_nearest", """
@@ -790,7 +793,7 @@ def sim_ivf_cluster_balance(spark, sf):
     from yougile_etl_pipeline_spark.operators.similarity import ivf_assign
 
     emb = load_table(spark, sf, "embeddings")
-    n = emb.count()  # footer-stat scalar (the _IVF_NCENT policy)
+    n = table_row_count(sf, "embeddings")  # footer-stat scalar (_IVF_NCENT)
     k = int(round(math.sqrt(n)))
     cents = emb.filter(F.col("vec_id") < k)
     asg = ivf_assign(emb, cents)

@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 
 from yougile_etl_pipeline_spark.operators.caching import PlanKeyedLRU
 from yougile_etl_pipeline_spark.registry import register
-from yougile_etl_pipeline_spark.sources.tables import load_table
+from yougile_etl_pipeline_spark.sources.tables import (
+    load_table,
+    table_row_count,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -698,7 +701,8 @@ def sim_rrf_fusion(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     cent = emb.filter(
-        F.col("vec_id") < int(round(math.sqrt(emb.count()))))
+        F.col("vec_id") < int(round(math.sqrt(
+            table_row_count(sf, "embeddings")))))
     lsh = lsh_bucket_topk_np(emb, queries, k=5, n_tables=18,
                              planes_per_table=4) \
         .select("query_id", "match_id", "rank")
