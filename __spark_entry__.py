@@ -29,7 +29,10 @@ def _configure(spark: SparkSession) -> SparkSession:
 
     for k in ("spark.sql.session.timeZone", "spark.sql.ansi.enabled",
               "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
-              "spark.sql.legacy.parquet.nanosAsLong"):
+              "spark.sql.legacy.parquet.nanosAsLong",
+              "spark.sql.join.preferSortMergeJoin",
+              "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+              "spark.sql.files.openCostInBytes"):
         try:
             spark.conf.set(k, ENGINE_CONF[k])
         except Exception:

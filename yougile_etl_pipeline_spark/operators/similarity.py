@@ -142,8 +142,15 @@ def hyperplane_bucket(vec_col: Column | str, table: int,
     """Sign-bit bucket key for one LSH table: one char per hyperplane
     ('1' if dot>0 else '0'), concatenated. String key → join-friendly,
     storable, identical in the SQL oracle."""
+    # One parsed SQL literal per plane instead of EMBED_DIM F.lit py4j
+    # round trips (64 per plane measured ~2 ms each driver-side — the
+    # build cost of a multi-table HOF bucketing was >1.5 s before this).
+    # `repr(v)` round-trips the double exactly and Spark's parser
+    # converts decimal→binary correctly-rounded, so the literal array
+    # is bit-identical to the F.lit construction.
     bits = [
-        F.when(dot(vec_col, F.array(*[F.lit(v) for v in plane])) > 0,
+        F.when(dot(vec_col, F.expr(
+            "array(" + ", ".join(f"{v!r}D" for v in plane) + ")")) > 0,
                F.lit("1")).otherwise(F.lit("0"))
         for plane in hyperplanes(n_tables, planes_per_table)[table]
     ]
@@ -166,16 +173,21 @@ def hyperplane_bucket_sql(vec_expr: str, table: int,
 
 def _bucketed(df: DataFrame, id_alias: str, vec_alias: str,
               id_col: str, vec_col: str,
-              n_tables: int, planes_per_table: int) -> DataFrame:
+              n_tables: int, planes_per_table: int,
+              fan_out: bool = True) -> DataFrame:
     """(id, vec) → one row per LSH table with its bucket key.
 
     Compute-fanning (L·P plane dots per row) ⇒ ensure_parallelism
-    guard, same rationale as `_bucketed_np`."""
+    guard, same rationale as `_bucketed_np`. ``fan_out=False`` skips
+    the guard — callers pass it for the QUERY side, which is small by
+    contract (broadcast / driver-collected downstream), so a
+    repartition there only adds an exchange and a near-empty stage."""
     from yougile_etl_pipeline_spark.sources.tables import (
         ensure_parallelism,
     )
 
-    df = ensure_parallelism(df)
+    if fan_out:
+        df = ensure_parallelism(df)
     tables = F.array(*[
         F.struct(F.lit(t).alias("tbl"),
                  hyperplane_bucket(vec_col, t, n_tables=n_tables,
@@ -209,12 +221,19 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .withColumn("c_norm", l2_norm("c_vec"))
     qb = F.broadcast(
         _bucketed(queries, "query_id", "q_vec", id_col, vec_col,
-                  n_tables, planes_per_table)
+                  n_tables, planes_per_table, fan_out=False)
         .withColumn("q_norm", l2_norm("q_vec")))
+    # repartition by query_id BEFORE the pair-dedup: hash partitioning
+    # on query_id (a subset of the dedup keys) satisfies the dedup's
+    # clustering AND both downstream query-keyed windows, so ONE
+    # exchange serves all three (guide §2.4 — operations keyed the same
+    # way share an exchange); without it the dedup shuffles on
+    # (query_id, match_id) and the window re-shuffles on query_id.
     cand = (qb.join(cb, ["tbl", "key"])
               .filter(F.col("query_id") != F.col("match_id"))
               .select("query_id", "q_vec", "q_norm",
                       "match_id", "c_vec", "c_norm")
+              .repartition("query_id")
               .dropDuplicates(["query_id", "match_id"]))
     scored = cand.select("query_id", "match_id",
                          (dot("q_vec", "c_vec")
@@ -354,7 +373,8 @@ def _exact_rerank(cand: DataFrame, queries: DataFrame, k: int,
 
 def _bucketed_np(df: DataFrame, id_alias: str, vec_alias: str,
                  id_col: str, vec_col: str,
-                 n_tables: int, planes_per_table: int) -> DataFrame:
+                 n_tables: int, planes_per_table: int,
+                 fan_out: bool = True) -> DataFrame:
     """numpy twin of `_bucketed`: ALL L·P plane dots per vector in one
     matmul per Arrow batch, instead of L·P interpreted HOF aggregates per
     row (the dominant LSH cost). Sign-of-dot matches the HOF/SQL keys:
@@ -371,7 +391,10 @@ def _bucketed_np(df: DataFrame, id_alias: str, vec_alias: str,
         ensure_parallelism,
     )
 
-    df = ensure_parallelism(df)
+    # fan_out=False: the query side is small by contract — see
+    # `_bucketed`; the guard there would only add an exchange.
+    if fan_out:
+        df = ensure_parallelism(df)
 
     planes = hyperplanes(n_tables, planes_per_table)
     P = np.asarray(planes, dtype=np.float64).reshape(
@@ -429,7 +452,7 @@ def lsh_bucket_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cb = _bucketed_np(corpus, "match_id", "c_vec", id_col, vec_col,
                       n_tables, planes_per_table)
     qb = _bucketed_np(queries, "query_id", "q_vec", id_col, vec_col,
-                      n_tables, planes_per_table)
+                      n_tables, planes_per_table, fan_out=False)
     return lsh_topk_from_bucketed(cb, qb, queries, k,
                                   id_col=id_col, vec_col=vec_col)
 
@@ -475,9 +498,14 @@ def lsh_topk_from_bucketed(cb: DataFrame, qb: DataFrame,
         return pd.DataFrame({"query_id": oq, "match_id": om, "approx": os_,
                              "c_vec": c_pdf["c_vec"].to_numpy()[oi]})
 
+    # repartition by query_id before the pair-dedup: one exchange then
+    # satisfies the dedup's clustering (query_id is a subset of its
+    # keys) and both query-keyed windows in `_exact_rerank` — the same
+    # shared-exchange rationale as `lsh_bucket_topk` (guide §2.4).
     scored = (cb.groupBy("tbl", "key")
                 .cogroup(qb.groupBy("tbl", "key"))
                 .applyInPandas(lambda c, q: score(q, c), out_schema)
+                .repartition("query_id")
                 .dropDuplicates(["query_id", "match_id"]))
     return _exact_rerank(scored, queries, k, id_col=id_col, vec_col=vec_col)
 

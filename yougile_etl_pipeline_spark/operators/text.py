@@ -1059,7 +1059,8 @@ def dup_span_coverage(df: DataFrame, id_col: str = "doc_id",
     ex = (df.select(F.col(id_col),
                     F.explode(_ngram_starts(toks, n)).alias("__s"),
                     toks.alias("__toks"))
-            .select(id_col, "__s", F.md5(gram).alias("__fp")))
+            .select(id_col, "__s", F.md5(gram).alias("__fp"))
+            .repartition("__fp"))
     ex = _cache_gram_stream(ex)
     counts = (ex.groupBy("__fp")
                 .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
@@ -1136,7 +1137,8 @@ def dup_span_source_pairs(df: DataFrame, id_col: str = "doc_id",
     ex = (df.select(F.col(id_col),
                     F.explode(_ngram_starts(toks, n)).alias("__s"),
                     toks.alias("__toks"))
-            .select(id_col, "__s", F.md5(gram).alias("__fp")))
+            .select(id_col, "__s", F.md5(gram).alias("__fp"))
+            .repartition("__fp"))
     ex = _cache_gram_stream(ex)
     exd = ex.select(id_col, "__fp").distinct()
     st = (exd.groupBy("__fp")
@@ -1309,7 +1311,8 @@ def dup_span_removal(df: DataFrame, id_col: str = "doc_id",
     ex = (df.select(F.col(id_col),
                     F.explode(_ngram_starts(toks, n)).alias("__s"),
                     toks.alias("__toks"))
-            .select(id_col, "__s", F.md5(gram).alias("__fp")))
+            .select(id_col, "__s", F.md5(gram).alias("__fp"))
+            .repartition("__fp"))
     ex = _cache_gram_stream(ex)
     if max_gram_df is None:
         debut = ex.groupBy("__fp").agg(

@@ -44,6 +44,7 @@ from yougile_etl_pipeline_spark.functions.scalar import (
 )
 from yougile_etl_pipeline_spark.operators.relational import (
     dedup_by_key,
+    dedup_by_key_agg,
     dedup_full,
     member_filter,
     null_safe_neq,
@@ -456,10 +457,15 @@ def a1_dedup_by_key(spark, sf):
     # A1 at 100 TB: key-only shuffle + deterministic survivor
     # (SURVEY.md §2.4). The survivor order must be TOTAL over the projected
     # columns — (l_orderkey, l_linenumber) alone is not unique in the data.
+    # r16: projected columns are exactly key + ascending order cols, so
+    # the min(struct) aggregation form applies — map-side partial min,
+    # no input sort; bit-identical to the row_number()==1 window (see
+    # dedup_by_key_agg; equivalence pinned in
+    # tests/test_r16_optimizations.py).
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity")
-    return dedup_by_key(li, ["l_orderkey"],
-                        [F.col("l_linenumber"), F.col("l_quantity")])
+    return dedup_by_key_agg(li, ["l_orderkey"],
+                            ["l_linenumber", "l_quantity"])
 
 
 @register("a2_counts", """

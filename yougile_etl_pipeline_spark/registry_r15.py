@@ -964,7 +964,7 @@ def sim_lsh_recall_sweep(spark, sf):
         _bucketed_np(emb, "match_id", "c_vec", "vec_id", "embedding",
                      18, 4))
     qb18 = _bucketed_np(queries, "query_id", "q_vec", "vec_id",
-                        "embedding", 18, 4)
+                        "embedding", 18, 4, fan_out=False)
     arms = []
     for L in (2, 6, 18):
         top = lsh_topk_from_bucketed(

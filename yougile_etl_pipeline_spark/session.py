@@ -43,6 +43,29 @@ ENGINE_CONF: dict[str, str] = {
     # to micros matches DuckDB's ns handling.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
+    # --- r16 optimization round (guide §3.1/§9, measured A/B at sf0.1) ---
+    # Let the planner pick shuffled-hash joins when its size conditions
+    # hold, and let AQE rewrite SMJ→SHJ when every post-shuffle partition
+    # is under 64 MB: drops the per-partition sorts on the fp/doc-keyed
+    # join-backs (dup-span removal 0.59→0.46 s, LSH bucket 1.69→1.14 s
+    # medians). Scale-safe: the AQE rewrite is bounded per partition (a
+    # build side over the threshold keeps SMJ and its graceful spill),
+    # and the static SHJ pick still obeys the planner's size checks.
+    # Override via SPARK_GRAFT_PREFER_SMJ=true to restore sort-merge.
+    "spark.sql.join.preferSortMergeJoin":
+        os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
+        os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", str(64 * 1024 * 1024)),
+    # Per-file open-cost charge when packing scan splits. The 4 MB
+    # default models HDFS-era file opens and FLOORS the split size, so a
+    # hot 11 MB table planned ~3 tasks no matter how many cores were
+    # idle; 512 KB matches page-cached local/NVMe (and modern object
+    # stores) and let the bench's scan-bound aggregates split to the
+    # cores available (TPC-H Q1 shape 1.53→1.00 s median). At 100 TB
+    # files are >=128 MB and `maxPartitionBytes` dominates the split
+    # formula, so this knob changes nothing there by construction.
+    "spark.sql.files.openCostInBytes":
+        os.environ.get("SPARK_GRAFT_OPEN_COST", str(512 * 1024)),
     # Keep the UI off in tests/bench: faster session start, no port clashes.
     "spark.ui.enabled": "false",
 }
@@ -103,6 +126,9 @@ def get_spark(
     # getOrCreate may return a pre-existing session whose builder configs were
     # ignored; re-assert the runtime-settable semantic ones.
     for k in ("spark.sql.session.timeZone", "spark.sql.ansi.enabled",
-              "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions"):
+              "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
+              "spark.sql.join.preferSortMergeJoin",
+              "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+              "spark.sql.files.openCostInBytes"):
         spark.conf.set(k, conf[k])
     return spark
