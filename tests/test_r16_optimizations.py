@@ -77,6 +77,35 @@ def test_load_table_memo_returns_equivalent_plan(spark):
     assert a.schema == b.schema
 
 
+def test_lsh_smallq_fast_path_matches_bucketed_join(spark):
+    """The map-side small-|Q| LSH path must produce exactly the rows of
+    the bucket-join formulation (same candidate set, same exact-rerank
+    bits) — pinned against the cogroup path invoked directly."""
+    from yougile_etl_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    fast = S.lsh_bucket_topk_np(emb, queries, k=5,
+                                n_tables=6, planes_per_table=4)
+    # pin the plan shape BEFORE executing: fast path, no cogroup, no
+    # corpus shuffle beyond the fan-out + the tiny rerank repartition
+    # (a post-execution explain reflects the final adaptive plan and
+    # its reprints, which inflate node counts)
+    from yougile_etl_pipeline_spark.operators.diagnostics import (
+        plan_profile,
+    )
+
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert plan_profile(fast)["shuffle_exchanges"] <= 2
+    cb = S._bucketed_np(emb, "match_id", "c_vec", "vec_id", "embedding",
+                        6, 4)
+    qb = S._bucketed_np(queries, "query_id", "q_vec", "vec_id",
+                        "embedding", 6, 4, fan_out=False)
+    slow = S.lsh_topk_from_bucketed(cb, qb, queries, k=5)
+    assert _rows(fast) == _rows(slow)
+
+
 def test_dup_span_gram_stream_prepartitioned_by_fingerprint(spark):
     """The shared gram stream is hash-partitioned by the md5
     fingerprint BEFORE the LRU persist, so the debut aggregation and

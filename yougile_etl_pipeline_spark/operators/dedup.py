@@ -93,6 +93,15 @@ def shingle_jaccard_pairs(
     Hot shingles carry ~zero near-dup signal (they match everything), so
     the cap trades no real recall. Pass ``None`` to disable."""
     block_cols = block_cols or []
+    # r16 note: pre-partitioning this stream by (block, sh) — the
+    # dup-span/IDF shape — was tried and REVERTED here: with the loose
+    # default cap (df ≤ 1000) the shingle key is zipfian enough that a
+    # fixed hash partitioning concentrates the hot shingles' quadratic
+    # self-join work, and because the join then needs no exchange, AQE
+    # can no longer split those skewed partitions (guide §2.5: skew
+    # handling only applies at a join exchange). Measured 2× slower on
+    # the bigram truth side of dedup_simhash_recall_eval, and ~15%
+    # slower even on the tight-cap IDF variant (same-session A/B).
     ex = _shingled(ensure_parallelism(df), id_col, text_col, n, block_cols)
     if max_shingle_df is not None:
         dfreq = (ex.groupBy(*block_cols, "sh")
@@ -235,6 +244,15 @@ def shingle_containment_pairs(
     rows and are never emitted — containment over an empty set is
     undefined, not 1."""
     block_cols = block_cols or []
+    # r16 note: pre-partitioning this stream by (block, sh) — the
+    # dup-span/IDF shape — was tried and REVERTED here: with the loose
+    # default cap (df ≤ 1000) the shingle key is zipfian enough that a
+    # fixed hash partitioning concentrates the hot shingles' quadratic
+    # self-join work, and because the join then needs no exchange, AQE
+    # can no longer split those skewed partitions (guide §2.5: skew
+    # handling only applies at a join exchange). Measured 2× slower on
+    # the bigram truth side of dedup_simhash_recall_eval, and ~15%
+    # slower even on the tight-cap IDF variant (same-session A/B).
     ex = _shingled(ensure_parallelism(df), id_col, text_col, n, block_cols)
     if max_shingle_df is not None:
         dfreq = (ex.groupBy(*block_cols, "sh")
@@ -509,21 +527,24 @@ def _simhash_bit_votes(ex: DataFrame, h, n_bits: int,
     earlier array-lambda formulation re-scanned the shingle array per bit
     through interpreted higher-order functions and was ~20× slower at
     sf0.1."""
+    # Expressions built as parsed SQL strings, one py4j round trip per
+    # aggregate instead of ~5 (r16: the 60-bit portable variant spent
+    # ~1 s of every BUILD constructing these Column trees call-by-call;
+    # the parsed expressions are token-identical to the old builders).
+    exh = ex.withColumn("__h", h)
     bit_counts = [
-        F.count_if(F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1)
+        F.expr(f"count_if((shiftrightunsigned(__h, {bit}) & 1) = 1)")
          .alias(f"b{bit}")
         for bit in range(n_bits)
     ]
-    agg = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *bit_counts)
+    agg = exh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *bit_counts)
 
-    sig = F.lit(0).cast("long")
-    for bit in range(n_bits):
-        # majority vote; shiftleft(1L, 63) wraps to Long.MIN_VALUE — the
-        # sign bit, still a valid signature bit under bitwise OR.
-        sig = sig.bitwiseOR(
-            F.when((F.col(f"b{bit}") * 2) > F.col("n"),
-                   F.shiftleft(F.lit(1).cast("long"), bit))
-             .otherwise(F.lit(0).cast("long")))
+    # majority vote; shiftleft(1L, 63) wraps to Long.MIN_VALUE — the
+    # sign bit, still a valid signature bit under bitwise OR.
+    sig = F.expr(" | ".join(
+        f"(CASE WHEN (b{bit} * 2) > n THEN shiftleft(CAST(1 AS BIGINT), "
+        f"{bit}) ELSE CAST(0 AS BIGINT) END)"
+        for bit in range(n_bits)))
     return agg.select("doc", sig.alias(out_col))
 
 

@@ -448,13 +448,101 @@ def lsh_bucket_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     At 100 TB the cogroup's (tbl, key) clustering is exactly the layout
     the corpus is persisted in (bucketed by key), so the corpus-side
-    shuffle disappears on a pre-bucketed table."""
+    shuffle disappears on a pre-bucketed table.
+
+    r16 optimization round — small-query fast path (guide §8: broadcast
+    the tiny side, move the heavy bytes at most once — here they move
+    ZERO times): when the query side collects small (the brute-force
+    path's exact contract, ≤ `_MAX_COLLECTED_QUERIES`), candidate
+    filtering happens INSIDE the corpus scan — each Arrow batch computes
+    its own bucket signs with the same plane matmul, compares them with
+    the driver-collected query signs (collision = all P bits of some
+    table equal — exactly the (tbl, key) equi-join predicate), scores
+    collided pairs with the same matmul, and emits per-batch top-k. The
+    corpus is never replicated L× and never shuffled at all; candidate
+    SET, scores and the exact HOF rerank are identical to the cogroup
+    formulation (equivalence pinned in tests/test_r16_optimizations.py).
+    A query set too large to collect falls back to the bucket-join plan
+    unchanged."""
+    q_rows = queries.select(id_col, vec_col).limit(
+        _MAX_COLLECTED_QUERIES + 1).collect()
+    if 0 < len(q_rows) <= _MAX_COLLECTED_QUERIES:
+        return _lsh_topk_np_smallq(corpus, q_rows, queries, k,
+                                   id_col=id_col, vec_col=vec_col,
+                                   n_tables=n_tables,
+                                   planes_per_table=planes_per_table)
     cb = _bucketed_np(corpus, "match_id", "c_vec", id_col, vec_col,
                       n_tables, planes_per_table)
     qb = _bucketed_np(queries, "query_id", "q_vec", id_col, vec_col,
                       n_tables, planes_per_table, fan_out=False)
     return lsh_topk_from_bucketed(cb, qb, queries, k,
                                   id_col=id_col, vec_col=vec_col)
+
+
+def _lsh_topk_np_smallq(corpus: DataFrame, q_rows, queries: DataFrame,
+                        k: int, *, id_col: str, vec_col: str,
+                        n_tables: int, planes_per_table: int) -> DataFrame:
+    """Map-side LSH candidate generation for a driver-collected query
+    set: one corpus pass, no corpus shuffle (see `lsh_bucket_topk_np`).
+    Collision test and scores use the same plane/score matmuls as the
+    bucketed path, so the candidate set and emitted (approx, c_vec)
+    rows are identical; `_exact_rerank` then reproduces the exact HOF
+    output bit-for-bit."""
+    import pandas as pd
+
+    from yougile_etl_pipeline_spark.sources.tables import (
+        ensure_parallelism,
+    )
+
+    pp = planes_per_table
+    P = np.asarray(hyperplanes(n_tables, planes_per_table),
+                   dtype=np.float64).reshape(n_tables * pp, -1)
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(Q, axis=1)
+    q_signs = (Q @ P.T) > 0                       # |Q| × (L·P)
+
+    id_type = dict(corpus.dtypes)[id_col]
+    vec_type = dict(corpus.dtypes)[vec_col]
+    out_schema = (f"query_id {id_type}, match_id {id_type}, "
+                  f"approx double, c_vec {vec_type}")
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            c_signs = (C @ P.T) > 0               # N × (L·P)
+            # collide[q, c] = ∃ table t with all P sign bits equal —
+            # the (tbl, key) equi-join predicate, evaluated in-batch
+            eq = (q_signs[:, None, :] == c_signs[None, :, :])
+            collide = (eq.reshape(len(q_ids), len(C), n_tables, pp)
+                         .all(axis=3).any(axis=2))
+            c_norms = np.linalg.norm(C, axis=1)
+            S = (Q @ C.T) / (q_norms[:, None] * c_norms[None, :])
+            out_q, out_m, out_s, out_i = [], [], [], []
+            for qi in range(len(q_ids)):
+                row = np.where(collide[qi] & (ids != q_ids[qi]),
+                               S[qi], -np.inf)
+                order = np.lexsort((ids, -row))[:min(k, len(row))]
+                keep = order[np.isfinite(row[order])]
+                out_q.append(np.full(len(keep), q_ids[qi]))
+                out_m.append(ids[keep])
+                out_s.append(row[keep])
+                out_i.append(keep)
+            oi = np.concatenate(out_i) if out_i else np.array([], int)
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "match_id": np.concatenate(out_m),
+                "approx": np.concatenate(out_s),
+                "c_vec": pdf[vec_col].to_numpy()[oi],
+            })
+
+    cand = ensure_parallelism(corpus.select(id_col, vec_col)) \
+        .mapInPandas(score, out_schema)
+    return _exact_rerank(cand, queries, k, id_col=id_col, vec_col=vec_col)
 
 
 def lsh_topk_from_bucketed(cb: DataFrame, qb: DataFrame,
