@@ -402,7 +402,13 @@ _HEADLINE_PLAN_BUDGETS = {
     # compute-fanning embedding paths (fires only on collapsed scans;
     # bought slope 4.3 -> ~1 at the sf1 probe).
     "sim_cosine_topk": (2, 1),
-    "sim_ann_lsh_bucket": (6, 2),
+    # r16 optimization: the small-|Q| map-side fast path evaluates the
+    # bucket-collision predicate inside the corpus scan — 6 shuffles
+    # drop to 2 (fan-out + rerank), and the query-side filtered scan
+    # moved to BUILD time (the driver collect pushes vec_id<8 there),
+    # so only the rerank's broadcast query scan keeps a pushed filter
+    # in the executed plan.
+    "sim_ann_lsh_bucket": (2, 1),
     "sim_ivf_topk": (1, 1),
     "mm_frame_sample": (0, 1),
     "events_hourly_snapshot": (1, 1),
