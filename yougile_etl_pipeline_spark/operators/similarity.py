@@ -56,6 +56,17 @@ EMBED_DIM = 64
 # (100k × 64-dim float64 ≈ 50 MB — comfortably under driver memory,
 # far above any sane broadcast-queries workload).
 _MAX_COLLECTED_QUERIES = 100_000
+# Per-task score-matrix budget for the driver-collected query paths
+# (r17, VERDICT r16 #1): the |Q|×batch float64 score block (and the
+# |Q|×batch×L collision block in the LSH fast path) is computed in
+# query-axis CHUNKS sized so one chunk's score matrix stays under this
+# many bytes — peak extra memory per task is O(chunk·batch), bounded
+# and INDEPENDENT of |Q|, so the 100k driver-collect cap above no
+# longer implies a ~terabyte per-batch boolean tensor near the bound
+# (at |Q|=100k, batch=10k: chunk ≈ 400 rows → ~32 MB scores + ~16 MB
+# collision bits per task instead of 8 GB + 24 GB). Per-query top-k is
+# independent across queries, so chunking the query axis is lossless.
+_SMALLQ_SCORE_BUDGET_BYTES = 32 << 20
 # Multi-table LSH: L tables × P planes. For near-orthogonal neighbors
 # (angle θ), one table's recall is (1-θ/π)^P; L independent tables lift it
 # to 1-(1-p)^L. The 4×4 default is sized for the test corpus (16 buckets/
@@ -260,25 +271,61 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # all-HOF formulation (verified: tests/test_dedup_similarity.py).
 
 def _np_batch_topk(q_ids: np.ndarray, Q: np.ndarray, q_norms: np.ndarray,
-                   ids: np.ndarray, C: np.ndarray, k: int):
+                   ids: np.ndarray, C: np.ndarray, k: int,
+                   q_codes: np.ndarray | None = None,
+                   c_codes: np.ndarray | None = None):
     """Top-k (approx score) of one corpus batch against all queries.
-    Returns (query_id, match_id, approx, batch_row_index) arrays."""
+    Returns (query_id, match_id, approx, batch_row_index) arrays.
+
+    The query axis is processed in CHUNKS sized so one chunk's float64
+    score matrix stays under `_SMALLQ_SCORE_BUDGET_BYTES` — peak memory
+    is O(chunk·batch) regardless of |Q| (r17, VERDICT r16 #1: the
+    unchunked |Q|×batch block was an executor OOM near the 100k
+    driver-collect cap). Per-query top-k is independent across queries,
+    so chunking is lossless; the chunked matmul computes the same dot
+    products (any sub-ulp BLAS blocking difference is far below the
+    score gaps between distinct vectors — the same argument that lets
+    numpy pre-score an exact-HOF rerank at all).
+
+    With ``q_codes``/``c_codes`` (packed per-table LSH sign codes,
+    rows × L int64), a pair is a candidate only when SOME table's codes
+    are equal — the (tbl, key) equi-join predicate evaluated on packed
+    integers (L ints per row instead of an L·P-wide boolean slab)."""
     c_norms = np.linalg.norm(C, axis=1)
-    S = (Q @ C.T) / (q_norms[:, None] * c_norms[None, :])
     out_q, out_m, out_s, out_i = [], [], [], []
-    for qi in range(len(q_ids)):
-        row = np.where(ids == q_ids[qi], -np.inf, S[qi])
-        top = min(k, len(row))
-        # lexsort, NOT argpartition: the k-th-slot tie must break by
-        # match_id exactly like the HOF path's row_number(score DESC,
-        # match_id), or duplicate-score corpora (exact-dup embeddings in
-        # a dedup corpus) select a different candidate SET
-        order = np.lexsort((ids, -row))[:top]  # score desc, id asc
-        keep = order[np.isfinite(row[order])]
-        out_q.append(np.full(len(keep), q_ids[qi]))
-        out_m.append(ids[keep])
-        out_s.append(row[keep])
-        out_i.append(keep)
+    step = max(1, _SMALLQ_SCORE_BUDGET_BYTES // (8 * max(1, len(C))))
+    for c0 in range(0, len(q_ids), step):
+        c1 = min(c0 + step, len(q_ids))
+        coll = None
+        if q_codes is not None:
+            # chunk × batch × L equality, collapsed over tables
+            coll = (q_codes[c0:c1, None, :]
+                    == c_codes[None, :, :]).any(axis=2)
+            if not coll.any():
+                continue
+        S = (Q[c0:c1] @ C.T) / (q_norms[c0:c1, None] * c_norms[None, :])
+        for j in range(c1 - c0):
+            qi = c0 + j
+            mask = ids != q_ids[qi]
+            if coll is not None:
+                mask &= coll[j]
+            row = np.where(mask, S[j], -np.inf)
+            top = min(k, len(row))
+            # lexsort, NOT argpartition: the k-th-slot tie must break by
+            # match_id exactly like the HOF path's row_number(score DESC,
+            # match_id), or duplicate-score corpora (exact-dup embeddings
+            # in a dedup corpus) select a different candidate SET
+            order = np.lexsort((ids, -row))[:top]  # score desc, id asc
+            keep = order[np.isfinite(row[order])]
+            out_q.append(np.full(len(keep), q_ids[qi]))
+            out_m.append(ids[keep])
+            out_s.append(row[keep])
+            out_i.append(keep)
+    if not out_q:  # every chunk was collision-free
+        return (np.array([], dtype=q_ids.dtype),
+                np.array([], dtype=ids.dtype),
+                np.array([], dtype=np.float64),
+                np.array([], dtype=np.int64))
     return (np.concatenate(out_q), np.concatenate(out_m),
             np.concatenate(out_s), np.concatenate(out_i))
 
@@ -297,7 +344,16 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     driver-sized matrix (batch the query set, or flip corpus/queries —
     top-k is not symmetric, so flipping is a semantic choice, not a
     transparent fallback). Winning candidates carry their vectors out
-    of the scorer, so the corpus is scanned exactly once."""
+    of the scorer, so the corpus is scanned exactly once.
+
+    **Build is EAGER**: constructing this DataFrame runs one bounded
+    Spark job (collect of ≤ `_MAX_COLLECTED_QUERIES`+1 query rows) —
+    plan-only tooling that builds but never executes still pays that
+    job. The collected rows drive BOTH candidate generation and the
+    exact rerank (the rerank side is rebuilt from them as a local
+    relation), so `queries` is evaluated exactly once — a
+    nondeterministic `queries` input cannot desynchronize the two
+    sides (ADVICE r16)."""
     import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).limit(
@@ -310,6 +366,7 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if not q_rows:
         return brute_force_topk(corpus, queries, k,
                                 id_col=id_col, vec_col=vec_col)
+    queries = _local_queries(queries, q_rows, id_col, vec_col)
     q_ids = np.array([r[0] for r in q_rows])
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(Q, axis=1)
@@ -341,6 +398,17 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cand = ensure_parallelism(corpus.select(id_col, vec_col)) \
         .mapInPandas(score, out_schema)
     return _exact_rerank(cand, queries, k, id_col=id_col, vec_col=vec_col)
+
+
+def _local_queries(queries: DataFrame, q_rows, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """Rebuild the query side as a LOCAL relation from the
+    driver-collected rows (same values, same schema slice): the rerank
+    then broadcasts exactly the rows that drove candidate generation —
+    one evaluation of `queries` total, no re-scan of its lineage at
+    rerank time, and consistency even for a nondeterministic input."""
+    return queries.sparkSession.createDataFrame(
+        q_rows, queries.select(id_col, vec_col).schema)
 
 
 def _exact_rerank(cand: DataFrame, queries: DataFrame, k: int,
@@ -463,11 +531,19 @@ def lsh_bucket_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     SET, scores and the exact HOF rerank are identical to the cogroup
     formulation (equivalence pinned in tests/test_r16_optimizations.py).
     A query set too large to collect falls back to the bucket-join plan
-    unchanged."""
+    unchanged.
+
+    **Build is EAGER** on the fast path: constructing this DataFrame
+    runs one bounded Spark job (collect of ≤ `_MAX_COLLECTED_QUERIES`+1
+    query rows). The collected rows drive BOTH candidate generation and
+    the exact rerank (rebuilt as a local relation), so `queries` is
+    evaluated exactly once — a nondeterministic input cannot yield
+    inconsistent candidate vs rerank sides (ADVICE r16)."""
     q_rows = queries.select(id_col, vec_col).limit(
         _MAX_COLLECTED_QUERIES + 1).collect()
     if 0 < len(q_rows) <= _MAX_COLLECTED_QUERIES:
-        return _lsh_topk_np_smallq(corpus, q_rows, queries, k,
+        q_local = _local_queries(queries, q_rows, id_col, vec_col)
+        return _lsh_topk_np_smallq(corpus, q_rows, q_local, k,
                                    id_col=id_col, vec_col=vec_col,
                                    n_tables=n_tables,
                                    planes_per_table=planes_per_table)
@@ -487,7 +563,15 @@ def _lsh_topk_np_smallq(corpus: DataFrame, q_rows, queries: DataFrame,
     Collision test and scores use the same plane/score matmuls as the
     bucketed path, so the candidate set and emitted (approx, c_vec)
     rows are identical; `_exact_rerank` then reproduces the exact HOF
-    output bit-for-bit."""
+    output bit-for-bit.
+
+    Memory bound (r17, VERDICT r16 #1): each side's P sign bits per
+    table pack into ONE int64 code (exactly `_bucketed_np`'s key
+    packing), so the per-batch collision state is |Q|·L + batch·L
+    integers, and scoring/collision-collapse run through
+    `_np_batch_topk`'s query-axis chunks — peak extra memory per task
+    is O(chunk·batch) ≤ ~2·`_SMALLQ_SCORE_BUDGET_BYTES`, independent
+    of |Q| up to the driver-collect cap."""
     import pandas as pd
 
     from yougile_etl_pipeline_spark.sources.tables import (
@@ -495,12 +579,22 @@ def _lsh_topk_np_smallq(corpus: DataFrame, q_rows, queries: DataFrame,
     )
 
     pp = planes_per_table
+    assert pp <= 63, "packed per-table code needs planes_per_table <= 63"
     P = np.asarray(hyperplanes(n_tables, planes_per_table),
                    dtype=np.float64).reshape(n_tables * pp, -1)
+    pows = 2 ** np.arange(pp - 1, -1, -1)
+
+    def pack(signs: np.ndarray) -> np.ndarray:
+        """rows × (L·P) sign bits → rows × L packed int64 codes; code
+        equality ⇔ all P bits of that table equal (the (tbl, key)
+        equi-join predicate on integers)."""
+        bits = signs.reshape(len(signs), n_tables, pp).astype(np.int64)
+        return bits @ pows
+
     q_ids = np.array([r[0] for r in q_rows])
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(Q, axis=1)
-    q_signs = (Q @ P.T) > 0                       # |Q| × (L·P)
+    q_codes = pack((Q @ P.T) > 0)                 # |Q| × L
 
     id_type = dict(corpus.dtypes)[id_col]
     vec_type = dict(corpus.dtypes)[vec_col]
@@ -514,29 +608,14 @@ def _lsh_topk_np_smallq(corpus: DataFrame, q_rows, queries: DataFrame,
             ids = pdf[id_col].to_numpy()
             C = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
-            c_signs = (C @ P.T) > 0               # N × (L·P)
-            # collide[q, c] = ∃ table t with all P sign bits equal —
-            # the (tbl, key) equi-join predicate, evaluated in-batch
-            eq = (q_signs[:, None, :] == c_signs[None, :, :])
-            collide = (eq.reshape(len(q_ids), len(C), n_tables, pp)
-                         .all(axis=3).any(axis=2))
-            c_norms = np.linalg.norm(C, axis=1)
-            S = (Q @ C.T) / (q_norms[:, None] * c_norms[None, :])
-            out_q, out_m, out_s, out_i = [], [], [], []
-            for qi in range(len(q_ids)):
-                row = np.where(collide[qi] & (ids != q_ids[qi]),
-                               S[qi], -np.inf)
-                order = np.lexsort((ids, -row))[:min(k, len(row))]
-                keep = order[np.isfinite(row[order])]
-                out_q.append(np.full(len(keep), q_ids[qi]))
-                out_m.append(ids[keep])
-                out_s.append(row[keep])
-                out_i.append(keep)
-            oi = np.concatenate(out_i) if out_i else np.array([], int)
+            c_codes = pack((C @ P.T) > 0)         # N × L
+            oq, om, os_, oi = _np_batch_topk(
+                q_ids, Q, q_norms, ids, C, k,
+                q_codes=q_codes, c_codes=c_codes)
+            if len(oq) == 0:
+                continue  # no bucket collision anywhere in this batch
             yield pd.DataFrame({
-                "query_id": np.concatenate(out_q),
-                "match_id": np.concatenate(out_m),
-                "approx": np.concatenate(out_s),
+                "query_id": oq, "match_id": om, "approx": os_,
                 "c_vec": pdf[vec_col].to_numpy()[oi],
             })
 

@@ -539,8 +539,16 @@ def dedup_minhash_recall_eval(spark, sf):
     truth = shingle_jaccard_pairs(docs, "doc_id", "text",
                                   threshold=0.5, block_cols=["lang"]) \
         .select("doc_a", "doc_b")
-    cand = minhash_lsh_pairs(docs, "doc_id", "text",
-                             n_hashes=8, bands=4) \
+    # signature through the tier-shared plan-keyed persist (r17,
+    # VERDICT r16 #2): the recall scorecard shares one signature
+    # materialization per session with the other banding evals
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        shared_minhash_signature,
+    )
+
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, bands=4,
+        signature=shared_minhash_signature(docs, "doc_id", "text")) \
         .select("doc_a", "doc_b")
     j = truth.withColumn("t", F.lit(1)).join(
         cand.withColumn("c", F.lit(1)),

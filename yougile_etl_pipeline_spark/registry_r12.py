@@ -106,14 +106,18 @@ def dedup_lsh_band_hist(spark, sf):
     # LSH threshold sits where the duplicate mass is (pairs at
     # n_bands=4 are near-certain duplicates; a fat n_bands=1 tail
     # means the verifier will discard most candidates). Rolls up the
-    # certified dedup_minhash_lsh pair relation.
+    # certified dedup_minhash_lsh pair relation. The signature rides
+    # the tier-shared plan-keyed persist (r17: one materialization per
+    # session across the banding scorecards — VERDICT r16 #2).
     from yougile_etl_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs,
+        shared_minhash_signature,
     )
 
     docs = load_table(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text",
-                              n_hashes=8, bands=4)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, bands=4,
+        signature=shared_minhash_signature(docs, "doc_id", "text"))
     return pairs.groupBy("n_bands").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
 
@@ -801,11 +805,13 @@ def dedup_minhash_estimate_error(spark, sf):
     # ppm throughout.
     from yougile_etl_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs,
-        minhash_signature,
+        shared_minhash_signature,
     )
 
     docs = load_table(spark, sf, "documents")
-    sig = minhash_signature(docs, "doc_id", "text")
+    # tier-shared plan-keyed persist (r17, VERDICT r16 #2): the same
+    # signature relation serves every banding scorecard in-session
+    sig = shared_minhash_signature(docs, "doc_id", "text")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", signature=sig) \
         .select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
     s1 = sig.select(F.col("doc").alias("da"),

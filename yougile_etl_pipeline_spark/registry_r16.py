@@ -548,12 +548,16 @@ def dedup_minhash_band_sweep(spark, sf):
     # ratios are exact-integer ppm (BIGINT div), hash-portable.
     from yougile_etl_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs,
-        minhash_signature,
+        shared_minhash_signature,
         shingle_jaccard_pairs,
     )
 
     docs = load_table(spark, sf, "documents")
-    sig = _r16_persist(minhash_signature(docs, "doc_id", "text"))
+    # r17: the signature persist moved to the TIER-shared plan-keyed
+    # slot (dedup._SIG_LRU) so the sweep shares one materialization
+    # with the r12/ext banding scorecards instead of holding a private
+    # copy in _R16_CACHE (VERDICT r16 #2).
+    sig = shared_minhash_signature(docs, "doc_id", "text")
     truth = _r16_persist(
         shingle_jaccard_pairs(docs, "doc_id", "text",
                               threshold=0.5, block_cols=["lang"])

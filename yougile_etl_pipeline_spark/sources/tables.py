@@ -31,13 +31,17 @@ __all__ = ["load_table", "load_tables", "register_temp_views",
 # per call at sf0.1 — and ensure_parallelism sits inside the TIMED
 # region of every bench run of the similarity/dedup/text paths (guide
 # §1: the probe was a fixed per-build driver cost, §5: driver work).
-# Two plans with equal semanticHash that additionally pass
-# `sameSemantics` would plan to the same partition count, so the memo
-# is exact for a fixed file set; files mutating under a live session
-# would stale it, which no engine path does (bench/tests/driver all
-# read immutable testdata). Keyed per SparkContext so a fresh session
-# (new conf, new defaultParallelism) never sees stale counts.
-_NUM_PARTS_MEMO: dict[tuple[str, int], int] = {}
+# A hit is CONFIRMED with `sameSemantics` against the stored probe
+# plan (r17, VERDICT r16 #4): semanticHash is 32-bit, so a collision
+# between distinct plans would otherwise silently reuse the wrong
+# count and could skip a needed fan-out repartition (perf-only, never
+# results — but silent). The confirm is one driver-side plan
+# comparison, ~free next to the ~75 ms probe it replaces; a collision
+# simply re-probes. Files mutating under a live session would stale
+# the memo, which no engine path does (bench/tests/driver all read
+# immutable testdata). Keyed per SparkContext so a fresh session (new
+# conf, new defaultParallelism) never sees stale counts.
+_NUM_PARTS_MEMO: dict[tuple[str, int], tuple[DataFrame, int]] = {}
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -57,10 +61,12 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     key = (sc.applicationId, df.semanticHash())
-    n = _NUM_PARTS_MEMO.get(key)
-    if n is None:
+    hit = _NUM_PARTS_MEMO.get(key)
+    if hit is not None and hit[0].sameSemantics(df):
+        n = hit[1]
+    else:
         n = df.rdd.getNumPartitions()
-        _NUM_PARTS_MEMO[key] = n
+        _NUM_PARTS_MEMO[key] = (df, n)
     if n < target:
         return df.repartition(target)
     return df
@@ -122,9 +128,18 @@ def table_row_count(sf_dir: str, name: str) -> int:
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
-            n = sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                    for f in sorted(os.listdir(path))
-                    if f.endswith(".parquet"))
+            # Recursive walk (r17, ADVICE r16 #4): a PARTITIONED
+            # dataset nests its files under key=value directories —
+            # a top-level listdir would silently count 0 rows and
+            # shrink every √N centroid policy with no error.
+            parts = sorted(
+                os.path.join(root, f)
+                for root, _dirs, files in os.walk(path)
+                for f in files if f.endswith(".parquet"))
+            if not parts:
+                raise FileNotFoundError(
+                    f"table_row_count: no .parquet files under {path}")
+            n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
         else:
             n = pq.ParquetFile(path).metadata.num_rows
         _ROW_COUNT_MEMO[path] = n
