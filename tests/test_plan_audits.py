@@ -401,18 +401,16 @@ _HEADLINE_PLAN_BUDGETS = {
     # exchanges — the ensure_parallelism repartition on the
     # compute-fanning embedding paths (fires only on collapsed scans;
     # bought slope 4.3 -> ~1 at the sf1 probe).
-    # r17: the rerank side is rebuilt from the driver-collected query
-    # rows as a LOCAL relation (collect-once, ADVICE r16 #2), so the
-    # executed plan has no filtered query scan left — the only
-    # remaining scan is the unfiltered corpus parquet.
-    "sim_cosine_topk": (2, 0),
+    "sim_cosine_topk": (2, 1),
     # r16 optimization: the small-|Q| map-side fast path evaluates the
     # bucket-collision predicate inside the corpus scan — 6 shuffles
     # drop to 2 (fan-out + rerank), and the query-side filtered scan
-    # moved to BUILD time (the driver collect pushes vec_id<8 there).
-    # r17: the rerank query scan became a local relation (collect-once),
-    # so no pushed-filter scan remains in the executed plan.
-    "sim_ann_lsh_bucket": (2, 0),
+    # moved to BUILD time (the driver collect pushes vec_id<8 there),
+    # so only the rerank's broadcast query scan keeps a pushed filter
+    # in the executed plan. (r17 measured and rejected replacing that
+    # scan with a collected-rows local relation: a Python-rows local
+    # relation executes through a parallelized RDD — +0.4 s/run.)
+    "sim_ann_lsh_bucket": (2, 1),
     "sim_ivf_topk": (1, 1),
     "mm_frame_sample": (0, 1),
     "events_hourly_snapshot": (1, 1),

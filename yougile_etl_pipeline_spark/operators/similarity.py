@@ -349,11 +349,14 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     **Build is EAGER**: constructing this DataFrame runs one bounded
     Spark job (collect of ≤ `_MAX_COLLECTED_QUERIES`+1 query rows) —
     plan-only tooling that builds but never executes still pays that
-    job. The collected rows drive BOTH candidate generation and the
-    exact rerank (the rerank side is rebuilt from them as a local
-    relation), so `queries` is evaluated exactly once — a
-    nondeterministic `queries` input cannot desynchronize the two
-    sides (ADVICE r16)."""
+    job. **`queries` must be deterministic** (ADVICE r16): the
+    collected rows drive candidate generation while the exact rerank
+    re-evaluates the `queries` lineage for its broadcast side — a
+    nondeterministic input could desynchronize the two. (Rebuilding
+    the rerank side from the collected rows was measured and rejected:
+    a Python-rows local relation executes through a parallelized RDD —
+    a Python-worker round trip on EVERY execution, +0.4 s/run at
+    sf0.1 — and every engine query path feeds deterministic scans.)"""
     import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).limit(
@@ -366,7 +369,6 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if not q_rows:
         return brute_force_topk(corpus, queries, k,
                                 id_col=id_col, vec_col=vec_col)
-    queries = _local_queries(queries, q_rows, id_col, vec_col)
     q_ids = np.array([r[0] for r in q_rows])
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(Q, axis=1)
@@ -398,17 +400,6 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cand = ensure_parallelism(corpus.select(id_col, vec_col)) \
         .mapInPandas(score, out_schema)
     return _exact_rerank(cand, queries, k, id_col=id_col, vec_col=vec_col)
-
-
-def _local_queries(queries: DataFrame, q_rows, id_col: str,
-                   vec_col: str) -> DataFrame:
-    """Rebuild the query side as a LOCAL relation from the
-    driver-collected rows (same values, same schema slice): the rerank
-    then broadcasts exactly the rows that drove candidate generation —
-    one evaluation of `queries` total, no re-scan of its lineage at
-    rerank time, and consistency even for a nondeterministic input."""
-    return queries.sparkSession.createDataFrame(
-        q_rows, queries.select(id_col, vec_col).schema)
 
 
 def _exact_rerank(cand: DataFrame, queries: DataFrame, k: int,
@@ -535,15 +526,14 @@ def lsh_bucket_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     **Build is EAGER** on the fast path: constructing this DataFrame
     runs one bounded Spark job (collect of ≤ `_MAX_COLLECTED_QUERIES`+1
-    query rows). The collected rows drive BOTH candidate generation and
-    the exact rerank (rebuilt as a local relation), so `queries` is
-    evaluated exactly once — a nondeterministic input cannot yield
-    inconsistent candidate vs rerank sides (ADVICE r16)."""
+    query rows). **`queries` must be deterministic** (ADVICE r16): the
+    collected rows drive candidate generation while the exact rerank
+    re-evaluates the `queries` lineage — see `brute_force_topk_np` for
+    why the rerank side is NOT rebuilt from the collected rows."""
     q_rows = queries.select(id_col, vec_col).limit(
         _MAX_COLLECTED_QUERIES + 1).collect()
     if 0 < len(q_rows) <= _MAX_COLLECTED_QUERIES:
-        q_local = _local_queries(queries, q_rows, id_col, vec_col)
-        return _lsh_topk_np_smallq(corpus, q_rows, q_local, k,
+        return _lsh_topk_np_smallq(corpus, q_rows, queries, k,
                                    id_col=id_col, vec_col=vec_col,
                                    n_tables=n_tables,
                                    planes_per_table=planes_per_table)

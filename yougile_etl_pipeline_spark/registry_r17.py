@@ -290,6 +290,11 @@ def _corpus_stages(spark, sf):
                 .drop("rn", "component"))
 
     canon = _shared(spark, sf, "build_canon", build_canon)
+    # r17 note: persisting `clean` itself was measured and rejected
+    # (funnel 1.42→1.50 s, no consumer wins) — the expensive half of
+    # the decontam stage is the canon-side signature, which already
+    # rides the tier-shared _SIG_LRU persist inside minhash_decontam;
+    # the remaining anti-join is cheaper than materializing clean.
     contam = minhash_decontam(canon, bench, "doc_id", "text")
     clean = canon.join(contam.select("doc_id"), "doc_id", "left_anti")
 
@@ -351,6 +356,32 @@ def _apportion_and_pack(gated):
             .withColumn("cum", F.sum("n_tokens").over(wp).cast("bigint"))
             .join(quota, "lang")
             .withColumn("selected", F.col("cum") <= F.col("quota")))
+
+
+def _decontam_lenses(spark, sf):
+    """Shared decontamination lens outputs over the train/bench split
+    — memoized persisted relations (r17, VERDICT r16 #2: the staged
+    readouts band-margin, lens-agreement and per-source ppm each
+    re-ran the full 8-gram explode and the MinHash banding per entry).
+    Both outputs are TINY (one row per flagged doc), so the persists
+    cost ~nothing while the expensive train-side passes run once per
+    session. Returns (train, ngram_hits, mh_hits)."""
+    from yougile_etl_pipeline_spark.operators.dedup import (
+        minhash_decontam,
+    )
+    from yougile_etl_pipeline_spark.operators.text import (
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    train = docs.filter(~_bench_pred())
+    bench = docs.filter(_bench_pred())
+    ng = _shared(spark, sf, "decontam_ngram_hits",
+                 lambda: ngram_contamination(train, bench, n=8))
+    mh = _shared(spark, sf, "decontam_mh_hits",
+                 lambda: minhash_decontam(train, bench,
+                                          "doc_id", "text"))
+    return train, ng, mh
 
 
 def _doc_clusters(spark, sf):
@@ -524,20 +555,11 @@ def decontam_lens_agreement(spark, sf):
     # signal. Both lenses broadcast the benchmark side; the train
     # corpus is scanned twice map-side and shuffled only for the
     # (rare) hits and the final four-cell conditional aggregate.
-    from yougile_etl_pipeline_spark.operators.dedup import (
-        minhash_decontam,
-    )
-    from yougile_etl_pipeline_spark.operators.text import (
-        ngram_contamination,
-    )
-
-    docs = load_table(spark, sf, "documents")
-    train = docs.filter(~_bench_pred())
-    bench = docs.filter(_bench_pred())
-    ng = ngram_contamination(train, bench, n=8) \
-        .select("doc_id", F.lit(True).alias("f_ng"))
-    mh = minhash_decontam(train, bench, "doc_id", "text") \
-        .select("doc_id", F.lit(True).alias("f_mh"))
+    # r17: both lens outputs ride the _decontam_lenses memoized
+    # persists shared with the band-margin and per-source readouts.
+    train, ng_hits, mh_hits = _decontam_lenses(spark, sf)
+    ng = ng_hits.select("doc_id", F.lit(True).alias("f_ng"))
+    mh = mh_hits.select("doc_id", F.lit(True).alias("f_mh"))
     flags = (train.select("doc_id")
              .join(ng, "doc_id", "left")
              .join(mh, "doc_id", "left")
@@ -590,15 +612,10 @@ def decontam_band_margin(spark, sf):
     # ≈ near-verbatim; 1 = borderline collision) — the threshold-
     # setting readout before anyone drops flagged docs wholesale.
     # Same broadcast-bench plan as decontam_minhash plus one
-    # hits-scale histogram aggregate.
-    from yougile_etl_pipeline_spark.operators.dedup import (
-        minhash_decontam,
-    )
-
-    docs = load_table(spark, sf, "documents")
-    hits = minhash_decontam(docs.filter(~_bench_pred()),
-                            docs.filter(_bench_pred()),
-                            "doc_id", "text")
+    # hits-scale histogram aggregate. r17: the hits relation rides the
+    # _decontam_lenses memoized persist shared with the agreement and
+    # per-source readouts.
+    _train, _ng, hits = _decontam_lenses(spark, sf)
     return (hits.groupBy("max_bands")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("n_bench_docs").cast("bigint")
@@ -940,21 +957,12 @@ def quality_contamination_by_source(spark, sf):
     # exact ppm — the readout that turns "the corpus is 0.4%
     # contaminated" into "drop src7's scrape, it is 9% benchmark
     # text". Same broadcast-bench plans as the two certified lenses;
-    # one source-keyed conditional aggregate on top.
-    from yougile_etl_pipeline_spark.operators.dedup import (
-        minhash_decontam,
-    )
-    from yougile_etl_pipeline_spark.operators.text import (
-        ngram_contamination,
-    )
-
-    docs = load_table(spark, sf, "documents")
-    train = docs.filter(~_bench_pred())
-    bench = docs.filter(_bench_pred())
-    ng = ngram_contamination(train, bench, n=8) \
-        .select("doc_id", F.lit(True).alias("f_ng"))
-    mh = minhash_decontam(train, bench, "doc_id", "text") \
-        .select("doc_id", F.lit(True).alias("f_mh"))
+    # one source-keyed conditional aggregate on top. r17: both lens
+    # outputs ride the _decontam_lenses memoized persists shared with
+    # the band-margin and lens-agreement readouts.
+    train, ng_hits, mh_hits = _decontam_lenses(spark, sf)
+    ng = ng_hits.select("doc_id", F.lit(True).alias("f_ng"))
+    mh = mh_hits.select("doc_id", F.lit(True).alias("f_mh"))
     flags = (train.select("doc_id", "source")
              .join(ng, "doc_id", "left")
              .join(mh, "doc_id", "left")

@@ -56,16 +56,19 @@ ENGINE_CONF: dict[str, str] = {
         os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
         os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", str(64 * 1024 * 1024)),
-    # Per-file open-cost charge when packing scan splits. The 4 MB
-    # default models HDFS-era file opens and FLOORS the split size, so a
-    # hot 11 MB table planned ~3 tasks no matter how many cores were
-    # idle; 512 KB matches page-cached local/NVMe (and modern object
-    # stores) and let the bench's scan-bound aggregates split to the
-    # cores available (TPC-H Q1 shape 1.53→1.00 s median). At 100 TB
-    # files are >=128 MB and `maxPartitionBytes` dominates the split
-    # formula, so this knob changes nothing there by construction.
+    # Per-file open-cost charge when packing scan splits. r16 lowered
+    # this to 512 KB on warm same-session A/Bs (more scan tasks for a
+    # hot 11 MB table); the driver's COLD runs then showed
+    # win_rank_topn 2× slower and faster at 8 cores than 32 — task
+    # overhead domination. r17 re-measured COLD (fresh JVM per
+    # sample, interleaved configs, 2 reps x 19 headline queries):
+    # 4 MB wins on 11 of 19 queries and never loses materially
+    # (per-query-min totals 7.58 s vs 8.26 s; win_rank 0.215 vs
+    # 0.257) — the 512 KB split floor was a warm-JVM artifact, so the
+    # Spark default stands. At 100 TB files are >=128 MB and
+    # `maxPartitionBytes` dominates the split formula either way.
     "spark.sql.files.openCostInBytes":
-        os.environ.get("SPARK_GRAFT_OPEN_COST", str(512 * 1024)),
+        os.environ.get("SPARK_GRAFT_OPEN_COST", str(4 * 1024 * 1024)),
     # Keep the UI off in tests/bench: faster session start, no port clashes.
     "spark.ui.enabled": "false",
 }
