@@ -44,6 +44,7 @@ R17_TOUCHED = [
     "win_rank_topn",
     "train_build_funnel",
     "train_corpus_build",
+    "text_jaccard_topk_pairs",
 ]
 
 

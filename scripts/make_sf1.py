@@ -70,12 +70,22 @@ def main() -> None:
         # '{dir}/{t}.parquet' as a single path and the streaming file
         # source glob-filters on the exact filename — a directory-
         # shaped table would break both. Row groups keep the single
-        # file splittable for Spark-side parallelism.
+        # file splittable for Spark-side parallelism — but ONLY if
+        # there is more than one: the default 128 MB parquet block
+        # size wrote sf1 lineitem (113 MB) as a SINGLE row group, so
+        # every scan of it ran as one task and the whole sf1 scaling
+        # block read core-insensitive (r17 finding — the ≈1 ratios in
+        # r16's scaling table were this artifact, not engine
+        # serialization). 8 MB row groups ≈ 14 groups for lineitem:
+        # small enough to parallelize a 32-core scan, large enough
+        # that per-group overhead stays negligible.
         import glob
         import shutil
 
         tmp = f"{out_dir}/__tmp_{t}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.coalesce(1).write.option("parquet.block.size",
+                                    str(8 * 1024 * 1024)) \
+            .mode("overwrite").parquet(tmp)
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
         shutil.move(part, f"{out_dir}/{t}.parquet")
         shutil.rmtree(tmp)
