@@ -647,25 +647,70 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized `_paeth` (PNG spec 9.4, tie order a→b→c). int16
+    lanes hold every intermediate exactly (a+b−2c ∈ [−510, 510]):
+    pa = |p−a| = |b−c|, pb = |p−b| = |a−c|, pc = |p−c| = |a+b−2c|."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    pa = np.abs(b16 - c16)
+    pb = np.abs(a16 - c16)
+    pc = np.abs(a16 + b16 - 2 * c16)
+    take_a = (pa <= pb) & (pa <= pc)
+    take_b = ~take_a & (pb <= pc)
+    return np.where(take_a, a, np.where(take_b, b, c))
+
+
+# Row-length cutoff between the per-byte loop and the numpy paths:
+# measured crossover is ~50 bytes (tiny rows pay numpy call/alloc
+# overhead: Paeth-filter 26 µs numpy vs 11 µs loop at 21 B; at 3 kB
+# the numpy path is 40–130× faster). The synthetic bench corpus uses
+# 15–32 B rows (loop side); real images land on the numpy side.
+_PNG_VEC_MIN = 64
+
+
 def _png_filter_row(raw: bytes, prior: bytes, bpp: int,
                     ftype: int) -> bytes:
     """Apply spec filter `ftype` to one raw scanline (shared by the
-    sequential and Adam7 encoders — identical arithmetic)."""
+    sequential and Adam7 encoders — identical arithmetic).
+
+    r17: rows ≥ `_PNG_VEC_MIN` bytes go through numpy — the FILTER
+    side has no sequential dependency (every predictor reads the raw
+    row and the prior row, never the output), so each type is one
+    vector pass; uint8 wraparound is the byte loop's `& 0xFF`. Short
+    rows keep the loop (numpy overhead dominates below the cutoff).
+    Byte equivalence across both paths, all five types, is pinned in
+    tests/test_r17_optimizations.py."""
+    if ftype == 0:
+        return bytes(raw)
+    if len(raw) >= _PNG_VEC_MIN:
+        r = np.frombuffer(raw, dtype=np.uint8)
+        a = np.zeros_like(r)
+        a[bpp:] = r[:-bpp]  # a[i] = raw[i-bpp], 0 for i < bpp
+        if ftype == 1:
+            return (r - a).tobytes()
+        p = np.frombuffer(prior, dtype=np.uint8)
+        if ftype == 2:
+            return (r - p).tobytes()
+        if ftype == 3:
+            pred = ((a.astype(np.uint16) + p) >> 1).astype(np.uint8)
+            return (r - pred).tobytes()
+        c = np.zeros_like(p)
+        c[bpp:] = p[:-bpp]
+        return (r - _paeth_vec(a, p, c).astype(np.uint8)).tobytes()
     out = bytearray(len(raw))
     for i in range(len(raw)):
         a = raw[i - bpp] if i >= bpp else 0
         b = prior[i]
-        if ftype == 0:
-            pred = 0
-        elif ftype == 1:
+        if ftype == 1:
             pred = a
         elif ftype == 2:
             pred = b
         elif ftype == 3:
             pred = (a + b) >> 1
         else:
-            c = prior[i - bpp] if i >= bpp else 0
-            pred = _paeth(a, b, c)
+            pred = _paeth(a, b, prior[i - bpp] if i >= bpp else 0)
         out[i] = (raw[i] - pred) & 0xFF
     return bytes(out)
 
@@ -673,23 +718,60 @@ def _png_filter_row(raw: bytes, prior: bytes, bpp: int,
 def _png_recon_row(filt: bytes, prior: bytes, bpp: int,
                    ftype: int) -> bytes:
     """Undo spec filter `ftype` for one scanline (shared by the
-    sequential and Adam7 decoders)."""
-    recon = bytearray(len(filt))
-    for i in range(len(filt)):
-        a = recon[i - bpp] if i >= bpp else 0
-        b = prior[i]
-        if ftype == 0:
-            pred = 0
-        elif ftype == 1:
-            pred = a
-        elif ftype == 2:
-            pred = b
-        elif ftype == 3:
-            pred = (a + b) >> 1
-        else:
-            c = prior[i - bpp] if i >= bpp else 0
-            pred = _paeth(a, b, c)
-        recon[i] = (filt[i] + pred) & 0xFF
+    sequential and Adam7 decoders).
+
+    r17: long rows (≥ `_PNG_VEC_MIN`) of types 0/2 are elementwise
+    numpy, and type 1's recurrence ``recon[i] = (filt[i] +
+    recon[i-bpp]) & 0xFF`` is a per-byte-LANE running sum, i.e. a
+    cumsum mod 256 (mod distributes over addition) — one vector pass.
+    Types 3/4 keep the byte loop at every length: their predictors
+    read the row being reconstructed through a nonlinear step
+    (>>1 / Paeth), so no closed vector form exists; the loop bodies
+    are specialized per type (no per-byte branch chain). Short rows
+    keep the loop everywhere (numpy overhead dominates below the
+    cutoff)."""
+    n = len(filt)
+    if ftype == 0:
+        return bytes(filt)
+    if ftype == 2 and n >= _PNG_VEC_MIN:
+        f = np.frombuffer(filt, dtype=np.uint8)
+        return (f + np.frombuffer(prior, dtype=np.uint8)).tobytes()
+    if ftype == 1 and n >= _PNG_VEC_MIN and n % bpp == 0:
+        f = np.frombuffer(filt, dtype=np.uint8)
+        lanes = f.reshape(-1, bpp).astype(np.uint64)
+        return (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8) \
+            .reshape(-1).tobytes()
+    recon = bytearray(n)
+    if ftype == 1:
+        for i in range(n):
+            a = recon[i - bpp] if i >= bpp else 0
+            recon[i] = (filt[i] + a) & 0xFF
+    elif ftype == 2:
+        for i in range(n):
+            recon[i] = (filt[i] + prior[i]) & 0xFF
+    elif ftype == 3:
+        for i in range(n):
+            a = recon[i - bpp] if i >= bpp else 0
+            recon[i] = (filt[i] + ((a + prior[i]) >> 1)) & 0xFF
+    else:
+        for i in range(n):
+            if i >= bpp:
+                a = recon[i - bpp]
+                c = prior[i - bpp]
+            else:
+                a = c = 0
+            b = prior[i]
+            pa = b - c if b >= c else c - b
+            pb = a - c if a >= c else c - a
+            s = a + b - 2 * c
+            pc = s if s >= 0 else -s
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = b
+            else:
+                pred = c
+            recon[i] = (filt[i] + pred) & 0xFF
     return bytes(recon)
 _PNG_CHANNELS_BY_CTYPE = {v: k for k, v in _PNG_CTYPE_BY_CHANNELS.items()}
 
